@@ -1,0 +1,276 @@
+"""Core analytics operators (SURVEY.md §2.2-2.4).
+
+Scale notes (100 TB design):
+
+- ``normalize``/``capacity_factor``/``time_at_min`` need whole-column
+  statistics. We compute them as a 1-row aggregate DataFrame and
+  broadcast-cross-join it back, keeping the whole plan lazy and fully
+  distributed (one partial+final agg, no driver round-trip, no
+  single-partition window).
+- ``ldc`` (load-duration curve) needs a global descending rank. A naive
+  ``row_number() OVER (ORDER BY v DESC)`` collapses to ONE partition, so
+  the default implementation range-partitions by the sort key, sorts
+  within partitions, and assigns contiguous global indexes from
+  per-partition row counts (two jobs, every stage distributed). The
+  window variant is kept for small inputs.
+- ``monthly`` is a plain hash aggregation on a truncated timestamp —
+  partial aggregation map-side, one shuffle on the (low-cardinality)
+  month key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "normalize",
+    "ldc",
+    "ldc_source",
+    "monthly",
+    "p_max",
+    "capacity_factor",
+    "time_at_min",
+    "source_side",
+    "with_global_stats",
+]
+
+
+def _cols(df: DataFrame, value_cols: Sequence[str] | None) -> list[str]:
+    if value_cols is not None:
+        return list(value_cols)
+    return [f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")]
+
+
+def with_global_stats(
+    df: DataFrame, exprs: dict[str, Column]
+) -> DataFrame:
+    """Attach whole-table aggregate values as literal-like columns.
+
+    Computes ``df.agg(**exprs)`` (1 row) and broadcast-cross-joins it
+    back onto ``df``. This is the scale-correct alternative to both
+    ``Window.partitionBy()`` (single-partition exchange) and a driver
+    ``collect`` (eager, breaks plan fusion): the 1-row side is
+    broadcast, so the join adds no shuffle of the big side.
+    """
+    stats = df.agg(*[e.alias(n) for n, e in exprs.items()])
+    return df.crossJoin(F.broadcast(stats))
+
+
+def normalize(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Min-max scale each value column to [0, 1].
+
+    Replaces the reference's sklearn ``MinMaxScaler`` path
+    (energypandas.py:330-349 series, :993-1008 frame) with one
+    partial+final aggregation plus a broadcast join; constant columns
+    scale to 0.0 (0/1 divisor guard, matching sklearn's behavior of
+    mapping a constant column to 0 via its (max-min)==0 -> 1 divisor
+    convention is NOT replicated — sklearn maps to 0.0, we emit 0.0 too
+    via the guarded expression).
+    """
+    cols = _cols(df, value_cols)
+    exprs: dict[str, Column] = {}
+    for c in cols:
+        exprs[f"__min_{c}"] = F.min(c)
+        exprs[f"__max_{c}"] = F.max(c)
+    out = with_global_stats(df, exprs)
+    keep = [c for c in df.columns if c not in cols]
+    scaled = [
+        F.when(
+            F.col(f"__max_{c}") == F.col(f"__min_{c}"), F.lit(0.0)
+        ).otherwise(
+            (F.col(c) - F.col(f"__min_{c}"))
+            / (F.col(f"__max_{c}") - F.col(f"__min_{c}"))
+        ).alias(c + suffix)
+        for c in cols
+    ]
+    return out.select(*[F.col(k) for k in keep], *scaled)
+
+
+def ldc(
+    df: DataFrame,
+    value_col: str,
+    index_name: str = "idx",
+    keep_cols: Iterable[str] = (),
+    method: str = "distributed",
+) -> DataFrame:
+    """Load-duration curve: values sorted descending with a fresh 0..n-1
+    index (reference ``EnergySeries.ldc``: ``sort_values(ascending=False)
+    .reset_index(drop=True)``, energypandas.py:641-644).
+
+    ``method='distributed'`` (default): range-partition on the sort key,
+    sort within partitions, then assign global contiguous indexes by
+    offsetting per-partition ``row_number`` with the cumulative counts of
+    the preceding partitions (computed in a tiny second job and joined
+    back via broadcast). Every stage is distributed; no single-partition
+    window.
+
+    ``method='window'``: single ``row_number`` window — exact same
+    result, simpler plan, only for small inputs.
+    """
+    cols = [value_col, *keep_cols]
+    base = df.select(*cols)
+    if method == "window":
+        w = Window.orderBy(F.desc_nulls_last(value_col))
+        return base.select(
+            (F.row_number().over(w) - 1).alias(index_name), *cols
+        )
+
+    part = (
+        base.repartitionByRange(F.desc_nulls_last(value_col))
+        .sortWithinPartitions(F.desc_nulls_last(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # per-partition counts -> cumulative offsets (tiny: one row/partition)
+    counts = part.groupBy("__pid").count()
+    offsets = counts.select(
+        F.col("__pid"),
+        (
+            F.sum("count").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__offset"),
+    ).fillna({"__offset": 0})
+    w_in = Window.partitionBy("__pid").orderBy(F.desc_nulls_last(value_col))
+    return (
+        part.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("__offset") + F.col("__rn") - 1).alias(index_name), *cols
+        )
+    )
+
+
+def ldc_source(
+    df: DataFrame,
+    value_col: str,
+    scoph: float | None = None,
+    scopc: float | None = None,
+    index_name: str = "idx",
+) -> DataFrame:
+    """Source-side load-duration curve (energypandas.py:351-364): on the
+    rank-ordered curve, positive loads scale by ``(1 - 1/SCOPH)`` and
+    non-positive by ``(1 + 1/SCOPC)``.
+    """
+    if scoph is None and scopc is None:
+        raise ValueError("provide SCOPH and/or SCOPC")
+    curve = ldc(df, value_col, index_name=index_name)
+    pos = F.col(value_col) * (1.0 - 1.0 / scoph) if scoph else F.col(value_col)
+    neg = F.col(value_col) * (1.0 + 1.0 / scopc) if scopc else F.col(value_col)
+    return curve.select(
+        index_name,
+        F.when(F.col(value_col) > 0, pos).otherwise(neg).alias(value_col),
+    )
+
+
+def source_side(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    scoph: float | None = None,
+    scopc: float | None = None,
+) -> DataFrame:
+    """Heat-pump source-side load (energypandas.py:366-382): multiply by
+    ``(1 - 1/SCOPH)`` when SCOPH is given, else ``(1 + 1/SCOPC)``;
+    raises when neither is provided. Pure column arithmetic — no UDF.
+    """
+    if scoph is not None:
+        factor = 1.0 - 1.0 / scoph
+    elif scopc is not None:
+        factor = 1.0 + 1.0 / scopc
+    else:
+        raise ValueError("provide scoph or scopc")
+    return df.select(
+        *[
+            (F.col(c) * F.lit(factor)).alias(c) if c in value_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def monthly(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str] | None = None,
+    agg: str = "avg",
+    month_end_label: bool = True,
+) -> DataFrame:
+    """Month-bucket downsampling (reference ``monthly``:
+    ``resample("ME").mean()``, energypandas.py:610-616). Hash aggregation
+    with map-side partials; the label is the month END to match pandas'
+    'ME' convention (last_day of the truncated month).
+    """
+    cols = _cols(df, value_cols)
+    agg_fn = getattr(F, agg)
+    month = F.date_trunc("month", F.col(ts_col))
+    label = (
+        F.to_timestamp(F.last_day(month)) if month_end_label else month
+    ).alias(ts_col)
+    return (
+        df.groupBy(month.alias("__m"))
+        .agg(*[agg_fn(c).alias(c) for c in cols])
+        .select(
+            (F.to_timestamp(F.last_day("__m")) if month_end_label else F.col("__m")).alias(ts_col),
+            *cols,
+        )
+        .orderBy(ts_col)
+    )
+
+
+def p_max(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Peak load: global ``max`` or per-group max under a grouping key
+    (reference ``p_max`` groups by MultiIndex level 0,
+    energypandas.py:603-608).
+    """
+    cols = _cols(df, value_cols)
+    aggs = [F.max(c).alias(c) for c in cols]
+    if by is None:
+        return df.agg(*aggs)
+    keys = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def capacity_factor(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """``mean / max`` per value column (energypandas.py:618-622), one
+    partial+final aggregation.
+    """
+    cols = _cols(df, value_cols)
+    aggs = [
+        (F.avg(c) / F.max(c)).alias(c)
+        for c in cols
+    ]
+    if by is None:
+        return df.agg(*aggs)
+    keys = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def time_at_min(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Timestamp of the minimum value (reference ``time_at_min`` =
+    ``idxmin()``, energypandas.py:629-631). Deterministic under ties:
+    returns the EARLIEST such timestamp (pandas idxmin returns the first
+    occurrence, which for a time-sorted series is the earliest).
+
+    Implemented as agg(min_by) refined for ties: broadcast the global
+    min back and take ``min(ts)`` over the argmin rows — two tiny
+    aggregations, no sort.
+    """
+    stats = df.agg(F.min(value_col).alias("__vmin"))
+    return (
+        df.join(F.broadcast(stats), F.col(value_col) == F.col("__vmin"))
+        .agg(F.min(ts_col).alias(ts_col))
+    )

@@ -1,0 +1,30 @@
+"""Shared Spark fixtures for the engine test suite."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("energy-pandas-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
