@@ -1,0 +1,150 @@
+"""Operator-layer tests: reshape, clustering (tsam golden parity),
+reportdata ingestion, ldc at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from energy_pandas_spark import EnergyFrame
+from energy_pandas_spark.operators.clustering import (
+    discretize_grouped,
+    typical_periods_reconstruct,
+)
+from energy_pandas_spark.operators.reshape import infer_step_seconds, unstack_to_periods
+from energy_pandas_spark.operators import analytics
+from energy_pandas_spark.sources.reportdata import (
+    from_reportdata,
+    from_reportdata_pivot,
+)
+
+
+class TestClustering:
+    def test_tsam_golden_value(self):
+        # reference golden: range(100) hourly, 1 typical period ->
+        # sum 4235.070422535211 (test_energypandas.py:167-173)
+        r = typical_periods_reconstruct(np.arange(100, dtype=float), 24, 1)
+        assert abs(r.sum() - 4235.070422535211) < 1e-3
+
+    def test_monotone_improvement(self):
+        x = np.arange(100, dtype=float)
+        errs = [
+            ((typical_periods_reconstruct(x, 24, k).ravel() - x) ** 2).mean()
+            for k in (1, 2, 4)
+        ]
+        assert errs[0] > errs[1] > errs[2]
+
+    def test_discretize_frame_spark(self, spark):
+        es = EnergyFrame.from_range(spark, 100, units="degC", name="Temp")
+        out = es.discretize_tsam(noTypicalPeriods=1)
+        vals = out.collect_values()
+        assert abs(sum(vals) - 4235.070422535211) < 1e-3
+        assert out.unit == es.unit
+
+    def test_discretize_grouped_parallel(self, spark):
+        # two groups, each its own series; reconstruction is per-group
+        es = EnergyFrame.from_range(spark, 100, name="v")
+        df = es.spark_df
+        two = df.withColumn("g", F.lit("a")).union(
+            df.withColumn("v", F.col("v") * 2).withColumn("g", F.lit("b"))
+        )
+        out = discretize_grouped(two, "g", "ts", ["v"], noTypicalPeriods=1)
+        sums = {r["g"]: r["s"] for r in out.groupBy("g").agg(F.sum("v").alias("s")).collect()}
+        assert abs(sums["a"] - 4235.070422535211) < 1e-3
+        assert abs(sums["b"] - 2 * 4235.070422535211) < 1e-3
+
+
+class TestReshape:
+    def test_unstack(self, spark):
+        es = EnergyFrame.from_range(spark, 96, name="v")
+        mat = unstack_to_periods(es.spark_df, "ts", "v", 24).collect()
+        assert len(mat) == 4
+        first = mat[0]
+        assert first["period"] == 0 and first["s0"] == 0.0 and first["s23"] == 23.0
+        assert mat[3]["s23"] == 95.0
+
+    def test_infer_step(self, spark):
+        es = EnergyFrame.from_range(spark, 10, frequency="15min", name="v")
+        assert infer_step_seconds(es.spark_df, "ts") == 900
+
+
+class TestReportData:
+    @pytest.fixture(scope="class")
+    def reportdata(self, spark):
+        # F4-style fixture: hourly reports with duplicate timestamps and
+        # two KeyValues
+        rows = []
+        ti = 0
+        for day in (1, 2):
+            for hour in range(1, 25):
+                ti += 1
+                for key in ("Zone A", "Zone B"):
+                    value = float(hour * (1 if key == "Zone A" else 10))
+                    rows.append((ti, 1, day, hour, 0, 60, value, "J", "Var", key))
+        return spark.createDataFrame(
+            rows,
+            "TimeIndex long, Month int, Day int, Hour int, Minute int, "
+            "Interval int, Value double, Units string, Name string, KeyValue string",
+        )
+
+    def test_series_dedup_sum(self, spark, reportdata):
+        ef = from_reportdata(reportdata, name="load", base_year=2018)
+        pdf = ef.to_pandas()
+        # both zones summed per timestamp: hour*(1+10)
+        assert len(pdf) == 48
+        assert pdf["load"].iloc[0] == 11.0  # hour 1 -> ts 2018-01-01 00:00
+        assert str(ef.units["load"]) == "J"
+        # interval shift: first stamp is hour1 - 60min = midnight
+        assert pdf["ts"].iloc[0].hour == 0
+
+    def test_series_agg_mean(self, spark, reportdata):
+        ef = from_reportdata(reportdata, name="load", agg_func="mean")
+        pdf = ef.to_pandas()
+        assert pdf["load"].iloc[0] == 5.5  # mean(1, 10)
+
+    def test_mixed_units_raise(self, spark, reportdata):
+        bad = reportdata.withColumn(
+            "Units",
+            F.when(F.col("KeyValue") == "Zone A", "J").otherwise("W"),
+        )
+        with pytest.raises(ValueError, match="mixed units"):
+            from_reportdata(bad)
+
+    def test_hour_24_rolls_over(self, spark, reportdata):
+        ef = from_reportdata(reportdata, name="load")
+        pdf = ef.to_pandas()
+        # hour 24 of day 1, shifted back 60min -> 23:00 day 1
+        assert pdf["ts"].iloc[23].hour == 23 and pdf["ts"].iloc[23].day == 1
+        # hour 1 of day 2, shifted -> 00:00 day 2
+        assert pdf["ts"].iloc[24].hour == 0 and pdf["ts"].iloc[24].day == 2
+
+    def test_pivot(self, spark, reportdata):
+        ef = from_reportdata_pivot(reportdata, key_values=["Zone A", "Zone B"])
+        pdf = ef.to_pandas()
+        assert set(ef.value_cols) == {"Zone A", "Zone B"}
+        assert len(pdf) == 48
+        assert np.allclose(pdf["Zone B"], pdf["Zone A"] * 10)
+        assert str(ef.units["Zone A"]) == "J"
+
+    def test_normalize_and_sort(self, spark, reportdata):
+        ef = from_reportdata(reportdata, name="load", normalize=True)
+        vals = ef.spark_df.select("load").toPandas()["load"]
+        assert vals.min() == 0.0 and vals.max() == 1.0
+        ef2 = from_reportdata(reportdata, name="load", sort_values=True)
+        vals2 = list(ef2.spark_df.select("load").toPandas()["load"])
+        assert vals2 == sorted(vals2, reverse=True)
+
+
+class TestLdcScale:
+    def test_distributed_matches_window(self, spark):
+        df = spark.range(5000).select(
+            (F.hash("id") % 1000).cast("double").alias("v")
+        )
+        a = analytics.ldc(df, "v", method="distributed").collect()
+        b = analytics.ldc(df, "v", method="window").collect()
+        assert [r["v"] for r in sorted(a, key=lambda r: r["idx"])] == [
+            r["v"] for r in sorted(b, key=lambda r: r["idx"])
+        ]
+        assert sorted(r["idx"] for r in a) == list(range(5000))
