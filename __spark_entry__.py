@@ -1,38 +1,1019 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline surface (dedup / similarity / text /
+multimodal / streaming-equivalent windows) as (spark, sf_dir) ->
+DataFrame callables; ``oracle_sql()`` holds the DuckDB-equivalent SQL
+for every SQL-expressible query (identical output column names — the
+driver compares columns sorted by name). Non-SQL-expressible operators
+(LSH candidate generation, SimHash, IVF, typical-period clustering,
+multimodal decode) are present without oracles -> rows-only checks.
+
+Determinism conventions shared by both sides:
+- session timezone pinned to UTC (timestamps are naive/UTC in parquet);
+- double aggregates rounded (2-6 digits depending on magnitude) AFTER
+  ordering decisions, with unique tiebreak keys on every top-k;
+- events.ts is TIMESTAMP(NANOS) parquet: Spark reads int64 + rebuilds
+  microseconds (floor), matching DuckDB's ns->us truncation.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from energy_pandas_spark.sources.readers import load_table
+from energy_pandas_spark.units import unit_registry
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (scan -> filter ->
+    hash agg with map-side partials; Catalyst pushes the shipdate filter
+    into the parquet scan)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 6)                                          AS avg_qty,
+       round(avg(l_extendedprice), 6)                                     AS avg_price,
+       round(avg(l_discount), 6)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join (broadcast the filtered customer dim)
+    -> per-order revenue -> top 10."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+        .orderBy(F.desc("__rev"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("__rev", 4).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, round(rev, 4) AS revenue, o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate  > TIMESTAMP '1998-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY rev DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: region/nation dims broadcast; the
+    fact-side joins shuffle on their keys."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("__tp"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .orderBy(F.desc("__tp"), "o_custkey")
+        .limit(10)
+        .select(
+            "c_custkey", "c_name", F.round("__tp", 2).alias("total_spent"), "n_orders"
+        )
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(tp, 2) AS total_spent, n_orders
+FROM (
+  SELECT o_custkey, sum(o_totalprice) AS tp, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY tp DESC, o_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# energy-pandas core semantics (SURVEY §2.1-2.4) over the events series
+# ---------------------------------------------------------------------------
+
+
+def with_timeindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: synthesized hourly time index (spark.range + interval
+    arithmetic; zero shuffles)."""
+    _prep(spark)
+    from energy_pandas_spark.core.timeindex import time_index
+
+    return time_index(spark, 168, base_year=2018).select(
+        "idx", "ts", F.col("idx").cast("double").alias("temp")
+    )
+
+
+_WITH_TIMEINDEX_SQL = """
+SELECT i AS idx,
+       TIMESTAMP '2018-01-01 00:00:00' + to_hours(i) AS ts,
+       CAST(i AS DOUBLE) AS temp
+FROM generate_series(0, 167) t(i)
+"""
+
+
+def to_units_kelvin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: affine unit conversion degC -> K compiled from the registry
+    into plain column arithmetic."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    slope, icept = unit_registry.conversion("degC", "kelvin")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") * F.lit(slope) + F.lit(icept), 6).alias("value_k"),
+    )
+
+
+_TO_UNITS_KELVIN_SQL = """
+SELECT event_id, round(value * 1.0 + 273.15, 6) AS value_k FROM events
+"""
+
+
+def to_units_degr_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: per-column conversion from DIFFERENT source units to one
+    target (degC->degR and K->degR in one select)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    s1, b1 = unit_registry.conversion("degC", "degR")
+    s2, b2 = unit_registry.conversion("K", "degR")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") * F.lit(s1) + F.lit(b1), 6).alias("as_c_to_r"),
+        F.round(F.col("value") * F.lit(s2) + F.lit(b2), 6).alias("as_k_to_r"),
+    )
+
+
+_TO_UNITS_DEGR_SQL = f"""
+SELECT event_id,
+       round(value * {unit_registry.conversion('degC', 'degR')[0]!r}
+             + {unit_registry.conversion('degC', 'degR')[1]!r}, 6) AS as_c_to_r,
+       round(value * {unit_registry.conversion('K', 'degR')[0]!r}, 6) AS as_k_to_r
+FROM events
+"""
+
+
+def to_ip_watts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: table-driven to_ip — W maps to Btu/h via the default IP
+    conversion table; identical literal slope on both sides."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    slope, _ = unit_registry.conversion("W", "Btu/h")
+    return ev.select(
+        "event_id", F.round(F.col("value") * F.lit(slope), 6).alias("value_btuh")
+    )
+
+
+_TO_IP_WATTS_SQL = f"""
+SELECT event_id, round(value * {unit_registry.conversion('W', 'Btu/h')[0]!r}, 6) AS value_btuh
+FROM events
+"""
+
+
+def normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: min-max normalize (1-row broadcast aggregate, no window)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import normalize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = normalize(ev, ["value"])
+    return out.select("event_id", F.round("value", 6).alias("value_norm"))
+
+
+_NORMALIZE_SQL = """
+SELECT event_id,
+       round((value - min(value) OVER ()) / (max(value) OVER () - min(value) OVER ()), 6)
+         AS value_norm
+FROM events
+"""
+
+
+def ldc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: load-duration curve — distributed rank (range partition +
+    per-partition row_number + broadcast offsets)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import ldc as _ldc
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    return _ldc(ev, "value", index_name="idx")
+
+
+_LDC_SQL = """
+SELECT row_number() OVER (ORDER BY value DESC) - 1 AS idx, value
+FROM events
+"""
+
+
+def monthly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: month-end-labelled downsampling of the events series."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.last_day(F.date_trunc("month", "ts")).alias("month_end"))
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .orderBy("month_end")
+    )
+
+
+_MONTHLY_SQL = """
+SELECT last_day(date_trunc('month', ts)) AS month_end,
+       round(avg(value), 6) AS value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def p_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: peak load per group."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("value").alias("p_max"))
+        .orderBy("event_type")
+    )
+
+
+_P_MAX_SQL = """
+SELECT event_type, max(value) AS p_max FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: mean/max in one partial+final aggregation."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.avg("value") / F.max("value"), 6).alias("capacity_factor")
+    )
+
+
+_CAPACITY_FACTOR_SQL = """
+SELECT round(avg(value) / max(value), 6) AS capacity_factor FROM events
+"""
+
+
+def time_at_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: earliest timestamp of the global minimum (deterministic under
+    ties)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import time_at_min as _tam
+
+    ev = _t(spark, sf_dir, "events")
+    return _tam(ev, "ts", "value")
+
+
+_TIME_AT_MIN_SQL = """
+SELECT min(ts) AS ts FROM events
+WHERE value = (SELECT min(value) FROM events)
+"""
+
+
+def source_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: heat-pump source-side transform (pure arithmetic)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import source_side as _ss
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = _ss(ev, ["value"], scoph=4.0)
+    return out.select("event_id", F.round("value", 6).alias("value_src"))
+
+
+_SOURCE_SIDE_SQL = """
+SELECT event_id, round(value * 0.75, 6) AS value_src FROM events
+"""
+
+
+def ldc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: conditional scaling on the rank-ordered curve."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import ldc_source as _ls
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    out = _ls(ev, "value", scoph=4.0, scopc=3.0)
+    return out.select("idx", F.round("value", 6).alias("value"))
+
+
+_LDC_SOURCE_SQL = """
+SELECT row_number() OVER (ORDER BY value DESC) - 1 AS idx,
+       round(CASE WHEN value > 0 THEN value * 0.75
+                  ELSE value * (1 + 1.0/3.0) END, 6) AS value
+FROM events
+"""
+
+
+def rowwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: axis-1 reduction as a row-wise expression."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("value")
+    b = F.col("value") * 2
+    return ev.select(
+        "event_id",
+        F.round((a + b) / 2, 6).alias("mean"),
+        F.round(a + b, 6).alias("sum"),
+    )
+
+
+_ROWWISE_MEAN_SQL = """
+SELECT event_id,
+       round((value + value * 2) / 2, 6) AS mean,
+       round(value + value * 2, 6) AS sum
+FROM events
+"""
+
+
+def reportdata_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: ReportData ingestion — timestamp reassembly from parts,
+    interval shift, duplicate-timestamp dedup by sum."""
+    _prep(spark)
+    from energy_pandas_spark.sources.reportdata import from_reportdata
+
+    ev = _t(spark, sf_dir, "events")
+    report = ev.select(
+        F.month("ts").alias("Month"),
+        F.dayofmonth("ts").alias("Day"),
+        F.hour("ts").alias("Hour"),
+        F.minute("ts").alias("Minute"),
+        F.lit(60).alias("Interval"),
+        F.col("value").alias("Value"),
+        F.lit("J").alias("Units"),
+        F.lit("Load").alias("Name"),
+    )
+    ef = from_reportdata(report, name="load", base_year=2024)
+    return ef.spark_df.select("ts", F.round("load", 6).alias("load")).orderBy("ts")
+
+
+_REPORTDATA_SERIES_SQL = """
+SELECT date_trunc('minute', ts) - INTERVAL 60 MINUTE AS ts,
+       round(sum(value), 6) AS load
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def reportdata_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: wide ReportData — pivot Value by KeyValue per TimeIndex
+    (pivot_table mean parity)."""
+    _prep(spark)
+    from energy_pandas_spark.sources.reportdata import from_reportdata_pivot
+
+    ev = _t(spark, sf_dir, "events")
+    report = ev.select(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("TimeIndex"),
+        F.month("ts").alias("Month"),
+        F.dayofmonth("ts").alias("Day"),
+        F.hour("ts").alias("Hour"),
+        F.minute("ts").alias("Minute"),
+        F.lit(60).alias("Interval"),
+        F.col("value").alias("Value"),
+        F.lit("J").alias("Units"),
+        F.col("event_type").alias("KeyValue"),
+    )
+    ef = from_reportdata_pivot(report, base_year=2024, key_values=_EVENT_TYPES)
+    cols = [F.round(c, 6).alias(c) for c in _EVENT_TYPES]
+    return ef.spark_df.select("ts", *cols).orderBy("ts")
+
+
+_REPORTDATA_PIVOT_SQL = """
+SELECT min(date_trunc('minute', ts) - INTERVAL 60 MINUTE) AS ts,
+       round(avg(value) FILTER (event_type = 'click'), 6)    AS click,
+       round(avg(value) FILTER (event_type = 'error'), 6)    AS error,
+       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+       round(avg(value) FILTER (event_type = 'signup'), 6)   AS signup,
+       round(avg(value) FILTER (event_type = 'view'), 6)     AS view
+FROM events
+GROUP BY epoch_us(ts) // 3600000000
+ORDER BY ts
+"""
+
+
+def daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: unstack-to-periods — (day x hour) matrix of mean load."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    ev2 = ev.withColumn("__h", F.hour("ts"))
+    pivoted = (
+        ev2.groupBy(F.to_date("ts").alias("day"))
+        .pivot("__h", list(range(24)))
+        .agg(F.round(F.avg("value"), 6))
+    )
+    renames = {str(h): f"h{h}" for h in range(24)}
+    return pivoted.withColumnsRenamed(renames).orderBy("day")
+
+
+_DAILY_PROFILE_SQL = "SELECT CAST(ts AS DATE) AS day, " + ", ".join(
+    f"round(avg(value) FILTER (EXTRACT(hour FROM ts) = {h}), 6) AS h{h}"
+    for h in range(24)
+) + " FROM events GROUP BY 1 ORDER BY 1"
+
+
+def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 index-alignment arithmetic: two hourly series (click vs view
+    mean value) outer-joined on the time index, then subtracted — the
+    Spark form of pandas' implicit index alignment."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+
+    def series(kind: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("hour", "ts").alias("ts"))
+            .agg(F.avg("value").alias(kind))
+        )
+
+    a, b = series("click"), series("view")
+    return (
+        a.join(b, "ts", "outer")
+        .select("ts", F.round(F.col("click") - F.col("view"), 6).alias("diff"))
+        .orderBy("ts")
+    )
+
+
+_SERIES_ALIGN_SQL = """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS ts, avg(value) AS click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), b AS (
+  SELECT date_trunc('hour', ts) AS ts, avg(value) AS view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT COALESCE(a.ts, b.ts) AS ts, round(a.click - b.view, 6) AS diff
+FROM a FULL OUTER JOIN b ON a.ts = b.ts
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / sessions (streaming-equivalent semantics on the batch table)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from energy_pandas_spark.streaming.events import windowed_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_aggregate(ev, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    ).orderBy("window_start", "event_type")
+
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+_SLIDING_SQL = """
+SELECT ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) AS ws FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (session_window); verified against a
+    lag/cumulative-sum SQL formulation."""
+    _prep(spark)
+    from energy_pandas_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, "30 minutes")
+    return out.select(
+        "session_start",
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT min(ts) AS session_start, user_id,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def users_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: distinct viewers EXCEPT purchasers."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.exceptAll(buyers).orderBy("user_id")
+
+
+_EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))
+         AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: char/token counts + alpha/punct ratios (all
+    regex + array expressions)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    safe = F.when(n_chars == 0, 1).otherwise(n_chars).cast("double")
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(t, r"[^\p{L}]", "")) / safe, 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(F.length(F.regexp_replace(t, r"\p{L}|\p{N}|\s", "")) / safe, 6).alias(
+            "symbol_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+_DOC_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS n_tokens,
+       round(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+             / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE), 6)
+         AS alpha_ratio,
+       round(length(regexp_replace(text, '\\p{L}|\\p{N}|\\s', '', 'g'))
+             / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE), 6)
+         AS symbol_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+
+
+_LANG_DIST_SQL = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID — heuristic, rows-only check."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint = md5 of normalized text."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+_DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup over documents
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import dedup_exact as _dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return _dd(docs).orderBy("digest")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs w/ Jaccard verify —
+    rows-only (banded LSH not SQL-expressible at reasonable cost)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8) — rows-only."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard over LSH candidates — rows-only."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH + exact-cosine verification — rows-only."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors (two-stage
+    distributed top-k)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import cosine_topk as _topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return _topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+_COSINE_TOPK_SQL = """
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 10
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k — rows-only (approximate by
+    design)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return _ivf(emb, queries, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rank")
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math parity check: dims + L2 norm per embedding."""
+    _prep(spark)
+    from energy_pandas_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+    ).orderBy("vec_id")
+
+
+_EMBEDDING_NORMS_SQL = """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+FROM embeddings ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal + clustering (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content -> feature vector via
+    mapInPandas (deterministic stub decoder) — rows-only."""
+    _prep(spark)
+    from energy_pandas_spark.operators.multimodal import decode_features, media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = media_table(
+        docs.select(
+            F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+        )
+    )
+    out = decode_features(media, dim=16)
+    return out.select("media_id", F.size("features").alias("dim")).orderBy("media_id")
+
+
+def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: typical-period clustering of the hourly events series
+    (iterative algorithm — rows-only)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.clustering import discretize_frame
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.avg("value").alias("v"))
+    )
+    out = discretize_frame(hourly, "ts", ["v"], noTypicalPeriods=3)
+    return out.select("ts", F.round("v", 6).alias("v")).orderBy("ts")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 (driver smoke check)."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "top_customers": top_customers,
+        "with_timeindex": with_timeindex,
+        "to_units_kelvin": to_units_kelvin,
+        "to_units_degr_mixed": to_units_degr_mixed,
+        "to_ip_watts": to_ip_watts,
+        "normalize_minmax": normalize_minmax,
+        "ldc": ldc,
+        "monthly_avg": monthly_avg,
+        "p_max_by_type": p_max_by_type,
+        "capacity_factor": capacity_factor,
+        "time_at_min": time_at_min,
+        "source_side": source_side,
+        "ldc_source": ldc_source,
+        "rowwise_mean": rowwise_mean,
+        "reportdata_series": reportdata_series,
+        "reportdata_pivot": reportdata_pivot,
+        "daily_profile": daily_profile,
+        "series_align_arithmetic": series_align_arithmetic,
+        "tumbling_1h": tumbling_1h,
+        "sliding_2h_1h": sliding_2h_1h,
+        "sessionize_30m": sessionize_30m,
+        "users_view_no_purchase": users_view_no_purchase,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "lang_distribution": lang_distribution,
+        "langid_heuristic": langid_heuristic,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "embedding_neardup": embedding_neardup,
+        "cosine_topk": cosine_topk,
+        "ivf_topk": ivf_topk,
+        "embedding_norms": embedding_norms,
+        "media_features": media_features,
+        "discretize_typical_periods": discretize_typical_periods,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "top_customers": _TOP_CUSTOMERS_SQL,
+        "with_timeindex": _WITH_TIMEINDEX_SQL,
+        "to_units_kelvin": _TO_UNITS_KELVIN_SQL,
+        "to_units_degr_mixed": _TO_UNITS_DEGR_SQL,
+        "to_ip_watts": _TO_IP_WATTS_SQL,
+        "normalize_minmax": _NORMALIZE_SQL,
+        "ldc": _LDC_SQL,
+        "monthly_avg": _MONTHLY_SQL,
+        "p_max_by_type": _P_MAX_SQL,
+        "capacity_factor": _CAPACITY_FACTOR_SQL,
+        "time_at_min": _TIME_AT_MIN_SQL,
+        "source_side": _SOURCE_SIDE_SQL,
+        "ldc_source": _LDC_SOURCE_SQL,
+        "rowwise_mean": _ROWWISE_MEAN_SQL,
+        "reportdata_series": _REPORTDATA_SERIES_SQL,
+        "reportdata_pivot": _REPORTDATA_PIVOT_SQL,
+        "daily_profile": _DAILY_PROFILE_SQL,
+        "series_align_arithmetic": _SERIES_ALIGN_SQL,
+        "tumbling_1h": _TUMBLING_SQL,
+        "sliding_2h_1h": _SLIDING_SQL,
+        "sessionize_30m": _SESSIONIZE_SQL,
+        "users_view_no_purchase": _EXCEPT_SQL,
+        "doc_token_count": _TOKEN_COUNT_SQL,
+        "doc_quality": _DOC_QUALITY_SQL,
+        "lang_distribution": _LANG_DIST_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "embedding_norms": _EMBEDDING_NORMS_SQL,
+    }

@@ -1,0 +1,95 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query materializes through the noop sink so the full plan executes
+(collect() would be driver-bound for the large outputs; count() would
+let Catalyst prune the projections we are trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "to_units_kelvin",
+    "normalize_minmax",
+    "ldc",
+    "reportdata_pivot",
+    "tumbling_1h",
+    "sessionize_30m",
+    "dedup_exact",
+    "doc_token_count",
+    "minhash_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "embedding_neardup",
+    "discretize_typical_periods",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("energy-pandas-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # report per-query failures, keep going
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Column-expression function library.
+
+Everything here returns pyspark Column expressions built from built-in
+functions — JVM-evaluated inside whole-stage codegen, usable in any
+operator without Python-worker round trips.
+"""
+
+from energy_pandas_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    l2_normalize,
+)
+from energy_pandas_spark.functions.textfns import (
+    char_shingles,
+    jaccard,
+    normalized_text,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "l2_normalize",
+    "cosine_similarity",
+    "tokens",
+    "normalized_text",
+    "word_shingles",
+    "char_shingles",
+    "jaccard",
+]

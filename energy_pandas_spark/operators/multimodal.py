@@ -1,0 +1,171 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct —
+Spark's native pattern for multimodal training data. The distributed
+plumbing (schemas, Arrow batch shapes, partition sizing, UDF
+signatures) is real and tested; the codec kernels themselves are
+STUBBED behind ``set_decoder``/deterministic fakes because no media
+libraries exist in this environment — swap in PIL/av/soundfile by
+registering a decoder, nothing else changes.
+
+Scale notes: media rows are large, so the operators (a) never shuffle
+the binary payload except where the caller asks for it, (b) cap Arrow
+batch sizes via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(callers should size it so batch_bytes ~ 64-256 MB), and (c) emit
+features as fixed-length ``array<float>`` ready for the similarity
+operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_table",
+    "set_decoder",
+    "decode_features",
+    "frame_sample_plan",
+]
+
+#: canonical multimodal row schema
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+# decoder registry: mime-prefix -> fn(bytes, meta_row) -> np.ndarray[float32]
+_DECODERS: dict[str, Callable[[bytes, dict], np.ndarray]] = {}
+
+
+def set_decoder(mime_prefix: str, fn: Callable[[bytes, dict], np.ndarray]) -> None:
+    """Register a real codec (e.g. PIL-based) for a mime prefix."""
+    _DECODERS[mime_prefix] = fn
+
+
+def _fake_decode(content: bytes, meta: dict, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a codec: a seeded feature vector from
+    the content digest. Keeps the full distributed pipeline testable
+    without media libraries; REPLACE via set_decoder for real features."""
+    seed = int.from_bytes(hashlib.sha256(content or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def media_table(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Validate/coerce an arbitrary DataFrame into the canonical media
+    schema (id, binary content, typed meta struct)."""
+    if "media_id" not in df.columns:
+        df = df.withColumn("media_id", F.monotonically_increasing_id())
+    if "meta" not in df.columns:
+        df = df.withColumn(
+            "meta",
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        )
+    return df.select("media_id", F.col(content_col).alias("content"), "meta")
+
+
+def decode_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    strict: bool = False,
+) -> DataFrame:
+    """content -> feature vector, via ``mapInPandas`` (Arrow batches).
+
+    Dispatches on ``meta.mime`` through the decoder registry; without a
+    registered decoder, ``strict=True`` raises NotImplementedError (the
+    honest stub) while the default uses the deterministic fake so the
+    downstream pipeline (dedup/similarity over features) stays
+    exercisable end-to-end."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for content, meta in zip(pdf[content_col], pdf[meta_col]):
+                mime = (meta or {}).get("mime") or ""
+                decoder = next(
+                    (f for p, f in _DECODERS.items() if mime.startswith(p)), None
+                )
+                if decoder is not None:
+                    vec = decoder(content, meta)
+                elif strict:
+                    raise NotImplementedError(
+                        f"no decoder registered for mime {mime!r}; "
+                        "install a media library and call set_decoder()"
+                    )
+                else:
+                    vec = _fake_decode(content, meta or {}, dim)
+                feats.append([float(x) for x in vec[:dim]])
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+    return df.select(id_col, content_col, meta_col).mapInPandas(fn, schema=schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (media, frame_ts).
+
+    The timestamp lattice comes from ``meta.duration_ms`` via
+    ``sequence``+``explode`` (pure expressions); actual frame extraction
+    is the registered decoder's job. This is the real distributed
+    skeleton — the explode happens before decode so frame decoding
+    parallelizes across the cluster rather than per-video."""
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col(f"{meta_col}.duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

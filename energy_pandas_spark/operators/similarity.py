@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB-scale engine needs both:
+
+- ``cosine_topk``: exact brute force. The query set is assumed small
+  (it is broadcast); the corpus streams once. Top-k extraction is
+  TWO-STAGE: a per-(query, input-partition) local top-k (bounded window
+  over partition-local rows) followed by a global top-k over the
+  ``k x num_partitions`` survivors — never a single-partition window
+  over the whole corpus, never a collect_list of the corpus.
+- ``ivf_topk``: IVF-style approximate search. Centroids are trained
+  driver-side (k-means on a bounded sample), corpus vectors are
+  assigned to their nearest centroid with a vectorized Arrow batch
+  kernel (one matmul per batch), and each query probes only the
+  ``nprobe`` nearest cells — the classic inverted-file pruning, with
+  the cell assignment persisted so repeated queries reuse it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from energy_pandas_spark.functions.vectors import cosine_similarity
+
+__all__ = ["cosine_topk", "train_centroids", "assign_cells", "ivf_topk"]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k per query.
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    # stage 1: local top-k inside each scan partition
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(query_id, "__pid").orderBy(
+                    F.desc("__cos"), F.asc(corpus_id)
+                )
+            ),
+        )
+        .filter(F.col("__lr") <= k)
+    )
+    # stage 2: global top-k over k * num_partitions survivors per query
+    cos = F.round(F.col("__cos"), round_digits) if round_digits else F.col("__cos")
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.asc(corpus_id))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, cos.alias("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side k-means (Lloyd) on a bounded sample — the IVF coarse
+    quantizer. The sample is capped, so driver memory is bounded
+    regardless of corpus size."""
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T
+        lab = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = lab == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment with an Arrow-vectorized kernel: one
+    (batch x dim) @ (dim x cells) matmul per batch."""
+    cent = centroids.astype(np.float64)
+    cols = corpus.columns
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(X) == 0:
+                pdf[out_col] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            pdf[out_col] = (Xn @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(corpus.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+    return corpus.mapInPandas(fn, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: probe only the ``nprobe`` nearest
+    IVF cells per query. The equi-join on ``cell`` replaces the full
+    cross join — the scan prunes to ~nprobe/n_cells of the corpus."""
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, corpus_vec)
+    cells = assign_cells(corpus, centroids, corpus_vec)
+
+    # queries are small: probe cells computed driver-side
+    qrows = queries.select(query_id, query_vec).collect()
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (r[0], r[1], int(c))
+            for r, pr in zip(qrows, probes)
+            for c in pr
+        ],
+        schema=f"{query_id} long, {query_vec} array<double>, cell int",
+    )
+    scored = cells.join(F.broadcast(probe_df), "cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.asc(corpus_id))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("__cos", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All hot-path logic is built-in column expressions (regex, array
+functions, hashes) — whole-stage-codegen'd, no Python workers — so the
+operators scan-bound at 100 TB: one pass over the text column, column
+pruning pushes everything else out of the read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from energy_pandas_spark.functions.textfns import (
+    char_shingles,
+    normalized_text,
+    tokens,
+)
+
+__all__ = [
+    "token_count",
+    "quality_features",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "minhash_fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deliberately small: the heuristic is a
+# frequency vote, not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "una", "en", "que", "por"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "这", "人"),
+}
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace token count (the cheap proxy; BPE-ish counting below)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str = "text") -> Column:
+    """A BPE-flavored token estimate: word-piece splits on letter/digit/
+    punctuation boundaries, long words count ~len/4 subwords (the GPT-ish
+    rule of thumb), all as one regex + aggregate expression."""
+    pieces = F.filter(
+        F.split(F.lower(text if isinstance(text, Column) else F.col(text)),
+                r"[^\p{L}\p{N}]+"),
+        lambda t: t != F.lit(""),
+    )
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(F.length(w) <= 4, 1).otherwise(
+            F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+        ),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token stats, alpha/punct/
+    digit ratios, stopword ratio, repetition ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^\p{N}]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^\p{P}]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_toks = F.size(toks)
+    distinct_toks = F.size(F.array_distinct(toks))
+    safe = F.when(n_chars == 0, 1).otherwise(n_chars).cast("double")
+    safe_toks = F.when(n_toks == 0, 1).otherwise(n_toks).cast("double")
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_toks.cast("long"),
+            "alpha_ratio": alpha / safe,
+            "digit_ratio": digits / safe,
+            "punct_ratio": punct / safe,
+            "avg_token_len": F.when(n_toks == 0, 0.0).otherwise(
+                F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda a, w: a + F.length(w)).cast("double") / safe_toks
+            ),
+            "stopword_ratio": F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+            / F.when(distinct_toks == 0, 1).otherwise(distinct_toks).cast("double"),
+            "repetition_ratio": F.lit(1.0) - distinct_toks / safe_toks,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features — a linear blend
+    of heuristics (length band, alphabetic-ness, low repetition)."""
+    feat = quality_features(df, text_col)
+    length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    rep_score = F.lit(1.0) - F.least(F.col("repetition_ratio") * 2, F.lit(1.0))
+    return feat.withColumn(
+        "quality",
+        F.round(
+            0.4 * length_score + 0.4 * F.col("alpha_ratio") + 0.2 * rep_score, 6
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-vote language ID: score each language by distinct
+    stopword hits in the token set, argmax via a greatest/when chain.
+    Pure expressions — one pass, no shuffle, no UDF."""
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # zh has no whitespace tokens: count character hits instead
+    zh_chars = F.array(*[F.lit(c) for c in STOPWORDS["zh"]])
+    scores["zh"] = F.size(
+        F.array_intersect(
+            F.split(F.col(text_col), ""), zh_chars
+        )
+    )
+    best = F.greatest(*scores.values())
+    expr: Column = F.lit("und")
+    # reversed so the FIRST language in insertion order wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Stable 128-bit-ish content fingerprint of the normalized text
+    (md5 hex) — the exact-dedup key."""
+    return df.withColumn(out_col, F.md5(normalized_text(text_col)))
+
+
+def minhash_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "min_fp",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Winnowing-flavored rolling fingerprint: the minimum 64-bit hash
+    over the document's character shingles — robust to small edits,
+    computed as array_min(transform(shingles, xxhash64))."""
+    sh = char_shingles(text_col, shingle_size)
+    return df.withColumn(
+        out_col, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    )

@@ -55,7 +55,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer `div`, NOT double division: ns values exceed the 2^53
+        # exact-double range, so a float path rounds the microsecond
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,82 @@
+"""Differential tests of the driver contract: run every ``queries()``
+entry on Spark AND its ``oracle_sql()`` in DuckDB over the same parquet,
+compare row counts + order-insensitive values (columns sorted by name,
+rows sorted) — a local replica of the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(x):
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "nan"
+        return round(x, 6)
+    if isinstance(x, datetime.datetime):
+        return x.replace(tzinfo=None).isoformat()
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    return x
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    a, b = _norm_rows(scols, srows), _norm_rows(ocols, orows)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES))
+)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0

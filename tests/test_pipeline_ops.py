@@ -1,0 +1,219 @@
+"""Training-data pipeline operator tests: dedup, similarity, text,
+multimodal plumbing, streaming windows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.functions.textfns import jaccard, word_shingles
+from energy_pandas_spark.functions.vectors import cosine_similarity, l2_norm
+from energy_pandas_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+from energy_pandas_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    media_table,
+)
+from energy_pandas_spark.operators.similarity import cosine_topk, ivf_topk
+from energy_pandas_spark.operators.text import language_id, quality_score, token_count
+from energy_pandas_spark.streaming.events import sessionize, windowed_aggregate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog again and again", "en"),  # near dup of 0
+        (3, "der schnelle braune fuchs springt über den faulen hund", "de"),
+        (4, "le renard brun rapide saute par dessus le chien paresseux et le chat", "fr"),
+        (5, "completely different content about spark query engines and shuffles", "en"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestVectorFns:
+    def test_cosine_and_norm(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+            "a array<double>, b array<double>",
+        )
+        out = df.select(
+            F.round(cosine_similarity("a", "b"), 9).alias("c"),
+            F.round(l2_norm("a"), 9).alias("n"),
+        ).collect()
+        assert out[0]["c"] == 0.0
+        assert out[1]["c"] == 1.0
+        assert out[2]["c"] == 0.0  # zero-vector guard
+        assert out[1]["n"] == round(math.sqrt(2), 9)
+
+    def test_jaccard_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d", "a b c e")], "x string, y string")
+        out = df.select(
+            jaccard(word_shingles("x", 2), word_shingles("y", 2)).alias("j")
+        ).collect()[0]["j"]
+        # bigrams: {ab,bc,cd} vs {ab,bc,ce} -> 2/4
+        assert out == 0.5
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        groups = dedup_exact(docs).collect()
+        dup = [g for g in groups if g["n_copies"] > 1]
+        assert len(dup) == 1 and dup[0]["doc_id"] == 0 and dup[0]["n_copies"] == 2
+
+    def test_minhash_finds_neardup(self, docs):
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.3, num_hashes=64, bands=32, shingle_size=2
+        ).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (0, 1) in got  # exact dup always found
+        assert (0, 2) in got or (1, 2) in got  # near dup
+        assert all({a, b} != {0, 5} for a, b in got)  # unrelated not paired
+
+    def test_simhash(self, docs):
+        pairs = simhash_neardup_pairs(docs, max_hamming=10).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (0, 1) in got
+        hams = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+        assert hams[(0, 1)] == 0
+
+    def test_embedding_neardup(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=16, bands=8, dim=4
+        ).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((200, 16))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_topk_self_is_rank1(self, emb):
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = cosine_topk(emb, queries, k=3).collect()
+        r1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+        assert all(q == v for q, v in r1.items())  # self-similarity = 1.0
+        assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in out if r["rank"] == 1)
+
+    def test_ivf_contains_self(self, emb):
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = ivf_topk(emb, queries, k=3, n_cells=4, nprobe=2).collect()
+        r1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+        assert all(q == v for q, v in r1.items())
+
+
+class TestText:
+    def test_token_count(self, docs):
+        out = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+        assert out[0] == 12 and out[6] == 0
+
+    def test_quality_bounds(self, docs):
+        out = quality_score(docs).select("quality").collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+
+    def test_language_id(self, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+        assert out[0] == "en" and out[3] == "de" and out[4] == "fr"
+        assert out[6] == "und"  # empty text
+
+
+class TestMultimodal:
+    def test_decode_features_deterministic(self, spark):
+        df = media_table(
+            spark.createDataFrame(
+                [(0, b"payload-a"), (1, b"payload-b"), (2, b"payload-a")],
+                "media_id long, content binary",
+            )
+        )
+        out = {r["media_id"]: r["features"] for r in decode_features(df, dim=8).collect()}
+        assert len(out[0]) == 8
+        assert out[0] == out[2]  # same content -> same features
+        assert out[0] != out[1]
+
+    def test_strict_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        df = media_table(
+            spark.createDataFrame([(0, b"x")], "media_id long, content binary")
+        )
+        with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+            decode_features(df, strict=True).collect()
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame(
+            [(0, b"", ("video/mp4", None, None, 3500))],
+            "media_id long, content binary, "
+            "meta struct<mime string, width int, height int, duration_ms long>",
+        )
+        out = frame_sample_plan(df, every_ms=1000).collect()
+        assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+class TestStreamingSemantics:
+    def test_windowed_agg_batch_streaming_parity(self, spark, tmp_path, sf_dir):
+        """The SAME windowed_aggregate definition over a readStream file
+        source (availableNow) must equal the batch result."""
+        from energy_pandas_spark.sources.readers import load_table
+        from energy_pandas_spark.streaming.events import stream_events
+
+        ev = load_table(spark, sf_dir, "events")
+        # write a clean (µs-timestamp) copy for the stream source
+        src = str(tmp_path / "events_stream")
+        ev.write.parquet(src)
+        batch = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in windowed_aggregate(ev, "1 hour").collect()
+        }
+        stream = stream_events(spark, src)
+        q = (
+            windowed_aggregate(stream, "1 hour")
+            .writeStream.format("memory")
+            .queryName("wagg")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("select * from wagg").collect()
+        }
+        assert got == batch
+
+    def test_sessionize_batch(self, spark, sf_dir):
+        from energy_pandas_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        out = sessionize(ev, "30 minutes")
+        total = out.agg(F.sum("n_events")).collect()[0][0]
+        assert total == ev.count()  # every event lands in exactly one session
