@@ -493,6 +493,23 @@ class EnergyFrame:
         )
 
     # ------------------------------------------------------------------
+    # plotting (distributed prep + driver-side render; V1-V3)
+    # ------------------------------------------------------------------
+    def plot2d(self, **kwargs: Any):
+        """Heatmap of the period-unstacked series (reference
+        energypandas.py:679-802)."""
+        from energy_pandas_spark.plotting import plot2d
+
+        return plot2d(self, **kwargs)
+
+    def plot3d(self, **kwargs: Any):
+        """3D surface/wireframe/contour (reference energypandas.py:
+        414-601)."""
+        from energy_pandas_spark.plotting import plot3d
+
+        return plot3d(self, **kwargs)
+
+    # ------------------------------------------------------------------
     # materialization
     # ------------------------------------------------------------------
     def to_pandas(self):

@@ -121,28 +121,36 @@ def ldc(
             (F.row_number().over(w) - 1).alias(index_name), *cols
         )
 
+    # Range-partition on the sort key, sort within partitions, then tag
+    # rows with monotonically_increasing_id: within a partition the id is
+    # (pid << 33) + a consecutive counter in row order, so it encodes
+    # BOTH the partition and the local rank — no per-pid window, no
+    # second shuffle of the data. The projection is cached because
+    # repartitionByRange samples its boundaries (nondeterministic across
+    # re-evaluations) and the offsets branch must see the SAME layout.
     part = (
         base.repartitionByRange(F.desc_nulls_last(value_col))
         .sortWithinPartitions(F.desc_nulls_last(value_col))
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn("__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .select(*cols, "__pid", "__rn")
+        .cache()
     )
     # per-partition counts -> cumulative offsets (tiny: one row/partition)
-    counts = part.groupBy("__pid").count()
-    offsets = counts.select(
-        F.col("__pid"),
-        (
-            F.sum("count").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-            )
-        ).alias("__offset"),
-    ).fillna({"__offset": 0})
-    w_in = Window.partitionBy("__pid").orderBy(F.desc_nulls_last(value_col))
-    return (
-        part.withColumn("__rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "__pid")
+    offsets = (
+        part.groupBy("__pid")
+        .count()
         .select(
-            (F.col("__offset") + F.col("__rn") - 1).alias(index_name), *cols
+            F.col("__pid"),
+            F.sum("count")
+            .over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__offset"),
         )
+        .fillna({"__offset": 0})
+    )
+    return part.join(F.broadcast(offsets), "__pid").select(
+        (F.col("__offset") + F.col("__rn")).alias(index_name), *cols
     )
 
 

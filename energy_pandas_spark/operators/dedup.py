@@ -235,18 +235,27 @@ def simhash64(
     import zlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_cols = (1 << np.arange(64, dtype=np.uint64))
+        bit_cols = 1 << np.arange(64, dtype=np.uint64)
+        # per-batch token-hash cache: documents share vocabulary, so the
+        # crc32 work collapses to once-per-distinct-token
         for pdf in it:
+            cache: dict[str, int] = {}
+
+            def th(t: str) -> int:
+                h = cache.get(t)
+                if h is None:
+                    h = zlib.crc32(t.encode()) + (zlib.crc32(t[::-1].encode()) << 32)
+                    cache[t] = h
+                return h
+
             out_ids, out_hashes = [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = str(txt).lower().split()
                 if not toks:
-                    out_ids.append(i); out_hashes.append(0); continue
-                hs = np.array(
-                    [zlib.crc32(t.encode()) + (zlib.crc32(t[::-1].encode()) << 32)
-                     for t in toks],
-                    dtype=np.uint64,
-                )
+                    out_ids.append(i)
+                    out_hashes.append(0)
+                    continue
+                hs = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
                 bits = (hs[:, None] & bit_cols[None, :]) != 0
                 votes = bits.sum(axis=0) * 2 - len(toks)
                 sim = int((bit_cols[votes > 0]).sum(dtype=np.uint64))
