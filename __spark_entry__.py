@@ -564,6 +564,116 @@ ORDER BY 1
 """
 
 
+def asof_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.5 north star): each event joined to the most
+    recent hourly per-user average at or before it — union +
+    last(ignorenulls) window, one shuffle on the key."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+    )
+    out = asof_join(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
+    return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, r.hr_avg
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 6) AS hr_avg
+  FROM events GROUP BY 1, 2
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events against a broadcast calendar of
+    6-hour maintenance windows."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    cal = spark.sql(
+        """
+        SELECT w AS start, w + INTERVAL 6 HOURS AS end,
+               CAST(date_format(w, 'yyyyMMddHH') AS LONG) AS window_id
+        FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 24 HOURS)) AS w)
+        """
+    )
+    out = interval_join(ev, cal, ts_col="ts")
+    return (
+        out.groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("window_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH cal AS (
+  SELECT w AS s, w + INTERVAL 6 HOUR AS e,
+         CAST(strftime(w, '%Y%m%d%H') AS BIGINT) AS window_id
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                       INTERVAL 24 HOUR) t(w)
+)
+SELECT window_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events JOIN cal ON ts >= s AND ts < e
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling average per event type (RANGE frame on
+    physical time, tie-deterministic)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.windows import rolling_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    out = rolling_aggregate(ev, "ts", "value", 3600, by="event_type", aggs=("avg", "count"))
+    return out.select(
+        "event_id",
+        F.round("rolling_avg", 6).alias("rolling_avg"),
+        F.col("rolling_count").alias("rolling_n"),
+    ).orderBy("event_id")
+
+
+_ROLLING_SQL = """
+SELECT event_id,
+       round(avg(value) OVER w, 6) AS rolling_avg,
+       count(value) OVER w AS rolling_n
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def cumulative_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user sum over time (RANGE unbounded-preceding)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.windows import cumulative_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    out = cumulative_aggregate(ev, "ts", "value", by="user_id")
+    return out.select(
+        "event_id", F.round("cum_sum", 6).alias("cum_value")
+    ).orderBy("event_id")
+
+
+_CUMULATIVE_SQL = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # windows / sessions (streaming-equivalent semantics on the batch table)
 # ---------------------------------------------------------------------------
@@ -960,6 +1070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reportdata_pivot": reportdata_pivot,
         "daily_profile": daily_profile,
         "series_align_arithmetic": series_align_arithmetic,
+        "asof_join_hourly": asof_join_hourly,
+        "interval_join_windows": interval_join_windows,
+        "rolling_1h_avg": rolling_1h_avg,
+        "cumulative_user_spend": cumulative_user_spend,
         "tumbling_1h": tumbling_1h,
         "sliding_2h_1h": sliding_2h_1h,
         "sessionize_30m": sessionize_30m,
@@ -1005,6 +1119,10 @@ def oracle_sql() -> dict[str, str]:
         "reportdata_pivot": _REPORTDATA_PIVOT_SQL,
         "daily_profile": _DAILY_PROFILE_SQL,
         "series_align_arithmetic": _SERIES_ALIGN_SQL,
+        "asof_join_hourly": _ASOF_SQL,
+        "interval_join_windows": _INTERVAL_JOIN_SQL,
+        "rolling_1h_avg": _ROLLING_SQL,
+        "cumulative_user_spend": _CUMULATIVE_SQL,
         "tumbling_1h": _TUMBLING_SQL,
         "sliding_2h_1h": _SLIDING_SQL,
         "sessionize_30m": _SESSIONIZE_SQL,

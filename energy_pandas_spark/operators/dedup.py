@@ -236,32 +236,44 @@ def simhash64(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_cols = 1 << np.arange(64, dtype=np.uint64)
-        # per-batch token-hash cache: documents share vocabulary, so the
-        # crc32 work collapses to once-per-distinct-token
         for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], out_col: []})
+                continue
+            # flatten the whole batch: hash each DISTINCT token once,
+            # then one vectorized bit-unpack + segmented reduction for
+            # every document at once (no per-document numpy dispatch)
             cache: dict[str, int] = {}
-
-            def th(t: str) -> int:
-                h = cache.get(t)
-                if h is None:
-                    h = zlib.crc32(t.encode()) + (zlib.crc32(t[::-1].encode()) << 32)
-                    cache[t] = h
-                return h
-
-            out_ids, out_hashes = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
+            flat: list[int] = []
+            lens = np.empty(len(pdf), dtype=np.int64)
+            for row_i, txt in enumerate(pdf[text_col]):
                 toks = str(txt).lower().split()
-                if not toks:
-                    out_ids.append(i)
-                    out_hashes.append(0)
-                    continue
-                hs = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
-                bits = (hs[:, None] & bit_cols[None, :]) != 0
-                votes = bits.sum(axis=0) * 2 - len(toks)
-                sim = int((bit_cols[votes > 0]).sum(dtype=np.uint64))
-                out_ids.append(i)
-                out_hashes.append(sim if sim < (1 << 63) else sim - (1 << 64))
-            yield pd.DataFrame({id_col: out_ids, out_col: out_hashes})
+                lens[row_i] = len(toks)
+                for t in toks:
+                    h = cache.get(t)
+                    if h is None:
+                        h = zlib.crc32(t.encode()) + (
+                            zlib.crc32(t[::-1].encode()) << 32
+                        )
+                        cache[t] = h
+                    flat.append(h)
+            hs = np.array(flat, dtype=np.uint64)
+            bits = ((hs[:, None] & bit_cols[None, :]) != 0).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nonempty = lens > 0
+            # reduceat needs strictly valid segment starts; guard empties
+            seg_starts = starts[nonempty]
+            counts = (
+                np.add.reduceat(bits, seg_starts, axis=0)
+                if len(seg_starts)
+                else np.zeros((0, 64), dtype=np.int64)
+            )
+            votes = counts * 2 - lens[nonempty][:, None]
+            sims_ne = ((votes > 0) * bit_cols[None, :]).sum(axis=1, dtype=np.uint64)
+            sims = np.zeros(len(pdf), dtype=np.uint64)
+            sims[nonempty] = sims_ne
+            signed = sims.astype(np.int64)  # two's-complement view
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: signed})
 
     schema = f"{id_col} long, {out_col} long"
     return src.mapInPandas(batches, schema=schema)

