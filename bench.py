@@ -68,6 +68,11 @@ def main() -> None:
     from energy_pandas_spark.sources.readers import TABLE_NAMES, load_table
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # fork the Python worker pool + Arrow serialization once, so the
+    # first pandas-backed query measures the query, not worker startup
+    spark.range(64).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).limit(1).collect()
 

@@ -5,16 +5,18 @@
   shuffle on the digest; map-side partial aggregation; no text moves
   after the hash is computed at the scan.
 - ``minhash_lsh``: shingle -> 64-permutation MinHash signature -> banded
-  LSH bucketing -> candidate pairs verified with true Jaccard. The
-  signature + band keys are pure column expressions (xxhash64 with
-  per-permutation seeds); the only shuffle is the explode-on-bands
-  self-join, keyed by (band, bucket) — the standard distributed MinHash
-  join. Bucket skew is bounded by ``max_bucket`` (oversized buckets are
-  dropped and logged, the usual guard against degenerate shingles).
-- ``simhash64``: 64-bit SimHash per document via one Arrow-vectorized
-  pandas iterator (numpy bit matrix), then near-dup candidates from
-  4x16-bit band buckets verified by Hamming distance (``bit_count`` of
-  xor) — Python touches each doc once; banding/verification is JVM.
+  LSH bucketing -> candidate pairs verified with true Jaccard. Each
+  shingle is hashed once (xxhash64) after an explode; the permutation
+  minima are a codegen'd hash-aggregate with map-side partial mins, so
+  the signature shuffle carries 64 longs per document. Candidates come
+  from the banded (band, bucket) self-join. Bucket skew is bounded by
+  ``max_bucket`` (oversized buckets are dropped, the usual guard
+  against degenerate shingles).
+- ``simhash64``: 64-bit SimHash per document — token explode +
+  xxhash64 + one hash-aggregate of 64 bit-vote sums (all codegen'd
+  long arithmetic); near-dup candidates from 4x16-bit band buckets
+  verified by Hamming distance (``bit_count`` of xor). No Python
+  workers anywhere on the path.
 - ``ngram_jaccard_pairs``: all-pairs n-gram Jaccard within LSH buckets
   (never a full cross join).
 - ``embedding_neardup``: random-hyperplane (sign) LSH over an embedding
@@ -23,12 +25,11 @@
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from energy_pandas_spark.functions.textfns import jaccard, normalized_text, word_shingles
 from energy_pandas_spark.functions.vectors import cosine_similarity, dot, l2_norm
@@ -87,46 +88,65 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    p = (1 << 31) - 1  # Mersenne prime; keeps a*h+b within long under ANSI
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, p)), int(rng.integers(0, p))) for _ in range(num_hashes)
+    ]
+
+
+def _minhash_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int,
+) -> DataFrame:
+    """(id, m0..m{N-1}) permutation minima via explode + hash-aggregate.
+
+    Each shingle is hashed ONCE (``xxhash64``, JVM); the N permutations
+    are cheap affine maps ``min(a_i*h + b_i mod p)`` evaluated as plain
+    codegen'd long arithmetic inside the aggregate — no interpreted
+    higher-order functions, no Python. The aggregation is partial
+    map-side (explode and the partial mins run in the scan stage), so
+    the only shuffle carries N longs per document regardless of text
+    size — the shape that survives a 100 TB corpus."""
+    p = (1 << 31) - 1
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    pl = F.lit(p).cast("long")
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_size))).alias("__s"),
+    ).select(id_col, F.pmod(F.xxhash64("__s"), pl).alias("__h"))
+    aggs = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a).cast("long") + F.lit(b).cast("long"), pl)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_size: int = 3,
     out_col: str = "sig",
+    id_col: str = "doc_id",
     seed: int = 13,
 ) -> DataFrame:
-    """N-permutation MinHash signature as ``array<bigint>``.
-
-    One expensive pass hashes each shingle ONCE (``xxhash64``); the N
-    permutations are then cheap affine maps ``a_i * h + b_i`` over the
-    long array (odd multiplier => a bijection mod 2^64; Java long
-    arithmetic wraps, which is exactly the mod), i.e. the classic
-    one-hash MinHash trick. Everything stays JVM-side; the per-document
-    cost is O(shingles) string hashing + O(N * shingles) long ops
-    instead of O(N * shingles) string hashing."""
-    p = (1 << 31) - 1  # Mersenne prime; keeps a*h+b within long under ANSI
-    rng = np.random.default_rng(seed)
-    coeffs = [
-        (int(rng.integers(1, p)), int(rng.integers(0, p)))
-        for _ in range(num_hashes)
-    ]
-    sh = F.array_distinct(word_shingles(text_col, shingle_size))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")))
-
-    def perm(a: int, b: int):
-        # closure factory: PySpark derives lambda arity from the python
-        # signature, so default-arg captures would break it
-        return lambda h: F.pmod(
-            h * F.lit(a).cast("long") + F.lit(b).cast("long"), F.lit(p).cast("long")
-        )
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__base"), perm(a, b))) for a, b in coeffs]
+    """N-permutation MinHash signature as ``array<bigint>`` joined back
+    onto the input by ``id_col`` (documents with no shingles get an
+    empty array)."""
+    mins = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size, seed)
+    sig = mins.select(
+        id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias(out_col)
     )
-    return (
-        df.withColumn("__shingles", sh)
-        .withColumn("__base", base)
-        .withColumn(out_col, sig)
+    return df.join(sig, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<bigint>"))
     )
 
 
@@ -150,10 +170,9 @@ def minhash_lsh_pairs(
     on id) instead of carrying shingles through the band explosion —
     candidates are tiny relative to the corpus."""
     rows_per_band = num_hashes // bands
-    sigd = minhash_signature(_spread(df), text_col, num_hashes, shingle_size)
-    sigd = sigd.select(id_col, "__shingles", "sig").cache()
+    mins = _minhash_agg(_spread(df), text_col, id_col, num_hashes, shingle_size, seed=13)
 
-    banded = sigd.select(
+    banded = mins.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -164,7 +183,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("sig")[b * rows_per_band + r]
+                                    F.col(f"m{b * rows_per_band + r}")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -176,24 +195,40 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # guard against degenerate buckets (all-identical boilerplate)
-    sized = banded.withColumn(
-        "__bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("__bsize") <= max_bucket)
-
-    a = sized.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = sized.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # bucket-grouped pair expansion: ONE shuffle on (band, bucket),
+    # pairs generated by a double explode inside each bucket — no
+    # self-join, and the size filter doubles as the degenerate-bucket
+    # guard (all-identical boilerplate)
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucketed.select(F.posexplode("ids").alias("__pos", "__a"), F.col("ids"))
+        .select(
+            F.col("__a"),
+            F.explode(
+                F.slice("ids", F.col("__pos") + F.lit(2), F.size("ids"))
+            ).alias("__b"),
+        )
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+        )
         .distinct()
     )
 
-    sh = sigd.select(F.col(id_col), F.col("__shingles"))
+    # verify: recompute shingle sets from the raw text for the (tiny)
+    # candidate set only — cheaper than dragging shingle arrays through
+    # the band explosion and its shuffles
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_size)).alias("__sh"),
+    )
     verified = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "__shingles": "sh_b"}), "id_b")
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), "id_b")
         .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -225,58 +260,39 @@ def simhash64(
     id_col: str = "doc_id",
     out_col: str = "simhash",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+    """64-bit SimHash over whitespace tokens, entirely JVM-side.
 
-    The per-document bit-vote needs 64 weighted popcounts over token
-    hashes — awkward as expressions, natural as a vectorized numpy
-    kernel, so this is the one text op using ``mapInPandas`` (Arrow
-    batches; each document visits Python exactly once)."""
-    src = _spread(df.select(id_col, F.col(text_col)))
-    import zlib
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_cols = 1 << np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pd.DataFrame({id_col: [], out_col: []})
-                continue
-            # flatten the whole batch: hash each DISTINCT token once,
-            # then one vectorized bit-unpack + segmented reduction for
-            # every document at once (no per-document numpy dispatch)
-            cache: dict[str, int] = {}
-            flat: list[int] = []
-            lens = np.empty(len(pdf), dtype=np.int64)
-            for row_i, txt in enumerate(pdf[text_col]):
-                toks = str(txt).lower().split()
-                lens[row_i] = len(toks)
-                for t in toks:
-                    h = cache.get(t)
-                    if h is None:
-                        h = zlib.crc32(t.encode()) + (
-                            zlib.crc32(t[::-1].encode()) << 32
-                        )
-                        cache[t] = h
-                    flat.append(h)
-            hs = np.array(flat, dtype=np.uint64)
-            bits = ((hs[:, None] & bit_cols[None, :]) != 0).astype(np.int64)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            nonempty = lens > 0
-            # reduceat needs strictly valid segment starts; guard empties
-            seg_starts = starts[nonempty]
-            counts = (
-                np.add.reduceat(bits, seg_starts, axis=0)
-                if len(seg_starts)
-                else np.zeros((0, 64), dtype=np.int64)
-            )
-            votes = counts * 2 - lens[nonempty][:, None]
-            sims_ne = ((votes > 0) * bit_cols[None, :]).sum(axis=1, dtype=np.uint64)
-            sims = np.zeros(len(pdf), dtype=np.uint64)
-            sims[nonempty] = sims_ne
-            signed = sims.astype(np.int64)  # two's-complement view
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: signed})
-
-    schema = f"{id_col} long, {out_col} long"
-    return src.mapInPandas(batches, schema=schema)
+    Tokens explode to one row each, ``xxhash64`` hashes each token
+    once, and one hash-aggregate computes the 64 per-bit vote counts
+    (``sum((h >> i) & 1)`` — plain codegen'd long arithmetic) plus the
+    token count. Bit i of the signature is set iff ``2*s_i > n``; the
+    64 bit terms are assembled with bitwise OR (no additive overflow
+    under ANSI for bit 63). The aggregation is partial map-side, so
+    the shuffle carries 65 longs per document regardless of document
+    length; no Python workers, no interpreted higher-order functions."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    src = _spread(df.select(id_col, text_col))
+    # explode_outer keeps token-less documents as one null row; the
+    # guarded hash leaves it null (xxhash64(null) would return the seed,
+    # 42) so empty docs aggregate to signature 0, not to a shared bucket
+    exploded = src.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
+        id_col,
+        F.when(F.col("__t").isNotNull(), F.xxhash64("__t")).alias("__h"),
+    )
+    aggs = [F.count("__h").alias("n")] + [
+        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{i}")
+        for i in range(64)
+    ]
+    votes = exploded.groupBy(id_col).agg(*aggs)
+    one = F.lit(1).cast("long")
+    bit_terms = [
+        F.when(F.col(f"s{i}") * 2 > F.col("n"), F.shiftleft(one, i)).otherwise(one * 0)
+        for i in range(64)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim.bitwiseOR(t)
+    return votes.select(id_col, sim.alias(out_col))
 
 
 def simhash_neardup_pairs(
@@ -284,11 +300,14 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit band buckets (a pair within
     Hamming distance 3 must agree on at least one band), verified with
-    ``bit_count(a XOR b) <= max_hamming`` — banding and verification
-    are pure expressions."""
+    ``bit_count(a XOR b) <= max_hamming``. Candidates come from the
+    same bucket-grouped double-explode as MinHash (one shuffle, no
+    self-join); verification runs inside the bucket before the pair
+    distinct, so only true near-dups reach the final shuffle."""
     sh = simhash64(df, text_col, id_col)
     bandexpr = F.explode(
         F.array(
@@ -304,16 +323,27 @@ def simhash_neardup_pairs(
     banded = sh.select(id_col, "simhash", bandexpr).select(
         id_col, "simhash", "bb.band", "bb.bucket"
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bucket")
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        bucketed.select(F.posexplode("xs").alias("__pos", "a"), F.col("xs"))
+        .select(
+            F.col("a"),
+            F.explode(F.slice("xs", F.col("__pos") + F.lit(2), F.size("xs"))).alias("b"),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
     )
 
 
@@ -383,14 +413,26 @@ def embedding_neardup_pairs(
     banded = _spread(df.select(id_col, vec_col)).mapInPandas(
         project, schema=f"{id_col} long, band int, bucket long"
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    # dedupe candidate pairs on IDs ONLY (cheap shuffle keys), then
-    # re-join the vectors once per surviving pair for the exact verify
+    # bucket-grouped pair expansion (one shuffle, no self-join); dedupe
+    # candidate pairs on IDs ONLY (cheap shuffle keys), then re-join the
+    # vectors once per surviving pair for the exact verify
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucketed.select(F.posexplode("ids").alias("__pos", "__a"), F.col("ids"))
+        .select(
+            F.col("__a"),
+            F.explode(
+                F.slice("ids", F.col("__pos") + F.lit(2), F.size("ids"))
+            ).alias("__b"),
+        )
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+        )
         .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
