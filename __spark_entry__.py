@@ -528,6 +528,36 @@ _DAILY_PROFILE_SQL = "SELECT CAST(ts AS DATE) AS day, " + ", ".join(
 ) + " FROM events GROUP BY 1 ORDER BY 1"
 
 
+def unstack_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 proper: tsam-style ``unstackToPeriods`` — the hourly mean
+    series reshaped to one row per 24-step period by grid ordinal
+    ((ts - min ts) / step), not calendar position; gaps stay null.
+    Per-row math against a broadcast global min + one pivot shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.reshape import unstack_to_periods
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    return unstack_to_periods(hourly, "ts", "v", 24, step_seconds=3600)
+
+
+_UNSTACK_PERIODS_SQL = (
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS ts, round(avg(value), 6) AS v
+  FROM events GROUP BY 1
+), o AS (
+  SELECT CAST(floor((epoch(ts) - (SELECT min(epoch(ts)) FROM hourly)) / 3600) AS BIGINT) AS ord, v
+  FROM hourly
+)
+SELECT ord // 24 AS period, """
+    + ", ".join(f"max(v) FILTER (ord % 24 = {s}) AS s{s}" for s in range(24))
+    + " FROM o GROUP BY 1 ORDER BY 1"
+)
+
+
 def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 index-alignment arithmetic: two hourly series (click vs view
     mean value) outer-joined on the time index, then subtracted — the
@@ -775,6 +805,39 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
 EXCEPT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 ORDER BY user_id
+"""
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (iterative min-label propagation) over the
+    bipartite user <-> props.k graph from events — the entity-resolution
+    / dedup-cluster primitive. Attribute nodes are offset by 1e6 to
+    keep the id spaces disjoint."""
+    _prep(spark)
+    from energy_pandas_spark.operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.get_json_object("props", "$.k").cast("long") + F.lit(1_000_000)).alias(
+            "dst"
+        ),
+    ).where(F.col("dst").isNotNull())
+    return connected_components(edges).orderBy("id")
+
+
+_GRAPH_CC_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT user_id AS u, CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000 AS v
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+), cc(id, label) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.id = s.u
+)
+SELECT id, min(label) AS component FROM cc GROUP BY id ORDER BY id
 """
 
 
@@ -1069,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reportdata_series": reportdata_series,
         "reportdata_pivot": reportdata_pivot,
         "daily_profile": daily_profile,
+        "unstack_periods": unstack_periods,
         "series_align_arithmetic": series_align_arithmetic,
         "asof_join_hourly": asof_join_hourly,
         "interval_join_windows": interval_join_windows,
@@ -1078,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_2h_1h": sliding_2h_1h,
         "sessionize_30m": sessionize_30m,
         "users_view_no_purchase": users_view_no_purchase,
+        "graph_components": graph_components,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
@@ -1118,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "reportdata_series": _REPORTDATA_SERIES_SQL,
         "reportdata_pivot": _REPORTDATA_PIVOT_SQL,
         "daily_profile": _DAILY_PROFILE_SQL,
+        "unstack_periods": _UNSTACK_PERIODS_SQL,
         "series_align_arithmetic": _SERIES_ALIGN_SQL,
         "asof_join_hourly": _ASOF_SQL,
         "interval_join_windows": _INTERVAL_JOIN_SQL,
@@ -1127,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_2h_1h": _SLIDING_SQL,
         "sessionize_30m": _SESSIONIZE_SQL,
         "users_view_no_purchase": _EXCEPT_SQL,
+        "graph_components": _GRAPH_CC_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_distribution": _LANG_DIST_SQL,

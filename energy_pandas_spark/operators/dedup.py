@@ -242,11 +242,17 @@ def minhash_dedup(
     id_col: str = "doc_id",
     **kwargs,
 ) -> DataFrame:
-    """Documents to DROP: for every verified near-dup pair keep the
-    smaller id, drop the larger (greedy transitive approximation —
-    connected-component clustering is a later pass)."""
+    """Documents to DROP: connected components over the verified
+    near-dup pairs (operators.graph), keeping the smallest id per
+    cluster — correct on transitive chains where greedy pair-dropping
+    over-keeps."""
+    from energy_pandas_spark.operators.graph import dedup_clusters
+
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+    clusters = dedup_clusters(pairs)
+    return clusters.filter(~F.col("is_survivor")).select(
+        F.col("doc_id").alias(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Connected components + dedup clustering (operators.graph)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_components_chain_and_islands(spark):
+    from energy_pandas_spark.operators.graph import connected_components
+
+    # chain 1-3-2 (one component via 3), island pair 10-11, singleton via
+    # self-loop 99
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 3), (10, 11), (99, 99)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_components_long_chain_converges(spark):
+    from energy_pandas_spark.operators.graph import connected_components
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == n + 1
+    assert all(r.component == 0 for r in rows)
+
+
+def test_dedup_clusters_chain(spark):
+    from energy_pandas_spark.operators.graph import dedup_clusters
+
+    # greedy pair-dropping would keep both 1 and 2 here; CC keeps only 1
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], "id_a long, id_b long")
+    rows = dedup_clusters(pairs).collect()
+    survivors = sorted(r.doc_id for r in rows if r.is_survivor)
+    assert survivors == [1]
+    assert {r.doc_id: r.cluster_id for r in rows} == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_dedup_uses_clusters(spark):
+    from energy_pandas_spark.operators.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra tail words here"),
+            (3, base + "extra tail words here and more"),
+            (4, "completely different content about spark engines " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    dropped = sorted(
+        r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect()
+    )
+    assert 1 not in dropped and 4 not in dropped
+    assert set(dropped) <= {2, 3} and len(dropped) >= 1
