@@ -49,7 +49,20 @@ def cosine_topk(
         F.col(corpus_id),
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
     )
-    # stage 1: local top-k inside each scan partition
+    return _topk_per_query(scored, k, query_id, corpus_id, round_digits)
+
+
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Two-stage top-k: a per-(query, input-partition) local top-k
+    (bounded window over partition-local rows) feeds a global top-k
+    over the ``k x num_partitions`` survivors — never a full sort of
+    one query's whole candidate set on a single partition."""
     local = (
         scored.withColumn("__pid", F.spark_partition_id())
         .withColumn(
@@ -62,7 +75,6 @@ def cosine_topk(
         )
         .filter(F.col("__lr") <= k)
     )
-    # stage 2: global top-k over k * num_partitions survivors per query
     cos = F.round(F.col("__cos"), round_digits) if round_digits else F.col("__cos")
     return (
         local.withColumn(
@@ -181,13 +193,4 @@ def ivf_topk(
         F.col(corpus_id),
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
     )
-    return (
-        scored.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.asc(corpus_id))
-            ),
-        )
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("__cos", 6).alias("cosine"), "rank")
-    )
+    return _topk_per_query(scored, k, query_id, corpus_id)
