@@ -808,6 +808,69 @@ ORDER BY user_id
 """
 
 
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guard join: lineitem joined to orders through salted_join
+    (hot orderkeys spread across `salt` shuffle partitions), then
+    revenue per order priority — results identical to the plain join,
+    which is exactly what the oracle asserts."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of value per event type
+    (Spark ``percentile`` == DuckDB ``quantile_cont``). The scale path
+    swaps in ``percentile_approx`` (t-digest sketch, mergeable across
+    partitions) when exactness isn't required."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (iterative min-label propagation) over the
     bipartite user <-> props.k graph from events — the entity-resolution
@@ -1143,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": sessionize_30m,
         "users_view_no_purchase": users_view_no_purchase,
         "graph_components": graph_components,
+        "salted_join_priority_revenue": salted_join_priority_revenue,
+        "value_percentiles": value_percentiles,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
@@ -1194,6 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_30m": _SESSIONIZE_SQL,
         "users_view_no_purchase": _EXCEPT_SQL,
         "graph_components": _GRAPH_CC_SQL,
+        "salted_join_priority_revenue": _SALTED_JOIN_SQL,
+        "value_percentiles": _PERCENTILES_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_distribution": _LANG_DIST_SQL,

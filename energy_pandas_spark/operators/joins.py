@@ -17,7 +17,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "salted_join"]
 
 
 def asof_join(
@@ -77,6 +77,35 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in right_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-mitigating equi-join: every left row gets a uniform salt in
+    ``[0, salt)``, the right side is replicated ``salt`` times, and the
+    join key becomes (keys..., salt) — a hot key's rows land on ``salt``
+    shuffle partitions instead of one. Results are identical to the
+    plain join.
+
+    Use when a handful of heavy keys dominate and AQE's skew-join
+    splitting can't help (e.g. the skew is in a hash-aggregate feeding
+    the join). Cost: the replicated side's shuffle volume grows by the
+    salt factor, so salt the side that is small-per-key (dimensions,
+    pre-aggregated tables). For broadcastable right sides just use
+    ``F.broadcast`` — salting is for the sort-merge/shuffled-hash
+    regime."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(salted_r, keys + ["__salt"], how).drop("__salt")
 
 
 def interval_join(

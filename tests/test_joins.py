@@ -1,0 +1,72 @@
+"""Temporal + skew-guard joins (operators.joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.operators.joins import asof_join, interval_join, salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 100 + k) for k in range(2, 12)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 12)], "k long, rv long"
+    )
+    plain = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain and len(plain) == 100
+
+
+def test_salted_join_left_how(spark):
+    left = spark.createDataFrame([(1, 10), (99, 11)], "k long, lv long")
+    right = spark.createDataFrame([(1, 100)], "k long, rv long")
+    rows = sorted(
+        (r.k, r.lv, r.rv) for r in salted_join(left, right, "k", how="left").collect()
+    )
+    assert rows == [(1, 10, 100), (99, 11, None)]
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "id long, ts_s string"
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 5.0), ("2024-01-01 09:00:00", 3.0)],
+        "ts_s string, v double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "v")
+    out = asof_join(left, right, on="ts", right_cols=["v"]).collect()
+    assert out[0].v == 5.0  # same-instant right row matches
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "id long, ts_s string"
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 11:00:00", 2.0)],
+        "ts_s string, v double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "v")
+    back = asof_join(left, right, on="ts", right_cols=["v"]).collect()[0].v
+    fwd = asof_join(
+        left, right, on="ts", right_cols=["v"], direction="forward"
+    ).collect()[0].v
+    assert (back, fwd) == (1.0, 2.0)
+
+
+def test_interval_join_half_open(spark):
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 06:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 06:00:00", 1)],
+        "s string, e string, w long",
+    ).select(
+        F.to_timestamp("s").alias("start"), F.to_timestamp("e").alias("end"), "w"
+    )
+    got = sorted(r.id for r in interval_join(facts, iv).collect())
+    assert got == [1]  # start inclusive, end exclusive
