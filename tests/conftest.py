@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
@@ -12,6 +13,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
+    warehouse = tempfile.mkdtemp(prefix="eps-warehouse-")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("energy-pandas-spark-tests")
@@ -20,6 +22,7 @@ def spark() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield s
