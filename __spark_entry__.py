@@ -822,7 +822,7 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    joined = salted_join(li, orders, on="l_orderkey", salt=4)
     return (
         joined.groupBy("o_orderpriority")
         .agg(

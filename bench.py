@@ -32,6 +32,10 @@ HEADLINE = [
     "reportdata_pivot",
     "tumbling_1h",
     "sessionize_30m",
+    "asof_join_hourly",
+    "rolling_1h_avg",
+    "salted_join_priority_revenue",
+    "graph_components",
     "dedup_exact",
     "doc_token_count",
     "minhash_pairs",

@@ -143,6 +143,29 @@ class EnergyFrame:
         return cls(df, units=units, index_col="ts", meta=meta)
 
     @classmethod
+    def read_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        index_col: str | None = "ts",
+        meta: Mapping[str, Any] | None = None,
+    ) -> "EnergyFrame":
+        """Rehydrate an EnergyFrame from parquet written via ``.df``:
+        per-column unit strings come back out of
+        ``StructField.metadata['units']`` (Spark persists field metadata
+        in the parquet footer), completing the write/read round trip
+        without a sidecar file."""
+        df = spark.read.parquet(path)
+        units = {
+            f.name: f.metadata["units"]
+            for f in df.schema.fields
+            if f.metadata and "units" in f.metadata
+        }
+        if index_col not in df.columns:
+            index_col = None
+        return cls(df, units=units or None, index_col=index_col, meta=meta)
+
+    @classmethod
     def from_reportdata(cls, *args: Any, **kwargs: Any) -> "EnergyFrame":
         """EnergyPlus ReportData ingestion — see
         :func:`energy_pandas_spark.sources.reportdata.from_reportdata`."""
@@ -491,6 +514,11 @@ class EnergyFrame:
         return unstack_to_periods(
             self._df, self._index_col, self.name, periodlength
         )
+
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Write with per-column unit metadata stamped (round-trips via
+        :meth:`read_parquet`)."""
+        self.df.write.mode(mode).parquet(path)
 
     # ------------------------------------------------------------------
     # plotting (distributed prep + driver-side render; V1-V3)

@@ -179,3 +179,16 @@ class TestFrameSemantics:
     def test_units_metadata_stamped(self, es):
         field = {f.name: f for f in es.df.schema.fields}["Temp"]
         assert field.metadata.get("units") == "degC"
+
+    def test_parquet_round_trip_rehydrates_units(self, spark, tmp_path):
+        ef = EnergyFrame.from_range(spark, 24, units="degC", name="Temp")
+        k = ef.to_units("kelvin")
+        path = str(tmp_path / "rt")
+        k.to_parquet(path)
+        back = EnergyFrame.read_parquet(spark, path)
+        assert back.units["Temp"] == ur.parse("kelvin")
+        assert back.index_col == "ts"
+        assert back.spark_df.count() == 24
+        # values preserved (degC range(24) + 273.15)
+        vals = sorted(r.Temp for r in back.spark_df.collect())
+        assert abs(vals[0] - 273.15) < 1e-9 and abs(vals[-1] - 296.15) < 1e-9
