@@ -919,6 +919,39 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored subword count estimate (letter/digit boundary split,
+    long words ~len/4 subwords) — one regex + aggregate expression."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+_BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(
+         list_filter(string_split_regex(lower(text), '[^\pL\pN]+'), x -> x != ''),
+         w -> CASE WHEN length(w) <= 4 THEN 1
+                   ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)), 0) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_min_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-flavored rolling fingerprint (min xxhash64 over char
+    5-shingles) — rows-only (xxhash64 has no DuckDB twin)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import minhash_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_fingerprint(docs).select("doc_id", "min_fp").orderBy("doc_id")
+
+
 _TOKEN_COUNT_SQL = """
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))
@@ -1209,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_priority_revenue": salted_join_priority_revenue,
         "value_percentiles": value_percentiles,
         "doc_token_count": doc_token_count,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_min_fingerprint": doc_min_fingerprint,
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
         "langid_heuristic": langid_heuristic,
@@ -1262,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_priority_revenue": _SALTED_JOIN_SQL,
         "value_percentiles": _PERCENTILES_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
+        "doc_bpe_tokens": _BPE_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_distribution": _LANG_DIST_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,

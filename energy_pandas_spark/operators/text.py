@@ -19,6 +19,7 @@ from energy_pandas_spark.functions.textfns import (
 
 __all__ = [
     "token_count",
+    "bpe_ish_token_count",
     "quality_features",
     "quality_score",
     "language_id",
