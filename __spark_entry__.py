@@ -659,13 +659,16 @@ GROUP BY 1 ORDER BY 1
 
 
 def rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 1-hour rolling average per event type (RANGE frame on
-    physical time, tie-deterministic)."""
+    """Trailing 1-hour rolling average per user (RANGE frame on
+    physical time, tie-deterministic). Partitioned by user_id — a key
+    whose cardinality grows with the data, so no window partition
+    becomes a single-task giant at scale (event_type, with 5 values,
+    would)."""
     _prep(spark)
     from energy_pandas_spark.operators.windows import rolling_aggregate
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    out = rolling_aggregate(ev, "ts", "value", 3600, by="event_type", aggs=("avg", "count"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    out = rolling_aggregate(ev, "ts", "value", 3600, by="user_id", aggs=("avg", "count"))
     return out.select(
         "event_id",
         F.round("rolling_avg", 6).alias("rolling_avg"),
@@ -678,7 +681,7 @@ SELECT event_id,
        round(avg(value) OVER w, 6) AS rolling_avg,
        count(value) OVER w AS rolling_n
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY ts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """

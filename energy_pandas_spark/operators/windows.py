@@ -4,9 +4,12 @@ ordering timestamp are deterministic (every tied row sees the same
 frame; a ROWS frame would depend on arbitrary tie order).
 
 Scale shape: one shuffle on the partition keys; frames evaluate inside
-the sorted partitions. Partition keys must bound partition size (a key
-with the whole table underneath is the caller's skew bug, same as any
-window function).
+the sorted partitions. Partition keys must bound partition size: pick
+keys whose cardinality grows with the data (user, device, order — not
+a 5-value category, which would put the whole table under 5 sort
+tasks). For genuinely low-cardinality keys, pre-aggregate to a coarser
+time grain first (bucketed partial sums + edge combine) so the window
+runs over bounded rows per key.
 """
 
 from __future__ import annotations
