@@ -7,8 +7,10 @@ tag both sides, union on (keys, ts), and propagate the most recent
 right-side values forward within each key partition. One shuffle on the
 join keys, no range-condition explosion, no skew beyond the key
 distribution — the standard scalable as-of strategy when the right side
-is too big to broadcast. (A broadcast variant is chosen automatically
-for small right sides.)
+is too big to broadcast. ``asof_join_broadcast`` is the small-right
+variant: the right side packs into per-key sorted arrays and
+broadcasts, so the (huge) left side is never shuffled at all — the
+match is an ``array_max(filter(...))`` expression per row.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "interval_join", "salted_join"]
+__all__ = ["asof_join", "asof_join_broadcast", "interval_join", "salted_join"]
 
 
 def asof_join(
@@ -76,6 +78,42 @@ def asof_join(
     return filled.filter(F.col("__src") == 1).select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side: right rows pack into
+    one sorted ``array<struct<ts, cols...>>`` per key, the packed table
+    broadcasts, and each left row picks ``array_max`` of the elements
+    with ``ts <= left.ts`` (struct ordering starts at the first field,
+    so the max IS the latest match). The left side keeps its
+    partitioning — zero shuffle, zero sort on the fact table; the right
+    side must fit in a broadcast (its entire history per key rides in
+    one array)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in keys]
+    packed = right.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(on).alias("__t"), *right_cols))
+        ).alias("__arr")
+    )
+    joined = (
+        left.join(F.broadcast(packed), keys, "left")
+        if keys
+        else left.crossJoin(F.broadcast(packed))
+    )
+    lts = F.col(on)
+    best = F.array_max(F.filter("__arr", lambda x: x["__t"] <= lts))
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[best[c].alias(c) for c in right_cols],
     )
 
 

@@ -70,3 +70,38 @@ def test_interval_join_half_open(spark):
     )
     got = sorted(r.id for r in interval_join(facts, iv).collect())
     assert got == [1]  # start inclusive, end exclusive
+
+
+def test_asof_broadcast_matches_union_variant(spark, sf_dir):
+    from energy_pandas_spark.sources.readers import load_table
+    from energy_pandas_spark.operators.joins import asof_join_broadcast
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.round(F.avg("value"), 6).alias("hr_avg")
+    )
+    a = asof_join(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
+    b = asof_join_broadcast(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
+    ra = {(r.event_id, r.hr_avg) for r in a.select("event_id", "hr_avg").collect()}
+    rb = {(r.event_id, r.hr_avg) for r in b.select("event_id", "hr_avg").collect()}
+    assert ra == rb and len(ra) == ev.count()
+
+
+def test_asof_broadcast_no_left_shuffle(spark, sf_dir):
+    from energy_pandas_spark.sources.readers import load_table
+    from energy_pandas_spark.operators.joins import asof_join_broadcast
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.avg("value").alias("hr_avg")
+    )
+    out = asof_join_broadcast(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed are the broadcast + the right side's
+    # packing aggregate; the left/fact side must join broadcast-style
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # any hash exchange must belong to the packed right side (group on
+    # user_id), never re-key the left fact rows
+    assert all("user_id" in s for s in shuffles)
