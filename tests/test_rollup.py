@@ -1,0 +1,74 @@
+"""Continuous rollup sink: streaming maintenance == batch recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.streaming.events import windowed_aggregate
+from energy_pandas_spark.streaming.rollup import continuous_rollup
+
+
+def _write_batchfile(spark, rows, dest):
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(dest)
+
+
+def test_rollup_matches_batch_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "rollup")
+    chk = str(tmp_path / "chk")
+    # batch 1 covers part of hour 10; batch 2 adds more of hour 10 + hour 11
+    _write_batchfile(
+        spark,
+        [
+            (0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 10:10:00", 1, "click", 2.0, "{}"),
+            (2, "2024-01-01 10:20:00", 2, "view", 3.0, "{}"),
+        ],
+        src + "/b1",
+    )
+    _write_batchfile(
+        spark,
+        [
+            (3, "2024-01-01 10:40:00", 1, "click", 4.0, "{}"),
+            (4, "2024-01-01 11:05:00", 2, "view", 5.0, "{}"),
+        ],
+        src + "/b2",
+    )
+    from energy_pandas_spark.streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = continuous_rollup(stream, out, chk)
+    assert q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in windowed_aggregate(spark.read.parquet(src + "/*")).collect()
+    }
+    assert got == want and len(got) == 3
+
+    # replay with the same checkpoint: no new files -> table unchanged
+    q2 = continuous_rollup(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        out,
+        chk,
+    )
+    assert q2.awaitTermination(120)
+    again = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.avg_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
