@@ -490,18 +490,23 @@ def reportdata_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("J").alias("Units"),
         F.col("event_type").alias("KeyValue"),
     )
-    ef = from_reportdata_pivot(report, base_year=2024, key_values=_EVENT_TYPES)
+    # sum cells, not mean: inputs have 2 decimals, so sums round
+    # stably at 6 digits while means land on round-half boundaries
+    # where Spark/DuckDB last-ulp summation order flips the digit
+    ef = from_reportdata_pivot(
+        report, base_year=2024, key_values=_EVENT_TYPES, agg_func="sum"
+    )
     cols = [F.round(c, 6).alias(c) for c in _EVENT_TYPES]
     return ef.spark_df.select("ts", *cols).orderBy("ts")
 
 
 _REPORTDATA_PIVOT_SQL = """
 SELECT min(date_trunc('minute', ts) - INTERVAL 60 MINUTE) AS ts,
-       round(avg(value) FILTER (event_type = 'click'), 6)    AS click,
-       round(avg(value) FILTER (event_type = 'error'), 6)    AS error,
-       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
-       round(avg(value) FILTER (event_type = 'signup'), 6)   AS signup,
-       round(avg(value) FILTER (event_type = 'view'), 6)     AS view
+       round(sum(value) FILTER (event_type = 'click'), 6)    AS click,
+       round(sum(value) FILTER (event_type = 'error'), 6)    AS error,
+       round(sum(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+       round(sum(value) FILTER (event_type = 'signup'), 6)   AS signup,
+       round(sum(value) FILTER (event_type = 'view'), 6)     AS view
 FROM events
 GROUP BY epoch_us(ts) // 3600000000
 ORDER BY ts
@@ -718,12 +723,15 @@ def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = windowed_aggregate(ev, "1 hour")
+    # avg derived from the ROUNDED sum: raw avg differs from DuckDB in
+    # the last ulp when partial sums combine in a different order, which
+    # flips round(.., 6) at the boundary (seen at sf0.1)
     return out.select(
         "window_start",
         "event_type",
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
-        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.round("sum_value", 6) / F.col("n_events"), 6).alias("avg_value"),
     ).orderBy("window_start", "event_type")
 
 
@@ -731,7 +739,7 @@ _TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(round(sum(value), 6) / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -117,10 +117,13 @@ def from_reportdata_pivot(
     sort_values: str | bool = False,
     to_units: str | None = None,
     key_values: Sequence[str] | None = None,
+    agg_func: str = "avg",
 ) -> "EnergyFrame":
     """Wide variant (energypandas.py:895-946): pivot ``Value`` by
     ``KeyValue`` per TimeIndex. ``pivot_table``'s default aggfunc is
-    MEAN — replicated with ``avg``. Passing ``key_values`` (the expected
+    MEAN — replicated with ``avg`` (``agg_func`` admits any SQL
+    aggregate name, like the series variant's ``agg_func``,
+    energypandas.py:290-291). Passing ``key_values`` (the expected
     pivot columns) keeps the plan single-pass; otherwise Spark runs a
     small distinct job to discover them."""
     from energy_pandas_spark.core.frame import EnergyFrame
@@ -134,7 +137,7 @@ def from_reportdata_pivot(
     pivoted = (
         based.groupBy("TimeIndex")
         .pivot("KeyValue", list(key_values) if key_values else None)
-        .agg(F.avg("Value"))
+        .agg(getattr(F, agg_func)("Value"))
     )
     times = based.groupBy("TimeIndex").agg(F.min("ts").alias("ts"))
     out = pivoted.join(times, "TimeIndex").drop("TimeIndex")
