@@ -1063,8 +1063,11 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs w/ Jaccard verify —
-    rows-only (banded LSH not SQL-expressible at reasonable cost)."""
+    """MinHash+LSH near-dup candidate pairs w/ Jaccard verify. Oracle =
+    brute-force O(n^2) Jaccard in DuckDB: sound because every true pair
+    in this corpus has j >= 0.9 (nothing between 0.2 and 0.9), where a
+    16-band/4-row signature's miss probability is ~(1-0.9^4)^16 = 4e-8
+    — the deterministic fixed-seed LSH recovers the exact pair set."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1072,6 +1075,32 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).orderBy(
         "id_a", "id_b"
     )
+
+
+def _brute_jaccard_sql(threshold: float) -> str:
+    # word-3-gram shingles exactly as functions.textfns.word_shingles:
+    # docs shorter than 3 tokens contribute their full join (the i=1
+    # slice of a short list IS the whole list)
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+    FROM documents
+  )
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,7 +1113,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard over LSH candidates — rows-only."""
+    """Word-3-gram Jaccard over LSH candidates; brute-force oracle
+    (sound for the same recall argument as minhash_pairs)."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1313,6 +1343,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _LANG_DIST_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "minhash_pairs": _brute_jaccard_sql(0.5),
+        "ngram_jaccard": _brute_jaccard_sql(0.35),
         "cosine_topk": _COSINE_TOPK_SQL,
         "embedding_norms": _EMBEDDING_NORMS_SQL,
     }
