@@ -81,3 +81,22 @@ class TestScalabilitySmells:
     def test_codegen_covers_q1(self, spark, sf_dir):
         df = entrymod.q1_pricing_summary(spark, sf_dir)
         assert codegen_stage_count(df) >= 2
+
+    def test_minhash_path_is_jvm_only_with_partial_agg(self, spark, sf_dir):
+        # the dedup sketch path must stay whole-JVM (no Arrow/Python
+        # eval nodes) and aggregate map-side before its one shuffle
+        df = entrymod.minhash_pairs(spark, sf_dir)
+        from energy_pandas_spark.plans.explain import formatted_plan
+
+        plan = formatted_plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "partial" in plan.lower()
+
+    def test_simhash_path_is_jvm_only(self, spark, sf_dir):
+        df = entrymod.simhash_pairs(spark, sf_dir)
+        from energy_pandas_spark.plans.explain import formatted_plan
+
+        plan = formatted_plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
