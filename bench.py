@@ -18,7 +18,6 @@ import re
 import sys
 import time
 
-from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
 
@@ -52,18 +51,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("energy-pandas-spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    from energy_pandas_spark.session import make_session
+
+    spark = make_session(
+        master=f"local[{cpus}]",
+        app_name="energy-pandas-spark-bench",
+        shuffle_partitions=int(cpus),
+        driver_memory="16g",
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

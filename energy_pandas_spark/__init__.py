@@ -18,6 +18,7 @@ Design (see SURVEY.md):
 """
 
 from energy_pandas_spark.core.frame import EnergyFrame
+from energy_pandas_spark.session import make_session
 from energy_pandas_spark.units import (
     IncompatibleUnitsError,
     Unit,
@@ -31,6 +32,7 @@ __all__ = [
     "Unit",
     "UnitRegistry",
     "unit_registry",
+    "make_session",
 ]
 
 __version__ = "0.1.0"
