@@ -882,6 +882,29 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the props JSON column with a typed
+    schema (from_json — codegen'd Jackson parse, no UDF) and histogram
+    the k attribute per event type."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type", F.col("p.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k")
+    )
+
+
+_PROPS_HIST_SQL = """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (iterative min-label propagation) over the
     bipartite user <-> props.k graph from events — the entity-resolution
@@ -1280,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": sessionize_30m,
         "users_view_no_purchase": users_view_no_purchase,
         "graph_components": graph_components,
+        "props_key_histogram": props_key_histogram,
         "salted_join_priority_revenue": salted_join_priority_revenue,
         "value_percentiles": value_percentiles,
         "doc_token_count": doc_token_count,
@@ -1335,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_30m": _SESSIONIZE_SQL,
         "users_view_no_purchase": _EXCEPT_SQL,
         "graph_components": _GRAPH_CC_SQL,
+        "props_key_histogram": _PROPS_HIST_SQL,
         "salted_join_priority_revenue": _SALTED_JOIN_SQL,
         "value_percentiles": _PERCENTILES_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
