@@ -13,10 +13,12 @@ from energy_pandas_spark.functions.vectors import (
 )
 from energy_pandas_spark.functions.textfns import (
     char_shingles,
+    char_shingles_of_text,
     jaccard,
     normalized_text,
     tokens,
     word_shingles,
+    word_shingles_of_tokens,
 )
 
 __all__ = [
@@ -27,6 +29,8 @@ __all__ = [
     "tokens",
     "normalized_text",
     "word_shingles",
+    "word_shingles_of_tokens",
     "char_shingles",
+    "char_shingles_of_text",
     "jaccard",
 ]

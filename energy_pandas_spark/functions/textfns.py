@@ -6,7 +6,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["normalized_text", "tokens", "word_shingles", "char_shingles", "jaccard"]
+__all__ = [
+    "normalized_text",
+    "tokens",
+    "word_shingles",
+    "word_shingles_of_tokens",
+    "char_shingles",
+    "char_shingles_of_text",
+    "jaccard",
+]
 
 
 def _c(col: Column | str) -> Column:
@@ -26,26 +34,39 @@ def tokens(col: Column | str) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings.
-
-    Built from ``sequence`` + ``transform`` + ``slice`` over the token
-    array: JVM-side, linear in document length. Documents shorter than
-    ``n`` tokens contribute their full token join as a single shingle.
+def word_shingles_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. Hot paths must project ``tokens(text)`` into a real column
+    first and pass that attribute here: passing a raw expression inlines
+    it into the ``transform`` lambda, so the tokenizing split re-runs
+    for every shingle position — O(len²) per document instead of O(len).
     """
-    toks = tokens(col)
-    m = F.size(toks)
-    full = F.array(F.array_join(toks, " "))
+    t = _c(toks)
+    m = F.size(t)
+    full = F.array(F.array_join(t, " "))
     grams = F.transform(
         F.sequence(F.lit(1), m - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
     )
     return F.when(m < n, full).otherwise(grams)
 
 
-def char_shingles(col: Column | str, n: int = 5) -> Column:
-    """Character n-gram shingles of the normalized text."""
-    s = normalized_text(col)
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings.
+
+    Built from ``sequence`` + ``transform`` + ``slice`` over the token
+    array: JVM-side. Convenience form — tokenization is inlined per
+    shingle, so for large corpora project ``tokens()`` first and use
+    :func:`word_shingles_of_tokens`.
+    """
+    return word_shingles_of_tokens(tokens(col), n)
+
+
+def char_shingles_of_text(s: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles from an ALREADY-MATERIALIZED normalized
+    string column (see :func:`word_shingles_of_tokens` for why the
+    materialization matters)."""
+    s = _c(s)
     m = F.length(s)
     full = F.array(s)
     grams = F.transform(
@@ -53,6 +74,12 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
         lambda i: F.substring(s, i, F.lit(n)),
     )
     return F.when(m < n, full).otherwise(grams)
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (convenience
+    form; hot paths should materialize ``normalized_text`` first)."""
+    return char_shingles_of_text(normalized_text(col), n)
 
 
 def jaccard(a: Column | str, b: Column | str) -> Column:

@@ -31,7 +31,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from energy_pandas_spark.functions.textfns import jaccard, normalized_text, word_shingles
+from energy_pandas_spark.functions.textfns import (
+    jaccard,
+    normalized_text,
+    tokens,
+    word_shingles_of_tokens,
+)
 from energy_pandas_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
@@ -116,10 +121,19 @@ def _minhash_agg(
     p = (1 << 31) - 1
     coeffs = _minhash_coeffs(num_hashes, seed)
     pl = F.lit(p).cast("long")
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_size))).alias("__s"),
-    ).select(id_col, F.pmod(F.xxhash64("__s"), pl).alias("__h"))
+    # tokens materialize in their own projection so the tokenizing split
+    # runs once per document; inlining it into the shingle transform's
+    # lambda re-splits per shingle position (O(len²) per doc)
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(word_shingles_of_tokens("__toks", shingle_size))
+            ).alias("__s"),
+        )
+        .select(id_col, F.pmod(F.xxhash64("__s"), pl).alias("__h"))
+    )
     aggs = [
         F.min(
             F.pmod(F.col("__h") * F.lit(a).cast("long") + F.lit(b).cast("long"), pl)
@@ -222,9 +236,11 @@ def minhash_lsh_pairs(
     # verify: recompute shingle sets from the raw text for the (tiny)
     # candidate set only — cheaper than dragging shingle arrays through
     # the band explosion and its shuffles
-    sh = df.select(
+    sh = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_size)).alias("__sh"),
+        F.array_distinct(word_shingles_of_tokens("__toks", shingle_size)).alias(
+            "__sh"
+        ),
     )
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")

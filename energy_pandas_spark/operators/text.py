@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from energy_pandas_spark.functions.textfns import (
-    char_shingles,
+    char_shingles_of_text,
     normalized_text,
     tokens,
 )
@@ -154,8 +154,11 @@ def minhash_fingerprint(
 ) -> DataFrame:
     """Winnowing-flavored rolling fingerprint: the minimum 64-bit hash
     over the document's character shingles — robust to small edits,
-    computed as array_min(transform(shingles, xxhash64))."""
-    sh = char_shingles(text_col, shingle_size)
-    return df.withColumn(
+    computed as array_min(transform(shingles, xxhash64)). The normalized
+    text materializes in its own projection so the regex normalization
+    runs once per document, not once per shingle position."""
+    norm = df.withColumn("__norm", normalized_text(text_col))
+    sh = char_shingles_of_text("__norm", shingle_size)
+    return norm.withColumn(
         out_col, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
-    )
+    ).drop("__norm")
