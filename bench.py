@@ -81,9 +81,9 @@ def main() -> None:
         fn = queries[name]
         best = None
         try:
-            # best-of-2: the box this runs on shows multi-x CPU-steal
+            # best-of-3: the box this runs on shows multi-x CPU-steal
             # spikes; the min is the real query cost
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()

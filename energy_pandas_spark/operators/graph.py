@@ -43,10 +43,16 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.distinct().localCheckpoint(eager=False)
+    # init = one propagation step for free: the same groupBy that
+    # discovers the node set also takes the 1-hop min, replacing a
+    # distinct shuffle + a full join round with a single aggregate
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("__mv")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
