@@ -64,6 +64,20 @@ def _parse_units(
     return out
 
 
+def _read_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """Load the ``_energy_meta`` sidecar written by the CSV/JSON sinks;
+    None when absent (plain files produced outside the engine)."""
+    import json
+
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/_energy_meta").collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return json.loads("".join(r[0] for r in rows))
+
+
 class EnergyFrame:
     """Immutable facade over (DataFrame, per-column units, index, meta)."""
 
@@ -164,6 +178,67 @@ class EnergyFrame:
         if index_col not in df.columns:
             index_col = None
         return cls(df, units=units or None, index_col=index_col, meta=meta)
+
+    @classmethod
+    def read_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        index_col: str | None = None,
+        meta: Mapping[str, Any] | None = None,
+    ) -> "EnergyFrame":
+        """Rehydrate from CSV written via :meth:`to_csv`. CSV carries no
+        field metadata or types, so the writer leaves a ``_energy_meta``
+        sidecar (units, index column, exact schema JSON) inside the
+        output directory; reading applies the saved schema — no
+        inference scan over the data files."""
+        saved = _read_sidecar(spark, path)
+        reader = spark.read.option("header", "true")
+        if saved and saved.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(saved["schema"]))
+        else:
+            # foreign file: pay the inference scan once rather than
+            # loading every column as string
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(path)
+        return cls._from_saved(df, saved, index_col, meta)
+
+    @classmethod
+    def read_json(
+        cls,
+        spark: SparkSession,
+        path: str,
+        index_col: str | None = None,
+        meta: Mapping[str, Any] | None = None,
+    ) -> "EnergyFrame":
+        """Rehydrate from JSON-lines written via :meth:`to_json` (same
+        sidecar contract as :meth:`read_csv`; the saved schema keeps
+        timestamps typed and skips the inference pass)."""
+        saved = _read_sidecar(spark, path)
+        reader = spark.read
+        if saved and saved.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(saved["schema"]))
+        df = reader.json(path)
+        return cls._from_saved(df, saved, index_col, meta)
+
+    @classmethod
+    def _from_saved(
+        cls,
+        df: DataFrame,
+        saved: dict | None,
+        index_col: str | None,
+        meta: Mapping[str, Any] | None,
+    ) -> "EnergyFrame":
+        units = (saved or {}).get("units") or None
+        if index_col is None:
+            index_col = (saved or {}).get("index_col")
+        if index_col not in df.columns:
+            index_col = None
+        return cls(df, units=units, index_col=index_col, meta=meta)
 
     @classmethod
     def from_reportdata(cls, *args: Any, **kwargs: Any) -> "EnergyFrame":
@@ -519,6 +594,38 @@ class EnergyFrame:
         """Write with per-column unit metadata stamped (round-trips via
         :meth:`read_parquet`)."""
         self.df.write.mode(mode).parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite") -> None:
+        """Write CSV plus a ``_energy_meta`` sidecar (units, index
+        column, schema) — round-trips via :meth:`read_csv`. The sidecar
+        is written through Spark's filesystem layer, so the path may be
+        any supported storage (local, HDFS, S3); its underscore-prefixed
+        name makes data readers skip it."""
+        self._df.write.mode(mode).option("header", "true").csv(path)
+        self._write_sidecar(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        """Write JSON-lines plus the ``_energy_meta`` sidecar —
+        round-trips via :meth:`read_json`."""
+        self._df.write.mode(mode).json(path)
+        self._write_sidecar(path)
+
+    def _write_sidecar(self, path: str) -> None:
+        import json
+
+        payload = json.dumps(
+            {
+                "units": {
+                    c: str(u) for c, u in self._units.items() if u is not None
+                },
+                "index_col": self._index_col,
+                "schema": json.loads(self._df.schema.json()),
+            }
+        )
+        spark = self._df.sparkSession
+        spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path.rstrip("/") + "/_energy_meta")
 
     # ------------------------------------------------------------------
     # plotting (distributed prep + driver-side render; V1-V3)

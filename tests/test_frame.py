@@ -192,3 +192,37 @@ class TestFrameSemantics:
         # values preserved (degC range(24) + 273.15)
         vals = sorted(r.Temp for r in back.spark_df.collect())
         assert abs(vals[0] - 273.15) < 1e-9 and abs(vals[-1] - 296.15) < 1e-9
+
+    def test_csv_round_trip_rehydrates_units_and_types(self, spark, tmp_path):
+        ef = EnergyFrame.from_range(spark, 24, units="degC", name="Temp")
+        k = ef.to_units("kelvin")
+        path = str(tmp_path / "rt_csv")
+        k.to_csv(path)
+        back = EnergyFrame.read_csv(spark, path)
+        assert back.units["Temp"] == ur.parse("kelvin")
+        assert back.index_col == "ts"  # restored from the sidecar
+        # saved schema keeps the timestamp typed (no inference scan)
+        assert dict(back.spark_df.dtypes)["ts"] == "timestamp"
+        vals = sorted(r.Temp for r in back.spark_df.collect())
+        assert abs(vals[0] - 273.15) < 1e-9 and abs(vals[-1] - 296.15) < 1e-9
+
+    def test_json_round_trip_rehydrates_units_and_types(self, spark, tmp_path):
+        ef = EnergyFrame.from_range(spark, 24, units="degC", name="Temp")
+        path = str(tmp_path / "rt_json")
+        ef.to_json(path)
+        back = EnergyFrame.read_json(spark, path)
+        assert back.units["Temp"] == ur.parse("degC")
+        assert back.index_col == "ts"
+        assert dict(back.spark_df.dtypes)["ts"] == "timestamp"
+        assert back.spark_df.count() == 24
+
+    def test_read_csv_without_sidecar_still_loads(self, spark, tmp_path):
+        path = str(tmp_path / "plain_csv")
+        spark.range(5).selectExpr("id", "id * 1.5 AS v").write.option(
+            "header", "true"
+        ).csv(path)
+        back = EnergyFrame.read_csv(spark, path)
+        assert back.spark_df.count() == 5
+        assert back.units == {"id": None, "v": None} or all(
+            u is None for u in back.units.values()
+        )
