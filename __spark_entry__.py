@@ -181,6 +181,88 @@ ORDER BY r_name, n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue delta: scan -> three conjunctive
+    filters (ALL pushed into the parquet scan — date range, discount
+    band, quantity cap) -> single global agg. The plan is one codegen'd
+    stage plus a 1-row final agg; at 100 TB it reads only the three
+    referenced columns and row groups passing the stats filters."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the 3 highest-spending customers in every
+    nation. Grouped spend agg, broadcast join to the customer dim, then
+    rank inside a per-nation window — the window shuffle is keyed on
+    nation, never a single global sort; ties break on custkey so the
+    result is deterministic."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__tp"))
+    joined = spend.join(
+        F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("__tp"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_nationkey",
+            "rank",
+            "c_custkey",
+            "c_name",
+            F.round("__tp", 2).alias("total_spent"),
+        )
+        .orderBy("c_nationkey", "rank")
+    )
+
+
+_TOPK_PER_NATION_SQL = """
+SELECT c_nationkey, rank, c_custkey, c_name, round(tp, 2) AS total_spent
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, tp,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY tp DESC, c_custkey) AS rank
+  FROM (
+    SELECT o_custkey, sum(o_totalprice) AS tp
+    FROM orders GROUP BY o_custkey
+  )
+  JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank <= 3
+ORDER BY c_nationkey, rank
+"""
+
+
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
@@ -1276,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "top_customers": top_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "top_spenders_per_nation": top_spenders_per_nation,
         "with_timeindex": with_timeindex,
         "to_units_kelvin": to_units_kelvin,
         "to_units_degr_mixed": to_units_degr_mixed,
@@ -1332,6 +1416,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "top_spenders_per_nation": _TOPK_PER_NATION_SQL,
         "with_timeindex": _WITH_TIMEINDEX_SQL,
         "to_units_kelvin": _TO_UNITS_KELVIN_SQL,
         "to_units_degr_mixed": _TO_UNITS_DEGR_SQL,
