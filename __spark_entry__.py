@@ -1208,6 +1208,53 @@ ORDER BY id_a, id_b
 """
 
 
+def minhash_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash LSH pairs -> connected
+    components -> every non-survivor doc id (cluster min survives).
+    Correct on transitive chains where greedy pair-dropping over-keeps.
+    Oracle = brute-force Jaccard pairs + recursive-CTE components."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, threshold=0.5, num_hashes=64, bands=16
+    ).orderBy("doc_id")
+
+
+_MINHASH_DEDUP_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE /
+           len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, label) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.id = s.u
+)
+SELECT id AS doc_id
+FROM (SELECT id, min(label) AS component FROM cc GROUP BY id)
+WHERE id != component
+ORDER BY doc_id
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 8) — rows-only."""
     _prep(spark)
@@ -1399,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "minhash_pairs": minhash_pairs,
+        "minhash_dedup_drop": minhash_dedup_drop,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard": ngram_jaccard,
         "embedding_neardup": embedding_neardup,
@@ -1455,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_pairs": _brute_jaccard_sql(0.5),
+        "minhash_dedup_drop": _MINHASH_DEDUP_SQL,
         "ngram_jaccard": _brute_jaccard_sql(0.35),
         "cosine_topk": _COSINE_TOPK_SQL,
         "embedding_norms": _EMBEDDING_NORMS_SQL,
