@@ -1301,6 +1301,20 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as cosine_topk, through the Arrow/BLAS batch
+    kernel (one matmul per batch, in-kernel local top-k) — the
+    scale-path variant; shares cosine_topk's DuckDB oracle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_arrow(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 _COSINE_TOPK_SQL = """
 SELECT query_id, vec_id, cosine, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -1451,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "embedding_neardup": embedding_neardup,
         "cosine_topk": cosine_topk,
+        "cosine_topk_blas": cosine_topk_blas,
         "ivf_topk": ivf_topk,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
@@ -1506,5 +1521,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_drop": _MINHASH_DEDUP_SQL,
         "ngram_jaccard": _brute_jaccard_sql(0.35),
         "cosine_topk": _COSINE_TOPK_SQL,
+        "cosine_topk_blas": _COSINE_TOPK_SQL,
         "embedding_norms": _EMBEDDING_NORMS_SQL,
     }

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from energy_pandas_spark.functions.vectors import cosine_similarity
 
-__all__ = ["cosine_topk", "train_centroids", "assign_cells", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_arrow",
+    "train_centroids",
+    "assign_cells",
+    "ivf_topk",
+]
 
 
 def cosine_topk(
@@ -52,6 +58,28 @@ def cosine_topk(
     return _topk_per_query(scored, k, query_id, corpus_id, round_digits)
 
 
+def _global_topk(
+    scored: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Final top-k over an already locally-pruned candidate set: one
+    window keyed on the query id (ties break on corpus id)."""
+    cos = F.round(F.col("__cos"), round_digits) if round_digits else F.col("__cos")
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.asc(corpus_id))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, cos.alias("cosine"), "rank")
+    )
+
+
 def _topk_per_query(
     scored: DataFrame,
     k: int,
@@ -75,17 +103,68 @@ def _topk_per_query(
         )
         .filter(F.col("__lr") <= k)
     )
-    cos = F.round(F.col("__cos"), round_digits) if round_digits else F.col("__cos")
-    return (
-        local.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.asc(corpus_id))
-            ),
+    return _global_topk(local, k, query_id, corpus_id, round_digits)
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k through the Arrow/BLAS kernel —
+    the scale-path twin of :func:`cosine_topk` (same results, same
+    determinism contract).
+
+    The small query set collects to the driver once and rides in the
+    task closure as a normalized (q x dim) matrix; every Arrow batch of
+    corpus vectors computes ONE (batch x dim) @ (dim x q) matmul and
+    emits only its per-query local top-k (ties broken on corpus id), so
+    the shuffle carries k*q rows per batch no matter how wide the
+    corpus. A final per-query window ranks the survivors. Spark's
+    interpreted higher-order functions never touch the hot loop."""
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
         )
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, cos.alias("cosine"), "rank")
+        return empty
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Xn @ Qn.T  # (batch x q) similarity block
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k, n)
+            out_q: list = []
+            out_id: list = []
+            out_cos: list = []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                # lexsort: primary -cos desc, secondary corpus id asc
+                idx = np.lexsort((ids, -col))[:kk]
+                out_q.extend([qids[j]] * len(idx))
+                out_id.extend(ids[idx])
+                out_cos.extend(col[idx])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_id, "__cos": out_cos}
+            )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        fn, schema=f"{query_id} long, {corpus_id} long, __cos double"
     )
+    return _global_topk(scored, k, query_id, corpus_id, round_digits)
 
 
 # ---------------------------------------------------------------------------
