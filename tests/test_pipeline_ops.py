@@ -123,6 +123,16 @@ class TestSimilarity:
         assert all(q == v for q, v in r1.items())  # self-similarity = 1.0
         assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in out if r["rank"] == 1)
 
+    def test_arrow_topk_matches_jvm_path(self, emb):
+        from energy_pandas_spark.operators.similarity import cosine_topk_arrow
+
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        jvm = sorted(map(tuple, cosine_topk(emb, queries, k=4).collect()))
+        blas = sorted(map(tuple, cosine_topk_arrow(emb, queries, k=4).collect()))
+        assert jvm == blas
+
     def test_ivf_contains_self(self, emb):
         queries = emb.limit(3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
