@@ -424,6 +424,27 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freq-general resample (6-hour buckets via epoch arithmetic —
+    codegen'd long math, identical buckets to an epoch-floor in any
+    engine); avg + count per bucket."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import resample
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    out = resample(ev, "ts", "6 hours", ["value"], agg="avg")
+    return out.select(
+        F.col("ts").alias("bucket"), F.round("value", 6).alias("avg_value")
+    ).orderBy("bucket")
+
+
+_RESAMPLE_SQL = """
+SELECT to_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT) AS bucket,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def p_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: peak load per group."""
     _prep(spark)
@@ -1428,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_minmax": normalize_minmax,
         "ldc": ldc,
         "monthly_avg": monthly_avg,
+        "resample_6h": resample_6h,
         "p_max_by_type": p_max_by_type,
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
@@ -1488,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_minmax": _NORMALIZE_SQL,
         "ldc": _LDC_SQL,
         "monthly_avg": _MONTHLY_SQL,
+        "resample_6h": _RESAMPLE_SQL,
         "p_max_by_type": _P_MAX_SQL,
         "capacity_factor": _CAPACITY_FACTOR_SQL,
         "time_at_min": _TIME_AT_MIN_SQL,

@@ -526,6 +526,24 @@ class EnergyFrame:
         ef._meta["frequency"] = "M"
         return ef
 
+    def resample(self, freq: str, agg: str = "mean") -> "EnergyFrame":
+        """Freq-general time-bucket downsampling ('15 minutes',
+        '6 hours', '1 day', 'month', ...) — generalizes the reference's
+        monthly-only ``resample("ME").mean()`` surface. Units follow
+        finalize rule 4 (an aggregate of a column keeps its unit)."""
+        if self._index_col is None:
+            raise ValueError("resample requires a time index column")
+        spark_agg = {"mean": "avg"}.get(agg, agg)
+        out = analytics.resample(
+            self._df, self._index_col, freq, self._value_cols, spark_agg
+        )
+        ef = EnergyFrame(
+            out, units=self._units, index_col=self._index_col,
+            meta=self._meta, value_cols=self._value_cols,
+        )
+        ef._meta["frequency"] = freq
+        return ef
+
     def p_max(self, by: str | None = None) -> "float | EnergyFrame":
         out = analytics.p_max(self._df, self._value_cols, by)
         if by is None and self.is_series:

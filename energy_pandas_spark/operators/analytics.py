@@ -29,6 +29,7 @@ __all__ = [
     "ldc",
     "ldc_source",
     "monthly",
+    "resample",
     "p_max",
     "capacity_factor",
     "time_at_min",
@@ -225,6 +226,72 @@ def monthly(
             (F.to_timestamp(F.last_day("__m")) if month_end_label else F.col("__m")).alias(ts_col),
             *cols,
         )
+        .orderBy(ts_col)
+    )
+
+
+_CALENDAR_UNITS = {"week", "month", "quarter", "year"}
+_FIXED_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+
+
+def _freq_seconds(freq: str) -> int | None:
+    """Seconds per bucket for fixed-width frequencies ('15 minutes',
+    '6 hours', '1 day'); None for calendar units (month/quarter/...)."""
+    parts = freq.strip().lower().split()
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    elif len(parts) == 2:
+        n, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"unparseable frequency: {freq!r}")
+    unit = unit.rstrip("s")
+    if unit in _CALENDAR_UNITS:
+        if n != 1:
+            raise ValueError(f"calendar frequency must be 1 {unit}, got {freq!r}")
+        return None
+    if unit not in _FIXED_SECONDS:
+        raise ValueError(f"unknown frequency unit: {unit!r}")
+    return n * _FIXED_SECONDS[unit]
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    freq: str,
+    value_cols: Sequence[str] | None = None,
+    agg: str = "avg",
+) -> DataFrame:
+    """General time-bucket downsampling — the freq-general version of
+    :func:`monthly` (the reference only exposes the monthly special
+    case of pandas ``resample``, energypandas.py:610-616).
+
+    Fixed-width frequencies ('15 minutes', '6 hours', '1 day') bucket
+    by epoch arithmetic — ``floor(unix_ts / step) * step`` — which is
+    plain codegen'd long math on the scan and produces the same
+    buckets as an epoch-floor in any other engine (oracle-friendly).
+    Calendar frequencies ('month', 'quarter', 'year', 'week') use
+    ``date_trunc``. One partial+final hash aggregation either way; the
+    bucket label is the LEFT edge.
+    """
+    cols = _cols(df, value_cols)
+    agg_fn = getattr(F, agg)
+    step = _freq_seconds(freq)
+    if step is None:
+        unit = freq.strip().lower().split()[-1].rstrip("s")
+        bucket = F.date_trunc(unit, F.col(ts_col))
+    else:
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast("long")
+            * F.lit(step)
+        )
+    return (
+        df.groupBy(bucket.alias(ts_col))
+        .agg(*[agg_fn(c).alias(c) for c in cols])
         .orderBy(ts_col)
     )
 

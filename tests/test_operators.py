@@ -137,6 +137,57 @@ class TestReportData:
         assert vals2 == sorted(vals2, reverse=True)
 
 
+class TestResample:
+    def test_fixed_width_buckets(self, spark):
+        from energy_pandas_spark.operators.analytics import resample
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:20:00", 3.0),
+             ("2024-01-01 00:40:00", 5.0), ("2024-01-01 01:05:00", 7.0)],
+            "ts string, v double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+        out = resample(df, "ts", "30 minutes", ["v"], agg="avg").collect()
+        assert [(str(r.ts), r.v) for r in out] == [
+            ("2024-01-01 00:00:00", 2.0),
+            ("2024-01-01 00:30:00", 5.0),
+            ("2024-01-01 01:00:00", 7.0),
+        ]
+
+    def test_calendar_bucket(self, spark):
+        from energy_pandas_spark.operators.analytics import resample
+
+        df = spark.createDataFrame(
+            [("2024-01-15", 2.0), ("2024-02-10", 4.0), ("2024-02-20", 6.0)],
+            "ts string, v double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+        out = resample(df, "ts", "month", ["v"], agg="avg").collect()
+        assert [(str(r.ts), r.v) for r in out] == [
+            ("2024-01-01 00:00:00", 2.0),
+            ("2024-02-01 00:00:00", 5.0),
+        ]
+
+    def test_frame_method_keeps_units_and_freq(self, spark):
+        from energy_pandas_spark.core.frame import EnergyFrame
+        from energy_pandas_spark.units import unit_registry as ur
+
+        ef = EnergyFrame.from_range(spark, 48, units="degC", name="Temp")
+        out = ef.resample("6 hours")
+        assert out.units["Temp"] == ur.parse("degC")
+        assert out.meta["frequency"] == "6 hours"
+        # 48 hourly points span 48h -> 8 six-hour buckets
+        assert out.spark_df.count() == 8
+
+    def test_bad_freq_raises(self, spark):
+        from energy_pandas_spark.operators.analytics import resample
+        import pytest as _pt
+
+        df = spark.range(1).selectExpr("CAST('2024-01-01' AS TIMESTAMP) ts", "1.0 v")
+        with _pt.raises(ValueError):
+            resample(df, "ts", "2 months", ["v"])
+        with _pt.raises(ValueError):
+            resample(df, "ts", "fortnight", ["v"])
+
+
 class TestLdcScale:
     def test_distributed_matches_window(self, spark):
         df = spark.range(5000).select(
