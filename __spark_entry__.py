@@ -445,6 +445,51 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid reindex + forward fill per user: hourly averages
+    resampled first, then each user's own [min, max] hour range gridded
+    with sequence+explode and holes forward-filled by an ignorenulls
+    window inside the user partition."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import fill_gaps
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 3600)).cast("long") * 3600
+            ).alias("h"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    out = fill_gaps(hourly, "h", "1 hour", "v", by="user_id", method="ffill")
+    return out.select("user_id", "h", "v", "is_gap").orderBy("user_id", "h")
+
+
+_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id,
+         to_timestamp((floor(epoch(ts) / 3600) * 3600)::BIGINT) AS h,
+         round(avg(value), 6) AS v
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.user_id, g.h,
+       last_value(hv.v IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+       hv.v IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+ORDER BY g.user_id, g.h
+"""
+
+
 def p_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: peak load per group."""
     _prep(spark)
@@ -1450,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldc": ldc,
         "monthly_avg": monthly_avg,
         "resample_6h": resample_6h,
+        "gap_fill_hourly": gap_fill_hourly,
         "p_max_by_type": p_max_by_type,
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
@@ -1511,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "ldc": _LDC_SQL,
         "monthly_avg": _MONTHLY_SQL,
         "resample_6h": _RESAMPLE_SQL,
+        "gap_fill_hourly": _GAP_FILL_SQL,
         "p_max_by_type": _P_MAX_SQL,
         "capacity_factor": _CAPACITY_FACTOR_SQL,
         "time_at_min": _TIME_AT_MIN_SQL,

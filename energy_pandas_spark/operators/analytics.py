@@ -30,6 +30,7 @@ __all__ = [
     "ldc_source",
     "monthly",
     "resample",
+    "fill_gaps",
     "p_max",
     "capacity_factor",
     "time_at_min",
@@ -294,6 +295,101 @@ def resample(
         .agg(*[agg_fn(c).alias(c) for c in cols])
         .orderBy(ts_col)
     )
+
+
+def fill_gaps(
+    df: DataFrame,
+    ts_col: str,
+    freq: str,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    method: str = "ffill",
+    mark_gaps: bool = True,
+) -> DataFrame:
+    """Reindex an (optionally keyed) series onto a regular time grid and
+    fill the holes — the distributed twin of pandas
+    ``asfreq().ffill()`` / ``interpolate()`` that the reference inherits
+    from pandas but never wraps.
+
+    The grid spans each key's own [min, max] bucket, built with
+    ``sequence`` + ``explode`` (no driver loop); observed buckets
+    left-join onto it (one shuffle keyed on ``by``); filling is window
+    arithmetic inside the key partition:
+
+    - ``ffill``: ``last(value, ignorenulls)`` over rows up to current;
+    - ``linear``: previous and next non-null anchors via
+      last/first-ignorenulls windows, then the affine blend
+      ``prev + (next-prev) * (t-t_prev)/(t_next-t_prev)``.
+
+    Scale shape: per-key windows parallelize across keys. A single
+    un-keyed series funnels through one partition — for that case
+    pre-bucket the series into coarse chunks or use the keyed form;
+    the keyed form is the 100 TB path.
+
+    Input must already be at-most-one-row-per-(key, bucket) — run
+    :func:`resample` first for raw event streams.
+    """
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unknown fill method: {method!r}")
+    step = _freq_seconds(freq)
+    if step is None:
+        raise ValueError("fill_gaps requires a fixed-width frequency")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast("long")
+        * F.lit(step)
+    )
+    data = df.select(*keys, bucket.alias(ts_col), F.col(value_col))
+
+    grid = (
+        data.groupBy(*keys)
+        .agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL {step} SECONDS")
+                )
+            ).alias(ts_col),
+        )
+    )
+    joined = grid.join(data, keys + [ts_col], "left")
+
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if method == "ffill":
+        filled = F.last(value_col, ignorenulls=True).over(w_back)
+    else:
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        anchor = F.when(
+            F.col(value_col).isNotNull(), F.struct(F.col(ts_col), F.col(value_col))
+        )
+        prev = F.last(anchor, ignorenulls=True).over(w_back)
+        nxt = F.first(anchor, ignorenulls=True).over(w_fwd)
+        span = F.unix_timestamp(nxt[ts_col]) - F.unix_timestamp(prev[ts_col])
+        frac = (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev[ts_col])
+        ) / F.when(span == 0, F.lit(1)).otherwise(span)
+        blended = prev[value_col] + (nxt[value_col] - prev[value_col]) * frac
+        # edges with only one anchor fall back to that anchor (ffill /
+        # bfill at the boundaries, matching pandas interpolate defaults)
+        filled = (
+            F.when(F.col(value_col).isNotNull(), F.col(value_col))
+            .when(prev.isNotNull() & nxt.isNotNull(), blended)
+            .when(prev.isNotNull(), prev[value_col])
+            .otherwise(nxt[value_col])
+        )
+    out_cols = [*keys, F.col(ts_col), filled.alias(value_col)]
+    if mark_gaps:
+        out_cols.append(F.col(value_col).isNull().alias("is_gap"))
+    return joined.select(*out_cols)
 
 
 def p_max(

@@ -188,6 +188,56 @@ class TestResample:
             resample(df, "ts", "fortnight", ["v"])
 
 
+class TestFillGaps:
+    def _series(self, spark):
+        return spark.createDataFrame(
+            [("2024-01-01 00:00:00", "a", 10.0),
+             ("2024-01-01 03:00:00", "a", 40.0),
+             ("2024-01-01 01:00:00", "b", 5.0)],
+            "ts string, k string, v double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "k", "v")
+
+    def test_ffill(self, spark):
+        from energy_pandas_spark.operators.analytics import fill_gaps
+
+        out = fill_gaps(
+            self._series(spark), "ts", "1 hour", "v", by="k", method="ffill"
+        ).orderBy("k", "ts").collect()
+        a = [(str(r.ts), r.v, r.is_gap) for r in out if r.k == "a"]
+        assert a == [
+            ("2024-01-01 00:00:00", 10.0, False),
+            ("2024-01-01 01:00:00", 10.0, True),
+            ("2024-01-01 02:00:00", 10.0, True),
+            ("2024-01-01 03:00:00", 40.0, False),
+        ]
+        b = [(str(r.ts), r.v, r.is_gap) for r in out if r.k == "b"]
+        assert b == [("2024-01-01 01:00:00", 5.0, False)]
+
+    def test_linear(self, spark):
+        from energy_pandas_spark.operators.analytics import fill_gaps
+
+        out = fill_gaps(
+            self._series(spark), "ts", "1 hour", "v", by="k", method="linear"
+        ).orderBy("k", "ts").collect()
+        a = [(str(r.ts), r.v) for r in out if r.k == "a"]
+        assert a == [
+            ("2024-01-01 00:00:00", 10.0),
+            ("2024-01-01 01:00:00", 20.0),
+            ("2024-01-01 02:00:00", 30.0),
+            ("2024-01-01 03:00:00", 40.0),
+        ]
+
+    def test_bad_method_and_calendar_freq(self, spark):
+        from energy_pandas_spark.operators.analytics import fill_gaps
+        import pytest as _pt
+
+        df = self._series(spark)
+        with _pt.raises(ValueError):
+            fill_gaps(df, "ts", "1 hour", "v", method="cubic")
+        with _pt.raises(ValueError):
+            fill_gaps(df, "ts", "month", "v")
+
+
 class TestLdcScale:
     def test_distributed_matches_window(self, spark):
         df = spark.range(5000).select(
