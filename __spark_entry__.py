@@ -490,6 +490,36 @@ ORDER BY g.user_id, g.h
 """
 
 
+def value_diff_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged difference per user ordered by event time (pandas .diff;
+    the meter-delta transform) — window lag inside the user partition,
+    deterministic tiebreak on event_id for equal timestamps."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import diff
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = diff(
+        ev.select("user_id", "ts", "event_id", "value"),
+        "ts",
+        ["value"],
+        by="user_id",
+        tiebreak="event_id",
+        keep_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("delta")
+    ).orderBy("user_id", "event_id")
+
+
+_DIFF_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 6) AS delta
+FROM events WHERE user_id < 40
+ORDER BY user_id, event_id
+"""
+
+
 def p_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: peak load per group."""
     _prep(spark)
@@ -1496,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_avg": monthly_avg,
         "resample_6h": resample_6h,
         "gap_fill_hourly": gap_fill_hourly,
+        "value_diff_per_user": value_diff_per_user,
         "p_max_by_type": p_max_by_type,
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
@@ -1558,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_avg": _MONTHLY_SQL,
         "resample_6h": _RESAMPLE_SQL,
         "gap_fill_hourly": _GAP_FILL_SQL,
+        "value_diff_per_user": _DIFF_SQL,
         "p_max_by_type": _P_MAX_SQL,
         "capacity_factor": _CAPACITY_FACTOR_SQL,
         "time_at_min": _TIME_AT_MIN_SQL,

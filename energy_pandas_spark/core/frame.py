@@ -544,6 +544,36 @@ class EnergyFrame:
         ef._meta["frequency"] = freq
         return ef
 
+    def fill_gaps(self, freq: str, method: str = "ffill") -> "EnergyFrame":
+        """Reindex onto a regular ``freq`` grid and fill holes (ffill or
+        linear interpolation) — see operators.analytics.fill_gaps."""
+        if self._index_col is None:
+            raise ValueError("fill_gaps requires a time index column")
+        if not self.is_series:
+            raise ValueError("fill_gaps operates on a single value column")
+        out = analytics.fill_gaps(
+            self._df, self._index_col, freq, self.name,
+            method=method, mark_gaps=False,
+        )
+        return EnergyFrame(
+            out, units=self._units, index_col=self._index_col,
+            meta=self._meta, value_cols=self._value_cols,
+        )
+
+    def diff(self, periods: int = 1) -> "EnergyFrame":
+        """Lagged difference along the time index (pandas ``.diff()``);
+        units are preserved (a difference of degC readings stays degC,
+        matching the reference's no-dimensional-algebra stance)."""
+        if self._index_col is None:
+            raise ValueError("diff requires a time index column")
+        out = analytics.diff(
+            self._df, self._index_col, self._value_cols, periods=periods
+        )
+        return EnergyFrame(
+            out, units=self._units, index_col=self._index_col,
+            meta=self._meta, value_cols=self._value_cols,
+        )
+
     def p_max(self, by: str | None = None) -> "float | EnergyFrame":
         out = analytics.p_max(self._df, self._value_cols, by)
         if by is None and self.is_series:

@@ -31,6 +31,7 @@ __all__ = [
     "monthly",
     "resample",
     "fill_gaps",
+    "diff",
     "p_max",
     "capacity_factor",
     "time_at_min",
@@ -390,6 +391,34 @@ def fill_gaps(
     if mark_gaps:
         out_cols.append(F.col(value_col).isNull().alias("is_gap"))
     return joined.select(*out_cols)
+
+
+def diff(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str] | None = None,
+    by: str | Sequence[str] | None = None,
+    periods: int = 1,
+    tiebreak: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Lagged difference along the time index — pandas ``.diff()``
+    (the meter-reading -> interval-consumption transform). One window
+    per key partition (``lag`` then subtract); the first ``periods``
+    rows of each key are null, as in pandas. ``tiebreak`` columns make
+    the order total when timestamps repeat. Un-keyed frames funnel
+    through a single ordered partition — pass ``by`` for the scale
+    path."""
+    cols = _cols(df, value_cols)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+    return df.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(c) for c in (keep_cols or []) if c not in keys and c != ts_col],
+        *[(F.col(c) - F.lag(c, periods).over(w)).alias(c) for c in cols],
+    )
 
 
 def p_max(

@@ -238,6 +238,33 @@ class TestFillGaps:
             fill_gaps(df, "ts", "month", "v")
 
 
+class TestDiff:
+    def test_keyed_diff(self, spark):
+        from energy_pandas_spark.operators.analytics import diff
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", "a", 100.0),
+             ("2024-01-01 01:00:00", "a", 130.0),
+             ("2024-01-01 02:00:00", "a", 190.0),
+             ("2024-01-01 00:00:00", "b", 7.0)],
+            "ts string, k string, v double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "k", "v")
+        out = diff(df, "ts", ["v"], by="k").orderBy("k", "ts").collect()
+        a = [r.v for r in out if r.k == "a"]
+        assert a == [None, 30.0, 60.0]
+        assert [r.v for r in out if r.k == "b"] == [None]
+
+    def test_frame_method_units(self, spark):
+        from energy_pandas_spark.core.frame import EnergyFrame
+        from energy_pandas_spark.units import unit_registry as ur
+
+        ef = EnergyFrame.from_range(spark, 5, units="degC", name="Temp")
+        d = ef.diff()
+        assert d.units["Temp"] == ur.parse("degC")
+        vals = [r.Temp for r in d.spark_df.orderBy("ts").collect()]
+        assert vals == [None, 1.0, 1.0, 1.0, 1.0]
+
+
 class TestLdcScale:
     def test_distributed_matches_window(self, spark):
         df = spark.range(5000).select(
