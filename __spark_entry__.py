@@ -520,6 +520,38 @@ ORDER BY user_id, event_id
 """
 
 
+def zscore_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-scores + outlier flags: one hash agg for group
+    stats, broadcast join back, pure column arithmetic — the
+    quality-filter primitive."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = zscore_outliers(ev, "value", by="event_type", threshold=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("zscore", 6).alias("zscore"),
+        "is_outlier",
+    ).orderBy("event_id")
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                  ELSE (e.value - mu) / sigma END, 6) AS zscore,
+       abs(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                ELSE (e.value - mu) / sigma END) > 3.0 AS is_outlier
+FROM events e JOIN stats USING (event_type)
+ORDER BY e.event_id
+"""
+
+
 def p_max_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: peak load per group."""
     _prep(spark)
@@ -1527,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_6h": resample_6h,
         "gap_fill_hourly": gap_fill_hourly,
         "value_diff_per_user": value_diff_per_user,
+        "zscore_outliers_by_type": zscore_outliers_by_type,
         "p_max_by_type": p_max_by_type,
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
@@ -1590,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_6h": _RESAMPLE_SQL,
         "gap_fill_hourly": _GAP_FILL_SQL,
         "value_diff_per_user": _DIFF_SQL,
+        "zscore_outliers_by_type": _ZSCORE_SQL,
         "p_max_by_type": _P_MAX_SQL,
         "capacity_factor": _CAPACITY_FACTOR_SQL,
         "time_at_min": _TIME_AT_MIN_SQL,

@@ -32,6 +32,7 @@ __all__ = [
     "resample",
     "fill_gaps",
     "diff",
+    "zscore_outliers",
     "p_max",
     "capacity_factor",
     "time_at_min",
@@ -419,6 +420,41 @@ def diff(
         *[F.col(c) for c in (keep_cols or []) if c not in keys and c != ts_col],
         *[(F.col(c) - F.lag(c, periods).over(w)).alias(c) for c in cols],
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    threshold: float = 3.0,
+    sample_std: bool = True,
+) -> DataFrame:
+    """Per-group z-scores with an outlier flag — the quality-filter
+    primitive (meter glitches, corrupt documents by length, ...).
+
+    Group mean/stddev come from ONE partial+final hash aggregation and
+    re-attach via a broadcast join on the key (or a 1-row broadcast
+    cross join for the global case) — never a per-row window over the
+    whole group, so no group ever has to fit one partition. Zero-variance
+    groups get z = 0 (nothing is an outlier within a constant group).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    std_fn = F.stddev_samp if sample_std else F.stddev_pop
+    aggs = [
+        F.avg(value_col).alias("__mu"),
+        std_fn(value_col).alias("__sigma"),
+    ]
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        joined = df.join(F.broadcast(stats), keys)
+    else:
+        joined = with_global_stats(df, {"__mu": aggs[0], "__sigma": aggs[1]})
+    z = F.when(
+        F.col("__sigma").isNull() | (F.col("__sigma") == 0), F.lit(0.0)
+    ).otherwise((F.col(value_col) - F.col("__mu")) / F.col("__sigma"))
+    return joined.withColumn("zscore", z).withColumn(
+        "is_outlier", F.abs(F.col("zscore")) > threshold
+    ).drop("__mu", "__sigma")
 
 
 def p_max(

@@ -265,6 +265,32 @@ class TestDiff:
         assert vals == [None, 1.0, 1.0, 1.0, 1.0]
 
 
+class TestZscore:
+    def test_grouped_and_constant_group(self, spark):
+        from energy_pandas_spark.operators.analytics import zscore_outliers
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 10.0), ("b", 5.0), ("b", 5.0)],
+            "k string, v double",
+        )
+        out = zscore_outliers(df, "v", by="k", threshold=0.5).collect()
+        a = sorted(r.zscore for r in out if r.k == "a")
+        # mean 5, stddev_samp ~7.071 -> z = ±0.7071
+        assert abs(a[0] + 0.7071) < 1e-3 and abs(a[1] - 0.7071) < 1e-3
+        assert all(r.is_outlier for r in out if r.k == "a")
+        # zero-variance group: z=0, never an outlier
+        assert all(r.zscore == 0.0 and not r.is_outlier for r in out if r.k == "b")
+
+    def test_global_uses_broadcast(self, spark):
+        from energy_pandas_spark.operators.analytics import zscore_outliers
+        from energy_pandas_spark.plans import broadcast_join_count
+
+        df = spark.range(100).selectExpr("CAST(id AS DOUBLE) v")
+        out = zscore_outliers(df, "v")
+        assert broadcast_join_count(out) >= 1
+        assert out.filter("is_outlier").count() == 0  # uniform range
+
+
 class TestLdcScale:
     def test_distributed_matches_window(self, spark):
         df = spark.range(5000).select(
