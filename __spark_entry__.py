@@ -439,7 +439,7 @@ def resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESAMPLE_SQL = """
-SELECT to_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT) AS bucket,
+SELECT make_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT * 1000000) AS bucket,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1 ORDER BY 1
 """
@@ -470,7 +470,7 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_FILL_SQL = """
 WITH hourly AS (
   SELECT user_id,
-         to_timestamp((floor(epoch(ts) / 3600) * 3600)::BIGINT) AS h,
+         make_timestamp((floor(epoch(ts) / 3600) * 3600)::BIGINT * 1000000) AS h,
          round(avg(value), 6) AS v
   FROM events WHERE user_id < 40 GROUP BY 1, 2
 ), bounds AS (

@@ -324,21 +324,35 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4x16-bit band buckets (a pair within
-    Hamming distance 3 must agree on at least one band), verified with
-    ``bit_count(a XOR b) <= max_hamming``. Candidates come from the
-    same bucket-grouped double-explode as MinHash (one shuffle, no
+    """Near-dup pairs by SimHash: the 64-bit signature splits into
+    ``max_hamming + 1`` near-equal-width bands (pigeonhole: a pair
+    within Hamming distance d differs in at most d bands, so it must
+    agree exactly on at least one of d+1 bands — guaranteed candidate
+    recall for any ``max_hamming`` <= 31), then candidates are verified
+    with ``bit_count(a XOR b) <= max_hamming``. Candidates come from
+    the same bucket-grouped double-explode as MinHash (one shuffle, no
     self-join); verification runs inside the bucket before the pair
     distinct, so only true near-dups reach the final shuffle."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            "simhash_neardup_pairs: max_hamming must be in [0, 31] so "
+            "each of the max_hamming+1 bands spans >= 2 bits"
+        )
     sh = simhash64(df, text_col, id_col)
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + 1 if b < extra else base for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     bandexpr = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    F.shiftright(F.col("simhash"), offsets[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1).cast("long"))
+                    .alias("bucket"),
                 )
-                for b in range(4)
+                for b in range(n_bands)
             ]
         )
     ).alias("bb")

@@ -44,6 +44,13 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c != on and c not in keys
         ]
+    clash = sorted(set(right_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {clash} already exist on the left "
+            "frame; rename or restrict right_cols to avoid duplicate "
+            "output columns"
+        )
     l_tag = left.withColumn("__src", F.lit(1))
     for c in right_cols:
         if c not in l_tag.columns:
@@ -129,7 +136,9 @@ def salted_join(
     ``[0, salt)``, the right side is replicated ``salt`` times, and the
     join key becomes (keys..., salt) — a hot key's rows land on ``salt``
     shuffle partitions instead of one. Results are identical to the
-    plain join.
+    plain join for ``how`` in {inner, left, left_semi, left_anti};
+    right/full outer joins would emit each unmatched right row once per
+    replica, so those modes are rejected.
 
     Use when a handful of heavy keys dominate and AQE's skew-join
     splitting can't help (e.g. the skew is in a hash-aggregate feeding
@@ -138,6 +147,14 @@ def salted_join(
     pre-aggregated tables). For broadcastable right sides just use
     ``F.broadcast`` — salting is for the sort-merge/shuffled-hash
     regime."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the right side is "
+            "replicated per salt, so unmatched right rows would appear "
+            f"{salt} times; use one of {sorted(allowed)}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_l = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     salted_r = right.withColumn(

@@ -36,7 +36,6 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass
-from functools import lru_cache
 
 __all__ = [
     "Unit",
@@ -225,6 +224,10 @@ class UnitRegistry:
         # canonical symbol -> (scale, dims, offset)
         self._defs: dict[str, tuple[float, tuple[int, ...], float]] = {}
         self._aliases: dict[str, str] = {}
+        # per-instance parse cache (an @lru_cache on the bound method
+        # would pin every registry instance in a class-level cache and
+        # serve stale parses after define())
+        self._parse_cache: dict[str, Unit] = {}
         self._load_defaults()
 
     # -- definition helpers -------------------------------------------------
@@ -239,6 +242,7 @@ class UnitRegistry:
         self._defs[symbol] = (scale, dims, offset)
         for a in aliases:
             self._aliases[a] = symbol
+        self._parse_cache.clear()
 
     def _load_defaults(self) -> None:
         d = self.define
@@ -326,13 +330,21 @@ class UnitRegistry:
         d("cfm", _FT**3 / 60.0, _dim(m=3, s=-1), aliases=("CFM",))
 
     # -- parsing ------------------------------------------------------------
-    @lru_cache(maxsize=4096)
     def parse(self, text: str) -> Unit:
         """Parse a unit string through the EnergyPlus preprocessors."""
         if text is None:
             raise UndefinedUnitError("cannot parse None as a unit")
         if isinstance(text, Unit):
             return text
+        cached = self._parse_cache.get(text)
+        if cached is not None:
+            return cached
+        unit = self._parse_uncached(text)
+        if len(self._parse_cache) < 4096:
+            self._parse_cache[text] = unit
+        return unit
+
+    def _parse_uncached(self, text: str) -> Unit:
         s = text.strip()
         if not s or s.lower() == "dimensionless":
             return Unit((), 1.0, _ZERO)

@@ -66,6 +66,13 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     scols = list(sdf.columns)
     res = ddb.execute(ORACLES[name])
     ocols = [d[0] for d in res.description]
+    otypes = [str(d[1]) for d in res.description]
+    # The driver compares dtypes strictly: a DuckDB TIMESTAMP WITH TIME
+    # ZONE (e.g. from to_timestamp()) never matches Spark's naive
+    # TimestampType.  Use make_timestamp()/date_trunc() in oracles.
+    assert not any("TZ" in t or "TIME ZONE" in t for t in otypes), (
+        f"{name}: oracle emits tz-aware column(s) {list(zip(ocols, otypes))}"
+    )
     orows = res.fetchall()
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"

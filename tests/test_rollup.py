@@ -72,3 +72,48 @@ def test_rollup_matches_batch_recompute(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_replayed_batch_never_double_merges(spark, tmp_path):
+    """At-least-once crash simulation: the SAME micro-batch is applied
+    twice with the marker file missing (as if the driver died between
+    the data write and the marker write) — the per-partition
+    ``__batch_id`` stamp must make the replay a no-op."""
+    import shutil
+
+    from energy_pandas_spark.streaming.rollup import make_rollup_writer
+
+    out = str(tmp_path / "rollup")
+    src = str(tmp_path / "src")
+    _write_batchfile(
+        spark,
+        [
+            (0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 10:10:00", 1, "click", 2.0, "{}"),
+        ],
+        src,
+    )
+    batch = spark.read.parquet(src)
+    write_batch = make_rollup_writer(out)
+
+    write_batch(batch, 0)
+    first = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    # crash window: data committed, marker lost
+    shutil.rmtree(out.rstrip("/") + "__high_water")
+    write_batch(batch, 0)  # replay of batch 0
+    again = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == first  # sums NOT doubled
+
+    # a genuinely new batch still merges
+    write_batch(batch, 1)
+    merged = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert merged == [(w, t, n * 2, s * 2) for (w, t, n, s) in first]
