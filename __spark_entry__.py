@@ -1252,12 +1252,54 @@ SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1
 
 
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID — heuristic, rows-only check."""
+    """Stopword-vote language ID (deterministic expression vote, so it
+    has a full DuckDB oracle: same token sets, same intersect counts,
+    same first-language tie-break)."""
     _prep(spark)
     from energy_pandas_spark.operators.text import language_id
 
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    from energy_pandas_spark.operators.text import STOPWORDS
+
+    def lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    votes = ",\n         ".join(
+        f"len(list_intersect(toks, {lst(ws)})) AS s_{lang}"
+        for lang, ws in STOPWORDS.items()
+        if lang != "zh"
+    )
+    langs = list(STOPWORDS)
+    case = "\n    ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} >= greatest("
+        + ", ".join(f"s_{o}" for o in langs if o != lang)
+        + f") THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS toks,
+         string_split(text, '') AS chars
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {votes},
+         len(list_intersect(chars, {lst(STOPWORDS['zh'])})) AS s_zh
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    {case}
+    ELSE 'und'
+  END AS lang_pred
+FROM s ORDER BY doc_id
+"""
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,6 +1584,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver hash-checks the first ~50 entries, so
+    # oracle-backed queries come first (variants whose oracle shape is
+    # already covered — ldc_source, ngram_jaccard, cosine_topk_blas —
+    # sit at the oracle tail, and rows-only checks go last; the local
+    # pytest gate still runs every entry).
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1564,7 +1611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
         "source_side": source_side,
-        "ldc_source": ldc_source,
         "rowwise_mean": rowwise_mean,
         "reportdata_series": reportdata_series,
         "reportdata_pivot": reportdata_pivot,
@@ -1585,7 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": value_percentiles,
         "doc_token_count": doc_token_count,
         "doc_bpe_tokens": doc_bpe_tokens,
-        "doc_min_fingerprint": doc_min_fingerprint,
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
         "langid_heuristic": langid_heuristic,
@@ -1593,13 +1638,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_pairs": minhash_pairs,
         "minhash_dedup_drop": minhash_dedup_drop,
-        "simhash_pairs": simhash_pairs,
-        "ngram_jaccard": ngram_jaccard,
-        "embedding_neardup": embedding_neardup,
         "cosine_topk": cosine_topk,
-        "cosine_topk_blas": cosine_topk_blas,
-        "ivf_topk": ivf_topk,
         "embedding_norms": embedding_norms,
+        # -- oracle-backed variants of already-checked shapes ----------
+        "ldc_source": ldc_source,
+        "ngram_jaccard": ngram_jaccard,
+        "cosine_topk_blas": cosine_topk_blas,
+        # -- rows-only (approximate / hash-engine-specific by design) --
+        "doc_min_fingerprint": doc_min_fingerprint,
+        "simhash_pairs": simhash_pairs,
+        "embedding_neardup": embedding_neardup,
+        "ivf_topk": ivf_topk,
         "media_features": media_features,
         "discretize_typical_periods": discretize_typical_periods,
     }
@@ -1651,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": _BPE_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_distribution": _LANG_DIST_SQL,
+        "langid_heuristic": _langid_sql(),
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_pairs": _brute_jaccard_sql(0.5),
