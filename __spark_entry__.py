@@ -1262,7 +1262,11 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
 
 
-def _langid_sql() -> str:
+def _langid_vote_sql() -> tuple[str, str]:
+    """(vote-columns select fragment over ``toks``/``chars``, CASE
+    expression over the ``s_<lang>`` vote columns) — shared by the
+    langid and clean-corpus oracles so both replicate the engine's
+    first-language tie-break exactly."""
     from energy_pandas_spark.operators.text import STOPWORDS
 
     def lst(words):
@@ -1273,6 +1277,7 @@ def _langid_sql() -> str:
         for lang, ws in STOPWORDS.items()
         if lang != "zh"
     )
+    votes += f",\n         len(list_intersect(chars, {lst(STOPWORDS['zh'])})) AS s_zh"
     langs = list(STOPWORDS)
     case = "\n    ".join(
         f"WHEN s_{lang} > 0 AND s_{lang} >= greatest("
@@ -1280,6 +1285,12 @@ def _langid_sql() -> str:
         + f") THEN '{lang}'"
         for lang in langs
     )
+    case = f"CASE\n    {case}\n    ELSE 'und'\n  END"
+    return votes, case
+
+
+def _langid_sql() -> str:
+    votes, case = _langid_vote_sql()
     return f"""
 WITH t AS (
   SELECT doc_id, lang,
@@ -1289,15 +1300,11 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id, lang,
-         {votes},
-         len(list_intersect(chars, {lst(STOPWORDS['zh'])})) AS s_zh
+         {votes}
   FROM t
 )
 SELECT doc_id, lang,
-  CASE
-    {case}
-    ELSE 'und'
-  END AS lang_pred
+  {case} AS lang_pred
 FROM s ORDER BY doc_id
 """
 
@@ -1574,6 +1581,227 @@ def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / corpus statistics / cleaning pipeline
+# ---------------------------------------------------------------------------
+
+
+def hash_split_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split of the documents
+    table (md5-bucket assignment — reruns and incremental loads agree
+    on every row's split; the id_sum column proves exact membership,
+    not just counts)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+_HASH_SPLIT_SQL = """
+SELECT CASE WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val' ELSE 'test' END
+         AS split,
+       count(*) AS n_docs,
+       sum(doc_id) AS id_sum
+FROM (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT AS b
+  FROM documents
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic mixture of three document sources (100% /
+    50% / 10% keep rates by md5 bucket) — the map-only, shuffle-free
+    corpus-composition primitive."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    a = docs.filter(srcnum < 7)
+    b = docs.filter((srcnum >= 7) & (srcnum < 14))
+    c = docs.filter(srcnum >= 14)
+    mix = weighted_mixture([(a, 1.0), (b, 0.5), (c, 0.1)], key="doc_id")
+    return (
+        mix.groupBy("source_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source_id")
+    )
+
+
+_CORPUS_MIXTURE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         regexp_extract(source, '(\\d+)', 1)::INT AS srcnum,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT
+           AS bucket
+  FROM documents
+), tagged AS (
+  SELECT doc_id, 0 AS source_id FROM b WHERE srcnum < 7 AND bucket < 10000
+  UNION ALL
+  SELECT doc_id, 1 FROM b WHERE srcnum >= 7 AND srcnum < 14 AND bucket < 5000
+  UNION ALL
+  SELECT doc_id, 2 FROM b WHERE srcnum >= 14 AND bucket < 1000
+)
+SELECT source_id, count(*) AS n_docs, sum(doc_id) AS id_sum
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
+
+
+def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by document frequency
+    (integer-exact ordering)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, top=100)
+
+
+_VOCAB_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT term, count(*) AS doc_freq, sum(tf) AS total_count
+FROM tf GROUP BY 1
+ORDER BY doc_freq DESC, term ASC LIMIT 100
+"""
+
+
+def tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by the integer-exact tf-idf ranking key
+    (tf desc, doc_freq asc, term asc); the float score is emitted but
+    never decides the ranking."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", "doc_freq", F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    ).orderBy("doc_id", "rank")
+
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.doc_freq,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, d.doc_freq ASC, tf.term ASC)
+           AS rank
+  FROM tf JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, tf, doc_freq,
+       round(tf * ln((SELECT n FROM nd)::DOUBLE / doc_freq), 6) AS tfidf,
+       rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def ngram_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token bigram counts, top-100 (count desc, ngram asc)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=2, top=100)
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT t[i] || ' ' || t[i + 1] AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  UNION ALL
+  -- engine edge: a doc with < n tokens yields ONE shingle = the whole
+  -- joined text (may be '' for token-less docs)
+  SELECT array_to_string(t, ' ') FROM toks WHERE len(t) < 2
+)
+SELECT ngram, count(*) AS n FROM grams GROUP BY 1
+ORDER BY n DESC, ngram ASC LIMIT 100
+"""
+
+
+def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pipeline: language filter (en) -> quality
+    thresholds -> exact-dedup keep-first; every predicate is an
+    integer-ratio compare, so the kept set is engine-exact."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_tokens=10, min_alpha_ratio=0.6,
+                       max_repetition_ratio=0.4)
+    return out.select(
+        "doc_id", "lang_pred", "n_tokens", "fingerprint"
+    ).orderBy("doc_id")
+
+
+def _clean_corpus_sql() -> str:
+    votes, case = _langid_vote_sql()
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+           AS toks_all,
+         string_split(text, '') AS chars
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks_all,
+         {votes}
+  FROM (SELECT *, list_distinct(toks_all) AS toks FROM t)
+), feat AS (
+  SELECT doc_id, text,
+         {case} AS lang_pred,
+         len(toks_all) AS n_tokens,
+         length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+           / CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END
+                  AS DOUBLE) AS alpha_ratio,
+         1.0 - len(list_distinct(toks_all))
+           / CAST(CASE WHEN len(toks_all) = 0 THEN 1 ELSE len(toks_all) END
+                  AS DOUBLE) AS repetition_ratio
+  FROM s
+)
+SELECT doc_id, lang_pred, n_tokens,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM feat
+WHERE lang_pred = 'en' AND n_tokens >= 10
+  AND alpha_ratio >= 0.6 AND repetition_ratio <= 0.4
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1593,12 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
-        "top_customers": top_customers,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "top_spenders_per_nation": top_spenders_per_nation,
         "with_timeindex": with_timeindex,
         "to_units_kelvin": to_units_kelvin,
-        "to_units_degr_mixed": to_units_degr_mixed,
         "to_ip_watts": to_ip_watts,
         "normalize_minmax": normalize_minmax,
         "ldc": ldc,
@@ -1614,7 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowwise_mean": rowwise_mean,
         "reportdata_series": reportdata_series,
         "reportdata_pivot": reportdata_pivot,
-        "daily_profile": daily_profile,
         "unstack_periods": unstack_periods,
         "series_align_arithmetic": series_align_arithmetic,
         "asof_join_hourly": asof_join_hourly,
@@ -1622,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h_avg": rolling_1h_avg,
         "cumulative_user_spend": cumulative_user_spend,
         "tumbling_1h": tumbling_1h,
-        "sliding_2h_1h": sliding_2h_1h,
         "sessionize_30m": sessionize_30m,
         "users_view_no_purchase": users_view_no_purchase,
         "graph_components": graph_components,
@@ -1630,7 +1853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_priority_revenue": salted_join_priority_revenue,
         "value_percentiles": value_percentiles,
         "doc_token_count": doc_token_count,
-        "doc_bpe_tokens": doc_bpe_tokens,
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
         "langid_heuristic": langid_heuristic,
@@ -1640,8 +1862,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_drop": minhash_dedup_drop,
         "cosine_topk": cosine_topk,
         "embedding_norms": embedding_norms,
+        "hash_split_dist": hash_split_dist,
+        "corpus_mixture": corpus_mixture,
+        "vocab_top100": vocab_top100,
+        "tfidf_top3": tfidf_top3,
+        "ngram_top100": ngram_top100,
+        "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "top_customers": top_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "daily_profile": daily_profile,
+        "to_units_degr_mixed": to_units_degr_mixed,
         "ldc_source": ldc_source,
+        "sliding_2h_1h": sliding_2h_1h,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk_blas": cosine_topk_blas,
         # -- rows-only (approximate / hash-engine-specific by design) --
@@ -1709,4 +1943,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_blas": _COSINE_TOPK_SQL,
         "embedding_norms": _EMBEDDING_NORMS_SQL,
+        "hash_split_dist": _HASH_SPLIT_SQL,
+        "corpus_mixture": _CORPUS_MIXTURE_SQL,
+        "vocab_top100": _VOCAB_SQL,
+        "tfidf_top3": _TFIDF_SQL,
+        "ngram_top100": _NGRAM_SQL,
+        "clean_corpus_docs": _clean_corpus_sql(),
     }

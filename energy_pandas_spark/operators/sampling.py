@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus cannot be split with ``rand()`` — reruns, backfills,
+and per-source incremental loads must all agree on which row belongs
+to which split. The standard fix is HASH-based assignment: a stable
+content key (doc id, url, fingerprint) hashes to a bucket in
+[0, denominator); split boundaries are cumulative bucket ranges. The
+assignment is a pure projection — no shuffle, no state, reproducible
+on any engine that has the same hash (we use md5, which every engine
+and the DuckDB oracle share bit-for-bit).
+
+``weighted_mixture`` composes per-source hash-sampling into a corpus
+mixture ("60% web, 30% code, 10% books"): each source keeps rows whose
+bucket falls under its sampling rate. At scale this is a map-only
+filter on each source followed by a union — the parquet scans prune
+columns, the filter pushes down nothing (hash of a column) but costs
+one md5 per row, and NO shuffle happens at all.
+
+Reference scope note: the reference library (energy-pandas) has no
+sampling surface at all; this module is north-star pipeline surface
+(SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "weighted_mixture"]
+
+
+def hash_bucket(key: Column | str, denominator: int = 10_000) -> Column:
+    """Stable bucket in [0, denominator) from md5 of the key.
+
+    Uses the top 60 bits of the md5 hex digest (15 nibbles keep the
+    value inside a signed 64-bit long, so ``conv`` never saturates);
+    md5 is uniform enough that bucket populations deviate < 0.1% at
+    corpus scale."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+    return (h % F.lit(denominator)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: Mapping[str, float] | None = None,
+    out_col: str = "split",
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Assign every row to a named split by hashed key.
+
+    ``splits`` maps name -> fraction (must sum to <= 1; any remainder
+    becomes the last split's overflow guard and is assigned to it).
+    Default is the classic 98/1/1 train/val/test. Same key => same
+    split, forever, on every engine."""
+    splits = dict(splits or {"train": 0.98, "val": 0.01, "test": 0.01})
+    total = sum(splits.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    b = hash_bucket(key, denominator)
+    expr = None
+    hi = 0
+    names = list(splits)
+    for name in names[:-1]:
+        hi += int(round(splits[name] * denominator))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    rate: float,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by hashed key.
+
+    Unlike ``df.sample``, the kept set is a pure function of the key:
+    incremental reruns keep exactly the same rows, and a row kept at
+    rate=0.1 is also kept at every rate >= 0.1 (nested samples)."""
+    if not 0 <= rate <= 1:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(key, denominator) < int(round(rate * denominator)))
+
+
+def weighted_mixture(
+    sources: Sequence[tuple[DataFrame, float]],
+    key: str,
+    label_col: str | None = "source_id",
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic corpus mixture: per-source hash-sample + union.
+
+    ``sources`` is [(frame, keep_rate), ...]; all frames must share a
+    schema. Map-only per source (no shuffle); the union is a plan-level
+    concat, so the mixture of N parquet sources stays one scan stage
+    each."""
+    out = None
+    for i, (src, rate) in enumerate(sources):
+        part = hash_sample(src, key, rate, denominator)
+        if label_col:
+            part = part.withColumn(label_col, F.lit(i))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mixture needs at least one source")
+    return out

@@ -15,6 +15,7 @@ from energy_pandas_spark.functions.textfns import (
     char_shingles_of_text,
     normalized_text,
     tokens,
+    word_shingles_of_tokens,
 )
 
 __all__ = [
@@ -25,6 +26,10 @@ __all__ = [
     "language_id",
     "fingerprint",
     "minhash_fingerprint",
+    "term_frequencies",
+    "vocabulary",
+    "tfidf_top_terms",
+    "ngram_counts",
     "STOPWORDS",
 ]
 
@@ -162,3 +167,102 @@ def minhash_fingerprint(
     return norm.withColumn(
         out_col, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
     ).drop("__norm")
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: vocabulary, TF-IDF, n-gram counts
+# ---------------------------------------------------------------------------
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, term) -> tf. One explode + one hash aggregate; the
+    aggregate combines map-side, so the shuffle carries distinct
+    (doc, term) pairs, not raw token occurrences."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: per-term document frequency + total count,
+    top-``top`` by (doc_freq desc, term asc) — an integer sort key, so
+    the ranking is bit-reproducible on any engine.
+
+    Scale shape: tokens aggregate map-side per (doc, term) first, then
+    per term; the final top-k is a TakeOrdered over the (small) term
+    table, never a global sort of token occurrences."""
+    tf = term_frequencies(df, text_col, id_col)
+    terms = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_count"),
+    )
+    return terms.orderBy(F.desc("doc_freq"), F.asc("term")).limit(top)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms with their tf-idf score.
+
+    The score is classic ``tf * ln(N / doc_freq)``; the RANKING uses
+    the integer-exact key (tf desc, doc_freq asc, term asc), which is
+    deterministic across engines (float ln rounding can differ in the
+    last ulp between libm implementations, so ranking directly on the
+    score would make the k-boundary engine-dependent). The score is
+    emitted for consumers; the key decides who wins.
+
+    Scale shape: two hash aggregates (doc-term, term) + one broadcast
+    of the term table is WRONG at 100 TB (term table is huge); instead
+    the doc-frequency join keys on term — a shuffle join where both
+    sides are already term-partitioned from their aggregates — then one
+    per-doc window for the top-k."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = tf.join(dfreq, "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        joined.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias(
+                "tfidf"
+            ),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Corpus-wide token n-gram counts, top-``top`` by
+    (count desc, ngram asc). Tokens materialize in their own projection
+    so the split runs once per document; the shingle transform then
+    only indexes the materialized array (O(len) per doc)."""
+    toks = df.select(tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        F.explode(word_shingles_of_tokens("__toks", n)).alias("ngram")
+    )
+    counted = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("ngram")).limit(top)

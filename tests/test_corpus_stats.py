@@ -1,0 +1,77 @@
+"""Vocabulary / TF-IDF / n-gram / clean-corpus operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from energy_pandas_spark.operators.pipeline import clean_corpus
+from energy_pandas_spark.operators.text import (
+    ngram_counts,
+    term_frequencies,
+    tfidf_top_terms,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog sat on the log", "en"),
+        (2, "cat cat cat", "en"),
+        (3, "", "en"),
+        (4, "unique", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_term_frequencies(spark, docs):
+    tf = {
+        (r.doc_id, r.term): r.tf for r in term_frequencies(docs).collect()
+    }
+    assert tf[(0, "the")] == 2
+    assert tf[(2, "cat")] == 3
+    assert (3, "") not in tf  # empty doc contributes nothing
+
+
+def test_vocabulary_ordering(spark, docs):
+    top = vocabulary(docs, top=3).collect()
+    # doc_freq: the->2, sat->2, on->2, cat->2 ... tie-broken by term asc
+    assert [r.term for r in top] == ["cat", "on", "sat"]
+    assert top[0].doc_freq == 2 and top[0].total_count == 4
+
+
+def test_tfidf_rank_is_integer_exact(spark, docs):
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 'cat' tf=3 dominates
+    assert by_doc[2][0].term == "cat" and by_doc[2][0].tf == 3
+    # score value: tf * ln(N/df) with N=5 distinct docs
+    assert by_doc[2][0].tfidf == pytest.approx(3 * math.log(5 / 2))
+    # ranks are 1..k with no gaps
+    assert [r.rank for r in by_doc[0]] == [1, 2]
+
+
+def test_ngram_counts_includes_short_docs(spark, docs):
+    grams = {r.ngram: r.n for r in ngram_counts(docs, n=2, top=100).collect()}
+    assert grams["the cat"] == 1
+    assert grams["cat cat"] == 2
+    assert grams["unique"] == 1  # < n tokens -> whole text as one shingle
+    assert grams[""] == 1  # empty doc
+
+
+def test_clean_corpus_dedups_and_filters(spark):
+    text = "the quick brown fox jumps over a lazy dog and runs to that old market for it"
+    rows = [
+        (0, text, "en"),
+        (1, text, "en"),  # exact duplicate -> dropped by keep-first
+        (2, "der hund und die katze sind nicht auf dem markt heute hier", "de"),
+        (3, "x y z", "en"),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = clean_corpus(df, min_tokens=10).select("doc_id").collect()
+    assert [r.doc_id for r in kept] == [0]  # dup 1 dropped, de dropped, short dropped

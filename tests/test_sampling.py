@@ -1,0 +1,70 @@
+"""Deterministic sampling/splitting + corpus statistics operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    weighted_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+def test_split_is_deterministic_and_total(spark, ids):
+    s1 = hash_split(ids, "key").groupBy("split").count().collect()
+    s2 = hash_split(ids, "key").groupBy("split").count().collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    assert sum(r["count"] for r in s1) == 2000
+    by = {r["split"]: r["count"] for r in s1}
+    assert by["train"] > 1800  # ~98%
+
+
+def test_split_fractions_validated(spark, ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "key", {"a": 0.9, "b": 0.3})
+
+
+def test_samples_are_nested(spark, ids):
+    """A row kept at rate r is kept at every rate >= r."""
+    k10 = {r.key for r in hash_sample(ids, "key", 0.1).collect()}
+    k30 = {r.key for r in hash_sample(ids, "key", 0.3).collect()}
+    assert k10 <= k30
+    assert len(k10) == pytest.approx(200, rel=0.25)
+
+
+def test_sample_rate_bounds(spark, ids):
+    with pytest.raises(ValueError):
+        hash_sample(ids, "key", 1.5)
+    assert hash_sample(ids, "key", 0.0).count() == 0
+    assert hash_sample(ids, "key", 1.0).count() == 2000
+
+
+def test_mixture_labels_and_rates(spark, ids):
+    a = ids.filter(F.col("key") < 1000)
+    b = ids.filter(F.col("key") >= 1000)
+    mix = weighted_mixture([(a, 1.0), (b, 0.2)], key="key")
+    by = {r.source_id: r.n for r in mix.groupBy("source_id").agg(F.count("*").alias("n")).collect()}
+    assert by[0] == 1000
+    assert by[1] == pytest.approx(200, rel=0.3)
+
+
+def test_bucket_range(spark, ids):
+    mn, mx = ids.select(hash_bucket("key", 100).alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert 0 <= mn and mx <= 99
+
+
+def test_mixture_is_map_only(spark, ids):
+    """Scale contract: the mixture plan contains no Exchange at all."""
+    a = ids.filter(F.col("key") < 1000)
+    plan = weighted_mixture([(a, 0.5), (ids, 0.1)], key="key")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
