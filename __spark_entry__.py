@@ -1433,12 +1433,14 @@ ORDER BY doc_id
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 8) — rows-only."""
+    """SimHash near-dup pairs (Hamming <= 3, the standard 64-bit
+    near-dup threshold -> 4 bands with guaranteed candidate recall) —
+    rows-only."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,15 +232,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # the candidate set is referenced three times below (id extraction +
+    # both verify joins); persist it so the whole scan->signature->band
+    # pipeline above runs ONCE, not once per reference. Candidates are
+    # tiny relative to the corpus (bounded by max_bucket), so the
+    # default MEMORY_AND_DISK level is safe at any scale, and lineage
+    # stays intact for fault recovery.
+    cand = cand.persist()
 
     # verify: recompute shingle sets from the raw text for the (tiny)
     # candidate set only — cheaper than dragging shingle arrays through
-    # the band explosion and its shuffles
-    sh = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles_of_tokens("__toks", shingle_size)).alias(
-            "__sh"
-        ),
+    # the band explosion and its shuffles. The semi-join on candidate
+    # ids comes FIRST so the tokenize+shingle projection runs only for
+    # documents that actually appear in a candidate pair (at corpus
+    # scale the candidate set is orders of magnitude smaller than the
+    # corpus; without the semi-join this subtree shingles the full
+    # corpus twice, once per join side).
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles_of_tokens("__toks", shingle_size)
+            ).alias("__sh"),
+        )
     )
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")
