@@ -42,6 +42,9 @@ HEADLINE = [
     "cosine_topk",
     "embedding_neardup",
     "discretize_typical_periods",
+    "hash_split_dist",
+    "tfidf_top3",
+    "clean_corpus_docs",
 ]
 
 

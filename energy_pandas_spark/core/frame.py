@@ -226,6 +226,22 @@ class EnergyFrame:
         return cls._from_saved(df, saved, index_col, meta)
 
     @classmethod
+    def read_orc(
+        cls,
+        spark: SparkSession,
+        path: str,
+        index_col: str | None = None,
+        meta: Mapping[str, Any] | None = None,
+    ) -> "EnergyFrame":
+        """Rehydrate from ORC written via :meth:`to_orc`. ORC keeps
+        types but (unlike parquet) Spark does not persist StructField
+        metadata in ORC footers, so units ride in the same
+        ``_energy_meta`` sidecar as CSV/JSON."""
+        saved = _read_sidecar(spark, path)
+        df = spark.read.orc(path)
+        return cls._from_saved(df, saved, index_col, meta)
+
+    @classmethod
     def _from_saved(
         cls,
         df: DataFrame,
@@ -656,6 +672,12 @@ class EnergyFrame:
         """Write JSON-lines plus the ``_energy_meta`` sidecar —
         round-trips via :meth:`read_json`."""
         self._df.write.mode(mode).json(path)
+        self._write_sidecar(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite") -> None:
+        """Write ORC plus the ``_energy_meta`` sidecar — round-trips via
+        :meth:`read_orc`."""
+        self._df.write.mode(mode).orc(path)
         self._write_sidecar(path)
 
     def _write_sidecar(self, path: str) -> None:

@@ -216,6 +216,18 @@ class TestFrameSemantics:
         assert dict(back.spark_df.dtypes)["ts"] == "timestamp"
         assert back.spark_df.count() == 24
 
+    def test_orc_round_trip_rehydrates_units_and_types(self, spark, tmp_path):
+        ef = EnergyFrame.from_range(spark, 24, units="degC", name="Temp")
+        k = ef.to_units("kelvin")
+        path = str(tmp_path / "rt_orc")
+        k.to_orc(path)
+        back = EnergyFrame.read_orc(spark, path)
+        assert back.units["Temp"] == ur.parse("kelvin")
+        assert back.index_col == "ts"
+        assert dict(back.spark_df.dtypes)["ts"] == "timestamp"
+        vals = sorted(r.Temp for r in back.spark_df.collect())
+        assert abs(vals[0] - 273.15) < 1e-9 and abs(vals[-1] - 296.15) < 1e-9
+
     def test_read_csv_without_sidecar_still_loads(self, spark, tmp_path):
         path = str(tmp_path / "plain_csv")
         spark.range(5).selectExpr("id", "id * 1.5 AS v").write.option(
