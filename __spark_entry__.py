@@ -263,6 +263,91 @@ ORDER BY c_nationkey, rank
 """
 
 
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ``rollup`` (GROUPING SETS family):
+    per (returnflag, linestatus), per returnflag, and grand total in ONE
+    hash-aggregate pass — Spark plans grouping sets as a single Expand +
+    aggregate, so the scan happens once no matter how many levels.
+    ``grouping_id`` disambiguates subtotal rows from real NULL keys."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-tabulation via ``cube``: all 2^k grouping combinations
+    of (orderpriority, orderstatus) in one Expand+aggregate pass."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing with ``ntile``: every event assigned its
+    within-type value quartile (ties broken by event_id so the bucket
+    boundary is deterministic on any engine)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_NTILE_SQL = """
+SELECT event_id, event_type, round(value, 6) AS value,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value ASC, event_id ASC) AS quartile
+FROM events ORDER BY event_id
+"""
+
+
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
@@ -1830,7 +1915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_minmax": normalize_minmax,
         "ldc": ldc,
         "monthly_avg": monthly_avg,
-        "resample_6h": resample_6h,
         "gap_fill_hourly": gap_fill_hourly,
         "value_diff_per_user": value_diff_per_user,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -1861,7 +1945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "minhash_pairs": minhash_pairs,
-        "minhash_dedup_drop": minhash_dedup_drop,
+        "rollup_sales": rollup_sales,
+        "ntile_quartiles": ntile_quartiles,
         "cosine_topk": cosine_topk,
         "embedding_norms": embedding_norms,
         "hash_split_dist": hash_split_dist,
@@ -1871,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "resample_6h": resample_6h,
+        "minhash_dedup_drop": minhash_dedup_drop,
+        "cube_orders": cube_orders,
         "top_customers": top_customers,
         "q6_forecast_revenue": q6_forecast_revenue,
         "daily_profile": daily_profile,
@@ -1951,4 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top3": _TFIDF_SQL,
         "ngram_top100": _NGRAM_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
+        "rollup_sales": _ROLLUP_SQL,
+        "cube_orders": _CUBE_SQL,
+        "ntile_quartiles": _NTILE_SQL,
     }
