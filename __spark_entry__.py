@@ -921,6 +921,66 @@ ORDER BY l.event_id
 """
 
 
+def asof_join_broadcast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast as-of variant: the right side packs into per-key sorted
+    arrays and broadcasts, so the (huge) left side is never shuffled —
+    the zero-shuffle as-of strategy for small right sides. Same oracle
+    as asof_join_hourly (results are identical by construction)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import asof_join_broadcast
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+    )
+    out = asof_join_broadcast(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
+    return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
+
+
+def corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts over the corpus (docs, terms, content
+    fingerprints) — the distinct-aggregate family. The scale path for
+    cardinality-only questions is ``approx_count_distinct`` (HLL, one
+    pass, no distinct shuffle); the exact form here is the
+    oracle-checkable contract."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import normalized_text, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("fp"),
+        F.explode_outer(tokens("text")).alias("term"),
+    )
+    return toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+_CARDINALITY_SQL = """
+SELECT count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT term) AS n_terms,
+       count(DISTINCT fp) AS n_fingerprints
+FROM (
+  -- [NULL] for token-less docs mirrors Spark's explode_outer: the doc
+  -- still counts toward n_docs, the NULL term is ignored by DISTINCT
+  SELECT doc_id, fp,
+         unnest(CASE WHEN len(toks) = 0 THEN [NULL]::VARCHAR[] ELSE toks END)
+           AS term
+  FROM (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+             AS toks
+    FROM documents
+  )
+)
+"""
+
+
 def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: events against a broadcast calendar of
     6-hour maintenance windows."""
@@ -1942,11 +2002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "lang_distribution": lang_distribution,
         "langid_heuristic": langid_heuristic,
-        "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "minhash_pairs": minhash_pairs,
         "rollup_sales": rollup_sales,
         "ntile_quartiles": ntile_quartiles,
+        "corpus_cardinality": corpus_cardinality,
         "cosine_topk": cosine_topk,
         "embedding_norms": embedding_norms,
         "hash_split_dist": hash_split_dist,
@@ -1956,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "doc_fingerprint": doc_fingerprint,
+        "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
         "resample_6h": resample_6h,
         "minhash_dedup_drop": minhash_dedup_drop,
         "cube_orders": cube_orders,
@@ -2042,4 +2104,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,
+        "corpus_cardinality": _CARDINALITY_SQL,
+        "asof_join_broadcast_hourly": _ASOF_SQL,
     }
