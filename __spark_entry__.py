@@ -1005,6 +1005,31 @@ def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_bucketed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed interval join (the non-broadcast scale path: both
+    sides key onto a time-grain lattice, one equi-join shuffle) — same
+    oracle as the broadcast formulation, identical results."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    cal = spark.sql(
+        """
+        SELECT w AS start, w + INTERVAL 6 HOURS AS end,
+               CAST(date_format(w, 'yyyyMMddHH') AS LONG) AS window_id
+        FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 24 HOURS)) AS w)
+        """
+    )
+    out = interval_join_bucketed(ev, cal, ts_col="ts", grain="6 hours")
+    return (
+        out.groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("window_id")
+    )
+
+
 _INTERVAL_JOIN_SQL = """
 WITH cal AS (
   SELECT w AS s, w + INTERVAL 6 HOUR AS e,
@@ -2018,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle-backed variants of already-checked shapes ----------
         "doc_fingerprint": doc_fingerprint,
         "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
+        "interval_join_bucketed_windows": interval_join_bucketed_windows,
         "resample_6h": resample_6h,
         "minhash_dedup_drop": minhash_dedup_drop,
         "cube_orders": cube_orders,
@@ -2106,4 +2132,5 @@ def oracle_sql() -> dict[str, str]:
         "ntile_quartiles": _NTILE_SQL,
         "corpus_cardinality": _CARDINALITY_SQL,
         "asof_join_broadcast_hourly": _ASOF_SQL,
+        "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
     }

@@ -19,7 +19,13 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "asof_join_broadcast", "interval_join", "salted_join"]
+__all__ = [
+    "asof_join",
+    "asof_join_broadcast",
+    "interval_join",
+    "interval_join_bucketed",
+    "salted_join",
+]
 
 
 def asof_join(
@@ -180,3 +186,51 @@ def interval_join(
     iv = F.broadcast(intervals) if broadcast_intervals else intervals
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return facts.join(iv, cond, how)
+
+
+def interval_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    grain: str = "1 hour",
+) -> DataFrame:
+    """Inner interval join for interval tables too big to broadcast.
+
+    Both sides map onto a time-grain lattice: each fact row gets its
+    bucket (one long), each interval EXPLODES into the buckets it
+    overlaps, and the join becomes an equi-join on the bucket refined by
+    the exact range predicate. This turns an unbounded range join (a
+    broadcast-nested-loop at worst) into one hash shuffle keyed on the
+    bucket — the standard range-bucketing strategy.
+
+    Pick ``grain`` close to the typical interval length: the exploded
+    interval side carries ``ceil(len/grain) + 1`` rows per interval, and
+    a fact bucket only meets intervals that actually overlap its hour.
+    Results are identical to ``interval_join(..., how='inner')``."""
+    grain_s = F.unix_timestamp(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {grain}")
+    )
+    fb = facts.withColumn(
+        "__bucket", (F.unix_timestamp(ts_col) / grain_s).cast("long")
+    )
+    # empty/inverted intervals match nothing; dropping them here also
+    # keeps the bucket sequence ascending (sequence() would otherwise
+    # happily count DOWN for end < start and emit phantom buckets)
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / grain_s).cast("long"),
+                # end is exclusive, but a partial last bucket still
+                # overlaps: floor((end - 1s)/grain) covers it without
+                # emitting a bucket the interval never touches
+                ((F.unix_timestamp(end_col) - 1) / grain_s).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return fb.join(ib, "__bucket").filter(cond).drop("__bucket")

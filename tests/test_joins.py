@@ -105,3 +105,62 @@ def test_asof_broadcast_no_left_shuffle(spark, sf_dir):
     # any hash exchange must belong to the packed right side (group on
     # user_id), never re-key the left fact rows
     assert all("user_id" in s for s in shuffles)
+
+
+def test_interval_join_bucketed_matches_plain(spark, sf_dir):
+    """Range-bucketed equi-join formulation == broadcast range join."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.joins import interval_join_bucketed
+    from energy_pandas_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    cal = spark.sql(
+        """
+        SELECT w AS start, w + INTERVAL 6 HOURS AS end,
+               CAST(date_format(w, 'yyyyMMddHH') AS LONG) AS window_id
+        FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 24 HOURS)) AS w)
+        """
+    )
+    plain = sorted(
+        (r.event_id, r.window_id)
+        for r in interval_join(ev, cal, ts_col="ts").select("event_id", "window_id").collect()
+    )
+    bucketed = sorted(
+        (r.event_id, r.window_id)
+        for r in interval_join_bucketed(ev, cal, ts_col="ts", grain="1 hour")
+        .select("event_id", "window_id")
+        .collect()
+    )
+    assert plain == bucketed and len(plain) > 0
+
+
+def test_interval_join_bucketed_edges(spark):
+    """Half-open semantics + degenerate intervals on the bucketed path."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.joins import interval_join_bucketed
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),  # [10, 12)
+            ("b", "2024-01-01 12:00:00", "2024-01-01 12:00:00"),  # empty
+            ("c", "2024-01-01 13:00:00", "2024-01-01 11:00:00"),  # inverted
+        ],
+        "name string, s string, e string",
+    ).select(
+        "name",
+        F.to_timestamp("s").alias("start"),
+        F.to_timestamp("e").alias("end"),
+    )
+    got = sorted(
+        (r.id, r.name)
+        for r in interval_join_bucketed(facts, iv, grain="30 minutes").collect()
+    )
+    assert got == [(1, "a")]  # 12:00 excluded (half-open); b, c match nothing
