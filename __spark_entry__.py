@@ -1827,6 +1827,36 @@ FROM tagged GROUP BY 1 ORDER BY 1
 """
 
 
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates (the
+    rerun-stable sampleBy). id_sum proves exact membership."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import hash_sample_by
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_sample_by(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_rate=0.05
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum
+FROM (
+  SELECT lang, doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT
+           AS b
+  FROM documents
+)
+WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 ELSE 500 END
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 terms by document frequency
     (integer-exact ordering)."""
@@ -2035,12 +2065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "embedding_norms": embedding_norms,
         "hash_split_dist": hash_split_dist,
-        "corpus_mixture": corpus_mixture,
+        "stratified_sample_langs": stratified_sample_langs,
         "vocab_top100": vocab_top100,
         "tfidf_top3": tfidf_top3,
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "corpus_mixture": corpus_mixture,
         "doc_fingerprint": doc_fingerprint,
         "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
         "interval_join_bucketed_windows": interval_join_bucketed_windows,
@@ -2133,4 +2164,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cardinality": _CARDINALITY_SQL,
         "asof_join_broadcast_hourly": _ASOF_SQL,
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
+        "stratified_sample_langs": _STRATIFIED_SQL,
     }

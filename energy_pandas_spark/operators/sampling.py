@@ -27,7 +27,13 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "weighted_mixture"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "hash_sample",
+    "hash_sample_by",
+    "weighted_mixture",
+]
 
 
 def hash_bucket(key: Column | str, denominator: int = 10_000) -> Column:
@@ -86,6 +92,33 @@ def hash_sample(
     if not 0 <= rate <= 1:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.filter(hash_bucket(key, denominator) < int(round(rate * denominator)))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates (the
+    rerun-stable analogue of ``df.sampleBy``). Strata missing from
+    ``rates`` keep ``default_rate``. Pure map-side filter — one
+    CASE-threshold per stratum, no shuffle, no RNG state."""
+    for s, r in rates.items():
+        if not 0 <= r <= 1:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0 <= default_rate <= 1:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    b = hash_bucket(key, denominator)
+    thresh = F.lit(int(round(default_rate * denominator)))
+    for s, r in rates.items():
+        thresh = (
+            F.when(F.col(strata_col) == s, F.lit(int(round(r * denominator))))
+            .otherwise(thresh)
+        )
+    return df.filter(b < thresh)
 
 
 def weighted_mixture(

@@ -68,3 +68,29 @@ def test_mixture_is_map_only(spark, ids):
     a = ids.filter(F.col("key") < 1000)
     plan = weighted_mixture([(a, 0.5), (ids, 0.1)], key="key")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_rates_and_determinism(spark):
+    from energy_pandas_spark.operators.sampling import hash_sample_by
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "key long, lang string")
+    out = hash_sample_by(df, "key", "lang", {"en": 0.5, "de": 0.1})
+    by = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["en"] == pytest.approx(1000, rel=0.15)
+    assert by["de"] == pytest.approx(200, rel=0.3)
+    # default_rate=0 drops unknown strata entirely
+    df2 = spark.createDataFrame([(1, "fr")], "key long, lang string")
+    assert hash_sample_by(df2, "key", "lang", {"en": 1.0}).count() == 0
+    # deterministic: same rows kept on rerun
+    a = sorted(r.key for r in out.collect())
+    b = sorted(r.key for r in hash_sample_by(df, "key", "lang", {"en": 0.5, "de": 0.1}).collect())
+    assert a == b
+
+
+def test_stratified_is_map_only(spark):
+    from energy_pandas_spark.operators.sampling import hash_sample_by
+
+    df = spark.createDataFrame([(1, "en")], "key long, lang string")
+    plan = hash_sample_by(df, "key", "lang", {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
