@@ -100,3 +100,22 @@ class TestScalabilitySmells:
         plan = formatted_plan(df)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+    def test_clean_corpus_is_single_shuffle(self, spark, sf_dir):
+        """The whole cleaning pipeline (langid + quality + dedup) must
+        cost exactly ONE exchange — the fingerprint co-location — and
+        one scan; everything upstream is projection/filter."""
+        from energy_pandas_spark.operators.pipeline import clean_corpus
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = clean_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert plan.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_rollup_is_one_scan_one_expand(self, spark, sf_dir):
+        df = entrymod.rollup_sales(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("Expand") == 1
