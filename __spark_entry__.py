@@ -1953,6 +1953,47 @@ ORDER BY n DESC, ngram ASC LIMIT 100
 """
 
 
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: documents hash-split into an existing
+    'store' (70%) and a 'new batch' (30%); the new batch is deduped
+    against the store's digests (left_anti) and within itself
+    (keep-first) — the standard pipeline shape for continuous corpus
+    ingestion."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import dedup_incremental
+    from energy_pandas_spark.operators.sampling import hash_bucket
+    from energy_pandas_spark.functions.textfns import normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    store = docs.filter(b < 7000).select(
+        F.md5(normalized_text("text")).alias("digest")
+    )
+    new = docs.filter(b >= 7000)
+    out = dedup_incremental(new, store)
+    return out.select("doc_id", "digest").orderBy("doc_id")
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT
+           AS bucket
+  FROM documents
+), store AS (
+  SELECT DISTINCT digest FROM b WHERE bucket < 7000
+), new_batch AS (
+  SELECT doc_id, digest FROM b WHERE bucket >= 7000
+)
+SELECT doc_id, digest
+FROM new_batch n
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.digest = n.digest)
+QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+
 def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end cleaning pipeline: language filter (en) -> quality
     thresholds -> exact-dedup keep-first; every predicate is an
@@ -2048,7 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_user_spend": cumulative_user_spend,
         "tumbling_1h": tumbling_1h,
         "sessionize_30m": sessionize_30m,
-        "users_view_no_purchase": users_view_no_purchase,
         "graph_components": graph_components,
         "props_key_histogram": props_key_histogram,
         "salted_join_priority_revenue": salted_join_priority_revenue,
@@ -2058,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": lang_distribution,
         "langid_heuristic": langid_heuristic,
         "dedup_exact": dedup_exact,
+        "incremental_dedup_docs": incremental_dedup_docs,
         "minhash_pairs": minhash_pairs,
         "rollup_sales": rollup_sales,
         "ntile_quartiles": ntile_quartiles,
@@ -2071,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "users_view_no_purchase": users_view_no_purchase,
         "corpus_mixture": corpus_mixture,
         "doc_fingerprint": doc_fingerprint,
         "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
@@ -2165,4 +2207,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_broadcast_hourly": _ASOF_SQL,
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
         "stratified_sample_langs": _STRATIFIED_SQL,
+        "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
     }

@@ -41,6 +41,7 @@ from energy_pandas_spark.functions.vectors import cosine_similarity, dot, l2_nor
 
 __all__ = [
     "dedup_exact",
+    "dedup_incremental",
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_dedup",
@@ -85,6 +86,39 @@ def dedup_exact(
             keep_fn(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    store_digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental exact dedup: keep the new documents whose normalized
+    content digest appears neither in the historical ``store`` (a frame
+    with a digest column, e.g. the running fingerprint table of an
+    ingest pipeline) nor earlier within this batch (smallest id wins).
+
+    Scale shape: one left_anti join against the store (shuffle or
+    broadcast by store size — Catalyst/AQE decides) plus the same
+    single-digest-shuffle keep-first as :func:`dedup_exact`. The store
+    side only ships its digest column; document text never moves."""
+    digested = new_docs.withColumn("__digest", F.md5(normalized_text(text_col)))
+    fresh = digested.join(
+        store.select(F.col(store_digest_col).alias("__digest")).distinct(),
+        "__digest",
+        "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__digest", store_digest_col)
     )
 
 

@@ -227,3 +227,24 @@ class TestStreamingSemantics:
         out = sessionize(ev, "30 minutes")
         total = out.agg(F.sum("n_events")).collect()[0][0]
         assert total == ev.count()  # every event lands in exactly one session
+
+
+def test_dedup_incremental(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.dedup import dedup_incremental
+
+    store = spark.createDataFrame(
+        [("known text",)], "text string"
+    ).select(F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("digest"))
+    new = spark.createDataFrame(
+        [
+            (10, "known   text"),   # dup of store (normalization collapses ws)
+            (11, "fresh text"),
+            (12, "fresh text"),     # in-batch dup of 11
+            (13, "other"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_incremental(new, store).collect())
+    assert kept == [11, 13]
