@@ -2,25 +2,24 @@
 pass that turns near-dup PAIRS (minhash/simhash/embedding LSH output)
 into dedup CLUSTERS, and a general entity-resolution primitive.
 
-Algorithm: iterative min-label propagation. Each round every node
-takes the minimum label among itself and its neighbors (one join + one
-hash-aggregate, both keyed on node id); converged when no label
-changes. Rounds needed = graph diameter — near-dup graphs are
-overwhelmingly tiny cliques/chains, so 3-6 rounds in practice. Each
-round's result is ``localCheckpoint``-ed to truncate lineage (without
-it the plan doubles per round and Catalyst analysis time explodes).
-Convergence is detected from ``sum(label)``: labels only ever
-decrease, so an unchanged sum means a fixpoint — one cheap aggregate
-per round instead of a change-count join.
+Algorithm: iterative min-label propagation WITH pointer jumping. Each
+round every node takes the minimum label among itself and its
+neighbors (one join + one hash-aggregate, both keyed on node id), then
+follows its label one step (label-of-label join) — the classic
+path-compression trick, so label information travels a doubling
+distance per round and convergence is O(log diameter) instead of
+O(diameter): a 10,000-node chain converges in ~14 rounds, tiny
+near-dup cliques still in 2-3. Each round's result is
+``localCheckpoint``-ed to truncate lineage (without it the plan
+doubles per round and Catalyst analysis time explodes). Convergence is
+detected from ``sum(label)``: labels only ever decrease, so an
+unchanged sum means a fixpoint — one cheap aggregate per round instead
+of a change-count join. Exhausting ``max_iter`` without a fixpoint
+raises instead of silently returning partially-merged components.
 
-Scale path: for adversarial graphs (long chains, giant components)
-the alternating large-star/small-star formulation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) converges in
-O(log^2 n) rounds with the same per-round join+agg shape; the
-propagation loop below is the same skeleton, so swapping the round
-body is local. The reference library has no graph surface at all
-(SURVEY.md §2.5: no joins beyond index alignment) — this exists for
-the training-data dedup pipeline.
+The reference library has no graph surface at all (SURVEY.md §2.5: no
+joins beyond index alignment) — this exists for the training-data
+dedup pipeline.
 """
 
 from __future__ import annotations
@@ -42,7 +41,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    sym = sym.distinct().localCheckpoint(eager=False)
+    # distinct() leaves sym partitioned on (u, v); repartition on u once
+    # so EVERY round's propagation join reuses the partitioning instead
+    # of re-exchanging the edge table per iteration (localCheckpoint
+    # preserves outputPartitioning through LogicalRDD)
+    sym = sym.distinct().repartition("u").localCheckpoint(eager=False)
     # init = one propagation step for free: the same groupBy that
     # discovers the node set also takes the 1-hop min, replacing a
     # distinct shuffle + a full join round with a single aggregate
@@ -56,20 +59,40 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = labels.join(sym, labels["id"] == sym["u"]).select(
             F.col("v").alias("id"), F.col("label")
         )
-        labels = (
+        merged = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: follow the label one step (labels are node ids,
+        # so label-of-label always resolves). This halves remaining path
+        # length every round — O(log diameter) total rounds.
+        hop = merged.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        labels = (
+            merged.join(hop, merged["label"] == F.col("__lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("__llabel", "label")
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of the longest path)"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

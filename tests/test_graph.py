@@ -60,3 +60,32 @@ def test_minhash_dedup_uses_clusters(spark):
     )
     assert 1 not in dropped and 4 not in dropped
     assert set(dropped) <= {2, 3} and len(dropped) >= 1
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 500-node chain (diameter 500) must converge
+    well inside max_iter ~ log2(500) rounds, not O(diameter)."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.graph import connected_components
+
+    edges = spark.range(0, 500).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cc = connected_components(edges, max_iter=15)
+    assert cc.select("component").distinct().count() == 1
+    assert cc.count() == 501
+
+
+def test_nonconvergence_raises(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.graph import connected_components
+
+    edges = spark.range(0, 2000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
