@@ -1953,6 +1953,35 @@ ORDER BY n DESC, ngram ASC LIMIT 100
 """
 
 
+def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution family): pairs of
+    sampled documents whose normalized 50-char prefixes are within 12
+    Levenshtein edits. Exact method on a deterministic 10% subset (the
+    oracle-checkable semantics; the LSH-candidate variant is the scale
+    path, tested for containment in tests)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = edit_distance_pairs(
+        docs, max_distance=12, prefix_len=50, method="exact"
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+_FUZZY_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 50) AS k
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.k, b.k) AS distance
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.k, b.k) <= 12
+ORDER BY id_a, id_b
+"""
+
+
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: documents hash-split into an existing
     'store' (70%) and a 'new batch' (30%); the new batch is deduped
@@ -2073,7 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_avg": monthly_avg,
         "gap_fill_hourly": gap_fill_hourly,
         "value_diff_per_user": value_diff_per_user,
-        "zscore_outliers_by_type": zscore_outliers_by_type,
         "p_max_by_type": p_max_by_type,
         "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
@@ -2099,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": langid_heuristic,
         "dedup_exact": dedup_exact,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "fuzzy_pairs_prefix": fuzzy_pairs_prefix,
         "minhash_pairs": minhash_pairs,
         "rollup_sales": rollup_sales,
         "ntile_quartiles": ntile_quartiles,
@@ -2112,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "zscore_outliers_by_type": zscore_outliers_by_type,
         "users_view_no_purchase": users_view_no_purchase,
         "corpus_mixture": corpus_mixture,
         "doc_fingerprint": doc_fingerprint,
@@ -2208,4 +2238,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
         "stratified_sample_langs": _STRATIFIED_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
+        "fuzzy_pairs_prefix": _FUZZY_SQL,
     }

@@ -43,8 +43,10 @@ __all__ = [
     "dedup_exact",
     "dedup_incremental",
     "minhash_signature",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "edit_distance_pairs",
     "simhash64",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
@@ -135,6 +137,28 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    kind: str = "word",
+) -> DataFrame:
+    """(id, __sh distinct-shingle array). The token/normalized-text
+    projection materializes BEFORE the shingle transform so the
+    tokenizing split / normalization regex runs once per document, not
+    once per shingle position (O(len²) otherwise)."""
+    if kind == "char":
+        from energy_pandas_spark.functions.textfns import char_shingles_of_text
+
+        norm = df.select(F.col(id_col), normalized_text(text_col).alias("__norm"))
+        sh = char_shingles_of_text("__norm", shingle_size)
+    else:
+        norm = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        sh = word_shingles_of_tokens("__toks", shingle_size)
+    return norm.select(F.col(id_col), F.array_distinct(sh).alias("__sh"))
+
+
 def _minhash_agg(
     df: DataFrame,
     text_col: str,
@@ -142,6 +166,7 @@ def _minhash_agg(
     num_hashes: int,
     shingle_size: int,
     seed: int,
+    kind: str = "word",
 ) -> DataFrame:
     """(id, m0..m{N-1}) permutation minima via explode + hash-aggregate.
 
@@ -155,17 +180,9 @@ def _minhash_agg(
     p = (1 << 31) - 1
     coeffs = _minhash_coeffs(num_hashes, seed)
     pl = F.lit(p).cast("long")
-    # tokens materialize in their own projection so the tokenizing split
-    # runs once per document; inlining it into the shingle transform's
-    # lambda re-splits per shingle position (O(len²) per doc)
     exploded = (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(
-            id_col,
-            F.explode(
-                F.array_distinct(word_shingles_of_tokens("__toks", shingle_size))
-            ).alias("__s"),
-        )
+        _shingle_sets(df, text_col, id_col, shingle_size, kind)
+        .select(id_col, F.explode("__sh").alias("__s"))
         .select(id_col, F.pmod(F.xxhash64("__s"), pl).alias("__h"))
     )
     aggs = [
@@ -198,27 +215,31 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
-    threshold: float = 0.7,
     max_bucket: int = 1000,
+    kind: str = "word",
+    seed: int = 13,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH, verified with true
-    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
-    and jaccard >= threshold.
+    """PERSISTED candidate pair set (id_a < id_b) from banded MinHash
+    LSH — the shared candidate generator behind Jaccard near-dup,
+    n-gram Jaccard, and edit-distance fuzzy matching (each applies its
+    own verify predicate).
 
     Plan shape: scan -> signature expressions -> explode bands (xB) ->
-    shuffle on (band, bucket-hash) self-join -> pair dedup -> Jaccard
-    verify. The verify re-joins the shingle arrays by id (shuffle keyed
-    on id) instead of carrying shingles through the band explosion —
-    candidates are tiny relative to the corpus."""
+    ONE shuffle on (band, bucket-hash) with bucket-grouped double
+    explode (no self-join) -> pair distinct. Persisted because callers
+    reference it multiple times (id extraction + per-side verify
+    joins); candidates are tiny relative to the corpus."""
     rows_per_band = num_hashes // bands
-    mins = _minhash_agg(_spread(df), text_col, id_col, num_hashes, shingle_size, seed=13)
+    mins = _minhash_agg(
+        _spread(df), text_col, id_col, num_hashes, shingle_size, seed, kind
+    )
 
     banded = mins.select(
         F.col(id_col),
@@ -266,34 +287,48 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # the candidate set is referenced three times below (id extraction +
-    # both verify joins); persist it so the whole scan->signature->band
-    # pipeline above runs ONCE, not once per reference. Candidates are
-    # tiny relative to the corpus (bounded by max_bucket), so the
-    # default MEMORY_AND_DISK level is safe at any scale, and lineage
-    # stays intact for fault recovery.
-    cand = cand.persist()
+    # persisted so the whole scan->signature->band pipeline above runs
+    # ONCE however many times callers reference the candidates.
+    # Candidates are tiny relative to the corpus (bounded by
+    # max_bucket), so the default MEMORY_AND_DISK level is safe at any
+    # scale, and lineage stays intact for fault recovery.
+    return cand.persist()
 
-    # verify: recompute shingle sets from the raw text for the (tiny)
-    # candidate set only — cheaper than dragging shingle arrays through
-    # the band explosion and its shuffles. The semi-join on candidate
-    # ids comes FIRST so the tokenize+shingle projection runs only for
-    # documents that actually appear in a candidate pair (at corpus
-    # scale the candidate set is orders of magnitude smaller than the
-    # corpus; without the semi-join this subtree shingles the full
-    # corpus twice, once per join side).
+
+def _restricted_to_candidates(
+    df: DataFrame, cand: DataFrame, id_col: str
+) -> DataFrame:
+    """Semi-join the corpus down to documents that appear in a
+    candidate pair — so per-document verify projections (shingling,
+    normalization) run only for the tiny candidate set, never the full
+    corpus."""
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    sh = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                word_shingles_of_tokens("__toks", shingle_size)
-            ).alias("__sh"),
-        )
+    return df.join(cand_ids, id_col, "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with true
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
+    and jaccard >= threshold. The verify re-joins shingle arrays by id
+    for candidate documents only (see ``_restricted_to_candidates``)
+    instead of carrying shingles through the band explosion."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_size, max_bucket
+    )
+    sh = _shingle_sets(
+        _restricted_to_candidates(df, cand, id_col),
+        text_col, id_col, shingle_size,
     )
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")
@@ -303,6 +338,53 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 10,
+    prefix_len: int | None = None,
+    method: str = "lsh",
+    shingle_size: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Fuzzy string matching: pairs whose normalized texts are within
+    ``max_distance`` Levenshtein edits (optionally comparing only the
+    first ``prefix_len`` chars — the title/entity-resolution setup).
+
+    method='lsh' (the scale path) draws candidates from char-shingle
+    MinHash LSH and verifies with ``levenshtein`` — recall follows the
+    LSH guarantee on shingle Jaccard, which small-edit pairs satisfy.
+    method='exact' brute-forces all id_a < id_b pairs (quadratic;
+    bounded subsets only) — the oracle-checkable reference semantics."""
+    key = normalized_text(text_col)
+    if prefix_len is not None:
+        key = F.substring(key, 1, prefix_len)
+    keyed = df.select(F.col(id_col), key.alias("__k"))
+    if method == "exact":
+        a = keyed.select(F.col(id_col).alias("id_a"), F.col("__k").alias("k_a"))
+        b = keyed.select(F.col(id_col).alias("id_b"), F.col("__k").alias("k_b"))
+        paired = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = minhash_lsh_candidates(
+            keyed, "__k", id_col, shingle_size=shingle_size, kind="char",
+            **lsh_kwargs,
+        )
+        kk = _restricted_to_candidates(keyed, cand, id_col)
+        paired = cand.join(
+            kk.select(F.col(id_col).alias("id_a"), F.col("__k").alias("k_a")),
+            "id_a",
+        ).join(
+            kk.select(F.col(id_col).alias("id_b"), F.col("__k").alias("k_b")),
+            "id_b",
+        )
+    return (
+        paired.withColumn("distance", F.levenshtein("k_a", "k_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
 
 
 def minhash_dedup(

@@ -248,3 +248,35 @@ def test_dedup_incremental(spark):
     )
     kept = sorted(r.doc_id for r in dedup_incremental(new, store).collect())
     assert kept == [11, 13]
+
+
+def test_edit_distance_lsh_candidates_subset_of_exact(spark, sf_dir):
+    """The LSH-accelerated fuzzy matcher may only MISS pairs (bounded
+    by the shingle-Jaccard recall guarantee), never invent them; on the
+    near-identical dup pairs planted in the corpus it finds the same
+    close pairs as brute force."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.dedup import edit_distance_pairs
+    from energy_pandas_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(
+            docs, max_distance=10, prefix_len=80, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(
+            docs, max_distance=10, prefix_len=80, method="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, d in lsh.items():
+        assert exact[k] == d
+    # the planted near-identical dups (distance 0-2) must all be found
+    close_exact = {k for k, d in exact.items() if d <= 2}
+    close_lsh = {k for k, d in lsh.items() if d <= 2}
+    assert close_exact == close_lsh
