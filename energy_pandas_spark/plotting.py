@@ -125,8 +125,10 @@ def plot3d(
     **kwargs: Any,
 ):
     """3D (period x step x value) rendering (reference
-    energypandas.py:414-601): surface or wireframe over the unstacked
-    matrix."""
+    energypandas.py:414-601, kinds dispatched at :500-549): polygon
+    (one filled curve per period, the reference's poly-collection at
+    plotting.py:105-116/151-160), surface, wireframe, or contour over
+    the unstacked matrix."""
     if not ef.is_series:
         raise ValueError("plot3d renders one series; slice a column first")
     import numpy as np
@@ -143,6 +145,27 @@ def plot3d(
         ax.plot_wireframe(X, Y, Z, **kwargs)
     elif kind == "contour":
         ax.contourf(X, Y, Z, cmap=cmap, **kwargs)
+    elif kind == "polygon":
+        from matplotlib.collections import PolyCollection
+
+        xs = mat.columns.to_numpy(dtype=float)
+        # one closed polygon under each period's curve (reference
+        # plotting.py:151-160 _polygon_under_graph)
+        verts = [
+            [(xs[0], 0.0), *zip(xs, row), (xs[-1], 0.0)]
+            for row in Z
+        ]
+        poly = PolyCollection(
+            verts, cmap=plt.get_cmap(cmap),
+            **{k: v for k, v in kwargs.items() if k != "zs"},
+        )
+        poly.set_array(np.asarray([row.mean() for row in Z]))
+        ax.add_collection3d(
+            poly, zs=mat.index.to_numpy(dtype=float), zdir="y"
+        )
+        ax.set_xlim(xs[0], xs[-1])
+        ax.set_ylim(float(mat.index.min()), float(mat.index.max()) + 1)
+        ax.set_zlim(float(np.nanmin(Z)), float(np.nanmax(Z)))
     else:
         raise ValueError(f"unsupported kind {kind!r}")
     return fig, ax
