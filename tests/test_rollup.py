@@ -117,3 +117,35 @@ def test_replayed_batch_never_double_merges(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert merged == [(w, t, n * 2, s * 2) for (w, t, n, s) in first]
+
+
+def test_pre_stamp_table_upgrades_cleanly(spark, tmp_path):
+    """A rollup table written before the __batch_id stamp existed must
+    merge normally (treated as batch -1) and come out stamped."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.streaming.rollup import make_rollup_writer, rollup_batch
+
+    out = str(tmp_path / "rollup")
+    src = str(tmp_path / "src")
+    _write_batchfile(
+        spark,
+        [(0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")],
+        src,
+    )
+    batch = spark.read.parquet(src)
+    # legacy layout: no __batch_id column
+    rollup_batch(batch).write.partitionBy("day").parquet(out)
+
+    write_batch = make_rollup_writer(out)
+    write_batch(batch, 7)
+    rows = spark.read.parquet(out).collect()
+    assert all(r["__batch_id"] == 7 for r in rows)
+    assert rows[0].n_events == 2  # legacy content merged once
+    # replay of the same batch is still a no-op
+    import shutil
+
+    shutil.rmtree(out.rstrip("/") + "__high_water")
+    write_batch(batch, 7)
+    again = spark.read.parquet(out).collect()
+    assert again[0].n_events == 2
