@@ -263,6 +263,38 @@ ORDER BY c_nationkey, rank
 """
 
 
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL surface:
+    orders priced above their priority's average. Catalyst decorrelates
+    this into an aggregate + equi-join (no per-row subquery execution);
+    the same text runs on DuckDB as the oracle."""
+    _prep(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM orders_v o2
+          WHERE o2.o_orderpriority = o.o_orderpriority
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_orderpriority = o.o_orderpriority
+)
+ORDER BY o_orderkey
+"""
+
+
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ``rollup`` (GROUPING SETS family):
     per (returnflag, linestatus), per returnflag, and grand total in ONE
@@ -2103,8 +2135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": gap_fill_hourly,
         "value_diff_per_user": value_diff_per_user,
         "p_max_by_type": p_max_by_type,
-        "capacity_factor": capacity_factor,
         "time_at_min": time_at_min,
+        "above_avg_orders": above_avg_orders,
         "source_side": source_side,
         "rowwise_mean": rowwise_mean,
         "reportdata_series": reportdata_series,
@@ -2141,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
+        "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
         "users_view_no_purchase": users_view_no_purchase,
         "corpus_mixture": corpus_mixture,
@@ -2239,4 +2272,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_langs": _STRATIFIED_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
+        "above_avg_orders": _ABOVE_AVG_SQL,
     }
