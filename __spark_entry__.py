@@ -2105,6 +2105,34 @@ ORDER BY doc_id
 """
 
 
+def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass sketch statistics — the 100 TB path for cardinality and
+    quantile questions: HLL++ (approx_count_distinct) needs no distinct
+    shuffle, KLL-style percentile_approx no global sort. Rows-only by
+    nature (sketch estimates are engine-specific); the exact
+    counterparts are oracle-checked in corpus_cardinality and
+    value_percentiles, and tests bound the sketch error against them."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    terms = docs.select(F.explode(tokens("text")).alias("term")).agg(
+        F.approx_count_distinct("term", rsd=0.02).alias("approx_terms")
+    )
+    values = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_q"),
+    )
+    return terms.crossJoin(values).select(
+        "approx_terms",
+        "approx_users",
+        F.col("value_q")[0].alias("p50"),
+        F.col("value_q")[1].alias("p95"),
+        F.col("value_q")[2].alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2199,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": ivf_topk,
         "media_features": media_features,
         "discretize_typical_periods": discretize_typical_periods,
+        "corpus_sketch_stats": corpus_sketch_stats,
     }
 
 

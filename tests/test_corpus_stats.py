@@ -75,3 +75,25 @@ def test_clean_corpus_dedups_and_filters(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     kept = clean_corpus(df, min_tokens=10).select("doc_id").collect()
     assert [r.doc_id for r in kept] == [0]  # dup 1 dropped, de dropped, short dropped
+
+
+def test_sketch_stats_bounded_error(spark, sf_dir):
+    """HLL/percentile sketches must land within their advertised error
+    of the exact answers."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.corpus_sketch_stats(spark, sf_dir).first()
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_terms = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    assert abs(row.approx_terms - exact_terms) <= max(3, 0.1 * exact_terms)
+    ev = load_table(spark, sf_dir, "events")
+    exact_p50 = ev.agg(F.expr("percentile(value, 0.5)")).first()[0]
+    assert row.p50 == __import__("pytest").approx(exact_p50, rel=0.05)
