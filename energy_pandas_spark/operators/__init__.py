@@ -18,8 +18,11 @@ from energy_pandas_spark.operators.analytics import (
 )
 from energy_pandas_spark.operators.dedup import (
     dedup_exact,
+    dedup_incremental,
+    edit_distance_pairs,
     embedding_neardup_pairs,
     minhash_dedup,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -31,7 +34,22 @@ from energy_pandas_spark.operators.joins import (
     asof_join,
     asof_join_broadcast,
     interval_join,
+    interval_join_bucketed,
     salted_join,
+)
+from energy_pandas_spark.operators.pipeline import clean_corpus
+from energy_pandas_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_sample_by,
+    hash_split,
+    weighted_mixture,
+)
+from energy_pandas_spark.operators.text import (
+    ngram_counts,
+    term_frequencies,
+    tfidf_top_terms,
+    vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
 from energy_pandas_spark.operators.similarity import cosine_topk, ivf_topk
@@ -55,7 +73,10 @@ __all__ = [
     "with_ordinal",
     # dedup
     "dedup_exact",
+    "dedup_incremental",
+    "edit_distance_pairs",
     "minhash_signature",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash64",
@@ -69,7 +90,20 @@ __all__ = [
     "asof_join",
     "asof_join_broadcast",
     "interval_join",
+    "interval_join_bucketed",
     "salted_join",
+    # sampling / pipeline
+    "hash_bucket",
+    "hash_split",
+    "hash_sample",
+    "hash_sample_by",
+    "weighted_mixture",
+    "clean_corpus",
+    # corpus statistics
+    "term_frequencies",
+    "vocabulary",
+    "tfidf_top_terms",
+    "ngram_counts",
     # similarity
     "cosine_topk",
     "ivf_topk",

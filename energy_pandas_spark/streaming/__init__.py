@@ -5,5 +5,25 @@ from energy_pandas_spark.streaming.events import (
     stream_events,
     windowed_aggregate,
 )
+from energy_pandas_spark.streaming.joins import (
+    enrich_stream,
+    stream_interval_join,
+)
+from energy_pandas_spark.streaming.rollup import (
+    continuous_rollup,
+    make_rollup_writer,
+    rollup_batch,
+)
+from energy_pandas_spark.streaming.stateful import streaming_dedup
 
-__all__ = ["stream_events", "windowed_aggregate", "sessionize"]
+__all__ = [
+    "stream_events",
+    "windowed_aggregate",
+    "sessionize",
+    "enrich_stream",
+    "stream_interval_join",
+    "continuous_rollup",
+    "make_rollup_writer",
+    "rollup_batch",
+    "streaming_dedup",
+]
