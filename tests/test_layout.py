@@ -1,0 +1,72 @@
+"""File-layout management: clustered writes give DISJOINT per-file key
+ranges (proven from parquet footers, not asserted by faith), and
+compaction collapses fragmented directories."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.sources.layout import (
+    compact,
+    file_column_stats,
+    write_clustered,
+)
+
+
+def _parquet_files(path):
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_write_clustered_disjoint_ranges(spark, tmp_path):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, "user_id", num_files=8)
+    assert len(_parquet_files(out)) == 8
+    stats = sorted(
+        (lo, hi) for _, lo, hi in file_column_stats(out, "user_id") if lo is not None
+    )
+    # pairwise disjoint, ordered ranges -> footer stats actually skip
+    for (lo1, hi1), (lo2, hi2) in zip(stats, stats[1:]):
+        assert hi1 < lo2
+    assert stats[0][0] == 0 and stats[-1][1] == 9999
+
+
+def test_point_scan_reads_one_file(spark, tmp_path):
+    """The payoff: a point predicate on the cluster key prunes to the
+    single file whose range contains it (footer-level skip)."""
+    df = spark.range(0, 10_000).select(F.col("id").alias("user_id"))
+    out = str(tmp_path / "clustered2")
+    write_clustered(df, out, "user_id", num_files=8)
+    got = spark.read.parquet(out).filter(F.col("user_id") == 4242)
+    assert got.count() == 1
+    # every OTHER file's [min,max] excludes 4242
+    containing = [
+        f for f, lo, hi in file_column_stats(out, "user_id")
+        if lo is not None and lo <= 4242 <= hi
+    ]
+    assert len(containing) == 1
+
+
+def test_compact_fragmented_dir(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    # simulate a streaming sink: 40 tiny unordered files
+    spark.range(0, 4_000).select(
+        (F.col("id") * 37 % 4000).alias("user_id"), F.col("id").alias("v")
+    ).repartition(40).write.parquet(out)
+    assert len(_parquet_files(out)) == 40
+    before = spark.read.parquet(out)
+    before_sum = before.agg(F.sum("v"), F.count("*")).first()
+    compact(spark, out, "user_id", num_files=4)
+    files = _parquet_files(out)
+    assert len(files) == 4
+    after = spark.read.parquet(out)
+    assert after.agg(F.sum("v"), F.count("*")).first() == before_sum
+    stats = sorted(
+        (lo, hi) for _, lo, hi in file_column_stats(out, "user_id") if lo is not None
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(stats, stats[1:]):
+        assert hi1 < lo2
