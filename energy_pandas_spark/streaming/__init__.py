@@ -14,9 +14,11 @@ from energy_pandas_spark.streaming.rollup import (
     make_rollup_writer,
     rollup_batch,
 )
+from energy_pandas_spark.streaming.anomaly import streaming_zscore
 from energy_pandas_spark.streaming.stateful import streaming_dedup
 
 __all__ = [
+    "streaming_zscore",
     "stream_events",
     "windowed_aggregate",
     "sessionize",
