@@ -119,3 +119,25 @@ class TestScalabilitySmells:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 1
         assert plan.count("Expand") == 1
+
+    def test_partitioned_write_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """Hive-partitioned layout + a partition-key predicate =>
+        PartitionFilters in the scan, non-matching directories never
+        listed into the plan."""
+        from pyspark.sql import functions as F
+
+        from energy_pandas_spark.sources.readers import load_table
+
+        out = str(tmp_path / "ev_by_day")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        ev.write.partitionBy("day").parquet(out)
+        got = spark.read.parquet(out).filter(F.col("day") == "2024-01-03")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        # the partition predicate must NOT appear as a data filter
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "day" in m.group(1)
