@@ -354,6 +354,21 @@ class EnergyFrame:
             value_cols=cols,
         )
 
+    def filter(self, condition: Any) -> "EnergyFrame":
+        """Row filtering (the reference inherits pandas boolean masks,
+        test row-slicing keeps units/metadata): columns, units, and
+        meta survive unchanged; only rows drop. Accepts a Column or a
+        SQL expression string."""
+        return EnergyFrame(
+            self._df.filter(condition),
+            units=dict(self._units),
+            index_col=self._index_col,
+            meta=self._meta,
+            value_cols=list(self._value_cols),
+        )
+
+    where = filter
+
     # ------------------------------------------------------------------
     # unit conversion (P2-P4)
     # ------------------------------------------------------------------

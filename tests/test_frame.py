@@ -238,3 +238,18 @@ class TestFrameSemantics:
         assert back.units == {"id": None, "v": None} or all(
             u is None for u in back.units.values()
         )
+
+
+def test_filter_keeps_units_and_meta(spark):
+    from pyspark.sql import functions as F
+
+    ef = EnergyFrame.from_range(spark, 24, units="degC", name="Temp",
+                                meta={"extrameta": "this"})
+    half = ef.filter(F.col("Temp") >= 12)
+    assert half.spark_df.count() == 12
+    assert half.units["Temp"] == ur.parse("degC")
+    assert half.extrameta == "this"
+    # SQL-string condition too, and chained conversion still works
+    k = ef.where("Temp < 2").to_units("kelvin")
+    vals = sorted(r.Temp for r in k.spark_df.collect())
+    assert vals == [273.15, 274.15]
