@@ -32,6 +32,8 @@ __all__ = [
     "train_centroids",
     "assign_cells",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_search",
 ]
 
 
@@ -267,6 +269,77 @@ def ivf_topk(
         ],
         schema=f"{query_id} long, {query_vec} array<double>, cell int",
     )
+    scored = cells.join(F.broadcast(probe_df), "cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    return _topk_per_query(scored, k, query_id, corpus_id)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    **train_kwargs,
+) -> None:
+    """Materialize an IVF index as TABLES: cell assignments written
+    hive-partitioned by ``cell`` (so probing N of M cells is a
+    partition-pruned scan that never lists the other directories) plus
+    a tiny centroid table. Rebuild after large ingests; queries between
+    rebuilds just probe slightly stale cells."""
+    centroids = train_centroids(corpus, n_cells, corpus_vec, **train_kwargs)
+    cells = assign_cells(
+        corpus.select(corpus_id, corpus_vec), centroids, corpus_vec
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Top-k against a persisted IVF index. The probe-cell filter is a
+    PARTITION filter on the cells table — Spark prunes the non-probed
+    cell directories at planning time, so the scan touches
+    ~nprobe/n_cells of the index files."""
+    cent_rows = spark.read.parquet(path + "/centroids").collect()
+    cent_rows.sort(key=lambda r: r.cell)
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [(r[0], r[1], int(c)) for r, pr in zip(qrows, probes) for c in pr],
+        schema=f"{query_id} long, {query_vec} array<double>, cell int",
+    )
+    wanted = sorted({int(c) for pr in probes for c in pr})
+    cells = spark.read.parquet(path + "/cells").filter(F.col("cell").isin(wanted))
     scored = cells.join(F.broadcast(probe_df), "cell").select(
         F.col(query_id),
         F.col(corpus_id),

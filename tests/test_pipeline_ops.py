@@ -280,3 +280,47 @@ def test_edit_distance_lsh_candidates_subset_of_exact(spark, sf_dir):
     close_exact = {k for k, d in exact.items() if d <= 2}
     close_lsh = {k for k, d in lsh.items() if d <= 2}
     assert close_exact == close_lsh
+
+
+def test_ivf_index_persist_and_search(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probe scan prunes to the probed cell
+    directories, and search results match in-memory ivf_topk with the
+    same centroids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 3)
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+    assert os.path.isdir(idx + "/cells") and os.path.isdir(idx + "/centroids")
+    # hive layout: one directory per cell
+    cell_dirs = [d for d in os.listdir(idx + "/cells") if d.startswith("cell=")]
+    assert len(cell_dirs) >= 4
+
+    got = ivf_search(spark, idx, queries, k=3, nprobe=4).collect()
+    assert len(got) == 15  # 5 queries x k=3
+    # each query's own vector is its best match at cosine ~1
+    best = {r.query_id: (r.vec_id, r.cosine) for r in got if r.rank == 1}
+    for qid, (vid, cos) in best.items():
+        assert vid == qid and cos > 0.999
+    # recall vs exact brute force at same k
+    exact = cosine_topk(emb, queries, k=3).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    got_set = {(r.query_id, r.vec_id) for r in got}
+    assert len(got_set & exact_set) / len(exact_set) >= 0.6
