@@ -228,9 +228,13 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tf = term_frequencies(df, text_col, id_col)
-    n_docs = df.select(id_col).distinct().count()
+    # corpus size folds into the plan as a broadcast 1-row cross join —
+    # no eager count job, no second scan at plan-build time
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    joined = tf.join(dfreq, "term")
+    joined = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tf"), F.asc("doc_freq"), F.asc("term")
     )
@@ -242,7 +246,7 @@ def tfidf_top_terms(
             "term",
             "tf",
             "doc_freq",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias(
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("doc_freq"))).alias(
                 "tfidf"
             ),
             F.col("__rank").alias("rank"),
