@@ -1985,6 +1985,158 @@ ORDER BY n DESC, ngram ASC LIMIT 100
 """
 
 
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / phone numbers) over documents with
+    deterministic synthetic PII appended (the corpus itself is clean, so
+    the injection makes the replacement path — not just the no-op path —
+    oracle-checked). Pure staged regexp_replace projection: no shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 or +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+    ).orderBy("doc_id")
+
+
+_REDACT_PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com via 10.0.' || (doc_id % 256)::VARCHAR
+              || '.77 or +1 (415) 555-01'
+              || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip,
+         regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{6,14}[0-9]'))::BIGINT AS n_phone,
+         regexp_replace(t, '\+[0-9][0-9()\- ]{6,14}[0-9]', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone, t AS redacted FROM s3 ORDER BY doc_id
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: md5-bucket 5% of documents is
+    the held-out eval set; every remaining (training) doc reports what
+    fraction of its distinct word 5-grams appears anywhere in that set.
+    The eval side reduces to distinct grams before the probe join, so
+    the join is broadcast-sized in practice and gram-keyed at worst."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import hash_bucket
+    from energy_pandas_spark.operators.text import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__b", hash_bucket("doc_id")
+    )
+    bench = docs.filter(F.col("__b") < 500)
+    train = docs.filter(F.col("__b") >= 500)
+    return contamination_overlap(train, bench, n=5, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH bucketed AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT
+           AS b
+  FROM documents
+), toks AS (
+  SELECT doc_id, b,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM bucketed
+), grams AS (
+  SELECT doc_id, b, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+  WHERE len(t) >= 5
+  UNION ALL
+  -- engine edge: a doc with < n tokens yields ONE shingle = the whole
+  -- joined text (may be '' for token-less docs)
+  SELECT doc_id, b, array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+), dgrams AS (
+  SELECT DISTINCT doc_id, b, gram FROM grams
+), bench AS (
+  SELECT DISTINCT gram FROM dgrams WHERE b < 500
+), probe AS (
+  SELECT d.doc_id, d.gram, CASE WHEN bench.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dgrams d LEFT JOIN bench ON d.gram = bench.gram
+  WHERE d.b >= 500
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       sum(hit)::BIGINT AS n_hits,
+       round(sum(hit)::DOUBLE / count(*), 6) AS overlap,
+       round(sum(hit)::DOUBLE / count(*), 6) >= 0.5 AS contaminated
+FROM probe GROUP BY 1 ORDER BY 1
+"""
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority count via EXISTS: orders in a
+    quarter with at least one line item shipped more than 30 days after
+    the order date (the testdata lineitem has no commit/receipt dates,
+    so the lateness predicate adapts to shipdate-vs-orderdate). The
+    EXISTS compiles to a left-semi join with a mixed equi + range
+    condition — the semi side prunes to two columns before the shuffle."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    late = window.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2199,6 +2351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top100": vocab_top100,
         "tfidf_top3": tfidf_top3,
         "ngram_top100": ngram_top100,
+        "redact_pii_docs": redact_pii_docs,
+        "benchmark_contamination": benchmark_contamination,
+        "q4_late_orders": q4_late_orders,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
@@ -2291,6 +2446,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top100": _VOCAB_SQL,
         "tfidf_top3": _TFIDF_SQL,
         "ngram_top100": _NGRAM_SQL,
+        "redact_pii_docs": _REDACT_PII_SQL,
+        "benchmark_contamination": _CONTAMINATION_SQL,
+        "q4_late_orders": _Q4_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,

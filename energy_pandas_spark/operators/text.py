@@ -30,6 +30,9 @@ __all__ = [
     "vocabulary",
     "tfidf_top_terms",
     "ngram_counts",
+    "redact_pii",
+    "contamination_overlap",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -251,6 +254,100 @@ def tfidf_top_terms(
             ),
             F.col("__rank").alias("rank"),
         )
+    )
+
+
+# PII redaction patterns, applied IN ORDER (emails first so their
+# digits can't feed the phone pattern; IPs before phones likewise).
+# Every pattern is deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB/Go tooling): no
+# backreferences, no lookaround, only greedy bounded repetition —
+# so redaction is bit-reproducible across engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,14}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    count: bool = True,
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / international phone numbers from a
+    text column — the standard pre-training privacy pass.
+
+    Patterns apply as a staged fold: each one counts and replaces on the
+    output of the previous stage, so counts are unambiguous (an address
+    inside an already-redacted span can't double-count). Everything is
+    ``regexp_count`` / ``regexp_replace`` column expressions — one
+    codegen'd projection, no shuffle, scan-bound at 100 TB.
+
+    Reference scope note: the reference library has no text surface;
+    this is north-star training-pipeline work (SURVEY.md §7 step 8).
+    """
+    out = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        if count:
+            counts[f"n_{name}"] = F.regexp_count(out, F.lit(pat)).cast("long")
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumns({**counts, out_col: out})
+
+
+def contamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-decontamination check: fraction of each training
+    document's distinct word ``n``-grams that also occur anywhere in the
+    benchmark corpus (the GPT-3/PaLM style n-gram overlap test).
+
+    Output: one row per training doc — ``n_grams`` (distinct grams),
+    ``n_hits`` (grams present in the benchmark set), ``overlap``
+    (rounded ratio) and the ``contaminated`` flag at ``threshold``.
+
+    Scale shape: both sides tokenize once, shingle over the
+    materialized token array, and aggregate distinct grams map-side.
+    The probe is a LEFT join keyed on the gram string: the benchmark
+    side (an eval set — thousands of docs, not billions) aggregates to
+    distinct grams first, so AQE broadcasts it in practice; if the
+    benchmark ever outgrows broadcast range the same plan degrades to a
+    shuffle join on the gram key, never a cross product. One shuffle
+    for the per-doc re-aggregation.
+    """
+    def doc_grams(df: DataFrame) -> DataFrame:
+        toks = df.select(id_col, tokens(text_col).alias("__toks"))
+        return toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(word_shingles_of_tokens("__toks", n))
+            ).alias("gram"),
+        )
+
+    bench_grams = doc_grams(benchmark).select("gram").distinct()
+    probe = doc_grams(train).join(
+        bench_grams.withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    agg = probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    overlap = F.round(
+        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= F.lit(threshold)).alias("contaminated"),
     )
 
 

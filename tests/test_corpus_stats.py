@@ -97,3 +97,59 @@ def test_sketch_stats_bounded_error(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact_p50 = ev.agg(F.expr("percentile(value, 0.5)")).first()[0]
     assert row.p50 == __import__("pytest").approx(exact_p50, rel=0.05)
+
+
+def test_redact_pii_staged_counts(spark):
+    from energy_pandas_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail me at a.user+x@mail.example.org today"),
+        (1, "server 192.168.0.1 and backup 10.0.0.2"),
+        (2, "call +1 (415) 555-0134 now"),
+        # an email whose digits must NOT feed the phone pattern
+        (3, "u12345678901@example.com"),
+        (4, "clean text, nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].redacted == "mail me at <EMAIL> today"
+    assert out[1].n_ip == 2 and out[1].redacted == "server <IP> and backup <IP>"
+    assert out[2].n_phone == 1 and out[2].redacted == "call <PHONE> now"
+    assert out[3].n_email == 1 and out[3].n_phone == 0
+    assert out[3].redacted == "<EMAIL>"
+    r4 = out[4]
+    assert (r4.n_email, r4.n_ip, r4.n_phone) == (0, 0, 0)
+    assert r4.redacted == r4.text
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    from energy_pandas_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_overlap(spark):
+    from energy_pandas_spark.operators.text import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),      # fully contained
+            (1, "zeta eta theta iota"),          # disjoint
+            (2, "alpha beta gamma delta kappa"), # 2 grams, 1 hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_overlap(train, bench, n=4, threshold=0.5).collect()
+    }
+    assert out[0].n_grams == 1 and out[0].n_hits == 1 and out[0].contaminated
+    assert out[1].n_hits == 0 and not out[1].contaminated
+    assert out[2].n_grams == 2 and out[2].n_hits == 1
+    assert out[2].overlap == pytest.approx(0.5) and out[2].contaminated
