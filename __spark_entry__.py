@@ -2137,6 +2137,209 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: most-frequent-2-gram
+    share and duplicated-5-gram share per document. One text scan, both
+    gram sizes through a single tagged generator, two hash aggregates."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, 'top' AS tag, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 'top', array_to_string(t, ' ') FROM toks WHERE len(t) < 2
+  UNION ALL
+  SELECT doc_id, 'dup', array_to_string(t[i:i+4], ' ')
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i) WHERE len(t) >= 5
+  UNION ALL
+  SELECT doc_id, 'dup', array_to_string(t, ' ') FROM toks WHERE len(t) < 5
+), c AS (
+  SELECT doc_id, tag, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       max(CASE WHEN tag = 'top' THEN cnt END)::BIGINT AS top_gram_count,
+       sum(CASE WHEN tag = 'top' THEN cnt END)::BIGINT AS n_top_grams,
+       coalesce(sum(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt END), 0)::BIGINT
+         AS dup_gram_count,
+       sum(CASE WHEN tag = 'dup' THEN cnt END)::BIGINT AS n_dup_grams,
+       round(max(CASE WHEN tag = 'top' THEN cnt END)::DOUBLE
+             / sum(CASE WHEN tag = 'top' THEN cnt END), 6) AS top_gram_frac,
+       round(coalesce(sum(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt END), 0)::DOUBLE
+             / sum(CASE WHEN tag = 'dup' THEN cnt END), 6) AS dup_gram_frac
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: every document gets a
+    (bucket, sequence, offset) slot in a corpus packed into 256-token
+    training sequences across 8 md5 buckets. One shuffle (the bucket
+    window); bit-reproducible on any engine."""
+    _prep(spark)
+    from energy_pandas_spark.operators.packing import pack_sequences
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(docs, "n_tokens", budget=256, n_buckets=8)
+    return out.select(
+        "doc_id", "pack_bucket", "n_tokens", "seq_id", "seq_offset", "n_seqs"
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))::BIGINT
+           AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8)::INT
+           AS pack_bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY pack_bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_excl
+  FROM toks
+)
+SELECT doc_id, pack_bucket, n_tokens,
+       (cum_excl // 256)::BIGINT AS seq_id,
+       (cum_excl % 256)::BIGINT AS seq_offset,
+       ((cum_excl + greatest(n_tokens, 1) - 1) // 256 - cum_excl // 256 + 1)::BIGINT
+         AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order-count distribution: LEFT OUTER
+    join customer->orders (urgent orders excluded on the right BEFORE
+    the join), count per customer, then histogram the counts. Two
+    shuffles: the outer equi-join and the tiny histogram agg."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: lineitem x part
+    equi-join with an OR-of-ANDs filter mixing columns of both sides
+    (brand x size-band x quantity-band). The part side broadcasts; the
+    per-arm quantity/size predicates stay pushable into the scans as
+    their disjunction's bounding envelope."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem's four measure columns to long form
+    (measure, value) per line — the wide->long reshape (pandas .melt /
+    DataFrame.unpivot). Zero shuffle: Expand over the scan, then the
+    tiny per-measure aggregate."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+        .orderBy("measure")
+    )
+
+
+_MELT_SQL = """
+SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+       round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+) GROUP BY measure ORDER BY measure
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2354,6 +2557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_docs": redact_pii_docs,
         "benchmark_contamination": benchmark_contamination,
         "q4_late_orders": q4_late_orders,
+        "doc_repetition": doc_repetition,
+        "pack_sequences_docs": pack_sequences_docs,
+        "q13_order_distribution": q13_order_distribution,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "melt_lineitem_measures": melt_lineitem_measures,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
@@ -2449,6 +2657,11 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _REDACT_PII_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
         "q4_late_orders": _Q4_SQL,
+        "doc_repetition": _REPETITION_SQL,
+        "pack_sequences_docs": _PACK_SQL,
+        "q13_order_distribution": _Q13_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "melt_lineitem_measures": _MELT_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,

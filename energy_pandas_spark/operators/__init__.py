@@ -45,8 +45,12 @@ from energy_pandas_spark.operators.sampling import (
     hash_split,
     weighted_mixture,
 )
+from energy_pandas_spark.operators.packing import pack_sequences
 from energy_pandas_spark.operators.text import (
+    contamination_overlap,
     ngram_counts,
+    redact_pii,
+    repetition_stats,
     term_frequencies,
     tfidf_top_terms,
     vocabulary,
@@ -99,11 +103,15 @@ __all__ = [
     "hash_sample_by",
     "weighted_mixture",
     "clean_corpus",
-    # corpus statistics
+    # corpus statistics / text pipeline
     "term_frequencies",
     "vocabulary",
     "tfidf_top_terms",
     "ngram_counts",
+    "redact_pii",
+    "contamination_overlap",
+    "repetition_stats",
+    "pack_sequences",
     # similarity
     "cosine_topk",
     "ivf_topk",

@@ -32,6 +32,7 @@ __all__ = [
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",
+    "repetition_stats",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -348,6 +349,66 @@ def contamination_overlap(
         "n_hits",
         overlap.alias("overlap"),
         (overlap >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality filters: per document, the
+    fraction of word ``top_n``-grams taken by the single most frequent
+    one, and the fraction of word ``dup_n``-grams that occur more than
+    once. High values flag boilerplate / degenerate repetition.
+
+    Output per doc: ``top_gram_count`` / ``n_top_grams`` /
+    ``top_gram_frac`` (most-frequent-gram share) and ``dup_gram_count``
+    / ``n_dup_grams`` / ``dup_gram_frac`` (duplicated-gram share).
+
+    Scale shape: ONE scan of the text column — both gram sizes explode
+    from the same materialized token array through a single generator
+    (tagged structs), then two hash aggregates: (doc, tag, gram) with
+    map-side combine, and the per-doc fold. No joins, no windows.
+    """
+    toks = df.select(id_col, tokens(text_col).alias("__toks"))
+
+    def _tag(tag: str, n: int):
+        return F.transform(
+            word_shingles_of_tokens("__toks", n),
+            lambda g: F.struct(
+                F.lit(tag).alias("tag"), g.alias("gram")
+            ),
+        )
+
+    tagged = toks.select(
+        id_col,
+        F.explode(F.concat(_tag("top", top_n), _tag("dup", dup_n))).alias("tg"),
+    ).select(id_col, "tg.tag", "tg.gram")
+    counts = tagged.groupBy(id_col, "tag", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_top = F.col("tag") == "top"
+    is_dup = F.col("tag") == "dup"
+    agg = counts.groupBy(id_col).agg(
+        F.max(F.when(is_top, F.col("cnt"))).cast("long").alias("top_gram_count"),
+        F.sum(F.when(is_top, F.col("cnt"))).cast("long").alias("n_top_grams"),
+        F.coalesce(F.sum(F.when(is_dup & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("dup_gram_count"),
+        F.sum(F.when(is_dup, F.col("cnt"))).cast("long").alias("n_dup_grams"),
+    )
+    return agg.withColumns(
+        {
+            "top_gram_frac": F.round(
+                F.col("top_gram_count") / F.col("n_top_grams").cast("double"), 6
+            ),
+            "dup_gram_frac": F.round(
+                F.col("dup_gram_count") / F.col("n_dup_grams").cast("double"), 6
+            ),
+        }
     )
 
 

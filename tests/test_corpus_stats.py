@@ -153,3 +153,74 @@ def test_contamination_overlap(spark):
     assert out[1].n_hits == 0 and not out[1].contaminated
     assert out[2].n_grams == 2 and out[2].n_hits == 1
     assert out[2].overlap == pytest.approx(0.5) and out[2].contaminated
+
+
+def test_repetition_stats(spark):
+    from energy_pandas_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a a a a a a"),        # all 2-grams identical; 5-grams duplicated
+        (1, "a b c d e f"),        # no repetition at all
+        (2, "x y x y x y x y"),    # alternating: "x y" dominates 2-grams
+        (3, "one"),                # < n tokens: single whole-text gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[0].n_top_grams == 5 and out[0].top_gram_frac == 1.0
+    assert out[0].n_dup_grams == 2 and out[0].dup_gram_frac == 1.0
+    assert out[1].top_gram_frac == pytest.approx(0.2)  # 5 distinct 2-grams
+    assert out[1].dup_gram_frac == 0.0
+    assert out[2].top_gram_count == 4 and out[2].n_top_grams == 7
+    assert out[3].n_top_grams == 1 and out[3].n_dup_grams == 1
+    assert out[3].top_gram_frac == 1.0 and out[3].dup_gram_frac == 0.0
+
+
+def test_repetition_stats_single_scan(spark):
+    """Both gram sizes must come off ONE scan of the text column."""
+    from energy_pandas_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1 and "Join" not in plan
+
+
+def test_pack_sequences_by_key(spark):
+    from energy_pandas_spark.operators.packing import pack_sequences
+
+    rows = [  # (doc_id, grp, n_tokens)
+        (0, "g1", 4),
+        (1, "g1", 4),
+        (2, "g1", 5),   # starts at 8, spans the 10-token boundary
+        (3, "g1", 10),  # starts at 13 -> seq 1 offset 3, spans into seq 2
+        (4, "g2", 3),   # other group packs independently
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(df, "n_tokens", budget=10, by="grp").collect()
+    }
+    assert (out[0].seq_id, out[0].seq_offset, out[0].n_seqs) == (0, 0, 1)
+    assert (out[1].seq_id, out[1].seq_offset, out[1].n_seqs) == (0, 4, 1)
+    assert (out[2].seq_id, out[2].seq_offset, out[2].n_seqs) == (0, 8, 2)
+    assert (out[3].seq_id, out[3].seq_offset, out[3].n_seqs) == (1, 3, 2)
+    assert (out[4].seq_id, out[4].seq_offset, out[4].n_seqs) == (0, 0, 1)
+    assert out[4].pack_bucket == "g2"
+
+
+def test_pack_sequences_hashed_single_shuffle(spark):
+    from energy_pandas_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, "n_tokens", budget=16, n_buckets=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the bucket window's shuffle
+    rows = packed.collect()
+    # deterministic: same input -> same assignment on rerun
+    again = {r.doc_id: (r.seq_id, r.seq_offset) for r in
+             pack_sequences(df, "n_tokens", budget=16, n_buckets=4).collect()}
+    for r in rows:
+        assert again[r.doc_id] == (r.seq_id, r.seq_offset)
+    # every sequence position is consistent: offsets within budget
+    assert all(0 <= r.seq_offset < 16 for r in rows)
