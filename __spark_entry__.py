@@ -2340,6 +2340,154 @@ FROM (
 """
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the 4x
+    storage/ANN compression): per-vector scale plus code-sum/L1/max
+    integrity stats. Pure transform/aggregate expressions — zero
+    shuffle, scan-bound."""
+    _prep(spark)
+    from energy_pandas_spark.functions.vectors import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.select("vec_id", quantize_int8("embedding").alias("qs"))
+    codes = F.col("qs").getField("q")
+    return qs.select(
+        "vec_id",
+        F.round(F.col("qs").getField("scale"), 6).alias("scale"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(F.transform(codes, lambda x: F.abs(x))).cast("int").alias(
+            "q_max_abs"
+        ),
+    ).orderBy("vec_id")
+
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs
+  FROM embeddings
+), c AS (
+  SELECT vec_id, max_abs / 127.0 AS scale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(
+                     embedding,
+                     x -> round(x::DOUBLE / (max_abs / 127.0))::INT)
+         END AS codes
+  FROM m
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_sum(codes)::BIGINT AS q_sum,
+       list_sum(list_transform(codes, x -> abs(x)))::BIGINT AS q_l1,
+       list_max(list_transform(codes, x -> abs(x)))::INT AS q_max_abs
+FROM c ORDER BY vec_id
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity exceeds 300, joined back to customer. The HAVING side
+    reduces lineitem to (orderkey, sum) BEFORE any join — the
+    group-filter-then-join shape — and the surviving key set is tiny,
+    so AQE broadcasts it into orders."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def degree_days_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating/cooling degree days (daily-mean method, base 18) over the
+    events series as a temperature signal — one partial+final
+    aggregation on the calendar day."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import degree_days
+
+    ev = _t(spark, sf_dir, "events")
+    out = degree_days(ev, "ts", "value", base=18.0)
+    return out.select(
+        "day",
+        F.round("t_avg", 6).alias("t_avg"),
+        F.round("hdd", 6).alias("hdd"),
+        F.round("cdd", 6).alias("cdd"),
+    ).orderBy("day")
+
+
+_DEGREE_DAYS_SQL = """
+SELECT ts::DATE AS day, round(avg(value), 6) AS t_avg,
+       round(greatest(0, 18.0 - avg(value)), 6) AS hdd,
+       round(greatest(0, avg(value) - 18.0), 6) AS cdd
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def ewma_final_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (pandas
+    ewm(adjust=False) semantics through an Arrow-batched per-key
+    kernel); the oracle folds the identical recursion with DuckDB
+    list_reduce, so the WHOLE per-key recursion is differentially
+    checked, not just row counts."""
+    _prep(spark)
+    from energy_pandas_spark.operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ewma(ev, "ts", "value", alpha=0.3, by="user_id", tiebreak="event_id")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.round(
+                F.max_by("ewma", F.struct(F.col("ts"), F.col("event_id"))), 6
+            ).alias("ewma_final"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EWMA_SQL = """
+SELECT user_id,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma_final,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2562,6 +2710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_distribution": q13_order_distribution,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "melt_lineitem_measures": melt_lineitem_measures,
+        "quantize_embeddings": quantize_embeddings,
+        "q18_large_volume": q18_large_volume,
+        "degree_days_daily": degree_days_daily,
+        "ewma_final_per_user": ewma_final_per_user,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
@@ -2662,6 +2814,10 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_distribution": _Q13_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
         "melt_lineitem_measures": _MELT_SQL,
+        "quantize_embeddings": _QUANTIZE_SQL,
+        "q18_large_volume": _Q18_SQL,
+        "degree_days_daily": _DEGREE_DAYS_SQL,
+        "ewma_final_per_user": _EWMA_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,

@@ -45,6 +45,9 @@ HEADLINE = [
     "hash_split_dist",
     "tfidf_top3",
     "clean_corpus_docs",
+    "doc_repetition",
+    "pack_sequences_docs",
+    "ewma_final_per_user",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "time_at_min",
     "source_side",
     "with_global_stats",
+    "degree_days",
 ]
 
 
@@ -491,6 +492,35 @@ def capacity_factor(
         return df.agg(*aggs)
     keys = [by] if isinstance(by, str) else list(by)
     return df.groupBy(*keys).agg(*aggs)
+
+
+def degree_days(
+    df: DataFrame,
+    ts_col: str,
+    temp_col: str,
+    base: float = 18.0,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Heating / cooling degree days from a temperature series — the
+    standard energy-demand weather normalization (daily-mean method:
+    ``HDD = max(0, base - mean_T_day)``, ``CDD = max(0, mean_T - base)``
+    per calendar day).
+
+    One partial+final aggregation keyed on (keys..., day): the daily
+    mean and both clamps are plain column arithmetic. Output: one row
+    per (keys..., day) with ``t_avg``, ``hdd``, ``cdd``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    day = F.to_date(ts_col).alias("day")
+    daily = df.groupBy(*keys, day).agg(F.avg(temp_col).alias("t_avg"))
+    zero = F.lit(0.0)
+    b = F.lit(float(base))
+    return daily.withColumns(
+        {
+            "hdd": F.greatest(zero, b - F.col("t_avg")),
+            "cdd": F.greatest(zero, F.col("t_avg") - b),
+        }
+    )
 
 
 def time_at_min(

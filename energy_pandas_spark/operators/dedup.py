@@ -54,15 +54,7 @@ __all__ = [
 ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-row work is spread across all cores: a small
-    single-file parquet scan arrives as ONE partition, serializing the
-    expensive expression work. At real scale the scan has plenty of
-    splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from energy_pandas_spark.util import spread_partitions as _spread
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from energy_pandas_spark.functions.vectors import cosine_similarity
+from energy_pandas_spark.util import spread_partitions
 
 __all__ = [
     "cosine_topk",
@@ -52,6 +53,9 @@ def cosine_topk(
     Returns (query_id, vec_id, cosine, rank) with rank 1..k per query.
     """
     q = queries.select(F.col(query_id), F.col(query_vec))
+    # the per-row cosine expressions are interpreted HOFs — make sure a
+    # small single-file corpus doesn't serialize them on one core
+    corpus = spread_partitions(corpus)
     scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(corpus_id),
@@ -163,7 +167,7 @@ def cosine_topk_arrow(
                 {query_id: out_q, corpus_id: out_id, "__cos": out_cos}
             )
 
-    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(
+    scored = spread_partitions(corpus.select(corpus_id, corpus_vec)).mapInPandas(
         fn, schema=f"{query_id} long, {corpus_id} long, __cos double"
     )
     return _global_topk(scored, k, query_id, corpus_id, round_digits)

@@ -18,7 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["rolling_aggregate", "cumulative_aggregate"]
+__all__ = ["rolling_aggregate", "cumulative_aggregate", "ewma"]
 
 _US = 1_000_000
 
@@ -67,3 +67,46 @@ def cumulative_aggregate(
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(f"cum_{agg}", getattr(F, agg)(value_col).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    by: str | Sequence[str] | None = None,
+    out_col: str = "ewma",
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, ordered by event
+    time — pandas ``ewm(alpha=..., adjust=False)`` semantics
+    (``y_t = (1-a)*y_{t-1} + a*x_t``, seeded at the first value).
+
+    The recursion is inherently sequential per key, so this is the one
+    window op that runs through ``applyInPandas`` (Arrow batches, one
+    group per key) instead of a SQL window frame: a log-space prefix-sum
+    reformulation underflows for long series and a per-row UDF would be
+    100x slower. Scale shape: ONE shuffle on the keys; each key's series
+    must fit a task (the same contract as any per-key sort). Un-keyed
+    use funnels through a single task — documented driver for small
+    frames only, exactly like un-keyed ``diff``/``fill_gaps``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    sort_cols = [ts_col, *ties]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return df.groupBy(F.lit(1)).applyInPandas(fn, schema=schema)

@@ -302,3 +302,60 @@ class TestLdcScale:
             r["v"] for r in sorted(b, key=lambda r: r["idx"])
         ]
         assert sorted(r["idx"] for r in a) == list(range(5000))
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+    from energy_pandas_spark.operators.windows import ewma
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 15.0), ("a", 4, 0.0),
+        ("b", 1, 5.0), ("b", 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma(df, "t", "v", alpha=0.5, by="k").collect()
+    }
+    for k in ("a", "b"):
+        s = pd.Series([v for kk, _, v in rows if kk == k])
+        exp = s.ewm(alpha=0.5, adjust=False).mean().tolist()
+        ts = [t for kk, t, _ in rows if kk == k]
+        for t, e in zip(ts, exp):
+            assert got[(k, t)] == pytest.approx(e)
+
+
+def test_degree_days(spark):
+    from energy_pandas_spark.operators.analytics import degree_days
+
+    rows = [
+        ("2020-01-01 00:00:00", 10.0), ("2020-01-01 12:00:00", 14.0),  # avg 12 -> hdd 6
+        ("2020-07-01 00:00:00", 25.0), ("2020-07-01 12:00:00", 31.0),  # avg 28 -> cdd 10
+        ("2020-04-01 00:00:00", 18.0),                                  # exactly base
+    ]
+    df = spark.createDataFrame(rows, "ts string, temp double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {str(r.day): r for r in degree_days(df, "ts", "temp").collect()}
+    assert out["2020-01-01"].hdd == 6.0 and out["2020-01-01"].cdd == 0.0
+    assert out["2020-07-01"].cdd == 10.0 and out["2020-07-01"].hdd == 0.0
+    assert out["2020-04-01"].hdd == 0.0 and out["2020-04-01"].cdd == 0.0
+
+
+def test_quantize_int8_roundtrip(spark):
+    from energy_pandas_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, 254.0]), (1, [0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    out = df.select(
+        "vec_id", "v", quantize_int8("v").alias("qs")
+    ).withColumn("recon", dequantize_int8("qs"))
+    rows = {r.vec_id: r for r in out.collect()}
+    q0 = rows[0].qs
+    assert q0.scale == pytest.approx(2.0) and q0.q == [1, -1, 0, 127]
+    # max reconstruction error bounded by scale/2
+    for orig, rec in zip(rows[0].v, rows[0].recon):
+        assert abs(orig - rec) <= q0.scale / 2 + 1e-9
+    assert rows[1].qs.scale == 0.0 and rows[1].qs.q == [0, 0]
