@@ -15,6 +15,7 @@ from energy_pandas_spark.streaming.rollup import (
     rollup_batch,
 )
 from energy_pandas_spark.streaming.anomaly import streaming_zscore
+from energy_pandas_spark.streaming.heavy_hitters import streaming_heavy_hitters
 from energy_pandas_spark.streaming.stateful import streaming_dedup
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "make_rollup_writer",
     "rollup_batch",
     "streaming_dedup",
+    "streaming_heavy_hitters",
 ]

@@ -75,3 +75,72 @@ def test_running_zscore_across_batches(spark, tmp_path):
     base = [10.0 + (i % 3) for i in range(8)]
     expect = (500.0 - statistics.mean(base)) / statistics.stdev(base)
     assert math.isclose(by_value[500.0].zscore, expect, rel_tol=1e-9)
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """SpaceSaving sketch across micro-batches: heavy items are present
+    with counts inside the [count - error, count] bound vs exact."""
+    from collections import Counter
+
+    from energy_pandas_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "hhsrc")
+    chk = str(tmp_path / "hhchk")
+    # skewed stream: item_i has frequency ~ 1000/i (zipf-ish), split
+    # across two files -> two micro-batches
+    items = []
+    for i in range(1, 40):
+        items.extend([f"item{i:02d}"] * (1000 // i))
+    b1, b2 = items[::2], items[1::2]
+    for n, batch in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            [(x,) for x in batch], "event_type string"
+        ).coalesce(1).write.parquet(f"{src}/{n}")
+
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_heavy_hitters(stream, capacity=12, n_groups=4)
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # the final sketch per group = the emission with that group's
+    # largest group_total (totals only grow)
+    rows = spark.sql("select * from hh").collect()
+    max_total = {}
+    for r in rows:
+        max_total[r.group] = max(max_total.get(r.group, 0), r.group_total)
+    sketch = {
+        r.item: r for r in rows if r.group_total == max_total[r.group]
+    }
+    exact = Counter(items)
+    # every tracked item obeys the SpaceSaving bound
+    for item, r in sketch.items():
+        true = exact[item]
+        assert r["count"] >= true >= r["count"] - r.error, (item, r, true)
+    # guaranteed-heavy items (true count > group_total/capacity) present
+    groups = {
+        r.i: r.g
+        for r in spark.createDataFrame(
+            [(x,) for x in exact], "i string"
+        ).select(
+            "i", F.pmod(F.xxhash64("i"), F.lit(4)).cast("int").alias("g")
+        ).collect()
+    }
+    for item, true in exact.items():
+        if true > max_total[groups[item]] / 12:
+            assert item in sketch, (item, true)
+    # the heaviest items were never evicted: exact counts, zero error
+    for item, _ in exact.most_common(3):
+        assert sketch[item].error == 0 and sketch[item]["count"] == exact[item]
