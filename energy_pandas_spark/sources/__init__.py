@@ -4,5 +4,6 @@ from energy_pandas_spark.sources.reportdata import (
     from_reportdata,
     from_reportdata_pivot,
 )
+from energy_pandas_spark.sources.textcorpus import read_text_corpus
 
-__all__ = ["from_reportdata", "from_reportdata_pivot"]
+__all__ = ["from_reportdata", "from_reportdata_pivot", "read_text_corpus"]

@@ -1,0 +1,55 @@
+"""Raw-text corpus ingestion: documents-shaped output, stable ids."""
+
+from __future__ import annotations
+
+from energy_pandas_spark.sources.textcorpus import read_text_corpus
+
+
+def test_read_text_corpus_lines(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc\nsecond doc\n\nthird doc\n")
+    (d / "b.txt").write_text("other file doc\n")
+
+    docs = read_text_corpus(spark, str(d))
+    rows = docs.collect()
+    assert len(rows) == 4  # the empty line is dropped
+    assert {r.text for r in rows} == {
+        "first doc", "second doc", "third doc", "other file doc"
+    }
+    assert all(r.n_chars == len(r.text) for r in rows)
+    assert all(r.source.endswith((".txt",)) for r in rows)
+    # ids are unique and rerun-stable
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == 4
+    again = {r.text: r.doc_id for r in read_text_corpus(spark, str(d)).collect()}
+    for r in rows:
+        assert again[r.text] == r.doc_id
+
+
+def test_read_text_corpus_wholefile(spark, tmp_path):
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "x.txt").write_text("line1\nline2\n")
+    (d / "y.txt").write_text("solo")
+
+    docs = read_text_corpus(spark, str(d), doc_per="file").collect()
+    assert len(docs) == 2
+    by_src = {r.source.rsplit("/", 1)[-1]: r for r in docs}
+    assert by_src["x.txt"].text == "line1\nline2\n"
+    assert by_src["y.txt"].text == "solo"
+
+
+def test_read_text_corpus_feeds_pipeline(spark, tmp_path):
+    """The ingested frame drives the documents-shaped operators."""
+    from energy_pandas_spark.operators.text import quality_score, token_count
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "c2"
+    d.mkdir()
+    (d / "a.txt").write_text("the quick brown fox\njumps over the dog\n")
+    docs = read_text_corpus(spark, str(d))
+    out = quality_score(docs).withColumn("n_tokens", token_count("text"))
+    rows = out.collect()
+    assert all(r.n_tokens == 4 for r in rows)
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
