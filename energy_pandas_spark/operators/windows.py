@@ -83,13 +83,17 @@ def ewma(
     (``y_t = (1-a)*y_{t-1} + a*x_t``, seeded at the first value).
 
     The recursion is inherently sequential per key, so this is the one
-    window op that runs through ``applyInPandas`` (Arrow batches, one
-    group per key) instead of a SQL window frame: a log-space prefix-sum
-    reformulation underflows for long series and a per-row UDF would be
-    100x slower. Scale shape: ONE shuffle on the keys; each key's series
-    must fit a task (the same contract as any per-key sort). Un-keyed
-    use funnels through a single task — documented driver for small
-    frames only, exactly like un-keyed ``diff``/``fill_gaps``.
+    window op that runs on pandas kernels: data shuffles ONCE on the
+    keys (``repartition``) and sorts within partitions on (keys, ts),
+    then ``mapInPandas`` runs pandas' cython ``groupby(...).ewm()`` over
+    every key in an Arrow batch AT ONCE — no per-group Python call (the
+    ``applyInPandas`` fn-per-key shape costs ~ms per key, which at 1e6+
+    keys is hours of pure overhead). Groups that straddle Arrow batch
+    boundaries are stitched by holding back each batch's trailing
+    partial group, so memory is bounded by one batch + one group
+    regardless of partition size. Un-keyed use funnels through a single
+    partition — documented for small frames only, exactly like un-keyed
+    ``diff``/``fill_gaps``.
     """
     keys = [by] if isinstance(by, str) else list(by or [])
     ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
@@ -98,15 +102,55 @@ def ewma(
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, DoubleType())]
     )
-    sort_cols = [ts_col, *ties]
 
-    def fn(pdf):
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
-        )
-        return pdf
+    import pandas as pd
+
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if keys:
+            # groups are contiguous (partition-sorted); sort=False keeps
+            # them in order, so the cython ewm output aligns row-for-row
+            vals = (
+                pdf.groupby(keys, sort=False)[value_col]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .to_numpy()
+            )
+        else:
+            vals = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        out = pdf.copy()
+        out[out_col] = vals
+        return out
+
+    def fn(it):
+        carry: "pd.DataFrame | None" = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            if keys:
+                # hold back the trailing (possibly incomplete) group so
+                # a group spanning two Arrow batches stays one series
+                last = pdf.iloc[-1]
+                tail_mask = pd.Series(True, index=pdf.index)
+                for k in keys:
+                    tail_mask &= pdf[k] == last[k]
+                # trailing contiguous block of the last key
+                split = int(tail_mask[::-1].idxmin()) + 1 if not tail_mask.all() else 0
+                head, carry = pdf.iloc[:split], pdf.iloc[split:]
+                if len(head):
+                    yield compute(head)
+            else:
+                carry = pdf
+        if carry is not None and len(carry):
+            yield compute(carry)
 
     if keys:
-        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
-    return df.groupBy(F.lit(1)).applyInPandas(fn, schema=schema)
+        n = df.sparkSession.sparkContext.defaultParallelism
+        parts = df.repartition(n, *keys).sortWithinPartitions(
+            *keys, ts_col, *ties
+        )
+    else:
+        parts = df.coalesce(1).sortWithinPartitions(ts_col, *ties)
+    return parts.mapInPandas(fn, schema=schema)

@@ -359,3 +359,29 @@ def test_quantize_int8_roundtrip(spark):
     for orig, rec in zip(rows[0].v, rows[0].recon):
         assert abs(orig - rec) <= q0.scale / 2 + 1e-9
     assert rows[1].qs.scale == 0.0 and rows[1].qs.q == [0, 0]
+
+
+def test_ewma_group_straddles_arrow_batches(spark):
+    """A key's series split across Arrow batches must stitch into ONE
+    recursion (the held-back trailing-group path)."""
+    import pandas as pd
+    from energy_pandas_spark.operators.windows import ewma
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = [("a", t, float(t * 7 % 13)) for t in range(1, 11)] + [
+            ("b", t, float(t)) for t in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double").coalesce(1)
+        got = {
+            (r.k, r.t): r.ewma
+            for r in ewma(df, "t", "v", alpha=0.4, by="k").collect()
+        }
+        for k, n in (("a", 10), ("b", 5)):
+            vals = [v for kk, _, v in rows if kk == k]
+            exp = pd.Series(vals).ewm(alpha=0.4, adjust=False).mean().tolist()
+            for t, e in zip(range(1, n + 1), exp):
+                assert got[(k, t)] == pytest.approx(e), (k, t)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
