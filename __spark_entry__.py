@@ -2488,6 +2488,40 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def twa_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (step/meter-data
+    convention: each sample weighted by its hold duration). One keyed
+    lead window + one aggregation, single shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        ev, "ts", "value", by="user_id", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.round("twa", 6).alias("twa"),
+        F.round("span_seconds", 3).alias("span_seconds"),
+        "n_samples",
+    ).orderBy("user_id")
+
+
+_TWA_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - ts) AS dur
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * dur) / sum(dur), 6) AS twa,
+       round(sum(dur), 3) AS span_seconds,
+       count(*) AS n_samples
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2714,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q18_large_volume,
         "degree_days_daily": degree_days_daily,
         "ewma_final_per_user": ewma_final_per_user,
+        "twa_per_user": twa_per_user,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
@@ -2818,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": _Q18_SQL,
         "degree_days_daily": _DEGREE_DAYS_SQL,
         "ewma_final_per_user": _EWMA_SQL,
+        "twa_per_user": _TWA_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,

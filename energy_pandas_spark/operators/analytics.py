@@ -39,6 +39,7 @@ __all__ = [
     "source_side",
     "with_global_stats",
     "degree_days",
+    "time_weighted_avg",
 ]
 
 
@@ -520,6 +521,39 @@ def degree_days(
             "hdd": F.greatest(zero, b - F.col("t_avg")),
             "cdd": F.greatest(zero, F.col("t_avg") - b),
         }
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-weighted mean of an irregularly-sampled series — each
+    sample holds its value until the next sample (the step/meter-data
+    convention), so its weight is the duration to the successor; the
+    final sample carries no weight.
+
+    One keyed window (lead) + one partial+final aggregation; the only
+    shuffle is the key partitioning, shared by both. Output: one row
+    per key with ``twa``, ``span_seconds``, ``n_samples``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+    dur = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("double") / F.lit(1_000_000.0)
+    weighted = df.select(
+        *keys, F.col(value_col).alias("__v"), dur.alias("__dur")
+    )
+    grouped = weighted.groupBy(*keys) if keys else weighted.groupBy()
+    return grouped.agg(
+        (F.sum(F.col("__v") * F.col("__dur")) / F.sum("__dur")).alias("twa"),
+        F.sum("__dur").alias("span_seconds"),
+        F.count(F.lit(1)).alias("n_samples"),
     )
 
 

@@ -385,3 +385,23 @@ def test_ewma_group_straddles_arrow_batches(spark):
                 assert got[(k, t)] == pytest.approx(e), (k, t)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_time_weighted_avg(spark):
+    from energy_pandas_spark.operators.analytics import time_weighted_avg
+
+    # value 10 held for 60s, then 20 held for 180s, then 0 (no weight)
+    rows = [
+        ("a", "2020-01-01 00:00:00", 10.0),
+        ("a", "2020-01-01 00:01:00", 20.0),
+        ("a", "2020-01-01 00:04:00", 0.0),
+        ("b", "2020-01-01 00:00:00", 5.0),
+        ("b", "2020-01-01 00:00:30", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, v double").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = {r.k: r for r in time_weighted_avg(df, "ts", "v", by="k").collect()}
+    assert out["a"].twa == pytest.approx((10 * 60 + 20 * 180) / 240)
+    assert out["a"].span_seconds == 240.0 and out["a"].n_samples == 3
+    assert out["b"].twa == pytest.approx(5.0)  # only the first sample holds
