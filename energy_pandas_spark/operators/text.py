@@ -184,7 +184,10 @@ def term_frequencies(
     """(doc, term) -> tf. One explode + one hash aggregate; the
     aggregate combines map-side, so the shuffle carries distinct
     (doc, term) pairs, not raw token occurrences."""
-    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    toks = src.select(id_col, F.explode(tokens(text_col)).alias("term"))
     return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -323,8 +326,12 @@ def contamination_overlap(
     shuffle join on the gram key, never a cross product. One shuffle
     for the per-doc re-aggregation.
     """
+    from energy_pandas_spark.util import spread_partitions
+
     def doc_grams(df: DataFrame) -> DataFrame:
-        toks = df.select(id_col, tokens(text_col).alias("__toks"))
+        toks = spread_partitions(df.select(id_col, F.col(text_col))).select(
+            id_col, tokens(text_col).alias("__toks")
+        )
         return toks.select(
             id_col,
             F.explode(
@@ -372,14 +379,22 @@ def repetition_stats(
     from the same materialized token array through a single generator
     (tagged structs), then two hash aggregates: (doc, tag, gram) with
     map-side combine, and the per-doc fold. No joins, no windows.
+    Grams are xxhash64'd BEFORE the explode, so the first shuffle
+    carries 8-byte longs instead of gram strings (within-doc 64-bit
+    collisions are ~1e-15 for million-gram documents — far below any
+    quality-filter tolerance).
     """
-    toks = df.select(id_col, tokens(text_col).alias("__toks"))
+    from energy_pandas_spark.util import spread_partitions
+
+    toks = spread_partitions(df.select(id_col, F.col(text_col))).select(
+        id_col, tokens(text_col).alias("__toks")
+    )
 
     def _tag(tag: str, n: int):
         return F.transform(
             word_shingles_of_tokens("__toks", n),
             lambda g: F.struct(
-                F.lit(tag).alias("tag"), g.alias("gram")
+                F.lit(tag).alias("tag"), F.xxhash64(g).alias("gram")
             ),
         )
 
@@ -422,7 +437,11 @@ def ngram_counts(
     (count desc, ngram asc). Tokens materialize in their own projection
     so the split runs once per document; the shingle transform then
     only indexes the materialized array (O(len) per doc)."""
-    toks = df.select(tokens(text_col).alias("__toks"))
+    from energy_pandas_spark.util import spread_partitions
+
+    toks = spread_partitions(df.select(F.col(text_col))).select(
+        tokens(text_col).alias("__toks")
+    )
     grams = toks.select(
         F.explode(word_shingles_of_tokens("__toks", n)).alias("ngram")
     )
