@@ -2522,6 +2522,73 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def url_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-density quality filter + domain extraction over documents
+    with deterministic synthetic links appended (the corpus itself has
+    none, so injection makes the extraction path oracle-checked). One
+    codegen'd regex projection, zero shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import url_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and http://mirror.example.org/x"),
+                    (F.col("doc_id") % 11).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        url_stats(injected)
+        .select(
+            "doc_id",
+            "n_urls",
+            "n_domains",
+            "link_density",
+            F.array_join("domains", ",").alias("domains"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_URL_STATS_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' see https://site' || (doc_id % 7)::VARCHAR
+              || '.example.com/page/' || doc_id::VARCHAR
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and http://mirror.example.org/x'
+                           || (doc_id % 11)::VARCHAR
+                      ELSE '' END AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, 'https?://[A-Za-z0-9._~:/?#@!$&*+,;=%\-]+')
+           AS urls,
+         list_sort(list_distinct(
+           regexp_extract_all(t, 'https?://([A-Za-z0-9.\-]+)', 1))) AS doms
+  FROM injected
+)
+SELECT doc_id,
+       len(urls)::BIGINT AS n_urls,
+       len(doms)::BIGINT AS n_domains,
+       round(coalesce(list_sum(list_transform(urls, x -> len(x))), 0)::DOUBLE
+             / greatest(len(t), 1), 6) AS link_density,
+       array_to_string(doms, ',') AS domains
+FROM ex ORDER BY doc_id
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2749,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_days_daily": degree_days_daily,
         "ewma_final_per_user": ewma_final_per_user,
         "twa_per_user": twa_per_user,
+        "url_stats_docs": url_stats_docs,
         "clean_corpus_docs": clean_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
@@ -2854,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_days_daily": _DEGREE_DAYS_SQL,
         "ewma_final_per_user": _EWMA_SQL,
         "twa_per_user": _TWA_SQL,
+        "url_stats_docs": _URL_STATS_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,

@@ -33,6 +33,7 @@ __all__ = [
     "redact_pii",
     "contamination_overlap",
     "repetition_stats",
+    "url_stats",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -423,6 +424,47 @@ def repetition_stats(
             "dup_gram_frac": F.round(
                 F.col("dup_gram_count") / F.col("n_dup_grams").cast("double"), 6
             ),
+        }
+    )
+
+
+_URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&*+,;=%\-]+"
+_DOMAIN_RE = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def url_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document link statistics — the URL-density quality filter and
+    domain extraction pass of a web-corpus pipeline.
+
+    Adds ``n_urls``, ``n_domains`` (distinct), ``link_density`` (URL
+    characters / total characters, rounded) and ``domains`` (sorted
+    distinct domain list). Pure regex/array expressions (Java-regex and
+    RE2-compatible syntax: no lookaround, no backreferences) — one
+    codegen'd projection, zero shuffle.
+    """
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(_URL_RE), 0)
+    domains = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(t, F.lit(_DOMAIN_RE), 1))
+    )
+    url_chars = F.aggregate(
+        urls, F.lit(0).cast("long"), lambda a, u: a + F.length(u)
+    )
+    n_chars = F.length(t)
+    return df.withColumns(
+        {
+            "n_urls": F.size(urls).cast("long"),
+            "n_domains": F.size(domains).cast("long"),
+            "link_density": F.round(
+                url_chars
+                / F.when(n_chars == 0, 1).otherwise(n_chars).cast("double"),
+                6,
+            ),
+            "domains": domains,
         }
     )
 
