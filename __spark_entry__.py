@@ -2589,6 +2589,477 @@ FROM ex ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H breadth pack 2: multi-join volume/share/profit, top-k join aggs,
+# correlated-average, exists/not-exists, scalar-subquery anti-join.
+# (No partsupp table in the testdata, so Q2/Q9/Q11/Q16/Q20 cost columns
+# are adapted: Q9 uses p_retailprice as the supply-cost proxy; Q21/Q22
+# use shipdate lateness / nationkey country codes for the missing
+# commitdate/receiptdate/phone columns. Shapes are unchanged.)
+# ---------------------------------------------------------------------------
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping between two nations: lineitem x
+    orders x supplier x customer with both ends resolved to nation
+    names and the (supp, cust) pair restricted to the two directions.
+    The nation dims broadcast; supplier/customer joins stay key-equi
+    shuffles that AQE can demote to broadcasts at small SF. The
+    shipdate range predicate is pushed into the parquet scan."""
+    _prep(spark)
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", _rev().alias("__vol"))
+    j = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.round(F.sum("__vol"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: for PROMO parts sold to ASIA-region
+    customers, NATION_2 suppliers' share of yearly volume. Five joins;
+    nation/region dims broadcast, part filtered before its join (at
+    scale the part side is a key-equi shuffle — 1/6 selectivity is not
+    broadcastable), conditional aggregate for the share."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev().alias("__vol")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    asia_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("__cnk"))
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("__cnk")
+    ).select("c_custkey")
+    supp_nation = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("__snk"), F.col("n_name")
+            )
+        ),
+        F.col("s_nationkey") == F.col("__snk"),
+    ).select("s_suppkey", "n_name")
+    j = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_2", F.col("__vol")).otherwise(0.0))
+                / F.sum("__vol"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by nation and year. The
+    testdata has no partsupp, so supply cost is proxied as
+    0.6 * p_retailprice (fixed margin), keeping the four-way join +
+    name-pattern filter + (nation, year) rollup shape. Profit =
+    revenue - cost*qty; parts filtered on the LIKE before the join."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", _rev().alias("__rev")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    supp_nation = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("__snk"),
+    ).select("s_suppkey", "nation")
+    j = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    amount = F.col("__rev") - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer in one quarter, top 20. The lineitem/orders join
+    carries only the quarter's orders (filter before join); the
+    customer attach happens AFTER the per-customer aggregate so the
+    big join ships one row per customer, not per line."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev().alias("__rev")
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").alias("__tp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cnk"), "n_name"
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("__cnk"))
+        .orderBy(F.desc("__tp"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("__tp", 2).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, round(rev, 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM (
+  SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: PROMO-type share of one
+    month's revenue. Single lineitem x part key join + conditional
+    aggregate; the month predicate prunes the lineitem scan."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", _rev().alias("__rev"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("__rev")).otherwise(0.0))
+            / F.sum("__rev"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the max-revenue supplier(s). The 'view' is a per-supplier
+    aggregate; the max attaches as a broadcast 1-row join (no second
+    scan of lineitem, no window over an unpartitioned frame). Revenue
+    is rounded BEFORE the max comparison so the equality cannot split
+    on last-ulp summation-order differences between engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", _rev().alias("__rev"))
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("__rev"), 2).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if Brand#5 orders below 20%% of the part's mean
+    quantity were not taken. The correlated per-part AVG decorrelates
+    into one aggregate over the SAME brand-filtered join (computed
+    once, reattached by part key); no second lineitem scan at the
+    brand selectivity."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = j.groupBy("p_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("__thresh")
+    ).withColumnRenamed("p_partkey", "__pk")
+    return (
+        j.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = p_partkey
+  )
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: finished
+    orders where exactly one supplier shipped late (> 60 days after
+    the order date, standing in for the missing commit/receipt dates)
+    while other suppliers participated. The EXISTS / NOT-EXISTS pair
+    decorrelates into ONE per-order aggregate (distinct suppliers,
+    distinct late suppliers, late line count) — one join + one agg
+    instead of three correlated lineitem scans. The DuckDB oracle runs
+    the classic correlated form, so the rewrite is differentially
+    proven equivalent."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("__n_late_lines"),
+        )
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("__late_supp")
+        .agg(F.sum("__n_late_lines").alias("numwait"))
+        .join(supp, F.col("__late_supp") == F.col("s_suppkey"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+        .select("s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: well-funded customers
+    (balance above the positive-balance average of their country group)
+    with no recent orders (the synthetic data gives every customer at
+    least one order ever, so "lapsed since mid-2000" stands in for
+    "never ordered"), counted per country code (nationkey stands in
+    for the missing phone prefix). Scalar subquery broadcasts as a
+    1-row join; the no-recent-orders test is a LEFT ANTI join shipping
+    only o_custkey of the date-pruned orders scan."""
+    _prep(spark)
+    codes = [0, 1, 2, 3, 4]
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(codes)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (0, 1, 2, 3, 4)
+  AND c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -2818,6 +3289,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_per_user": twa_per_user,
         "url_stats_docs": url_stats_docs,
         "clean_corpus_docs": clean_corpus_docs,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_sales_opportunity": q22_sales_opportunity,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -2924,6 +3404,15 @@ def oracle_sql() -> dict[str, str]:
         "twa_per_user": _TWA_SQL,
         "url_stats_docs": _URL_STATS_SQL,
         "clean_corpus_docs": _clean_corpus_sql(),
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q21_suppliers_kept_waiting": _Q21_SQL,
+        "q22_sales_opportunity": _Q22_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,
