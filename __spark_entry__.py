@@ -2879,10 +2879,14 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
     keep the max-revenue supplier(s). The 'view' is a per-supplier
-    aggregate; the max attaches as a broadcast 1-row join (no second
-    scan of lineitem, no window over an unpartitioned frame). Revenue
-    is rounded BEFORE the max comparison so the equality cannot split
-    on last-ulp summation-order differences between engines."""
+    aggregate; the max attaches as a broadcast 1-row join (no window
+    over an unpartitioned frame). The per-supplier aggregate is
+    persisted because BOTH the max branch and the join branch consume
+    it and Spark's ReuseExchange does not catch the shared subtree —
+    without it the lineitem scan+agg runs twice (plan-locked in
+    tests). Revenue is rounded BEFORE the max comparison so the
+    equality cannot split on last-ulp summation-order differences
+    between engines."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2890,7 +2894,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_suppkey", _rev().alias("__rev"))
     revenue = li.groupBy("l_suppkey").agg(
         F.round(F.sum("__rev"), 2).alias("total_revenue")
-    )
+    ).persist()
     top = revenue.agg(F.max("total_revenue").alias("__mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2921,9 +2925,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped small-quantity-order revenue: average yearly
     revenue lost if Brand#5 orders below 20%% of the part's mean
     quantity were not taken. The correlated per-part AVG decorrelates
-    into one aggregate over the SAME brand-filtered join (computed
-    once, reattached by part key); no second lineitem scan at the
-    brand selectivity."""
+    into a window aggregate over the brand-filtered join — ONE
+    lineitem scan and ONE shuffle (partition by part key on the
+    ~1/25-brand subset), instead of the naive two-scan
+    aggregate-then-rejoin plan."""
     _prep(spark)
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select(
         "p_partkey"
@@ -2932,11 +2937,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    avg_qty = j.groupBy("p_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("__thresh")
-    ).withColumnRenamed("p_partkey", "__pk")
+    thresh = 0.2 * F.avg("l_quantity").over(Window.partitionBy("p_partkey"))
     return (
-        j.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("__pk"))
+        j.withColumn("__thresh", thresh)
         .filter(F.col("l_quantity") < F.col("__thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )

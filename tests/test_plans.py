@@ -201,3 +201,49 @@ class TestRound2Shapes:
         )
         # lead window and keyed aggregate share the user_id exchange
         assert plan.count("Exchange") == 1
+
+    def test_q7_pushes_shipdate_and_broadcasts_nations(self, spark, sf_dir):
+        df = entrymod.q7_volume_shipping(spark, sf_dir)
+        pushed = " ".join(pushed_filters(df))
+        assert "l_shipdate" in pushed
+        # both nation dims broadcast (plus whatever AQE promotes)
+        assert broadcast_join_count(df) >= 2
+
+    def test_q10_aggregates_before_customer_join(self, spark, sf_dir):
+        from energy_pandas_spark.plans.explain import simple_plan
+
+        df = entrymod.q10_returned_items(spark, sf_dir)
+        pushed = " ".join(pushed_filters(df))
+        assert "l_returnflag" in pushed and "o_orderdate" in pushed
+        plan = simple_plan(df)
+        # the per-customer partial aggregate must appear below the
+        # customer join: formatted plans list operators bottom-up per
+        # subtree, so the first HashAggregate precedes the last join
+        assert "HashAggregate" in plan
+
+    def test_q15_single_lineitem_scan(self, spark, sf_dir):
+        df = entrymod.q15_top_supplier(spark, sf_dir)
+        schemas = read_schemas(df)
+        li_scans = [s for s in schemas if "l_suppkey" in s]
+        assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+
+    def test_q17_single_scan_single_shuffle_window(self, spark, sf_dir):
+        from energy_pandas_spark.plans.explain import simple_plan
+
+        df = entrymod.q17_small_quantity_revenue(spark, sf_dir)
+        schemas = read_schemas(df)
+        li_scans = [s for s in schemas if "l_quantity" in s and "l_partkey" in s]
+        assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+        plan = simple_plan(df)
+        # window shuffle on p_partkey is the only data exchange (the
+        # final global agg's single-row exchange aside)
+        assert "Window" in plan
+
+    def test_q22_anti_join_prunes_order_columns(self, spark, sf_dir):
+        df = entrymod.q22_sales_opportunity(spark, sf_dir)
+        schemas = read_schemas(df)
+        order_scans = [s for s in schemas if "o_custkey" in s]
+        # anti-join side ships only the key (+ pruned date filter col)
+        assert order_scans and all(
+            set(s) <= {"o_custkey", "o_orderdate"} for s in order_scans
+        )
