@@ -30,6 +30,10 @@ from energy_pandas_spark.units import unit_registry
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # testdata parquet stores naive timestamp[us]; Spark 4 infers NTZ by
+    # default, which shifts semantics vs the DuckDB oracle (naive=UTC)
+    # and breaks unix_micros-based windows. Read as TIMESTAMP (UTC).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3063,6 +3067,254 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier (no partsupp table in the
+    testdata, so the supply relation derives from lineitem): for PROMO
+    parts of size <= 10, among EUROPE suppliers that shipped the part,
+    keep the one(s) with the minimum cost. Cost is MIN(l_extendedprice)
+    per (part, supplier) — an order-independent exact aggregate, so the
+    min-equality join cannot flip on summation order between engines.
+    The correlated min subquery decorrelates into a per-part aggregate
+    + equality join; supplier/nation/region dims broadcast."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_brand", "p_size")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    euro_supp = supp.join(
+        F.broadcast(nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supply = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    min_cost = supply.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("supply_cost").alias("__min_cost")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("supply_cost") == F.col("__min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_Q2_SQL = """
+WITH supply AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice) AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND p_size <= 10 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM supply s1
+WHERE supply_cost = (
+  SELECT min(supply_cost) FROM supply s2 WHERE s2.p_partkey = s1.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock identification: per-part shipped
+    value (sum of quantity * price) from suppliers of one nation, kept
+    when the part's value exceeds a fixed fraction of the nation total.
+    The global threshold is a 1-row broadcast cross join (scalar
+    subquery decorrelation), NOT a window over an unpartitioned frame.
+    Values round to 2 AFTER the threshold compare; the 1/1000 fraction
+    keeps every part's value far from the cut so engine summation-order
+    ulps cannot flip membership."""
+    _prep(spark)
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("__v")
+    )
+    vals = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("__v").alias("__value"))
+    ).persist()
+    total = vals.agg((F.sum("__value") / 1000.0).alias("__cut"))
+    return (
+        vals.join(F.broadcast(total), F.col("__value") > F.col("__cut"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("__value", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+_Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, round(value, 2) AS part_value
+FROM vals
+WHERE value > (SELECT sum(value) / 1000.0 FROM vals)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode priority split (l_linestatus
+    stands in for the missing l_shipmode): lines shipped > 30 days
+    after their order date during 1996, counted per status as
+    high-priority (URGENT/HIGH) vs lower orders. One fact-fact join,
+    conditional integer counts — exact across engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier counting: distinct suppliers that
+    shipped each (brand, type, size) combination, excluding one brand
+    and 'complaint' suppliers (negative account balance stands in for
+    the comment scan). The NOT-IN subquery is an anti-join on a
+    broadcast-small exclusion list; counts are exact integers."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4") & (F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_size IN (1, 5, 9, 14, 20, 25, 30, 36)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped potential-promotion suppliers: suppliers whose
+    1996 shipments of some 'red'-named part exceed half their
+    all-time quantity for that part. The correlated half-sum threshold
+    decorrelates into ONE per-(supplier, part) aggregate with a
+    conditional 1996 sum — one lineitem scan instead of two. Quantity
+    sums are integral doubles, exact in both engines."""
+    _prep(spark)
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    per_sp = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_96, F.col("l_quantity")).otherwise(0.0)).alias("__q96"),
+            F.sum("l_quantity").alias("__qall"),
+        )
+        .filter(F.col("__q96") > 0.5 * F.col("__qall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        supp.join(per_sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity)
+)
+ORDER BY s_name
+"""
+
+
 def fuzzy_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (entity-resolution family): pairs of
     sampled documents whose normalized 50-char prefixes are within 12
@@ -3301,6 +3553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "q22_sales_opportunity": q22_sales_opportunity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines_by_status": q12_late_lines_by_status,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shippers": q20_excess_shippers,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3416,6 +3673,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": _Q17_SQL,
         "q21_suppliers_kept_waiting": _Q21_SQL,
         "q22_sales_opportunity": _Q22_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q12_late_lines_by_status": _Q12_SQL,
+        "q16_supplier_count": _Q16_SQL,
+        "q20_excess_shippers": _Q20_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -24,6 +24,8 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..util import epoch_micros
+
 __all__ = [
     "normalize",
     "ldc",
@@ -544,7 +546,8 @@ def time_weighted_avg(
     ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
     w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
     dur = (
-        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+        epoch_micros(df, ts_col, F.lead(ts_col).over(w))
+        - epoch_micros(df, ts_col)
     ).cast("double") / F.lit(1_000_000.0)
     weighted = df.select(
         *keys, F.col(value_col).alias("__v"), dur.alias("__dur")

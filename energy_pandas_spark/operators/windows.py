@@ -16,15 +16,13 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..util import epoch_micros
 
 __all__ = ["rolling_aggregate", "cumulative_aggregate", "ewma"]
 
 _US = 1_000_000
-
-
-def _micros(ts_col: str) -> Column:
-    return F.unix_micros(F.col(ts_col))
 
 
 def rolling_aggregate(
@@ -40,7 +38,7 @@ def rolling_aggregate(
     keys = [by] if isinstance(by, str) else list(by or [])
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_micros(ts_col))
+        .orderBy(epoch_micros(df, ts_col))
         .rangeBetween(-window_seconds * _US, 0)
     )
     out = df
@@ -63,7 +61,7 @@ def cumulative_aggregate(
     keys = [by] if isinstance(by, str) else list(by or [])
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_micros(ts_col))
+        .orderBy(epoch_micros(df, ts_col))
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(f"cum_{agg}", getattr(F, agg)(value_col).over(w))

@@ -2,9 +2,27 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["spread_partitions"]
+__all__ = ["spread_partitions", "epoch_micros"]
+
+def epoch_micros(df: DataFrame, ts_col: str, col: Column | None = None) -> Column:
+    """Microseconds since epoch, type-tolerant: ``unix_micros`` rejects
+    TIMESTAMP_NTZ (how parquet written without isAdjustedToUTC reads
+    when ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on), and
+    casting NTZ -> TIMESTAMP first would shift by the session timezone.
+    NTZ wall clocks are measured against an NTZ epoch instead, so the
+    result is timezone-independent for both types.
+
+    ``ts_col`` names the column whose dtype decides the branch; ``col``
+    optionally supplies a derived expression of that column (e.g. a
+    ``lead`` over a window) to convert instead of the raw column.
+    """
+    expr = col if col is not None else F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, expr)
+    return F.unix_micros(expr)
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:
