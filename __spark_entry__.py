@@ -1668,6 +1668,80 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: deterministic seed
+    centroids (lowest-16 vec_ids), map-side cosine argmax assignment,
+    ONE cluster shuffle for bucket-grouped pair expansion, exact
+    sequential-fold cosine verify (same arithmetic as cosine_topk, so
+    the DuckDB oracle reproduces it bit-for-bit)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.3, n_centroids=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows surviving semantic dedup (keep-lowest-id within cluster),
+    via left_anti on the pair set's id_b — only ids cross the wire."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.3, n_centroids=16)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+_SEMDEDUP_ASSIGN_CTE = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.cvec) DESC, c.cid
+      ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+sem_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.3
+)
+"""
+
+_SEMDEDUP_PAIRS_SQL = (
+    _SEMDEDUP_ASSIGN_CTE
+    + "SELECT id_a, id_b, cluster, cosine FROM sem_pairs ORDER BY id_a, id_b"
+)
+
+_SEMDEDUP_KEEP_SQL = (
+    _SEMDEDUP_ASSIGN_CTE
+    + """
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT DISTINCT id_b FROM sem_pairs)
+ORDER BY e.vec_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -3558,6 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines_by_status": q12_late_lines_by_status,
         "q16_supplier_count": q16_supplier_count,
         "q20_excess_shippers": q20_excess_shippers,
+        "semdedup_pairs": semdedup_pairs,
+        "semdedup_keep": semdedup_keep,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3678,6 +3754,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_lines_by_status": _Q12_SQL,
         "q16_supplier_count": _Q16_SQL,
         "q20_excess_shippers": _Q20_SQL,
+        "semdedup_pairs": _SEMDEDUP_PAIRS_SQL,
+        "semdedup_keep": _SEMDEDUP_KEEP_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

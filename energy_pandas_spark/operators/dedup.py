@@ -51,6 +51,9 @@ __all__ = [
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "assign_semantic_clusters",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -626,3 +629,122 @@ def embedding_neardup_pairs(
             )
 
     return paired.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then dedup within clusters)
+# ---------------------------------------------------------------------------
+
+
+def assign_semantic_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Attach a ``cluster`` column: index of the nearest centroid by
+    cosine (ties -> lowest centroid index).
+
+    Centroids default to the ``n_centroids`` lowest-``id_col`` vectors —
+    a deterministic seed choice that makes the assignment reproducible
+    across engines (the production path trains k-means centroids with
+    ``similarity.train_centroids`` and feeds them in; the plan below is
+    identical either way). Assignment is a map-side expression against
+    centroid literals — no shuffle, no Python workers; the cosine is the
+    same sequential-fold ``aggregate`` used by ``cosine_topk``, so a
+    DuckDB ``list_cosine_similarity`` oracle reproduces it bit-for-bit.
+    """
+    if centroids is None:
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [list(r[1]) for r in rows]
+    sims = [
+        F.struct(
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+            ).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*sims))
+    return df.withColumn("cluster", (-best.getField("ni")).cast("int"))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023)-style semantic near-dup pairs:
+    cluster the embedding space, then compare pairs ONLY within a
+    cluster — O(sum of cluster^2) instead of O(n^2), with cluster size
+    the explicit skew/parallelism knob.
+
+    Plan: map-side centroid assignment (no shuffle) -> ONE shuffle on
+    ``cluster`` with bucket-grouped double-explode of ids (no
+    self-join) -> re-join vectors once per candidate pair -> exact
+    sequential-fold cosine filter. Returns (id_a, id_b, cluster,
+    cosine) with cosine rounded to 6 for cross-engine stability.
+    ``max_cluster`` guards against degenerate assignments making one
+    task quadratic (the same guard LSH buckets use).
+    """
+    assigned = assign_semantic_clusters(
+        df, vec_col, id_col, n_centroids, centroids
+    ).select(F.col(id_col), "cluster")
+    bucketed = (
+        assigned.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_cluster))
+    )
+    cand = bucketed.select(
+        F.col("cluster"),
+        F.posexplode("ids").alias("__pos", "id_a"),
+        F.col("ids"),
+    ).select(
+        "cluster",
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("__pos") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    paired = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+        "id_b",
+    )
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return paired.filter(cos >= threshold).select(
+        "id_a", "id_b", "cluster", F.round(cos, 6).alias("cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Rows that survive semantic dedup: any row with a semantic
+    near-dup of lower id (within its cluster) is dropped — the standard
+    keep-lowest-id policy, as a left_anti on the pair set (ships only
+    the id column through the anti-join)."""
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, n_centroids, threshold, centroids
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -324,3 +324,52 @@ def test_ivf_index_persist_and_search(spark, sf_dir, tmp_path):
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     got_set = {(r.query_id, r.vec_id) for r in got}
     assert len(got_set & exact_set) / len(exact_set) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_near_dup_keeps_distinct(spark):
+    from energy_pandas_spark.operators.dedup import (
+        assign_semantic_clusters,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    # two tight groups along orthogonal axes + one isolated vector;
+    # centroids seeded from ids 0 and 1 put the groups in different
+    # clusters, so the cross-group pair is never compared.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.05, 0.99, 0.0, 0.0]),  # near-dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),    # isolated (assigned somewhere, no dup)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = assign_semantic_clusters(df, n_centroids=2)
+    by_id = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert by_id[2] == by_id[0] and by_id[3] == by_id[1]
+    assert by_id[0] != by_id[1]
+
+    pairs = semantic_dedup_pairs(df, n_centroids=2, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 2), (1, 3)}
+
+    kept = sorted(r["vec_id"] for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect())
+    assert kept == [0, 1, 4]
+
+
+def test_semantic_dedup_pairs_one_cluster_shuffle(spark):
+    from energy_pandas_spark.operators.dedup import semantic_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.1]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = semantic_dedup_pairs(df, n_centroids=3)._jdf.queryExecution().executedPlan().toString()
+    # centroid assignment must not add an exchange of its own: the only
+    # exchanges are the cluster groupBy and the two pair-verify joins.
+    assert plan.count("Exchange") <= 6
