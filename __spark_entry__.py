@@ -1742,6 +1742,97 @@ ORDER BY e.vec_id
 )
 
 
+def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier: one codegen'd
+    projection (tokenize -> md5-bucket weights -> sequential fold),
+    zero shuffles."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        classifier_score(docs)
+        .select("doc_id", "score", "label_pred")
+        .orderBy("doc_id")
+    )
+
+
+_CLASSIFIER_SQL = r"""
+SELECT doc_id,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE s / len(toks) END, 6) AS score,
+       (CASE WHEN len(toks) = 0 THEN 0.0 ELSE s / len(toks) END
+          > 0.0)::INT AS label_pred
+FROM (
+  SELECT doc_id, toks,
+         list_sum(list_transform(toks, t ->
+           (('0x' || substr(md5('clf-v1' || t), 1, 15))::BIGINT % 2049
+              - 1024) / 1024.0)) AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+)
+ORDER BY doc_id
+"""
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM likelihood scoring: counts trained on the 'src0'
+    slice, all documents scored with add-one smoothing. Count tables
+    join the candidate bigram stream keyed on the bigram — NOT
+    broadcast by design (a corpus-scale LM table is huge; AQE
+    broadcasts when small)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_train(docs.filter(F.col("source") == "src0"))
+    return bigram_lm_score(docs, lm).orderBy("doc_id")
+
+
+_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE source = 'src0'
+  GROUP BY 1, 2
+),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS v FROM lm),
+scored AS (
+  SELECT b.doc_id,
+         (coalesce(l.c12, 0) + 1)::DOUBLE
+           / (coalesce(c.c1, 0) + v.v)::DOUBLE AS p
+  FROM bg b
+  LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  LEFT JOIN c1 c ON b.w1 = c.w1
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(p), 6) AS avg_p
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       coalesce(per.avg_p, 0.0) AS avg_p
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -3634,6 +3725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "semdedup_pairs": semdedup_pairs,
         "semdedup_keep": semdedup_keep,
+        "doc_classifier_score": doc_classifier_score,
+        "doc_lm_score": doc_lm_score,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3756,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_excess_shippers": _Q20_SQL,
         "semdedup_pairs": _SEMDEDUP_PAIRS_SQL,
         "semdedup_keep": _SEMDEDUP_KEEP_SQL,
+        "doc_classifier_score": _CLASSIFIER_SQL,
+        "doc_lm_score": _LM_SCORE_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

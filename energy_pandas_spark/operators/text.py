@@ -34,6 +34,10 @@ __all__ = [
     "contamination_overlap",
     "repetition_stats",
     "url_stats",
+    "hashed_feature_weight",
+    "classifier_score",
+    "bigram_lm_train",
+    "bigram_lm_score",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -489,3 +493,141 @@ def ngram_counts(
     )
     counted = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("ngram")).limit(top)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier (fastText-style scoring head)
+# ---------------------------------------------------------------------------
+
+
+def hashed_feature_weight(
+    token: Column, salt: str = "clf-v1", resolution: int = 2049
+) -> Column:
+    """Deterministic per-token weight in [-1, 1] via the engine's md5
+    bucket recipe (top-60-bit hex prefix -> long). Stands in for a
+    trained hashed-feature weight table; a production model swaps this
+    expression for a broadcast join against its weight vector keyed on
+    the SAME bucket id, leaving the plan shape unchanged.
+
+    ``resolution`` defaults to 2049 so weights are dyadic rationals
+    (k/1024): every partial sum of document weights is then exactly
+    representable in a double, making the fold order-independent —
+    scores are bit-identical across engines AND across summation
+    orders (partial aggregation, re-partitioning)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), token)), 1, 15), 16, 10
+    ).cast("long")
+    half = (resolution - 1) // 2
+    return (h % F.lit(resolution) - F.lit(half)) / F.lit(float(half))
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    salt: str = "clf-v1",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear text classifier: mean of hashed
+    bag-of-words feature weights plus a bias, thresholded to a binary
+    label.
+
+    The whole scorer is ONE codegen'd projection — tokenize, per-token
+    weight lookup (arithmetic on md5, no weight table to ship), and a
+    sequential ``aggregate`` fold — zero shuffles, scan-bound at any
+    corpus size. The sequential fold makes the score reproducible
+    across engines (DuckDB ``list_sum`` over the same doubles)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: hashed_feature_weight(t, salt)),
+        F.lit(0.0),
+        lambda acc, w: acc + w,
+    )
+    score = F.when(n == 0, F.lit(bias)).otherwise(total / n + F.lit(bias))
+    return df.withColumn("score", F.round(score, 6)).withColumn(
+        "label_pred", (score > F.lit(threshold)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (train counts on a reference corpus,
+# score candidate documents by smoothed likelihood)
+# ---------------------------------------------------------------------------
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    m = F.size("__toks")
+    pairs = F.when(
+        m >= 2,
+        F.zip_with(
+            F.slice("__toks", 1, m - 1),
+            F.slice("__toks", 2, m - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    return toks_df.select(
+        F.col(id_col), F.explode(pairs).alias("__bg")
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+
+def bigram_lm_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram counts (w1, w2, c12) from a reference corpus — one
+    map-combined hash aggregate over the exploded bigram stream."""
+    return (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram likelihood against a
+    trained count table: ``p(w2|w1) = (c12 + 1) / (c1 + V)`` where
+    ``c1 = sum_w2 c12`` and ``V`` is the left-context vocabulary size.
+    Output: (id, n_bigrams, avg_p) — the scores quality filters and
+    domain-mixers threshold on.
+
+    Scale shape: the count tables derive from ``lm`` with two hash
+    aggregates; the candidate bigram stream joins them keyed on the
+    bigram / left token (deliberately NOT broadcast — a 100 TB corpus
+    LM table is huge; AQE picks broadcast when it is not). Integer
+    counts + exactly-rounded division keep the per-bigram p identical
+    across engines."""
+    c1 = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = lm.select(F.countDistinct("w1").alias("v"))
+    bg = _doc_bigrams(df, text_col, id_col)
+    scored = (
+        bg.join(lm, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(v)
+        .select(
+            F.col(id_col),
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+            ).alias("__p"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__p"), 6).alias("avg_p"),
+    )
+    # docs with < 2 tokens have no bigrams: score them explicitly
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_p", F.lit(0.0)).alias("avg_p"),
+        )
+    )

@@ -224,3 +224,52 @@ def test_pack_sequences_hashed_single_shuffle(spark):
         assert again[r.doc_id] == (r.seq_id, r.seq_offset)
     # every sequence position is consistent: offsets within budget
     assert all(0 <= r.seq_offset < 16 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier + bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from energy_pandas_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(0, "spark shuffles are expensive"), (1, ""), (2, "spark shuffles are expensive")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    assert rows[0]["score"] == rows[2]["score"]  # same text -> same score
+    assert rows[1]["score"] == 0.0 and rows[1]["label_pred"] == 0
+    assert -1.0 <= rows[0]["score"] <= 1.0
+
+
+def test_classifier_score_zero_shuffle_plan(spark):
+    from energy_pandas_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bigram_lm_score_known_counts(spark):
+    from energy_pandas_spark.operators.text import bigram_lm_score, bigram_lm_train
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    lm = bigram_lm_train(train)
+    counts = {(r["w1"], r["w2"]): r["c12"] for r in lm.collect()}
+    # bigrams: doc0 -> (a,b),(b,a),(a,b); doc1 -> (a,b),(b,c)
+    assert counts == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+    score = bigram_lm_score(
+        spark.createDataFrame([(10, "a b"), (11, "z"), (12, "q q")], "doc_id long, text string"),
+        lm,
+    )
+    got = {r["doc_id"]: r for r in score.collect()}
+    # V = 2 (left contexts a, b); c1(a) = 3, so p(b|a) = (3+1)/(3+2)
+    assert got[10]["n_bigrams"] == 1 and abs(got[10]["avg_p"] - 0.8) < 1e-6
+    assert got[11]["n_bigrams"] == 0 and got[11]["avg_p"] == 0.0
+    # unseen bigram with unseen context: p = 1/V = 1/2... (0+1)/(0+2)
+    assert got[12]["n_bigrams"] == 1 and abs(got[12]["avg_p"] - 0.5) < 1e-6
