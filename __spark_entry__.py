@@ -1796,6 +1796,85 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, lm).orderBy("doc_id")
 
 
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend (slope/intercept/r2) of event value over
+    time: ONE hash aggregate of sufficient statistics, closed-form
+    solve — no iterative fitting, no second scan. x is days since the
+    month start so the normal equations stay far from cancellation."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import linear_fit
+
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    pts = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") - F.unix_micros(t0)) / F.lit(86400e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    fit = linear_fit(pts, "x", "y", by="event_type")
+    return fit.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+_TREND_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
+           AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+         AS intercept,
+       round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM s ORDER BY event_type
+"""
+
+
+def robust_scale_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling of event values per type — exact
+    percentiles here (oracle contract); percentile_approx is the
+    documented sketch path at corpus scale. Per-key stats attach via a
+    broadcast join, never a Window exchange."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import robust_scale
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_scale(ev, value_cols=["value"], by="event_type")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
+
+
+_ROBUST_SCALE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN q3 - q1 = 0 THEN 0.0
+                  ELSE (e.value - q2) / (q3 - q1) END, 6) AS value
+FROM events e JOIN q USING (event_type)
+ORDER BY event_id
+"""
+
+
 _LM_SCORE_SQL = r"""
 WITH toks AS (
   SELECT doc_id, source,
@@ -3727,6 +3806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": semdedup_keep,
         "doc_classifier_score": doc_classifier_score,
         "doc_lm_score": doc_lm_score,
+        "value_trend_by_type": value_trend_by_type,
+        "robust_scale_by_type": robust_scale_by_type,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3851,6 +3932,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": _SEMDEDUP_KEEP_SQL,
         "doc_classifier_score": _CLASSIFIER_SQL,
         "doc_lm_score": _LM_SCORE_SQL,
+        "value_trend_by_type": _TREND_SQL,
+        "robust_scale_by_type": _ROBUST_SCALE_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -42,6 +42,8 @@ __all__ = [
     "with_global_stats",
     "degree_days",
     "time_weighted_avg",
+    "linear_fit",
+    "robust_scale",
 ]
 
 
@@ -577,3 +579,97 @@ def time_at_min(
         df.join(F.broadcast(stats), F.col(value_col) == F.col("__vmin"))
         .agg(F.min(ts_col).alias(ts_col))
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit: slope, intercept, r2,
+    n — the degree-day regression / trend-detection primitive.
+
+    Closed form from sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²):
+    ONE map-combined hash aggregate, one shuffle on the group keys, no
+    iterative solver and no second pass. Callers should center or
+    rescale ``x_col`` to modest magnitudes (e.g. days since an epoch,
+    not raw epoch seconds) — the closed form is exact in the sums but
+    cancellation-prone when |Σx²| dwarfs the centered variance.
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL slope/
+    intercept/r2 rather than Inf/NaN.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    base = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sxx_c = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    sxy_c = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    syy_c = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    slope = F.when((F.col("n") >= 2) & (sxx_c != 0.0), sxy_c / sxx_c)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.when(
+        (F.col("n") >= 2) & (sxx_c != 0.0) & (syy_c != 0.0),
+        (sxy_c * sxy_c) / (sxx_c * syy_c),
+    )
+    return base.select(
+        *keys,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    by: str | Sequence[str] | None = None,
+    approx: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """Robust scaling ``(x - median) / IQR`` — outlier-insensitive
+    standardization (sklearn RobustScaler semantics; constant/zero-IQR
+    groups scale to 0.0).
+
+    Exact percentiles by default (sort-based aggregate — fine to a few
+    billion rows per group); ``approx=True`` switches to
+    ``percentile_approx`` (t-digest-style sketch, single streaming
+    pass, the 100 TB path — same plan shape, bounded error). Stats
+    attach via a 1-row broadcast (global) or a per-key broadcast join,
+    never an empty-frame Window exchange.
+    """
+    cols = _cols(df, value_cols)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    pct = F.percentile_approx if approx else F.percentile
+
+    def stats_for(c: str) -> Column:
+        return pct(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+
+    if keys:
+        stats = df.groupBy(*keys).agg(
+            *[stats_for(c).alias(f"__q_{c}") for c in cols]
+        )
+        out = df.join(F.broadcast(stats), keys)
+    else:
+        stats = df.agg(*[stats_for(c).alias(f"__q_{c}") for c in cols])
+        out = df.crossJoin(F.broadcast(stats))
+    keep = [c for c in df.columns if c not in cols]
+    scaled = []
+    for c in cols:
+        q = F.col(f"__q_{c}")
+        med, iqr = q[1], q[2] - q[0]
+        scaled.append(
+            F.when(iqr == 0.0, F.lit(0.0))
+            .otherwise((F.col(c) - med) / iqr)
+            .alias(c + suffix)
+        )
+    return out.select(*[F.col(k) for k in keep], *scaled)

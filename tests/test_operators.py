@@ -405,3 +405,48 @@ def test_time_weighted_avg(spark):
     assert out["a"].twa == pytest.approx((10 * 60 + 20 * 180) / 240)
     assert out["a"].span_seconds == 240.0 and out["a"].n_samples == 3
     assert out["b"].twa == pytest.approx(5.0)  # only the first sample holds
+
+
+# ---------------------------------------------------------------------------
+# linear_fit / robust_scale
+# ---------------------------------------------------------------------------
+
+
+def test_linear_fit_exact_line_and_degenerate(spark):
+    from energy_pandas_spark.operators.analytics import linear_fit
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]
+    rows += [("b", 1.0, 5.0), ("b", 1.0, 7.0)]   # zero x-variance
+    rows += [("c", 3.0, 9.9)]                     # n < 2
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in linear_fit(df, "x", "y", by="g").collect()}
+    assert abs(got["a"]["slope"] - 2.0) < 1e-12
+    assert abs(got["a"]["intercept"] - 1.0) < 1e-12
+    assert abs(got["a"]["r2"] - 1.0) < 1e-12
+    assert got["b"]["slope"] is None and got["c"]["slope"] is None
+
+
+def test_linear_fit_single_shuffle_plan(spark):
+    from energy_pandas_spark.operators.analytics import linear_fit
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "g string, x double, y double"
+    )
+    plan = linear_fit(df, "x", "y", by="g")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_robust_scale_known_quartiles(spark):
+    from energy_pandas_spark.operators.analytics import robust_scale
+
+    # values 0..8: q1=2, med=4, q3=6, iqr=4
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)], "id long, value double"
+    )
+    got = {r["id"]: r["value"] for r in robust_scale(df).collect()}
+    assert abs(got[4] - 0.0) < 1e-12
+    assert abs(got[8] - 1.0) < 1e-12
+    assert abs(got[0] + 1.0) < 1e-12
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(4)], "id long, value double")
+    assert all(r["value"] == 0.0 for r in robust_scale(const).collect())
