@@ -1796,6 +1796,45 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, lm).orderBy("doc_id")
 
 
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: fraction of 8-token spans that also
+    occur in another document. Spans hash to longs at the scan (no
+    span strings shuffled); the distinct-doc count and the occurrence
+    join share one hash partitioning."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import span_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dup_stats(docs, k=8).orderBy("doc_id")
+
+
+_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+),
+dup AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM grams JOIN dup USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0) AS n_spans,
+       coalesce(per.n_dup, 0) AS n_dup_spans,
+       round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                  ELSE per.n_dup / per.n_spans::DOUBLE END, 6) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend (slope/intercept/r2) of event value over
     time: ONE hash aggregate of sufficient statistics, closed-form
@@ -3808,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "value_trend_by_type": value_trend_by_type,
         "robust_scale_by_type": robust_scale_by_type,
+        "doc_dup_spans": doc_dup_spans,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3934,6 +3974,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": _LM_SCORE_SQL,
         "value_trend_by_type": _TREND_SQL,
         "robust_scale_by_type": _ROBUST_SCALE_SQL,
+        "doc_dup_spans": _DUP_SPANS_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

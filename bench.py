@@ -48,6 +48,11 @@ HEADLINE = [
     "doc_repetition",
     "pack_sequences_docs",
     "ewma_final_per_user",
+    "semdedup_pairs",
+    "doc_classifier_score",
+    "doc_lm_score",
+    "value_trend_by_type",
+    "robust_scale_by_type",
 ]
 
 

@@ -38,6 +38,8 @@ __all__ = [
     "classifier_score",
     "bigram_lm_train",
     "bigram_lm_score",
+    "span_dup_stats",
+    "span_dedup_filter",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -631,3 +633,91 @@ def bigram_lm_score(
             F.coalesce("avg_p", F.lit(0.0)).alias("avg_p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document span dedup (duplicated k-token span fraction)
+# ---------------------------------------------------------------------------
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of k-token
+    span positions whose span also appears in ANOTHER document — the
+    sub-document dedup signal (duplicated paragraph/window share) that
+    corpus pipelines threshold on, complementing doc-level dedup
+    (within-doc repetition is ``repetition_stats``' job).
+
+    Plan: tokens materialize once per doc; spans hash to longs at the
+    scan (md5-prefix here for the cross-engine oracle; xxhash64 is the
+    cheaper drop-in at scale) so no span STRING is ever shuffled. One
+    shuffle on the span hash builds the distinct-doc count; the
+    join back to span occurrences reuses that same hash partitioning;
+    the per-doc re-aggregation is the only other exchange. Docs
+    shorter than ``k`` tokens contribute no spans and score 0.0.
+    """
+    from energy_pandas_spark.util import spread_partitions
+
+    toks = spread_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    m = F.size("__toks")
+    spans = F.when(
+        m >= k,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("__toks", i, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = toks.select(F.col(id_col), F.explode(spans).alias("__h"))
+    ndocs = occ.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    per = (
+        occ.join(ndocs, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    ids = df.select(F.col(id_col))
+    n_spans = F.coalesce("n_spans", F.lit(0))
+    n_dup = F.coalesce("n_dup_spans", F.lit(0))
+    return ids.join(per, id_col, "left").select(
+        id_col,
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(
+            F.when(n_spans == 0, F.lit(0.0)).otherwise(
+                n_dup.cast("double") / n_spans.cast("double")
+            ),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def span_dedup_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose duplicated-span fraction exceeds
+    ``max_dup_frac`` — the keep side of sub-document dedup. Ships only
+    (id, counters) through the stats joins; the text column rejoins at
+    the end by id."""
+    stats = span_dup_stats(df, text_col, id_col, k)
+    keep = stats.filter(F.col("dup_frac") <= max_dup_frac).select(F.col(id_col))
+    return df.join(keep, id_col, "left_semi")

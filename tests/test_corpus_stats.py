@@ -273,3 +273,28 @@ def test_bigram_lm_score_known_counts(spark):
     assert got[11]["n_bigrams"] == 0 and got[11]["avg_p"] == 0.0
     # unseen bigram with unseen context: p = 1/V = 1/2... (0+1)/(0+2)
     assert got[12]["n_bigrams"] == 1 and abs(got[12]["avg_p"] - 0.5) < 1e-6
+
+
+def test_span_dup_stats_and_filter(spark):
+    from energy_pandas_spark.operators.text import span_dedup_filter, span_dup_stats
+
+    shared = "alpha beta gamma delta"  # 4-token span shared by docs 0 and 1
+    rows = [
+        (0, shared + " one two"),
+        (1, shared + " three four"),
+        (2, "totally different words here now ok"),
+        (3, "tiny"),  # shorter than k -> no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dup_stats(df, k=4).collect()}
+    # doc0: spans at pos 1..3; only 'alpha beta gamma delta' is shared
+    assert got[0]["n_spans"] == 3 and got[0]["n_dup_spans"] == 1
+    assert got[1]["n_spans"] == 3 and got[1]["n_dup_spans"] == 1
+    assert got[2]["n_dup_spans"] == 0
+    assert got[3]["n_spans"] == 0 and got[3]["dup_frac"] == 0.0
+
+    kept = sorted(
+        r["doc_id"]
+        for r in span_dedup_filter(df, k=4, max_dup_frac=0.2).collect()
+    )
+    assert kept == [2, 3]
