@@ -604,6 +604,9 @@ def bigram_lm_score(
     LM table is huge; AQE picks broadcast when it is not). Integer
     counts + exactly-rounded division keep the per-bigram p identical
     across engines."""
+    # lm feeds three consumers (the pair join, c1, V); persist so the
+    # training corpus is tokenized once, not three times
+    lm = lm.persist()
     c1 = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = lm.select(F.countDistinct("w1").alias("v"))
     bg = _doc_bigrams(df, text_col, id_col)
@@ -679,7 +682,11 @@ def span_dup_stats(
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    occ = toks.select(F.col(id_col), F.explode(spans).alias("__h"))
+    # the hashed span stream feeds BOTH the distinct-doc count and the
+    # occurrence join; ReuseExchange does not catch the two consumers,
+    # so persist it (ids + longs only — a fraction of the text size;
+    # spills to disk rather than re-tokenizing the corpus twice)
+    occ = toks.select(F.col(id_col), F.explode(spans).alias("__h")).persist()
     ndocs = occ.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__n_docs")
     )
