@@ -1796,6 +1796,53 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, lm).orderBy("doc_id")
 
 
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct-count rollup WITHOUT rescans: per
+    (type, day) HLL sketches reduce the events table once; the
+    per-type and global levels merge sketch bytes only. Rows-only
+    check (approximate by design; error bounds asserted in tests)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sketches import (
+        cardinality_sketches,
+        merge_cardinality,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = cardinality_sketches(ev, "user_id", by=["event_type", "day"])
+    return (
+        merge_cardinality(daily, by="event_type")
+        .select("event_type", "approx_distinct")
+        .orderBy("event_type")
+    )
+
+
+def value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank pack over a keyed partition: percent_rank and
+    cume_dist of each event's value within its type (ties broken by
+    event_id so ranks are total and engine-stable)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_id")
+
+
+_RANK_STATS_SQL = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_id
+"""
+
+
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup signal: fraction of 8-token spans that also
     occur in another document. Spans hash to longs at the scan (no
@@ -3848,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend_by_type": value_trend_by_type,
         "robust_scale_by_type": robust_scale_by_type,
         "doc_dup_spans": doc_dup_spans,
+        "sketch_rollup_users": sketch_rollup_users,
+        "value_rank_stats": value_rank_stats,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -3975,6 +4024,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_by_type": _TREND_SQL,
         "robust_scale_by_type": _ROBUST_SCALE_SQL,
         "doc_dup_spans": _DUP_SPANS_SQL,
+        "value_rank_stats": _RANK_STATS_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

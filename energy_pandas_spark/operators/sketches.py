@@ -1,0 +1,114 @@
+"""Mergeable sketch rollups: distinct counts (HLL) and quantiles (KLL)
+that aggregate hierarchically WITHOUT rescanning history.
+
+The 100 TB pattern: the corpus lands in time/source partitions; each
+partition reduces once to a tiny binary sketch row; every downstream
+question (distinct users this month? p99 latency all-time?) merges
+sketches instead of re-reading data. Spark 4's DataSketches functions
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``kll_sketch_agg_double`` /
+``kll_sketch_merge_double``) are mergeable monoids, so partial
+aggregation, AQE re-partitioning, and incremental (streaming
+``foreachBatch``) maintenance all compose.
+
+Exact counterparts (``countDistinct``, ``percentile``) remain the
+oracle contract elsewhere in the engine; sketches are the documented
+approximate scale path with error bounded in tests (HLL lgK=12 ->
+~1.6% rse; KLL k=200 -> ~1.3% rank error).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "cardinality_sketches",
+    "merge_cardinality",
+    "quantile_sketches",
+    "merge_quantiles",
+]
+
+
+def _keys(by: str | Sequence[str] | None) -> list[str]:
+    return [by] if isinstance(by, str) else list(by or [])
+
+
+def cardinality_sketches(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    lgk: int = 12,
+    out_col: str = "hll",
+) -> DataFrame:
+    """Reduce each group to one mergeable HLL sketch (binary column).
+    One map-combined hash aggregate — the shuffle carries sketches
+    (~2^lgk bytes), never the raw values."""
+    keys = _keys(by)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias(out_col)
+    )
+
+
+def merge_cardinality(
+    sketches: DataFrame,
+    by: str | Sequence[str] | None = None,
+    sketch_col: str = "hll",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union sketch rows up a hierarchy level and estimate. Input rows
+    are sketches (e.g. per day); output is the coarser group (e.g. per
+    month) — no scan of the underlying data."""
+    keys = _keys(by)
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    )
+
+
+def quantile_sketches(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    k: int = 200,
+    out_col: str = "kll",
+) -> DataFrame:
+    """Reduce each group to one mergeable KLL quantile sketch over a
+    double column."""
+    keys = _keys(by)
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            out_col
+        )
+    )
+
+
+def merge_quantiles(
+    sketches: DataFrame,
+    quantiles: Sequence[float],
+    by: str | Sequence[str] | None = None,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Merge KLL sketch rows up a hierarchy level and read out the
+    requested quantiles as ``q_<pct>`` columns.
+
+    ``kll_sketch_merge_double`` is a binary scalar (no union
+    aggregate exists for KLL), so the group's sketches collect into an
+    array and fold pairwise. Safe because hierarchy fan-ins are small
+    (days -> month is ~31 KB-sized sketches per group), and the fold
+    is associative so the collect order does not matter."""
+    keys = _keys(by)
+    arr = F.collect_list(F.col(sketch_col))
+    merged = sketches.groupBy(*keys).agg(
+        F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("__m")
+    )
+    outs = [
+        F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
+            f"q_{int(round(q * 100)):02d}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*[F.col(c) for c in keys], *outs)

@@ -298,3 +298,68 @@ def test_span_dup_stats_and_filter(spark):
         for r in span_dedup_filter(df, k=4, max_dup_frac=0.2).collect()
     )
     assert kept == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketch rollups (HLL distinct, KLL quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_rollup_matches_exact_within_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.sketches import (
+        cardinality_sketches,
+        merge_cardinality,
+        merge_quantiles,
+        quantile_sketches,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    # build fine-grained (type, day) sketches; merge up to per-type
+    daily = cardinality_sketches(ev, "user_id", by=["event_type", "day"])
+    per_type = merge_cardinality(daily, by="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    joined = per_type.join(exact, "event_type").collect()
+    assert len(joined) == 5
+    for r in joined:
+        assert abs(r["approx_distinct"] - r["exact"]) <= max(5, 0.05 * r["exact"])
+
+    dq = quantile_sketches(ev, "value", by=["event_type", "day"])
+    qt = merge_quantiles(dq, [0.5, 0.9], by="event_type")
+    exact_q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    for r in qt.join(exact_q, "event_type").collect():
+        spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+        assert abs(r["q_50"] - r["p50"]) <= 0.05 * spread
+        assert abs(r["q_90"] - r["p90"]) <= 0.05 * spread
+
+
+def test_sketch_merge_associativity(spark):
+    """Merging per-part sketches must equal sketching the whole — the
+    property that makes incremental/hierarchical rollups sound."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.sketches import (
+        cardinality_sketches,
+        merge_cardinality,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("part"), (F.col("id") % 997).alias("v")
+    )
+    via_parts = merge_cardinality(
+        cardinality_sketches(df, "v", by="part"), by=None
+    ).first()[0]
+    direct = merge_cardinality(
+        cardinality_sketches(df, "v", by=None).withColumn("g", F.lit(1)),
+        by=None,
+    ).first()[0]
+    assert via_parts == direct
