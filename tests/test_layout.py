@@ -70,3 +70,46 @@ def test_compact_fragmented_dir(spark, tmp_path):
     )
     for (lo1, hi1), (lo2, hi2) in zip(stats, stats[1:]):
         assert hi1 < lo2
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Morton layout: per-file spans shrink in EVERY z-ordered
+    dimension, where single-key clustering leaves the trailing
+    dimension's span at ~full range."""
+    from energy_pandas_spark.sources.layout import write_zordered
+
+    df = spark.range(0, 16_384).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / F.lit(128)).cast("long").alias("y"),
+    )
+    zdir, cdir = str(tmp_path / "zord"), str(tmp_path / "single")
+    write_zordered(df, zdir, ["x", "y"], num_files=16, bits=8)
+    write_clustered(df, cdir, "x", num_files=16)
+
+    def avg_span(path, col):
+        spans = [
+            hi - lo
+            for _, lo, hi in file_column_stats(path, col)
+            if lo is not None
+        ]
+        return sum(spans) / len(spans)
+
+    # both dims tighten under z-order (global span is 127 each)
+    assert avg_span(zdir, "x") < 127 * 0.6
+    assert avg_span(zdir, "y") < 127 * 0.6
+    # single-key clustering: trailing dim y spans ~everything
+    assert avg_span(cdir, "y") > 127 * 0.9
+    # content preserved
+    assert spark.read.parquet(zdir).count() == 16_384
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from energy_pandas_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3)], "a long, b long")
+    got = [
+        r[0]
+        for r in df.select(zorder_key(["a", "b"], bits=2)).collect()
+    ]
+    # a occupies even bit positions, b odd: (1,0)->1, (0,1)->2, (3,3)->15
+    assert got == [1, 2, 15]
