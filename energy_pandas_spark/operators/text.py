@@ -526,6 +526,7 @@ def hashed_feature_weight(
 def classifier_score(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     salt: str = "clf-v1",
     bias: float = 0.0,
     threshold: float = 0.0,
@@ -534,21 +535,27 @@ def classifier_score(
     bag-of-words feature weights plus a bias, thresholded to a binary
     label.
 
-    The whole scorer is ONE codegen'd projection — tokenize, per-token
-    weight lookup (arithmetic on md5, no weight table to ship), and a
-    sequential ``aggregate`` fold — zero shuffles, scan-bound at any
-    corpus size. The sequential fold makes the score reproducible
-    across engines (DuckDB ``list_sum`` over the same doubles)."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    total = F.aggregate(
-        F.transform(toks, lambda t: hashed_feature_weight(t, salt)),
-        F.lit(0.0),
-        lambda acc, w: acc + w,
+    Tokens explode to one codegen'd row stream (md5-bucket weight
+    arithmetic inline), then ONE map-combined hash aggregate sums per
+    document — the shuffle carries two numbers per doc. An
+    ``aggregate``/``transform`` fold would be shuffle-free but runs in
+    Spark's HOF interpreter (~10x slower in the hot path); because the
+    weights are dyadic rationals every partial sum is exact, so the
+    exploded aggregation order produces bit-identical scores to any
+    sequential fold (and to the DuckDB oracle)."""
+    src = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    per_doc = src.groupBy(id_col).agg(
+        F.sum(hashed_feature_weight(F.col("__t"), salt)).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    score = F.when(n == 0, F.lit(bias)).otherwise(total / n + F.lit(bias))
-    return df.withColumn("score", F.round(score, 6)).withColumn(
-        "label_pred", (score > F.lit(threshold)).cast("int")
+    score = F.when(
+        F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(bias)
+    ).otherwise(F.col("__total") / F.col("__n") + F.lit(bias))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("score", F.round(score, 6))
+        .withColumn("label_pred", (score > F.lit(threshold)).cast("int"))
+        .drop("__total", "__n")
     )
 
 

@@ -244,12 +244,15 @@ def test_classifier_score_deterministic_and_bounded(spark):
     assert -1.0 <= rows[0]["score"] <= 1.0
 
 
-def test_classifier_score_zero_shuffle_plan(spark):
+def test_classifier_score_single_agg_plan(spark):
+    """One exploded hash aggregate + the id join — no HOF interpreter
+    nodes in the hot path."""
     from energy_pandas_spark.operators.text import classifier_score
 
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final, one agg
+    assert "aggregate(" not in plan  # no interpreted fold expression
 
 
 def test_bigram_lm_score_known_counts(spark):
