@@ -107,3 +107,84 @@ def test_unit_conversion_roundtrip(spark, vals):
     assert back.units["value"].dimensionless is False
     for a, b in zip(sorted(vals), sorted(got)):
         assert abs(a - b) <= 1e-9 * max(abs(a), 1.0) + 1e-9
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=30,
+    ),
+    dx=st.floats(min_value=-10, max_value=10, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_linear_fit_translation_invariance(spark, pts, dx):
+    """Slope and r2 are invariant under x-translation; r2 stays in
+    [0, 1] whenever defined."""
+    from energy_pandas_spark.operators.analytics import linear_fit
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    base = linear_fit(df, "x", "y").first()
+    shifted = linear_fit(
+        df.withColumn("x", F.col("x") + F.lit(dx)), "x", "y"
+    ).first()
+    if base["slope"] is not None and shifted["slope"] is not None:
+        assert abs(base["slope"] - shifted["slope"]) < 1e-6 * (
+            1 + abs(base["slope"])
+        )
+    if base["r2"] is not None:
+        assert -1e-9 <= base["r2"] <= 1 + 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cdefg",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_classifier_score_bounds_and_determinism(spark, texts):
+    """Scores are means of [-1,1] weights (plus bias 0) and depend only
+    on content — duplicate texts always get identical scores."""
+    from energy_pandas_spark.operators.text import classifier_score
+
+    rows = [(i, t) for i, t in enumerate(texts + texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = classifier_score(df).collect()
+    n = len(texts)
+    by_id = {r["doc_id"]: r["score"] for r in got}
+    for i in range(n):
+        assert by_id[i] == by_id[i + n]
+        assert -1.0 <= by_id[i] <= 1.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_robust_scale_median_maps_to_zero(spark, vals):
+    from energy_pandas_spark.operators.analytics import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, value double"
+    )
+    out = robust_scale(df).collect()
+    scaled = sorted(r["value"] for r in out)
+    # median of the scaled values is ~0 (exactly 0 for odd n), and the
+    # transform is monotone
+    n = len(scaled)
+    if n % 2 == 1:
+        assert abs(scaled[n // 2]) < 1e-9
