@@ -373,3 +373,32 @@ def test_semantic_dedup_pairs_one_cluster_shuffle(spark):
     # centroid assignment must not add an exchange of its own: the only
     # exchanges are the cluster groupBy and the two pair-verify joins.
     assert plan.count("Exchange") <= 6
+
+
+def test_end_to_end_corpus_pipeline_shuffle_budget(spark):
+    """The composed cleaning pipeline — classifier gate -> span-dedup
+    filter -> token stats — must stay within a fixed shuffle budget
+    when chained into ONE plan: operators may not sneak per-stage
+    global sorts or unkeyed windows in when composed."""
+    from energy_pandas_spark.operators.text import (
+        classifier_score,
+        span_dedup_filter,
+        token_count,
+    )
+
+    rows = [(i, f"tok{i % 7} common words for doc {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = classifier_score(df).filter("score > -1.0")
+    kept = span_dedup_filter(
+        scored.select("doc_id", "text"), k=4, max_dup_frac=0.9
+    )
+    final = kept.withColumn("n_tokens", token_count("text"))
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    # textual count includes the persisted span-stream subtree (it
+    # executes once); the invariants that matter at scale: no global
+    # sort, no single-partition funnel, no cross product
+    assert plan.count("Exchange") <= 14
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert final.count() == 50
