@@ -1,0 +1,101 @@
+"""Continuous sketch maintenance: keep a per-key HLL distinct-count
+table up to date from a stream without ever rescanning history.
+
+Each micro-batch reduces to per-key batch sketches (one map-combined
+aggregate over the batch only), unions them with the stored sketches,
+and swaps the tiny sketch table atomically (stage + rename, same
+pattern as ``sources.layout.compact``). Any rollup level then reads
+off the table via ``operators.sketches.merge_cardinality`` — no scan
+of the underlying events, ever.
+
+Replay safety comes from the algebra, not bookkeeping: an HLL sketch
+is a vector of register maxima and union is element-wise ``max``, so
+re-merging the SAME batch sketch is a no-op. At-least-once delivery
+therefore cannot inflate estimates — no batch-id stamps needed (unlike
+the sum-merge rollup in ``streaming/rollup.py``, where replays would
+double-count).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["make_cardinality_writer", "continuous_cardinality", "read_cardinality"]
+
+
+def _swap(spark: SparkSession, tmp: str, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"sketch table swap {tmp} -> {path} failed")
+
+
+def make_cardinality_writer(
+    path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> Callable[[DataFrame, int], None]:
+    """Build the per-micro-batch ``foreachBatch`` writer (exposed for
+    direct testing of crash/replay behavior)."""
+    keys = list(key_cols)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll")
+        )
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:  # first batch
+            existing = None
+        if existing is not None:
+            merged = (
+                existing.unionByName(fresh)
+                .groupBy(*keys)
+                .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+            )
+        else:
+            merged = fresh
+        tmp = path.rstrip("/") + "__staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap(spark, tmp, path)
+
+    return write_batch
+
+
+def continuous_cardinality(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+    trigger_available_now: bool = True,
+):
+    """Start the maintenance query; returns the StreamingQuery."""
+    write_batch = make_cardinality_writer(path, key_cols, value_col, lgk)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cardinality(
+    spark: SparkSession,
+    path: str,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Estimate distinct counts at any rollup level from the sketch
+    table alone."""
+    from energy_pandas_spark.operators.sketches import merge_cardinality
+
+    return merge_cardinality(spark.read.parquet(path), by=by)

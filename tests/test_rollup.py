@@ -149,3 +149,48 @@ def test_pre_stamp_table_upgrades_cleanly(spark, tmp_path):
     write_batch(batch, 7)
     again = spark.read.parquet(out).collect()
     assert again[0].n_events == 2
+
+
+# ---------------------------------------------------------------------------
+# continuous cardinality sketches (streaming/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_continuous_cardinality_merges_and_survives_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.streaming.stats import (
+        make_cardinality_writer,
+        read_cardinality,
+    )
+
+    path = str(tmp_path / "card_sketches")
+    w = make_cardinality_writer(path, ["event_type"], "user_id")
+
+    b1 = spark.createDataFrame(
+        [("click", i % 50) for i in range(500)], "event_type string, user_id long"
+    )
+    b2 = spark.createDataFrame(
+        [("click", 25 + i % 50) for i in range(500)]
+        + [("view", i) for i in range(30)],
+        "event_type string, user_id long",
+    )
+    w(b1, 0)
+    w(b2, 1)
+    got = {r["event_type"]: r["approx_distinct"] for r in
+           read_cardinality(spark, path, by="event_type").collect()}
+    # true distincts: click = |0..74| = 75, view = 30 (HLL at lgk=12 is
+    # exact-ish at this cardinality)
+    assert abs(got["click"] - 75) <= 2
+    assert abs(got["view"] - 30) <= 1
+
+    # replay batch 1: union is register-max, estimates must not move
+    w(b2, 1)
+    again = {r["event_type"]: r["approx_distinct"] for r in
+             read_cardinality(spark, path, by="event_type").collect()}
+    assert again == got
+
+    # global level rolls up from the same table, no rescan; view's
+    # users (0..29) are a subset of click's (0..74) -> 75 overall
+    total = read_cardinality(spark, path, by=None).first()["approx_distinct"]
+    assert abs(total - 75) <= 2
