@@ -235,11 +235,16 @@ def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("__tp"), F.asc("c_custkey"))
+    from energy_pandas_spark.operators.analytics import topk_per_group
+
+    ranked = topk_per_group(
+        joined,
+        by="c_nationkey",
+        order_by=[F.desc("__tp"), F.asc("c_custkey")],
+        k=3,
+    )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
+        ranked.select(
             "c_nationkey",
             "rank",
             "c_custkey",

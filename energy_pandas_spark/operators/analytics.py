@@ -44,6 +44,7 @@ __all__ = [
     "time_weighted_avg",
     "linear_fit",
     "robust_scale",
+    "topk_per_group",
 ]
 
 
@@ -673,3 +674,28 @@ def robust_scale(
             .alias(c + suffix)
         )
     return out.select(*[F.col(k) for k in keep], *scaled)
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: str | Sequence[str],
+    order_by: Sequence[Column] | Column,
+    k: int,
+    rank_col: str = "rank",
+    dense: bool = False,
+) -> DataFrame:
+    """Top-k rows per group: ``row_number`` (or ``dense_rank``) over a
+    keyed window, filtered to ``<= k``.
+
+    Callers MUST pass a total order (include a unique tiebreak column)
+    for deterministic, engine-stable results — ranks on a partial
+    order depend on shuffle arrival order. Scale shape: one hash
+    shuffle on the group keys + in-partition sort; never a global
+    sort. For k=1 prefer ``max_by``/``min_by`` (no sort at all)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_by] if isinstance(order_by, Column) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    fn = F.dense_rank() if dense else F.row_number()
+    return df.withColumn(rank_col, fn.over(w)).filter(
+        F.col(rank_col) <= k
+    )

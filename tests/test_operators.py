@@ -450,3 +450,35 @@ def test_robust_scale_known_quartiles(spark):
 
     const = spark.createDataFrame([(i, 5.0) for i in range(4)], "id long, value double")
     assert all(r["value"] == 0.0 for r in robust_scale(const).collect())
+
+
+def test_topk_per_group_deterministic_with_ties(spark):
+    from energy_pandas_spark.operators.analytics import topk_per_group
+
+    rows = [("a", 5.0, 1), ("a", 5.0, 2), ("a", 3.0, 3), ("b", 1.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = topk_per_group(
+        df, by="g", order_by=[F.desc("v"), F.asc("id")], k=2
+    ).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["id"]))
+    assert sorted(by_g["a"]) == [(1, 1), (2, 2)]  # tie broken by id
+    assert by_g["b"] == [(1, 4)]
+
+    dense = topk_per_group(
+        df, by="g", order_by=[F.desc("v")], k=1, dense=True
+    ).collect()
+    # dense_rank keeps BOTH tied rows at rank 1
+    assert len([r for r in dense if r["g"] == "a"]) == 2
+
+
+def test_topk_per_group_no_global_sort(spark):
+    from energy_pandas_spark.operators.analytics import topk_per_group
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, id long")
+    plan = topk_per_group(
+        df, by="g", order_by=[F.desc("v"), F.asc("id")], k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
