@@ -1708,7 +1708,7 @@ WITH cent AS (
   FROM embeddings WHERE vec_id < 16
 ),
 assign AS (
-  SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid::INT AS cluster FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (
         PARTITION BY e.vec_id
@@ -3547,9 +3547,9 @@ def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_SQL = """
 SELECT l_linestatus,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
