@@ -93,13 +93,26 @@ class TestScalabilitySmells:
         assert "MapInPandas" not in plan
         assert "partial" in plan.lower()
 
-    def test_simhash_path_is_jvm_only(self, spark, sf_dir):
+    def test_simhash_signature_is_map_side(self, spark, sf_dir):
+        """The signature itself must add NO exchange (it is a per-row
+        computation: tokenize+hash JVM-side, bit-vote majority in one
+        Arrow batch kernel — never row-at-a-time Python); the only
+        shuffles in the pair query are banding + pair distinct."""
+        from energy_pandas_spark.operators.dedup import simhash64
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sig_plan = (
+            simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in sig_plan
+        assert "BatchEvalPython" not in sig_plan  # Arrow batches only
+
         df = entrymod.simhash_pairs(spark, sf_dir)
         from energy_pandas_spark.plans.explain import formatted_plan
 
         plan = formatted_plan(df)
-        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan
 
     def test_clean_corpus_is_single_shuffle(self, spark, sf_dir):
         """The whole cleaning pipeline (langid + quality + dedup) must
