@@ -105,7 +105,10 @@ class TestScalabilitySmells:
         sig_plan = (
             simhash64(docs)._jdf.queryExecution().executedPlan().toString()
         )
-        assert "Exchange" not in sig_plan
+        # the only permissible exchange is spread_partitions' roundrobin
+        # (single-split local scans); no key shuffle belongs here
+        assert "hashpartitioning" not in sig_plan
+        assert "SinglePartition" not in sig_plan
         assert "BatchEvalPython" not in sig_plan  # Arrow batches only
 
         df = entrymod.simhash_pairs(spark, sf_dir)
