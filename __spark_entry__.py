@@ -1801,6 +1801,69 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, lm).orderBy("doc_id")
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: per-stage conditional
+    min-timestamp aggregates joined on the user key (co-partitioned
+    exchanges), all prefixes counted in ONE lazy plan."""
+    _prep(spark)
+    from energy_pandas_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 0 AS step_index, 'view' AS step, count(*) AS n_users FROM s0
+  UNION ALL SELECT 1, 'click', count(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+) ORDER BY step_index
+"""
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: first-activity cohort per
+    user + distinct user-weeks, joined on the user key; one
+    count-distinct per (cohort, offset)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week").orderBy(
+        "cohort", "period_offset"
+    )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+)
+SELECT cohort::DATE AS cohort,
+       (date_diff('day', cohort::DATE, p::DATE) / 7)::INT AS period_offset,
+       count(DISTINCT user_id) AS n_active
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical distinct-count rollup WITHOUT rescans: per
     (type, day) HLL sketches reduce the events table once; the
@@ -3902,6 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "sketch_rollup_users": sketch_rollup_users,
         "value_rank_stats": value_rank_stats,
+        "funnel_events": funnel_events,
+        "cohort_retention_weekly": cohort_retention_weekly,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4030,6 +4095,8 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale_by_type": _ROBUST_SCALE_SQL,
         "doc_dup_spans": _DUP_SPANS_SQL,
         "value_rank_stats": _RANK_STATS_SQL,
+        "funnel_events": _FUNNEL_SQL,
+        "cohort_retention_weekly": _COHORT_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -482,3 +482,46 @@ def test_topk_per_group_no_global_sort(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_funnel_ordered_and_within(spark):
+    from energy_pandas_spark.operators.behavior import funnel
+
+    rows = [
+        # u1 completes in order; u2 clicks BEFORE viewing (no conversion);
+        # u3 views only; u4 completes but too slowly for within=60
+        (1, "view", "2024-01-01 10:00:00"), (1, "click", "2024-01-01 10:00:10"),
+        (1, "purchase", "2024-01-01 10:00:20"),
+        (2, "click", "2024-01-01 09:00:00"), (2, "view", "2024-01-01 09:30:00"),
+        (3, "view", "2024-01-01 08:00:00"),
+        (4, "view", "2024-01-01 00:00:00"), (4, "click", "2024-01-01 01:00:00"),
+        (4, "purchase", "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {r["step"]: r["n_users"] for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 2}
+
+    tight = {r["step"]: r["n_users"] for r in
+             funnel(df, ["view", "click", "purchase"], within_seconds=60).collect()}
+    assert tight == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    from energy_pandas_spark.operators.behavior import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 12:00:00"),  # Monday, week A
+        (1, "2024-01-09 12:00:00"),  # week A+1
+        (2, "2024-01-02 12:00:00"),  # week A
+        (3, "2024-01-10 12:00:00"),  # week A+1 cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, period="week").collect()}
+    assert got[("2024-01-01", 0)] == 2      # u1, u2 in week A
+    assert got[("2024-01-01", 1)] == 1      # u1 returns
+    assert got[("2024-01-08", 0)] == 1      # u3's own cohort
