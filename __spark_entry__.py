@@ -3798,7 +3798,9 @@ def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _clean_corpus_sql() -> str:
+def _clean_corpus_core() -> str:
+    """The cleaning pipeline as a reusable SQL body: one row per kept
+    document with (doc_id, text, lang_pred, n_tokens, fingerprint)."""
     votes, case = _langid_vote_sql()
     return f"""
 WITH t AS (
@@ -3823,13 +3825,93 @@ WITH t AS (
                   AS DOUBLE) AS repetition_ratio
   FROM s
 )
-SELECT doc_id, lang_pred, n_tokens,
+SELECT doc_id, text, lang_pred, n_tokens,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM feat
 WHERE lang_pred = 'en' AND n_tokens >= 10
   AND alpha_ratio >= 0.6 AND repetition_ratio <= 0.4
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
-ORDER BY doc_id
+"""
+
+
+def _clean_corpus_sql() -> str:
+    return (
+        f"WITH cleaned AS ({_clean_corpus_core()})\n"
+        "SELECT doc_id, lang_pred, n_tokens, fingerprint FROM cleaned "
+        "ORDER BY doc_id"
+    )
+
+
+def prepare_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: clean (lang/quality/exact-dedup) ->
+    classifier gate -> span-dedup filter, one lazy plan, engine-exact
+    at every predicate."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import prepare_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_training_corpus(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "score",
+        "n_spans",
+        "n_dup_spans",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+def _prepare_corpus_sql() -> str:
+    return f"""
+WITH cleaned AS ({_clean_corpus_core()}),
+clf AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE s / len(toks) END AS score
+  FROM (
+    SELECT doc_id, toks,
+           list_sum(list_transform(toks, tk ->
+             (('0x' || substr(md5('clf-v1' || tk), 1, 15))::BIGINT % 2049
+                - 1024) / 1024.0)) AS s
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM cleaned
+    )
+  )
+),
+gated AS (
+  -- the engine gates on the ROUNDED score column; compare identically
+  SELECT c.doc_id, c.text, c.lang_pred, c.n_tokens, clf.score
+  FROM cleaned c JOIN clf USING (doc_id)
+  WHERE round(clf.score, 6) >= -0.05
+),
+gtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x != '') AS t
+  FROM gated
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+  FROM gtoks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+),
+dup AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM grams JOIN dup USING (g) GROUP BY 1
+)
+SELECT g.doc_id, g.lang_pred, g.n_tokens, round(g.score, 6) AS score,
+       coalesce(per.n_spans, 0) AS n_spans,
+       coalesce(per.n_dup, 0) AS n_dup_spans,
+       round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                  ELSE per.n_dup / per.n_spans::DOUBLE END, 6) AS dup_frac
+FROM gated g LEFT JOIN per USING (doc_id)
+WHERE round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                 ELSE per.n_dup / per.n_spans::DOUBLE END, 6) <= 0.5
+ORDER BY g.doc_id
 """
 
 
@@ -3967,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_rank_stats": value_rank_stats,
         "funnel_events": funnel_events,
         "cohort_retention_weekly": cohort_retention_weekly,
+        "prepare_corpus_docs": prepare_corpus_docs,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4097,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "value_rank_stats": _RANK_STATS_SQL,
         "funnel_events": _FUNNEL_SQL,
         "cohort_retention_weekly": _COHORT_SQL,
+        "prepare_corpus_docs": _prepare_corpus_sql(),
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

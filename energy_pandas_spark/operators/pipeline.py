@@ -20,7 +20,7 @@ from energy_pandas_spark.operators.text import (
     quality_features,
 )
 
-__all__ = ["clean_corpus"]
+__all__ = ["clean_corpus", "prepare_training_corpus"]
 
 
 def clean_corpus(
@@ -52,4 +52,51 @@ def clean_corpus(
         fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    min_alpha_ratio: float = 0.6,
+    max_repetition_ratio: float = 0.4,
+    min_score: float = -0.05,
+    span_k: int = 8,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """The full corpus-preparation pipeline in ONE lazy plan:
+    language/quality filter + exact dedup (``clean_corpus``) ->
+    hashed-classifier quality gate -> sub-document span-dedup filter.
+
+    Composition keeps each stage's scale shape: the cleaning stage is
+    one exchange (fingerprint co-location), the classifier one
+    (doc-keyed sum), the span stats two (span-hash + doc re-agg) over
+    the ALREADY-REDUCED corpus — filters run early, text is scanned
+    once per hashing stage and never shuffled as raw strings. Every
+    predicate compares integer-ratio doubles or dyadic sums, so the
+    kept set is engine-exact end to end."""
+    from energy_pandas_spark.operators.text import (
+        classifier_score,
+        span_dup_stats,
+    )
+
+    cleaned = clean_corpus(
+        df,
+        text_col,
+        id_col,
+        keep_langs,
+        min_tokens,
+        min_alpha_ratio,
+        max_repetition_ratio,
+    )
+    gated = classifier_score(cleaned, text_col, id_col).filter(
+        F.col("score") >= min_score
+    )
+    stats = span_dup_stats(gated, text_col, id_col, span_k)
+    keep = stats.filter(F.col("dup_frac") <= max_dup_frac)
+    return gated.join(
+        keep.select(id_col, "n_spans", "n_dup_spans", "dup_frac"), id_col
     )
