@@ -1801,6 +1801,31 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, lm).orderBy("doc_id")
 
 
+def key_skew_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis on the events type key: heaviest
+    groups with row share and uniform-ratio skew factor. One
+    map-combined aggregate + 1-row broadcast + TakeOrdered."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import skew_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_stats(ev, "event_type", top=5)
+
+
+_SKEW_SQL = """
+WITH counts AS (
+  SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+SELECT event_type, n_rows,
+       round(n_rows / total::DOUBLE, 6) AS row_share,
+       round(n_rows * n_keys / total::DOUBLE, 6) AS skew_factor
+FROM counts, tot
+ORDER BY n_rows DESC, event_type
+LIMIT 5
+"""
+
+
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel: per-stage conditional
     min-timestamp aggregates joined on the user key (co-partitioned
@@ -4050,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": funnel_events,
         "cohort_retention_weekly": cohort_retention_weekly,
         "prepare_corpus_docs": prepare_corpus_docs,
+        "key_skew_event_types": key_skew_event_types,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4181,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": _FUNNEL_SQL,
         "cohort_retention_weekly": _COHORT_SQL,
         "prepare_corpus_docs": _prepare_corpus_sql(),
+        "key_skew_event_types": _SKEW_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -53,6 +53,10 @@ HEADLINE = [
     "doc_lm_score",
     "value_trend_by_type",
     "robust_scale_by_type",
+    "doc_dup_spans",
+    "funnel_events",
+    "cohort_retention_weekly",
+    "prepare_corpus_docs",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "linear_fit",
     "robust_scale",
     "topk_per_group",
+    "skew_stats",
 ]
 
 
@@ -698,4 +699,39 @@ def topk_per_group(
     fn = F.dense_rank() if dense else F.row_number()
     return df.withColumn(rank_col, fn.over(w)).filter(
         F.col(rank_col) <= k
+    )
+
+
+def skew_stats(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    top: int = 20,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis: the ``top`` heaviest key groups with
+    their share of all rows and the heavy-hitter ratio vs a perfectly
+    uniform distribution. Run this BEFORE keying a big join/agg on a
+    column — a top share of several percent means the key needs
+    salting (``salted_join``) or AQE skew handling.
+
+    One map-combined aggregate + a 1-row broadcast for the totals;
+    the top-k is a TakeOrdered, never a global sort.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top)
     )

@@ -525,3 +525,15 @@ def test_cohort_retention_triangle(spark):
     assert got[("2024-01-01", 0)] == 2      # u1, u2 in week A
     assert got[("2024-01-01", 1)] == 1      # u1 returns
     assert got[("2024-01-08", 0)] == 1      # u3's own cohort
+
+
+def test_skew_stats_flags_heavy_key(spark):
+    from energy_pandas_spark.operators.analytics import skew_stats
+
+    rows = [("hot", i) for i in range(90)] + [("a", 1), ("b", 2)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = skew_stats(df, "k", top=2).collect()
+    assert got[0]["k"] == "hot" and got[0]["n_rows"] == 90
+    # 3 keys, 92 rows: uniform share would be ~30.7 rows -> factor ~2.93
+    assert got[0]["skew_factor"] > 2.9
+    assert abs(got[0]["row_share"] - 90 / 92) < 1e-6
