@@ -30,6 +30,8 @@ __all__ = [
     "file_column_stats",
     "zorder_key",
     "write_zordered",
+    "build_manifest",
+    "pruned_read",
 ]
 
 
@@ -179,4 +181,75 @@ def write_zordered(
         .drop("__zkey")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def build_manifest(spark: SparkSession, path: str, columns: list[str]) -> "DataFrame":
+    """Per-file min/max manifest over ``columns`` read from parquet
+    footers (pyarrow, no Spark job over the data) — the Delta/Iceberg
+    data-skipping pattern without a table format: persist the manifest
+    next to the data and prune file lists BEFORE the scan, so the
+    driver never even lists non-qualifying files into the plan.
+
+    Returns a DataFrame (file, <col>_min, <col>_max, ...); write it
+    wherever table metadata lives.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        stats: dict = {"file": os.path.join(path, f)}
+        for c in columns:
+            idx = md.schema.names.index(c)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            stats[f"{c}_min"] = lo
+            stats[f"{c}_max"] = hi
+        rows.append(stats)
+    if not rows:
+        raise ValueError(f"build_manifest: no parquet files under {path}")
+    return spark.createDataFrame(rows)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    manifest: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Read only the files whose [min, max] for ``column`` intersects
+    [lo, hi], using the manifest (built on the fly if not supplied).
+    With a Z-ordered or range-clustered layout this touches O(1) of
+    the files for a point/range predicate; the residual filter is
+    still applied, so results are exact regardless of layout.
+
+    The driver-side file pruning composes WITH parquet footer pruning:
+    fewer files enter the plan at all (less listing/open cost), and
+    row-group stats prune further inside the survivors.
+    """
+    m = manifest if manifest is not None else build_manifest(spark, path, [column])
+    mn, mx = f"{column}_min", f"{column}_max"
+    files = [
+        r["file"]
+        for r in m.collect()
+        if r[mn] is None or not (r[mx] < lo or r[mn] > hi)
+    ]
+    if not files:
+        return (
+            spark.read.parquet(path)
+            .filter((F.col(column) >= lo) & (F.col(column) <= hi))
+            .limit(0)
+        )
+    return spark.read.parquet(*files).filter(
+        (F.col(column) >= lo) & (F.col(column) <= hi)
     )

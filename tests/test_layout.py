@@ -113,3 +113,31 @@ def test_zorder_key_interleaves_bits(spark):
     ]
     # a occupies even bit positions, b odd: (1,0)->1, (0,1)->2, (3,3)->15
     assert got == [1, 2, 15]
+
+
+def test_manifest_pruned_read_touches_few_files(spark, tmp_path):
+    from energy_pandas_spark.sources.layout import build_manifest, pruned_read
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    out = str(tmp_path / "man")
+    write_clustered(df, out, "user_id", num_files=8)
+    manifest = build_manifest(spark, out, ["user_id"])
+    assert manifest.count() == 8
+
+    got = pruned_read(spark, out, "user_id", 4200, 4300, manifest)
+    rows = got.collect()
+    assert len(rows) == 101
+    # the plan should reference exactly ONE input file (disjoint ranges)
+    files = {
+        r["file"]
+        for r in manifest.collect()
+        if not (r["user_id_max"] < 4200 or r["user_id_min"] > 4300)
+    }
+    assert len(files) == 1
+    assert got.select(F.input_file_name()).distinct().count() == 1
+
+    # out-of-range predicate: empty frame, correct schema, no files read
+    empty = pruned_read(spark, out, "user_id", 100_000, 200_000, manifest)
+    assert empty.count() == 0 and "user_id" in empty.columns
