@@ -1570,6 +1570,46 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup join BETWEEN two corpora (new slice vs historical
+    store, split on doc_id here): both sides band with the same
+    permutations, per-bucket id lists equi-join so ONLY cross pairs
+    expand, true-Jaccard verify on candidates. Oracle = brute-force
+    cross Jaccard (sound for the same 4e-8-miss reason as
+    minhash_pairs)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    store = docs.filter(F.col("doc_id") < 250)
+    return crosscorpus_neardup_pairs(
+        new, store, threshold=0.5, num_hashes=64, bands=16
+    ).orderBy("id_new", "id_store")
+
+
+_CROSSCORPUS_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+    FROM documents
+  )
+)
+SELECT id_new, id_store, jaccard FROM (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_store,
+         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id >= 250 AND b.doc_id < 250
+)
+WHERE jaccard >= 0.5
+ORDER BY id_new, id_store
+"""
+
+
 def _brute_jaccard_sql(threshold: float) -> str:
     # word-3-gram shingles exactly as functions.textfns.word_shingles:
     # docs shorter than 3 tokens contribute their full join (the i=1
@@ -4076,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": cohort_retention_weekly,
         "prepare_corpus_docs": prepare_corpus_docs,
         "key_skew_event_types": key_skew_event_types,
+        "crosscorpus_neardup": crosscorpus_neardup,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4208,6 +4249,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_weekly": _COHORT_SQL,
         "prepare_corpus_docs": _prepare_corpus_sql(),
         "key_skew_event_types": _SKEW_SQL,
+        "crosscorpus_neardup": _CROSSCORPUS_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -54,6 +54,7 @@ __all__ = [
     "assign_semantic_clusters",
     "semantic_dedup_pairs",
     "semantic_dedup",
+    "crosscorpus_neardup_pairs",
 ]
 
 
@@ -210,33 +211,24 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_candidates(
+def _banded_buckets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 3,
-    max_bucket: int = 1000,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_size: int,
+    seed: int,
     kind: str = "word",
-    seed: int = 13,
 ) -> DataFrame:
-    """PERSISTED candidate pair set (id_a < id_b) from banded MinHash
-    LSH — the shared candidate generator behind Jaccard near-dup,
-    n-gram Jaccard, and edit-distance fuzzy matching (each applies its
-    own verify predicate).
-
-    Plan shape: scan -> signature expressions -> explode bands (xB) ->
-    ONE shuffle on (band, bucket-hash) with bucket-grouped double
-    explode (no self-join) -> pair distinct. Persisted because callers
-    reference it multiple times (id extraction + per-side verify
-    joins); candidates are tiny relative to the corpus."""
+    """(id, band, bucket) stream: signature aggregate -> band explode.
+    The bucket is an xxhash64 of the band's signature rows, so the
+    banding shuffle carries (id, int, long) only."""
     rows_per_band = num_hashes // bands
     mins = _minhash_agg(
         _spread(df), text_col, id_col, num_hashes, shingle_size, seed, kind
     )
-
-    banded = mins.select(
+    return mins.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -258,6 +250,32 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket: int = 1000,
+    kind: str = "word",
+    seed: int = 13,
+) -> DataFrame:
+    """PERSISTED candidate pair set (id_a < id_b) from banded MinHash
+    LSH — the shared candidate generator behind Jaccard near-dup,
+    n-gram Jaccard, and edit-distance fuzzy matching (each applies its
+    own verify predicate).
+
+    Plan shape: scan -> signature expressions -> explode bands (xB) ->
+    ONE shuffle on (band, bucket-hash) with bucket-grouped double
+    explode (no self-join) -> pair distinct. Persisted because callers
+    reference it multiple times (id extraction + per-side verify
+    joins); candidates are tiny relative to the corpus."""
+    banded = _banded_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_size, seed, kind
+    )
 
     # bucket-grouped pair expansion: ONE shuffle on (band, bucket),
     # pairs generated by a double explode inside each bucket — no
@@ -845,3 +863,88 @@ def semantic_dedup(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def crosscorpus_neardup_pairs(
+    new: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — "dedup the new crawl
+    against the historical store at near-dup level" (exact-digest
+    cross-dedup is ``dedup_incremental``). Returns
+    (id_new, id_store, jaccard) with jaccard >= threshold.
+
+    Both sides band with the SAME seed/permutations, then per-(band,
+    bucket) id lists equi-join — the join produces ONLY cross pairs,
+    no within-side work, and ``max_bucket`` caps each side of the
+    per-bucket cartesian. The verify re-joins shingle sets for the
+    candidate ids only. At scale the store's banded buckets can be
+    precomputed and persisted once per epoch; the per-batch cost is
+    banding the new slice plus the bucket join.
+    """
+    bn = (
+        _banded_buckets(
+            new, text_col, id_col, num_hashes, bands, shingle_size, seed
+        )
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__new_ids"))
+        .filter(F.size("__new_ids") <= max_bucket)
+    )
+    bs = (
+        _banded_buckets(
+            store, text_col, id_col, num_hashes, bands, shingle_size, seed
+        )
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__store_ids"))
+        .filter(F.size("__store_ids") <= max_bucket)
+    )
+    cand = (
+        bn.join(bs, ["band", "bucket"])
+        .select(
+            F.explode("__new_ids").alias("id_new"), F.col("__store_ids")
+        )
+        .select("id_new", F.explode("__store_ids").alias("id_store"))
+        .distinct()
+        .persist()
+    )
+    shn = _shingle_sets(
+        new.join(
+            cand.select(F.col("id_new").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        shingle_size,
+    )
+    shs = _shingle_sets(
+        store.join(
+            cand.select(F.col("id_store").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        shingle_size,
+    )
+    return (
+        cand.join(
+            shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}),
+            "id_new",
+        )
+        .join(
+            shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}),
+            "id_store",
+        )
+        .withColumn("jaccard", F.round(jaccard("sh_n", "sh_s"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_store", "jaccard")
+    )

@@ -402,3 +402,27 @@ def test_end_to_end_corpus_pipeline_shuffle_budget(spark):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert final.count() == 50
+
+
+def test_crosscorpus_neardup_only_cross_pairs(spark, docs):
+    from energy_pandas_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    new = docs.filter("doc_id >= 3")      # de, fr, distinct, empty
+    store = docs.filter("doc_id < 3")     # dup pair 0/1, near-dup 2
+    got = crosscorpus_neardup_pairs(
+        new, store, threshold=0.3, shingle_size=3
+    ).collect()
+    # nothing in the new slice resembles the store -> empty, and never
+    # any within-side pair
+    assert got == []
+
+    # now make the split cut across the duplicate cluster
+    new2, store2 = docs.filter("doc_id IN (1, 2)"), docs.filter("doc_id = 0")
+    pairs = {
+        (r["id_new"], r["id_store"])
+        for r in crosscorpus_neardup_pairs(
+            new2, store2, threshold=0.3
+        ).collect()
+    }
+    assert (1, 0) in pairs  # exact dup across the split
+    assert all(b == 0 for _, b in pairs)
