@@ -1570,6 +1570,55 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_docs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-indexed encoding: top-100 doc-freq vocabulary (ids by
+    integer-exact rank), docs encoded to ordered token-id arrays via a
+    broadcast vocab join + per-doc positional re-assembly (struct
+    array_sort — per-doc, never global)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import encode_docs, vocab_index
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_index(docs, size=100)
+    out = encode_docs(docs, vocab)
+    return out.select(
+        "doc_id", "token_ids", F.size("token_ids").alias("n_ids")
+    ).orderBy("doc_id")
+
+
+_ENCODE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS tl
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(tl) AS term FROM toks
+),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM occ GROUP BY 1),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term)::INT
+           AS token_id
+  FROM (SELECT * FROM df_t ORDER BY doc_freq DESC, term LIMIT 100)
+),
+pos AS (
+  SELECT doc_id, tl[ord] AS term, ord
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tl) + 1)) AS ord)
+),
+enc AS (
+  SELECT doc_id,
+         list(coalesce(v.token_id, 0)::INT ORDER BY ord) AS token_ids
+  FROM pos LEFT JOIN vocab v USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(enc.token_ids, []::INT[]) AS token_ids,
+       len(coalesce(enc.token_ids, []::INT[])) AS n_ids
+FROM documents d LEFT JOIN enc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup join BETWEEN two corpora (new slice vs historical
     store, split on doc_id here): both sides band with the same
@@ -4117,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus_docs": prepare_corpus_docs,
         "key_skew_event_types": key_skew_event_types,
         "crosscorpus_neardup": crosscorpus_neardup,
+        "encode_docs_vocab": encode_docs_vocab,
         # -- oracle-backed variants of already-checked shapes ----------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4250,6 +4300,7 @@ def oracle_sql() -> dict[str, str]:
         "prepare_corpus_docs": _prepare_corpus_sql(),
         "key_skew_event_types": _SKEW_SQL,
         "crosscorpus_neardup": _CROSSCORPUS_SQL,
+        "encode_docs_vocab": _ENCODE_SQL,
         "rollup_sales": _ROLLUP_SQL,
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,

@@ -40,6 +40,8 @@ __all__ = [
     "bigram_lm_score",
     "span_dup_stats",
     "span_dedup_filter",
+    "vocab_index",
+    "encode_docs",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -735,3 +737,80 @@ def span_dedup_filter(
     stats = span_dup_stats(df, text_col, id_col, k)
     keep = stats.filter(F.col("dup_frac") <= max_dup_frac).select(F.col(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary-indexed document encoding (token ids for training prep)
+# ---------------------------------------------------------------------------
+
+
+def vocab_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 1000,
+    first_id: int = 1,
+) -> DataFrame:
+    """Token -> integer id table: the ``size`` most document-frequent
+    terms, ids assigned by rank on the integer-exact key (doc_freq
+    desc, term asc) so the SAME vocabulary falls out on any engine or
+    rerun. Id 0 is reserved for OOV (``first_id`` defaults to 1)."""
+    vocab = vocabulary(df, text_col, id_col, top=size)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    # the window is unpartitioned but runs over the ALREADY-REDUCED
+    # top-`size` term table (bounded rows), not the corpus
+    return vocab.select(
+        "term",
+        (F.row_number().over(w) + F.lit(first_id - 1)).alias("token_id"),
+        "doc_freq",
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document's token stream as an ``array<int>`` of
+    vocabulary ids (OOV -> ``oov_id``), preserving token order — the
+    step that feeds sequence packing.
+
+    Plan: posexplode the token array, join the (broadcast-small)
+    vocabulary on the term, re-assemble with ``array_agg`` sorted by
+    position (struct sort — per-doc, never a global sort). The join is
+    a broadcast for any real vocabulary size; the only shuffle is the
+    per-doc re-aggregation."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pos = toks.select(
+        F.col(id_col), F.posexplode_outer("__toks").alias("__pos", "term")
+    )
+    joined = pos.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+    encoded = (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pos").alias("p"),
+                        F.coalesce("token_id", F.lit(oov_id)).alias("t"),
+                    )
+                )
+            ).alias("__pt")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.filter("__pt", lambda s: s.getField("p").isNotNull()),
+                lambda s: s.getField("t"),
+            ).alias("token_ids"),
+        )
+    )
+    # empty docs: posexplode_outer emits one null-position row, which
+    # the position filter drops, leaving an empty array
+    return df.join(encoded, id_col, "left").withColumn(
+        "token_ids", F.coalesce("token_ids", F.array().cast("array<int>"))
+    )

@@ -366,3 +366,31 @@ def test_sketch_merge_associativity(spark):
         by=None,
     ).first()[0]
     assert via_parts == direct
+
+
+def test_vocab_index_and_encode_docs(spark):
+    from energy_pandas_spark.operators.text import encode_docs, vocab_index
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, ""),
+        (3, "zebra unknown words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = vocab_index(df, size=4)
+    vmap = {r["term"]: r["token_id"] for r in vocab.collect()}
+    # doc_freq: the->2, sat->2, then ties at 1 broken by term asc
+    assert vmap["sat"] == 1 and vmap["the"] == 2  # sat < the alphabetically
+    assert len(vmap) == 4 and min(vmap.values()) == 1
+
+    enc = {r["doc_id"]: r["token_ids"] for r in encode_docs(df, vocab).collect()}
+    # order preserved; OOV -> 0
+    toks0 = "the cat sat on the mat".split()
+    assert len(enc[0]) == len(toks0)
+    assert enc[0][0] == vmap["the"] and enc[0][2] == vmap["sat"]
+    assert enc[2] == []
+    assert all(t == 0 for t in enc[3])  # none of doc 3's words in top-4... 
+    # (unless a tie pulled one in; ensure consistency with the vocab)
+    for t, tok in zip(enc[3], "zebra unknown words only".split()):
+        assert t == vmap.get(tok, 0)
