@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "connected_components_star", "dedup_clusters"]
 
 
 def connected_components(
@@ -112,4 +112,100 @@ def dedup_clusters(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014) — the scale path for graphs with HUGE components: unlike
+    label propagation, each round REWRITES the edge set toward stars,
+    so the working set shrinks as components collapse, and per-round
+    work is two keyed aggregates + joins (no neighbor lists are ever
+    collected, so a billion-degree star center costs an aggregate, not
+    a task-local array).
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    the minimum of its closed neighborhood; small-star: every node's
+    smaller-or-equal neighbors (plus itself) attach to that minimum.
+    Both emit edges (x, m) with m < x, so edges stay canonical and
+    labels only fall. Fixpoint = unchanged (count, hash-sum) of the
+    edge set over a full L+S cycle.
+
+    Returns (id, component) identical to :func:`connected_components`
+    (smallest reachable id), verified by equivalence tests.
+    """
+    # canonical (hi, lo) edges, self-loops dropped
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("hi").alias("id"))
+        .union(e.select(F.col("lo").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: ANSI long sum overflows on random
+            # 64-bit hash values
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+        # every neighbor v > u re-attaches to m(u)
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_u = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_u, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over (hi -> lo) direction: m(hi) = min of smaller
+        # neighbors; all of them plus hi itself attach to m
+        m_hi = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(m_hi, "hi")
+        small = (
+            joined.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(m_hi.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # final stars: every non-center points at its component min
+    labels = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("component"))
+    return all_nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )

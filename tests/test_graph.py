@@ -89,3 +89,45 @@ def test_nonconvergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+class TestStarCC:
+    def _compare(self, spark, edges):
+        from energy_pandas_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        b = {
+            (r["id"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b
+
+    def test_matches_minlabel_on_chain(self, spark):
+        # a 60-node chain: worst case for plain propagation, the shape
+        # the star algorithm exists for
+        self._compare(spark, [(i, i + 1) for i in range(60)])
+
+    def test_matches_minlabel_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(42)
+        edges = [
+            (rng.randrange(100), rng.randrange(100)) for _ in range(120)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        self._compare(spark, edges)
+
+    def test_matches_minlabel_on_cliques_and_isolated_pair(self, spark):
+        edges = (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+            + [(10, 11), (11, 12), (10, 12)]                     # triangle
+            + [(20, 21)]                                         # pair
+        )
+        self._compare(spark, edges)
