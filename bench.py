@@ -57,6 +57,8 @@ HEADLINE = [
     "funnel_events",
     "cohort_retention_weekly",
     "prepare_corpus_docs",
+    "crosscorpus_neardup",
+    "encode_docs_vocab",
 ]
 
 
