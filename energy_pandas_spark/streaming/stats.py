@@ -22,7 +22,14 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["make_cardinality_writer", "continuous_cardinality", "read_cardinality"]
+__all__ = [
+    "make_cardinality_writer",
+    "continuous_cardinality",
+    "read_cardinality",
+    "make_quantile_writer",
+    "continuous_quantiles",
+    "read_quantiles",
+]
 
 
 def _swap(spark: SparkSession, tmp: str, path: str) -> None:
@@ -99,3 +106,88 @@ def read_cardinality(
     from energy_pandas_spark.operators.sketches import merge_cardinality
 
     return merge_cardinality(spark.read.parquet(path), by=by)
+
+
+def make_quantile_writer(
+    path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch writer maintaining a per-key KLL quantile sketch
+    table. Unlike HLL union (register-max, naturally idempotent), KLL
+    merge DUPLICATES weight on replay — so every table version carries
+    a ``__batch_id`` high-water column, and because the table swaps
+    atomically (all-or-nothing), a replayed batch id <= the stored
+    high water is skipped outright. That single stamp is sufficient
+    here precisely because there is no partial-partition state to
+    reason about (contrast: the rollup sink needs per-partition
+    stamps)."""
+    keys = list(key_cols)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            high = existing.agg(F.max("__batch_id")).collect()[0][0]
+            if high is not None and batch_id <= high:
+                return  # replayed batch: table already contains it
+        fresh = batch.groupBy(*keys).agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("kll")
+        )
+        if existing is not None:
+            both = existing.select(*keys, "kll").unionByName(fresh)
+            arr = F.collect_list("kll")
+            merged = both.groupBy(*keys).agg(
+                F.aggregate(
+                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    F.element_at(arr, 1),
+                    lambda acc, s: F.kll_sketch_merge_double(acc, s),
+                ).alias("kll")
+            )
+        else:
+            merged = fresh
+        merged = merged.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        tmp = path.rstrip("/") + "__staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap(spark, tmp, path)
+
+    return write_batch
+
+
+def continuous_quantiles(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    trigger_available_now: bool = True,
+):
+    """Start the KLL quantile-table maintenance query."""
+    write_batch = make_quantile_writer(path, key_cols, value_col, k)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantiles(
+    spark: SparkSession,
+    path: str,
+    quantiles: Sequence[float],
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates at any rollup level from the sketch table."""
+    from energy_pandas_spark.operators.sketches import merge_quantiles
+
+    return merge_quantiles(
+        spark.read.parquet(path), quantiles, by=by, sketch_col="kll"
+    )

@@ -194,3 +194,37 @@ def test_continuous_cardinality_merges_and_survives_replay(spark, tmp_path):
     # users (0..29) are a subset of click's (0..74) -> 75 overall
     total = read_cardinality(spark, path, by=None).first()["approx_distinct"]
     assert abs(total - 75) <= 2
+
+
+def test_continuous_quantiles_merge_and_replay_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.streaming.stats import (
+        make_quantile_writer,
+        read_quantiles,
+    )
+
+    path = str(tmp_path / "q_sketches")
+    w = make_quantile_writer(path, ["event_type"], "value")
+
+    b1 = spark.createDataFrame(
+        [("click", float(v)) for v in range(0, 500)],
+        "event_type string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("click", float(v)) for v in range(500, 1000)],
+        "event_type string, value double",
+    )
+    w(b1, 0)
+    w(b2, 1)
+    got = read_quantiles(spark, path, [0.5], by="event_type").first()
+    # merged stream covers 0..999 -> median ~ 500 (KLL k=200 is tight)
+    assert abs(got["q_50"] - 500.0) <= 25
+
+    # replaying batch 1 must be a no-op (batch-id high water)
+    w(b2, 1)
+    again = read_quantiles(spark, path, [0.5], by="event_type").first()
+    assert again["q_50"] == got["q_50"]
+    # without the guard the replay would re-weight 500..999 and drag
+    # the median toward 750 — assert it stayed put
+    assert abs(again["q_50"] - 500.0) <= 25
