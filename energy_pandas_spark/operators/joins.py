@@ -35,11 +35,15 @@ def asof_join(
     by: str | Sequence[str] | None = None,
     right_cols: Sequence[str] | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.on <= left.on`` (backward; ``forward`` flips the order),
     matching within ``by`` keys. Equal timestamps match (the right row
     sorts before the left row at the same instant).
+    ``tolerance_seconds`` replicates pandas ``merge_asof(tolerance=)``:
+    a match further than the tolerance (in event time) nulls out the
+    attached columns instead — same plan, one extra carried timestamp.
 
     Scale shape: one hash shuffle on (by,), one in-partition sort —
     both sides stream through a single window; nothing is quadratic in
@@ -78,6 +82,9 @@ def asof_join(
         Window.partitionBy(*keys).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carried = list(right_cols)
+    if tolerance_seconds is not None:
+        carried = carried + [on]  # the matched right timestamp
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__src"),
@@ -85,12 +92,27 @@ def asof_join(
             F.last(F.when(F.col("__src") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(f"__r_{c}")
-            for c in right_cols
+            for c in carried
         ],
     )
-    return filled.filter(F.col("__src") == 1).select(
+    matched = filled.filter(F.col("__src") == 1)
+    if tolerance_seconds is None:
+        return matched.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        )
+    delta = (
+        F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"__r_{on}"))
+    ) / F.lit(1_000_000.0)
+    if direction == "forward":
+        delta = -delta
+    within = F.col(f"__r_{on}").isNotNull() & (delta <= tolerance_seconds)
+    return matched.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        *[
+            F.when(within, F.col(f"__r_{c}")).alias(c)
+            for c in right_cols
+        ],
     )
 
 

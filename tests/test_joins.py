@@ -164,3 +164,27 @@ def test_interval_join_bucketed_edges(spark):
         for r in interval_join_bucketed(facts, iv, grain="30 minutes").collect()
     )
     assert got == [(1, "a")]  # 12:00 excluded (half-open); b, c match nothing
+
+
+def test_asof_join_tolerance(spark):
+    from energy_pandas_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "lid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:59:00", 1.0)], "ts string, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    loose = {r["lid"]: r["price"] for r in asof_join(left, right).collect()}
+    assert loose == {1: 1.0, 2: 1.0}  # both match the 09:59 row
+
+    tight = {
+        r["lid"]: r["price"]
+        for r in asof_join(
+            left, right, tolerance_seconds=300
+        ).collect()
+    }
+    # 10:00 is 60s after the match (within 5 min); 12:00 is 2h past
+    assert tight == {1: 1.0, 2: None}
