@@ -962,6 +962,47 @@ ORDER BY l.event_id
 """
 
 
+def asof_join_tolerance_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with pandas merge_asof tolerance: matches further
+    than 30 minutes behind null out. Same single-shuffle plan; the
+    matched right timestamp rides the window fill."""
+    _prep(spark)
+    from energy_pandas_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+    )
+    out = asof_join(
+        ev,
+        hourly,
+        on="ts",
+        by="user_id",
+        right_cols=["hr_avg"],
+        tolerance_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
+
+
+_ASOF_TOL_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN r_ts IS NOT NULL
+                 AND epoch_us(l_ts) - epoch_us(r_ts) <= 1800 * 1000000
+            THEN hr_avg END AS hr_avg
+FROM (
+  SELECT l.event_id, l.user_id, l.ts AS l_ts, r.ts AS r_ts, r.hr_avg
+  FROM events l
+  ASOF LEFT JOIN (
+    SELECT user_id, date_trunc('hour', ts) AS ts,
+           round(avg(value), 6) AS hr_avg
+    FROM events GROUP BY 1, 2
+  ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+ORDER BY event_id
+"""
+
+
 def asof_join_broadcast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast as-of variant: the right side packs into per-key sorted
     arrays and broadcasts, so the (huge) left side is never shuffled —
@@ -4174,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": corpus_mixture,
         "doc_fingerprint": doc_fingerprint,
         "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
+        "asof_join_tolerance_hourly": asof_join_tolerance_hourly,
         "interval_join_bucketed_windows": interval_join_bucketed_windows,
         "resample_6h": resample_6h,
         "minhash_dedup_drop": minhash_dedup_drop,
@@ -4306,6 +4348,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile_quartiles": _NTILE_SQL,
         "corpus_cardinality": _CARDINALITY_SQL,
         "asof_join_broadcast_hourly": _ASOF_SQL,
+        "asof_join_tolerance_hourly": _ASOF_TOL_SQL,
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
         "stratified_sample_langs": _STRATIFIED_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
