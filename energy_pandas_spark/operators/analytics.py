@@ -315,6 +315,7 @@ def fill_gaps(
     by: str | Sequence[str] | None = None,
     method: str = "ffill",
     mark_gaps: bool = True,
+    limit: int | None = None,
 ) -> DataFrame:
     """Reindex an (optionally keyed) series onto a regular time grid and
     fill the holes — the distributed twin of pandas
@@ -326,7 +327,7 @@ def fill_gaps(
     left-join onto it (one shuffle keyed on ``by``); filling is window
     arithmetic inside the key partition:
 
-    - ``ffill``: ``last(value, ignorenulls)`` over rows up to current;
+    - ``ffill``: ``last(value, ignorenulls)`` over rows up to current\n      (``limit`` bounds consecutive fills, pandas ``ffill(limit=)``);
     - ``linear``: previous and next non-null anchors via
       last/first-ignorenulls windows, then the affine blend
       ``prev + (next-prev) * (t-t_prev)/(t_next-t_prev)``.
@@ -371,7 +372,28 @@ def fill_gaps(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     if method == "ffill":
-        filled = F.last(value_col, ignorenulls=True).over(w_back)
+        if limit is None:
+            filled = F.last(value_col, ignorenulls=True).over(w_back)
+        else:
+            # pandas ffill(limit=): carry the anchor timestamp with the
+            # value; fill only buckets within `limit` steps of it
+            anchor = F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(F.col(ts_col), F.col(value_col)),
+            )
+            prev = F.last(anchor, ignorenulls=True).over(w_back)
+            gap_steps = (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(prev[ts_col])
+            ) / F.lit(step)
+            filled = (
+                F.when(F.col(value_col).isNotNull(), F.col(value_col))
+                .when(
+                    prev.isNotNull() & (gap_steps <= limit),
+                    prev[value_col],
+                )
+                .otherwise(F.lit(None).cast("double"))
+            )
     else:
         w_fwd = (
             Window.partitionBy(*keys)

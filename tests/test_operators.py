@@ -537,3 +537,32 @@ def test_skew_stats_flags_heavy_key(spark):
     # 3 keys, 92 rows: uniform share would be ~30.7 rows -> factor ~2.93
     assert got[0]["skew_factor"] > 2.9
     assert abs(got[0]["row_share"] - 90 / 92) < 1e-6
+
+
+def test_fill_gaps_ffill_limit(spark):
+    from energy_pandas_spark.operators.analytics import fill_gaps
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        # 3-bucket hole: 01, 02, 03
+        ("a", "2024-01-01 04:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        str(r["ts"]): r["v"]
+        for r in fill_gaps(df, "ts", "1 hour", "v", by="k", limit=1).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == 1.0
+    assert out["2024-01-01 01:00:00"] == 1.0   # 1 step: filled
+    assert out["2024-01-01 02:00:00"] is None  # beyond limit
+    assert out["2024-01-01 03:00:00"] is None
+    assert out["2024-01-01 04:00:00"] == 5.0
+
+    # limit=None keeps the old unlimited behavior
+    full = {
+        str(r["ts"]): r["v"]
+        for r in fill_gaps(df, "ts", "1 hour", "v", by="k").collect()
+    }
+    assert full["2024-01-01 03:00:00"] == 1.0
