@@ -2056,6 +2056,63 @@ def value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def rolling_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-hour OLS trend of value-vs-time per event type: six
+    windowed sums over one keyed range frame, closed-form solve per
+    row — no per-window refit."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import rolling_fit
+
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        ((F.unix_micros("ts") - F.unix_micros(t0)) / F.lit(86400e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = rolling_fit(pts, "ts", "x", "y", window_seconds=21600, by="event_type")
+    return out.select(
+        "event_id",
+        "event_type",
+        "n_window",
+        F.round("slope", 6).alias("slope"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_id")
+
+
+_ROLLING_TREND_SQL = """
+SELECT event_id, event_type, n_window,
+       round(CASE WHEN n_window >= 2 AND sxx - sx * sx / n <> 0
+                  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6)
+         AS slope,
+       round(CASE WHEN n_window >= 2 AND sxx - sx * sx / n <> 0
+                       AND syy - sy * sy / n <> 0
+                  THEN ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                         / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
+         AS r2
+FROM (
+  SELECT event_id, event_type,
+         count(*) OVER w AS n_window,
+         count(*) OVER w::DOUBLE AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+         sum(y * y) OVER w AS syy
+  FROM (
+    SELECT event_id, event_type, epoch_us(ts) AS tus,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
+             AS x,
+           value AS y
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY event_type ORDER BY tus
+               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+)
+ORDER BY event_id
+"""
+
+
 _RANK_STATS_SQL = """
 SELECT event_id, event_type,
        round(percent_rank() OVER w, 6) AS pct_rank,
@@ -4202,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "sketch_rollup_users": sketch_rollup_users,
         "value_rank_stats": value_rank_stats,
+        "rolling_trend_by_type": rolling_trend_by_type,
         "funnel_events": funnel_events,
         "cohort_retention_weekly": cohort_retention_weekly,
         "prepare_corpus_docs": prepare_corpus_docs,
@@ -4337,6 +4395,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale_by_type": _ROBUST_SCALE_SQL,
         "doc_dup_spans": _DUP_SPANS_SQL,
         "value_rank_stats": _RANK_STATS_SQL,
+        "rolling_trend_by_type": _ROLLING_TREND_SQL,
         "funnel_events": _FUNNEL_SQL,
         "cohort_retention_weekly": _COHORT_SQL,
         "prepare_corpus_docs": _prepare_corpus_sql(),

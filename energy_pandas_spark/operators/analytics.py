@@ -46,6 +46,7 @@ __all__ = [
     "robust_scale",
     "topk_per_group",
     "skew_stats",
+    "rolling_fit",
 ]
 
 
@@ -756,4 +757,57 @@ def skew_stats(
         )
         .orderBy(F.desc("n_rows"), *keys)
         .limit(top)
+    )
+
+
+def rolling_fit(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_seconds: int,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Rolling OLS over a trailing time window: per row, the
+    slope/intercept/r2 of y on x across the last ``window_seconds`` of
+    the key's history — drift/trend detection as a windowed closed
+    form.
+
+    Six windowed sums over ONE keyed range frame (no per-window
+    refit, no self-join): the same sufficient-statistics solve as
+    :func:`linear_fit`, evaluated per row. One hash shuffle on the
+    keys + one in-partition sort; window width does not change the
+    plan. ``x_col`` must be pre-centered to modest magnitudes (the
+    linear_fit cancellation caveat applies per window).
+
+    Degenerate windows (n < 2 or zero x-variance) yield NULL slope/r2.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_micros(df, ts_col))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    slope = F.when((n >= 2) & (sxx_c != 0.0), sxy_c / sxx_c)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(
+        (n >= 2) & (sxx_c != 0.0) & (syy_c != 0.0),
+        (sxy_c * sxy_c) / (sxx_c * syy_c),
+    )
+    return df.select(
+        *df.columns,
+        n.cast("long").alias("n_window"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )

@@ -566,3 +566,25 @@ def test_fill_gaps_ffill_limit(spark):
         for r in fill_gaps(df, "ts", "1 hour", "v", by="k").collect()
     }
     assert full["2024-01-01 03:00:00"] == 1.0
+
+
+def test_rolling_fit_exact_line_in_window(spark):
+    from energy_pandas_spark.operators.analytics import rolling_fit
+
+    # y = 3x + 2 sampled every minute: every window sees a perfect line
+    rows = [
+        ("a", f"2024-01-01 00:{m:02d}:00", float(m), 3.0 * m + 2.0)
+        for m in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, x double, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_fit(df, "ts", "x", "y", window_seconds=180, by="k").collect()
+    for r in out:
+        if r["n_window"] >= 2:
+            assert abs(r["slope"] - 3.0) < 1e-9
+            assert abs(r["r2"] - 1.0) < 1e-9
+        else:
+            assert r["slope"] is None  # first row: single-point window
+    # trailing 3-minute window holds at most 4 points
+    assert max(r["n_window"] for r in out) == 4
