@@ -59,6 +59,7 @@ HEADLINE = [
     "prepare_corpus_docs",
     "crosscorpus_neardup",
     "encode_docs_vocab",
+    "rolling_trend_by_type",
 ]
 
 
