@@ -2057,59 +2057,77 @@ def value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rolling_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 6-hour OLS trend of value-vs-time per event type: six
-    windowed sums over one keyed range frame, closed-form solve per
-    row — no per-window refit."""
+    """Rolling 6-hour OLS trend of value-vs-time per event type at
+    15-minute grain. Sufficient statistics pre-aggregate into buckets
+    (exactly additive), so every sliding frame spans ~24 bucket rows
+    instead of tens of thousands of events — Spark rebuilds range-frame
+    buffers per row, making the per-row form O(window cardinality)
+    per row."""
     _prep(spark)
     from energy_pandas_spark.operators.analytics import rolling_fit
 
     ev = _t(spark, sf_dir, "events")
     t0 = F.lit("2024-01-01").cast("timestamp")
     pts = ev.select(
-        "event_id",
         "event_type",
         "ts",
         ((F.unix_micros("ts") - F.unix_micros(t0)) / F.lit(86400e6)).alias("x"),
         F.col("value").alias("y"),
     )
-    out = rolling_fit(pts, "ts", "x", "y", window_seconds=21600, by="event_type")
+    out = rolling_fit(
+        pts,
+        "ts",
+        "x",
+        "y",
+        window_seconds=21600,
+        by="event_type",
+        bucket_seconds=900,
+    )
     return out.select(
-        "event_id",
         "event_type",
+        "ts",
         "n_window",
         F.round("slope", 6).alias("slope"),
         F.round("r2", 6).alias("r2"),
-    ).orderBy("event_id")
+    ).orderBy("event_type", "ts")
 
 
 _ROLLING_TREND_SQL = """
-SELECT event_id, event_type, n_window,
-       round(CASE WHEN n_window >= 2 AND sxx - sx * sx / n <> 0
+WITH pts AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bts,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
+           AS x,
+         value AS y
+  FROM events
+),
+b AS (
+  SELECT event_type, bts, count(*) AS bn, sum(x) AS bsx, sum(y) AS bsy,
+         sum(x * y) AS bsxy, sum(x * x) AS bsxx, sum(y * y) AS bsyy
+  FROM pts GROUP BY 1, 2
+),
+wsum AS (
+  SELECT event_type, bts,
+         sum(bn) OVER w AS nw,
+         sum(bn) OVER w::DOUBLE AS n,
+         sum(bsx) OVER w AS sx, sum(bsy) OVER w AS sy,
+         sum(bsxy) OVER w AS sxy, sum(bsxx) OVER w AS sxx,
+         sum(bsyy) OVER w AS syy
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(bts)
+               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bts AS ts, nw::BIGINT AS n_window,
+       round(CASE WHEN nw >= 2 AND sxx - sx * sx / n <> 0
                   THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6)
          AS slope,
-       round(CASE WHEN n_window >= 2 AND sxx - sx * sx / n <> 0
+       round(CASE WHEN nw >= 2 AND sxx - sx * sx / n <> 0
                        AND syy - sy * sy / n <> 0
                   THEN ((sxy - sx * sy / n) * (sxy - sx * sy / n))
                          / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
          AS r2
-FROM (
-  SELECT event_id, event_type,
-         count(*) OVER w AS n_window,
-         count(*) OVER w::DOUBLE AS n,
-         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
-         sum(y * y) OVER w AS syy
-  FROM (
-    SELECT event_id, event_type, epoch_us(ts) AS tus,
-           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
-             AS x,
-           value AS y
-    FROM events
-  )
-  WINDOW w AS (PARTITION BY event_type ORDER BY tus
-               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
-)
-ORDER BY event_id
+FROM wsum
+ORDER BY event_type, ts
 """
 
 

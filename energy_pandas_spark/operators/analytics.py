@@ -767,34 +767,68 @@ def rolling_fit(
     y_col: str,
     window_seconds: int,
     by: str | Sequence[str] | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
-    """Rolling OLS over a trailing time window: per row, the
-    slope/intercept/r2 of y on x across the last ``window_seconds`` of
-    the key's history — drift/trend detection as a windowed closed
-    form.
+    """Rolling OLS over a trailing time window: slope/intercept/r2 of
+    y on x across the last ``window_seconds`` of the key's history —
+    drift/trend detection as a windowed closed form, the same
+    sufficient-statistics solve as :func:`linear_fit`.
 
-    Six windowed sums over ONE keyed range frame (no per-window
-    refit, no self-join): the same sufficient-statistics solve as
-    :func:`linear_fit`, evaluated per row. One hash shuffle on the
-    keys + one in-partition sort; window width does not change the
-    plan. ``x_col`` must be pre-centered to modest magnitudes (the
-    linear_fit cancellation caveat applies per window).
+    **Set ``bucket_seconds`` whenever windows span many rows.** Spark
+    rebuilds a sliding range-frame's aggregation buffer per output row
+    (sum has no inverse in the frame implementation), so the per-row
+    form costs O(window cardinality) PER ROW. Sufficient statistics
+    are exactly additive, so pre-aggregating them into
+    ``bucket_seconds`` buckets first (one map-combined hash aggregate)
+    shrinks both the output grain and every frame by the bucket factor
+    — the result at each bucket boundary is IDENTICAL to the per-row
+    fit anchored there. With buckets the output is one row per (key,
+    bucket): (ts, n_window, slope, intercept, r2).
 
-    Degenerate windows (n < 2 or zero x-variance) yield NULL slope/r2.
+    ``x_col`` must be pre-centered to modest magnitudes (the
+    linear_fit cancellation caveat applies per window). Degenerate
+    windows (n < 2 or zero x-variance) yield NULL slope/r2.
     """
     keys = [by] if isinstance(by, str) else list(by or [])
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(epoch_micros(df, ts_col))
-        .rangeBetween(-window_seconds * 1_000_000, 0)
-    )
     x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
-    n = F.count(F.lit(1)).over(w).cast("double")
-    sx = F.sum(x).over(w)
-    sy = F.sum(y).over(w)
-    sxy = F.sum(x * y).over(w)
-    sxx = F.sum(x * x).over(w)
-    syy = F.sum(y * y).over(w)
+    if bucket_seconds is None:
+        base = df
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(epoch_micros(df, ts_col))
+            .rangeBetween(-window_seconds * 1_000_000, 0)
+        )
+        n = F.count(F.lit(1)).over(w).cast("double")
+        sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+        sxy = F.sum(x * y).over(w)
+        sxx = F.sum(x * x).over(w)
+        syy = F.sum(y * y).over(w)
+        out_cols = list(df.columns)
+    else:
+        step = bucket_seconds
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast("long")
+            * F.lit(step)
+        )
+        base = df.groupBy(*keys, bucket.alias(ts_col)).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * y).alias("__sxy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(epoch_micros(base, ts_col))
+            .rangeBetween(-window_seconds * 1_000_000, 0)
+        )
+        n = F.sum("__n").over(w).cast("double")
+        sx, sy = F.sum("__sx").over(w), F.sum("__sy").over(w)
+        sxy = F.sum("__sxy").over(w)
+        sxx = F.sum("__sxx").over(w)
+        syy = F.sum("__syy").over(w)
+        out_cols = [*keys, ts_col]
     sxx_c = sxx - sx * sx / n
     sxy_c = sxy - sx * sy / n
     syy_c = syy - sy * sy / n
@@ -804,8 +838,8 @@ def rolling_fit(
         (n >= 2) & (sxx_c != 0.0) & (syy_c != 0.0),
         (sxy_c * sxy_c) / (sxx_c * syy_c),
     )
-    return df.select(
-        *df.columns,
+    return base.select(
+        *out_cols,
         n.cast("long").alias("n_window"),
         slope.alias("slope"),
         intercept.alias("intercept"),
