@@ -588,3 +588,56 @@ def test_rolling_fit_exact_line_in_window(spark):
             assert r["slope"] is None  # first row: single-point window
     # trailing 3-minute window holds at most 4 points
     assert max(r["n_window"] for r in out) == 4
+
+
+def test_rolling_fit_bucketed_equals_perrow_at_boundaries(spark):
+    """The bucketed sufficient-stats path must reproduce the per-row
+    fit exactly when anchored at bucket-boundary timestamps."""
+    from energy_pandas_spark.operators.analytics import rolling_fit
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for m in range(0, 120):  # two hours of minutely points, on-boundary
+        rows.append(
+            ("a", f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00",
+             float(m), rng.uniform(0, 10) + 0.5 * m)
+        )
+    df = spark.createDataFrame(
+        rows, "k string, ts string, x double, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def norm(rows):
+        return {
+            str(r["ts"]): (
+                r["n_window"],
+                None if r["slope"] is None else round(r["slope"], 9),
+            )
+            for r in rows
+        }
+
+    per_row = norm(rolling_fit(df, "ts", "x", "y", 1800, by="k").collect())
+    bucketed = norm(
+        rolling_fit(
+            df, "ts", "x", "y", 1800, by="k", bucket_seconds=60
+        ).collect()
+    )
+    # every input row sits on a 60s boundary, so the grains coincide
+    assert bucketed == per_row
+
+
+def test_rolling_fit_bucketed_plan_two_exchanges(spark):
+    from energy_pandas_spark.operators.analytics import rolling_fit
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0, 2.0)],
+        "k string, ts string, x double, y double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = (
+        rolling_fit(df, "ts", "x", "y", 3600, by="k", bucket_seconds=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucket aggregate + key window — nothing else, no SinglePartition
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" not in plan
