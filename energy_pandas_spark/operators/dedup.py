@@ -55,6 +55,8 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup",
     "crosscorpus_neardup_pairs",
+    "build_band_store",
+    "load_band_store",
 ]
 
 
@@ -876,6 +878,7 @@ def crosscorpus_neardup_pairs(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     seed: int = 13,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora — "dedup the new crawl
     against the historical store at near-dup level" (exact-digest
@@ -886,9 +889,11 @@ def crosscorpus_neardup_pairs(
     bucket) id lists equi-join — the join produces ONLY cross pairs,
     no within-side work, and ``max_bucket`` caps each side of the
     per-bucket cartesian. The verify re-joins shingle sets for the
-    candidate ids only. At scale the store's banded buckets can be
-    precomputed and persisted once per epoch; the per-batch cost is
-    banding the new slice plus the bucket join.
+    candidate ids only. At scale, build the store's banded buckets
+    ONCE per epoch with :func:`build_band_store` and pass them via
+    ``store_bands`` — the per-batch cost is then banding the new slice
+    plus the bucket join; the store text is only touched to verify
+    the (tiny) candidate set.
     """
     bn = (
         _banded_buckets(
@@ -898,11 +903,12 @@ def crosscorpus_neardup_pairs(
         .agg(F.collect_list(id_col).alias("__new_ids"))
         .filter(F.size("__new_ids") <= max_bucket)
     )
-    bs = (
-        _banded_buckets(
+    if store_bands is None:
+        store_bands = _banded_buckets(
             store, text_col, id_col, num_hashes, bands, shingle_size, seed
         )
-        .groupBy("band", "bucket")
+    bs = (
+        store_bands.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("__store_ids"))
         .filter(F.size("__store_ids") <= max_bucket)
     )
@@ -948,3 +954,29 @@ def crosscorpus_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_store", "jaccard")
     )
+
+
+def build_band_store(
+    store: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 13,
+) -> None:
+    """Persist the historical corpus's banded MinHash buckets —
+    (id, band, bucket) longs, a tiny fraction of the text — partitioned
+    by band so each incoming batch's bucket join prunes per band.
+    Rebuild once per epoch (or maintain by appending each ingested
+    batch's own bands); parameters must match the querying side."""
+    banded = _banded_buckets(
+        store, text_col, id_col, num_hashes, bands, shingle_size, seed
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def load_band_store(spark, path: str) -> DataFrame:
+    """Read a persisted band store for ``store_bands=``."""
+    return spark.read.parquet(path)

@@ -426,3 +426,32 @@ def test_crosscorpus_neardup_only_cross_pairs(spark, docs):
     }
     assert (1, 0) in pairs  # exact dup across the split
     assert all(b == 0 for _, b in pairs)
+
+
+def test_crosscorpus_with_persisted_band_store(spark, docs, tmp_path):
+    """Precomputed band store must give identical pairs to direct
+    banding — the once-per-epoch store pattern."""
+    from energy_pandas_spark.operators.dedup import (
+        build_band_store,
+        crosscorpus_neardup_pairs,
+        load_band_store,
+    )
+
+    new, store = docs.filter("doc_id IN (1, 2)"), docs.filter("doc_id = 0")
+    direct = sorted(
+        map(tuple, crosscorpus_neardup_pairs(new, store, threshold=0.3).collect())
+    )
+    path = str(tmp_path / "bands")
+    build_band_store(store, path)
+    via_store = sorted(
+        map(
+            tuple,
+            crosscorpus_neardup_pairs(
+                new,
+                store,
+                threshold=0.3,
+                store_bands=load_band_store(spark, path),
+            ).collect(),
+        )
+    )
+    assert via_store == direct and len(direct) >= 1
