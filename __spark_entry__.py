@@ -2442,7 +2442,7 @@ _HASH_SPLIT_SQL = """
 SELECT CASE WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val' ELSE 'test' END
          AS split,
        count(*) AS n_docs,
-       sum(doc_id) AS id_sum
+       sum(doc_id)::BIGINT AS id_sum
 FROM (
   SELECT doc_id,
          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT AS b
@@ -2486,7 +2486,7 @@ WITH b AS (
   UNION ALL
   SELECT doc_id, 2 FROM b WHERE srcnum >= 14 AND bucket < 1000
 )
-SELECT source_id, count(*) AS n_docs, sum(doc_id) AS id_sum
+SELECT source_id, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM tagged GROUP BY 1 ORDER BY 1
 """
 
@@ -2509,7 +2509,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRATIFIED_SQL = """
-SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM (
   SELECT lang, doc_id,
          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT
@@ -2541,7 +2541,7 @@ WITH tf AS (
     FROM documents
   ) GROUP BY 1, 2
 )
-SELECT term, count(*) AS doc_freq, sum(tf) AS total_count
+SELECT term, count(*) AS doc_freq, sum(tf)::BIGINT AS total_count
 FROM tf GROUP BY 1
 ORDER BY doc_freq DESC, term ASC LIMIT 100
 """

@@ -447,9 +447,15 @@ def simhash64(
     time in the 64 per-row sum updates; the map-side kernel removes
     the exchange entirely, so the operator scales with the scan."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # NULL text -> NULL token array (split/filter/transform all propagate
+    # NULL); coalesce to an empty array so token-less docs get signature 0
+    # instead of aborting the Arrow kernel.
     hashed = _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"),
+        F.coalesce(
+            F.transform(toks, lambda t: F.xxhash64(t)),
+            F.array().cast("array<bigint>"),
+        ).alias("__hs"),
     )
 
     def sign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,7 +467,11 @@ def simhash64(
             if m == 0:
                 yield pd.DataFrame({id_col: [], out_col: []})
                 continue
-            lens = pdf["__hs"].map(len).to_numpy(dtype=np.int64)
+            lens = (
+                pdf["__hs"]
+                .map(lambda h: 0 if h is None else len(h))
+                .to_numpy(dtype=np.int64)
+            )
             sigs = np.zeros(m, dtype=np.uint64)
             nz = lens > 0
             if nz.any():
@@ -584,11 +594,20 @@ def embedding_neardup_pairs(
     bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine: random-hyperplane sign-LSH
     buckets (planes generated driver-side with a fixed seed, embedded as
     array literals), candidates verified with exact cosine — the dot
-    products are ``zip_with``/``aggregate`` expressions, JVM-evaluated."""
+    products are ``zip_with``/``aggregate`` expressions, JVM-evaluated.
+
+    ``max_bucket`` drops degenerate buckets (the same guard every other
+    LSH path here uses): a corpus with thousands of boilerplate-identical
+    embeddings would otherwise expand one bucket into a quadratic pair
+    list on a single task. Recall for such groups still comes from the
+    other ``bands - 1`` buckets unless ALL of them degenerate, which at
+    that point is an exact-dup group better handled by ``dedup_exact``
+    on a vector digest."""
     if dim is None:
         first = df.select(F.size(vec_col)).limit(1).collect()
         dim = first[0][0] if first else 0
@@ -627,7 +646,7 @@ def embedding_neardup_pairs(
     bucketed = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     cand = (
         bucketed.select(F.posexplode("ids").alias("__pos", "__a"), F.col("ids"))

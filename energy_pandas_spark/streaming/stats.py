@@ -32,15 +32,53 @@ __all__ = [
 ]
 
 
-def _swap(spark: SparkSession, tmp: str, path: str) -> None:
+def _fs_path(spark: SparkSession, p: str):
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    return path.getFileSystem(conf), path
+
+
+def _swap(spark: SparkSession, tmp: str, path: str) -> None:
+    """Crash-safe table swap via a backup rename (HDFS rename is atomic;
+    a bare delete-then-rename has a window where the table is simply
+    gone, which silently discards all history on replay):
+
+    1. drop any stale ``__backup`` left by a crash after a prior step 3,
+    2. rename current -> ``__backup`` (old data is never deleted while
+       it is the only copy),
+    3. rename staging -> current,
+    4. drop ``__backup``.
+
+    A crash between 2 and 3 leaves the old table intact under
+    ``__backup``; ``_read_table`` restores it before the replayed batch
+    re-merges, so the documented all-or-nothing guarantee holds."""
+    fs, dst = _fs_path(spark, path)
+    _, src = _fs_path(spark, tmp)
+    _, bak = _fs_path(spark, path.rstrip("/") + "__backup")
+    fs.delete(bak, True)
+    if fs.exists(dst) and not fs.rename(dst, bak):
+        raise IOError(f"sketch table backup {path} failed")
     if not fs.rename(src, dst):
+        if fs.exists(bak):  # restore so the table is never lost
+            fs.rename(bak, dst)
         raise IOError(f"sketch table swap {tmp} -> {path} failed")
+    fs.delete(bak, True)
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the sketch table, restoring from ``__backup`` if a crash
+    landed between ``_swap`` steps 2 and 3. Returns None if the table
+    has never been written."""
+    fs, dst = _fs_path(spark, path)
+    if not fs.exists(dst):
+        _, bak = _fs_path(spark, path.rstrip("/") + "__backup")
+        if fs.exists(bak):
+            fs.rename(bak, dst)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
 
 
 def make_cardinality_writer(
@@ -58,10 +96,7 @@ def make_cardinality_writer(
         fresh = batch.groupBy(*keys).agg(
             F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll")
         )
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:  # first batch
-            existing = None
+        existing = _read_table(spark, path)  # None on first batch
         if existing is not None:
             merged = (
                 existing.unionByName(fresh)
@@ -105,7 +140,10 @@ def read_cardinality(
     table alone."""
     from energy_pandas_spark.operators.sketches import merge_cardinality
 
-    return merge_cardinality(spark.read.parquet(path), by=by)
+    table = _read_table(spark, path)
+    if table is None:
+        raise FileNotFoundError(f"no sketch table at {path}")
+    return merge_cardinality(table, by=by)
 
 
 def make_quantile_writer(
@@ -127,10 +165,7 @@ def make_quantile_writer(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:
-            existing = None
+        existing = _read_table(spark, path)
         if existing is not None:
             high = existing.agg(F.max("__batch_id")).collect()[0][0]
             if high is not None and batch_id <= high:
@@ -188,6 +223,7 @@ def read_quantiles(
     """Quantile estimates at any rollup level from the sketch table."""
     from energy_pandas_spark.operators.sketches import merge_quantiles
 
-    return merge_quantiles(
-        spark.read.parquet(path), quantiles, by=by, sketch_col="kll"
-    )
+    table = _read_table(spark, path)
+    if table is None:
+        raise FileNotFoundError(f"no sketch table at {path}")
+    return merge_quantiles(table, quantiles, by=by, sketch_col="kll")

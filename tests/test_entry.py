@@ -10,6 +10,8 @@ import datetime
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -32,15 +34,32 @@ def ddb(sf_dir):
 
 
 def _norm_cell(x):
-    if isinstance(x, float):
-        if math.isnan(x):
-            return "nan"
-        return round(x, 6)
-    if isinstance(x, datetime.datetime):
-        return x.replace(tzinfo=None).isoformat()
+    # Type-STRICT normalization (mirrors the driver's hash, which goes
+    # through pandas and serializes dtype+value): an integral 870 and a
+    # floating 870.0 must NOT compare equal — that leniency is exactly how
+    # the round-2 DuckDB-HUGEINT-vs-Spark-BIGINT oracle bug slipped past
+    # this gate (VERDICT r2 "What's wrong" #1/#2).
+    if x is None or x is pd.NaT or (isinstance(x, float) and math.isnan(x)):
+        return ("null",)
+    if isinstance(x, (bool, np.bool_)):
+        return ("b", bool(x))
+    if isinstance(x, (float, np.floating)):
+        return ("f", round(float(x), 6))
+    if isinstance(x, (int, np.integer)):
+        return ("i", int(x))
+    if isinstance(x, datetime.datetime):  # includes pd.Timestamp
+        x = x.replace(tzinfo=None)
+        # DuckDB's pandas path promotes DATE to datetime64 midnight while
+        # Spark keeps DateType; the driver accepts that pairing (r1/r2
+        # green rows prove it), so fold midnight ts and date together.
+        if x.time() == datetime.time(0, 0):
+            return ("d", x.date().isoformat())
+        return ("ts", x.isoformat())
     if isinstance(x, datetime.date):
-        return x.isoformat()
-    return x
+        return ("d", x.isoformat())
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return ("a", tuple(_norm_cell(e) for e in x))
+    return ("s", str(x)) if not isinstance(x, str) else ("s", x)
 
 
 def _norm_rows(cols, rows):
@@ -62,8 +81,12 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
     sdf = QUERIES[name](spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
+    # Both sides go through pandas, like the driver: DuckDB HUGEINT and
+    # NULL-bearing int columns surface as float64 here, so a dtype drift
+    # the driver would flag fails locally too.
+    spdf = sdf.toPandas()
+    srows = list(spdf.itertuples(index=False, name=None))
+    scols = list(spdf.columns)
     res = ddb.execute(ORACLES[name])
     ocols = [d[0] for d in res.description]
     otypes = [str(d[1]) for d in res.description]
@@ -73,7 +96,8 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     assert not any("TZ" in t or "TIME ZONE" in t for t in otypes), (
         f"{name}: oracle emits tz-aware column(s) {list(zip(ocols, otypes))}"
     )
-    orows = res.fetchall()
+    odf = res.fetch_df()
+    orows = list(odf.itertuples(index=False, name=None))
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     a, b = _norm_rows(scols, srows), _norm_rows(ocols, orows)

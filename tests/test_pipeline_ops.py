@@ -87,6 +87,24 @@ class TestDedup:
         hams = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
         assert hams[(0, 1)] == 0
 
+    def test_simhash_null_and_empty_text(self, spark):
+        # NULL / empty / whitespace-only docs must get signature 0, not
+        # abort the Arrow kernel (regression: len(None) in the sign kernel).
+        from energy_pandas_spark.operators.dedup import simhash64
+
+        df = spark.createDataFrame(
+            [(0, None), (1, ""), (2, "   "), (3, "hello world")],
+            "doc_id long, text string",
+        )
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+        assert sigs[0] == 0 and sigs[1] == 0 and sigs[2] == 0
+        assert sigs[3] != 0
+        # and the pair operator survives degenerate docs end-to-end
+        pairs = simhash_neardup_pairs(df, max_hamming=3).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        # the three token-less docs share signature 0 -> mutual near-dups
+        assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
     def test_embedding_neardup(self, spark):
         rows = [
             (0, [1.0, 0.0, 0.0, 0.0]),

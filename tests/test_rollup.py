@@ -228,3 +228,45 @@ def test_continuous_quantiles_merge_and_replay_guard(spark, tmp_path):
     # without the guard the replay would re-weight 500..999 and drag
     # the median toward 750 — assert it stayed put
     assert abs(again["q_50"] - 500.0) <= 25
+
+
+def test_sketch_swap_crash_recovery(spark, tmp_path):
+    """Simulate a crash between _swap's backup-rename and staging-rename:
+    the table dir is gone but __backup holds the old data. The next read
+    (replayed batch or user query) must restore it — history is never lost."""
+    import shutil
+
+    from energy_pandas_spark.streaming.stats import (
+        make_quantile_writer,
+        read_quantiles,
+    )
+
+    path = str(tmp_path / "q_sketches")
+    w = make_quantile_writer(path, ["event_type"], "value")
+    b1 = spark.createDataFrame(
+        [("click", float(v)) for v in range(0, 500)],
+        "event_type string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("click", float(v)) for v in range(500, 1000)],
+        "event_type string, value double",
+    )
+    w(b1, 0)
+
+    # crash window: current renamed to backup, new table never landed
+    shutil.move(path, path + "__backup")
+
+    # foreachBatch replays batch 1 after restart; recovery must see the
+    # restored table (high water 0) and merge, not rebuild from b2 alone
+    w(b2, 1)
+    got = read_quantiles(spark, path, [0.5], by="event_type").first()
+    assert abs(got["q_50"] - 500.0) <= 25  # both halves present
+
+    # crash AFTER the swap completed (stale backup left behind): a stale
+    # __backup must not shadow or corrupt the newer table
+    shutil.copytree(path, path + "__backup")
+    again = read_quantiles(spark, path, [0.5], by="event_type").first()
+    assert again["q_50"] == got["q_50"]
+    w(b2, 1)  # replay with stale backup present: still a no-op
+    final = read_quantiles(spark, path, [0.5], by="event_type").first()
+    assert final["q_50"] == got["q_50"]
