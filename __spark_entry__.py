@@ -4184,12 +4184,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver hash-checks the first ~50 entries, so
-    # oracle-backed queries come first (variants whose oracle shape is
-    # already covered — ldc_source, ngram_jaccard, cosine_topk_blas —
-    # sit at the oracle tail, and rows-only checks go last; the local
-    # pytest gate still runs every entry).
+    # ORDER MATTERS: the driver hash-checks the first ~50 entries per
+    # round, so entries the driver has NEVER verified go first; queries
+    # already green in an earlier round's CORRECTNESS file park at the
+    # tail (the local pytest gate still runs every entry every time).
     return {
+        # -- oracle-backed, no driver row yet (round-3 window) ---------
+        "benchmark_contamination": benchmark_contamination,
+        "q4_late_orders": q4_late_orders,
+        "doc_repetition": doc_repetition,
+        "pack_sequences_docs": pack_sequences_docs,
+        "q13_order_distribution": q13_order_distribution,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "melt_lineitem_measures": melt_lineitem_measures,
+        "quantize_embeddings": quantize_embeddings,
+        "q18_large_volume": q18_large_volume,
+        "degree_days_daily": degree_days_daily,
+        "ewma_final_per_user": ewma_final_per_user,
+        "twa_per_user": twa_per_user,
+        "url_stats_docs": url_stats_docs,
+        "clean_corpus_docs": clean_corpus_docs,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines_by_status": q12_late_lines_by_status,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shippers": q20_excess_shippers,
+        "semdedup_pairs": semdedup_pairs,
+        "semdedup_keep": semdedup_keep,
+        "doc_classifier_score": doc_classifier_score,
+        "doc_lm_score": doc_lm_score,
+        "value_trend_by_type": value_trend_by_type,
+        "robust_scale_by_type": robust_scale_by_type,
+        "doc_dup_spans": doc_dup_spans,
+        "value_rank_stats": value_rank_stats,
+        "rolling_trend_by_type": rolling_trend_by_type,
+        "funnel_events": funnel_events,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "prepare_corpus_docs": prepare_corpus_docs,
+        "key_skew_event_types": key_skew_event_types,
+        "crosscorpus_neardup": crosscorpus_neardup,
+        "encode_docs_vocab": encode_docs_vocab,
+        "corpus_mixture": corpus_mixture,
+        "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
+        "asof_join_tolerance_hourly": asof_join_tolerance_hourly,
+        "interval_join_bucketed_windows": interval_join_bucketed_windows,
+        "cube_orders": cube_orders,
+        "ngram_jaccard": ngram_jaccard,
+        "cosine_topk_blas": cosine_topk_blas,
+        # -- driver-green in round 1 only ------------------------------
+        "capacity_factor": capacity_factor,
+        "zscore_outliers_by_type": zscore_outliers_by_type,
+        "users_view_no_purchase": users_view_no_purchase,
+        "doc_fingerprint": doc_fingerprint,
+        "resample_6h": resample_6h,
+        "minhash_dedup_drop": minhash_dedup_drop,
+        "top_customers": top_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "daily_profile": daily_profile,
+        "to_units_degr_mixed": to_units_degr_mixed,
+        "ldc_source": ldc_source,
+        "sliding_2h_1h": sliding_2h_1h,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        # -- driver-green in round 2 -----------------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -4240,72 +4305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": tfidf_top3,
         "ngram_top100": ngram_top100,
         "redact_pii_docs": redact_pii_docs,
-        "benchmark_contamination": benchmark_contamination,
-        "q4_late_orders": q4_late_orders,
-        "doc_repetition": doc_repetition,
-        "pack_sequences_docs": pack_sequences_docs,
-        "q13_order_distribution": q13_order_distribution,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "melt_lineitem_measures": melt_lineitem_measures,
-        "quantize_embeddings": quantize_embeddings,
-        "q18_large_volume": q18_large_volume,
-        "degree_days_daily": degree_days_daily,
-        "ewma_final_per_user": ewma_final_per_user,
-        "twa_per_user": twa_per_user,
-        "url_stats_docs": url_stats_docs,
-        "clean_corpus_docs": clean_corpus_docs,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
-        "q22_sales_opportunity": q22_sales_opportunity,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_stock": q11_important_stock,
-        "q12_late_lines_by_status": q12_late_lines_by_status,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_shippers": q20_excess_shippers,
-        "semdedup_pairs": semdedup_pairs,
-        "semdedup_keep": semdedup_keep,
-        "doc_classifier_score": doc_classifier_score,
-        "doc_lm_score": doc_lm_score,
-        "value_trend_by_type": value_trend_by_type,
-        "robust_scale_by_type": robust_scale_by_type,
-        "doc_dup_spans": doc_dup_spans,
-        "sketch_rollup_users": sketch_rollup_users,
-        "value_rank_stats": value_rank_stats,
-        "rolling_trend_by_type": rolling_trend_by_type,
-        "funnel_events": funnel_events,
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "prepare_corpus_docs": prepare_corpus_docs,
-        "key_skew_event_types": key_skew_event_types,
-        "crosscorpus_neardup": crosscorpus_neardup,
-        "encode_docs_vocab": encode_docs_vocab,
-        # -- oracle-backed variants of already-checked shapes ----------
-        "capacity_factor": capacity_factor,
-        "zscore_outliers_by_type": zscore_outliers_by_type,
-        "users_view_no_purchase": users_view_no_purchase,
-        "corpus_mixture": corpus_mixture,
-        "doc_fingerprint": doc_fingerprint,
-        "asof_join_broadcast_hourly": asof_join_broadcast_hourly,
-        "asof_join_tolerance_hourly": asof_join_tolerance_hourly,
-        "interval_join_bucketed_windows": interval_join_bucketed_windows,
-        "resample_6h": resample_6h,
-        "minhash_dedup_drop": minhash_dedup_drop,
-        "cube_orders": cube_orders,
-        "top_customers": top_customers,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "daily_profile": daily_profile,
-        "to_units_degr_mixed": to_units_degr_mixed,
-        "ldc_source": ldc_source,
-        "sliding_2h_1h": sliding_2h_1h,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "ngram_jaccard": ngram_jaccard,
-        "cosine_topk_blas": cosine_topk_blas,
         # -- rows-only (approximate / hash-engine-specific by design) --
+        "sketch_rollup_users": sketch_rollup_users,
         "doc_min_fingerprint": doc_min_fingerprint,
         "simhash_pairs": simhash_pairs,
         "embedding_neardup": embedding_neardup,
