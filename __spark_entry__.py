@@ -2386,19 +2386,60 @@ FROM embeddings ORDER BY vec_id
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary content -> feature vector via
-    mapInPandas (deterministic stub decoder) — rows-only."""
+    """Multimodal pipeline with a REAL codec: each document's bytes are
+    rendered into a 16x16 grayscale PNG inside an Arrow batch (encode),
+    then ``decode_features`` round-trips them through the registered
+    stdlib PNG decoder + luma block-mean extractor — rows-only (feature
+    values are codec-defined, but deterministic end-to-end)."""
     _prep(spark)
-    from energy_pandas_spark.operators.multimodal import decode_features, media_table
+    import numpy as np
+    import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents")
-    media = media_table(
-        docs.select(
-            F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
-        )
+    from energy_pandas_spark.operators.codecs import (
+        encode_png,
+        register_default_decoders,
     )
-    out = decode_features(media, dim=16)
-    return out.select("media_id", F.size("features").alias("dim")).orderBy("media_id")
+    from energy_pandas_spark.operators.multimodal import decode_features
+
+    register_default_decoders()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def render(it):
+        for pdf in it:
+            content = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")[:256]
+                px = np.frombuffer(raw.ljust(256, b"\0"), np.uint8)
+                content.append(encode_png(px.reshape(16, 16)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": content,
+                    "meta": [
+                        {"mime": "image/png", "width": 16, "height": 16,
+                         "duration_ms": None}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(
+        render,
+        schema=(
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+        ),
+    )
+    out = decode_features(media, dim=64)
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    ).orderBy("media_id")
 
 
 def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -709,9 +709,10 @@ def assign_semantic_clusters(
 
     Centroids default to the ``n_centroids`` lowest-``id_col`` vectors —
     a deterministic seed choice that makes the assignment reproducible
-    across engines (the production path trains k-means centroids with
-    ``similarity.train_centroids`` and feeds them in; the plan below is
-    identical either way). Assignment is a map-side expression against
+    across engines (the production path feeds in k-means centroids from
+    ``similarity.train_centroids`` or, scale-honest over the full
+    corpus, ``similarity.train_centroids_distributed``; the plan below
+    is identical either way). Assignment is a map-side expression against
     centroid literals — no shuffle, no Python workers; the cosine is the
     same sequential-fold ``aggregate`` used by ``cosine_topk``, so a
     DuckDB ``list_cosine_similarity`` oracle reproduces it bit-for-bit.

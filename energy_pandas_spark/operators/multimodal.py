@@ -3,10 +3,13 @@
 Media are opaque ``binary`` columns plus a typed metadata struct —
 Spark's native pattern for multimodal training data. The distributed
 plumbing (schemas, Arrow batch shapes, partition sizing, UDF
-signatures) is real and tested; the codec kernels themselves are
-STUBBED behind ``set_decoder``/deterministic fakes because no media
-libraries exist in this environment — swap in PIL/av/soundfile by
-registering a decoder, nothing else changes.
+signatures) is real and tested. Real codecs exist too: call
+``operators.codecs.register_default_decoders()`` to install stdlib
+PNG/BMP/PPM/WAV decode + feature kernels (PIL preferred for images
+when importable); ``set_decoder`` swaps in av/soundfile/turbo codecs
+for formats beyond them, nothing else changes. The deterministic
+``_fake_decode`` remains only as the unregistered-mime fallback
+(``strict=True`` raises instead).
 
 Scale notes: media rows are large, so the operators (a) never shuffle
 the binary payload except where the caller asks for it, (b) cap Arrow
@@ -109,11 +112,18 @@ def decode_features(
 ) -> DataFrame:
     """content -> feature vector, via ``mapInPandas`` (Arrow batches).
 
-    Dispatches on ``meta.mime`` through the decoder registry; without a
-    registered decoder, ``strict=True`` raises NotImplementedError (the
-    honest stub) while the default uses the deterministic fake so the
-    downstream pipeline (dedup/similarity over features) stays
-    exercisable end-to-end."""
+    Dispatches on ``meta.mime`` through the decoder registry (see
+    ``operators.codecs.register_default_decoders`` for the real stdlib
+    PNG/BMP/PPM/WAV kernels); without a registered decoder,
+    ``strict=True`` raises NotImplementedError (the honest stub) while
+    the default uses the deterministic fake so the downstream pipeline
+    (dedup/similarity over features) stays exercisable end-to-end.
+
+    Decoder vectors are truncated / zero-padded to ``dim`` so mixed
+    modalities land in one fixed-length ``array<float>`` column."""
+    # snapshot at plan time: the closure must carry the registry state
+    # the driver sees, not whatever the executor module reimports
+    decoders = tuple(_DECODERS.items())
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -121,10 +131,10 @@ def decode_features(
             for content, meta in zip(pdf[content_col], pdf[meta_col]):
                 mime = (meta or {}).get("mime") or ""
                 decoder = next(
-                    (f for p, f in _DECODERS.items() if mime.startswith(p)), None
+                    (f for p, f in decoders if mime.startswith(p)), None
                 )
                 if decoder is not None:
-                    vec = decoder(content, meta)
+                    vec = np.asarray(decoder(content, meta), dtype=np.float64)
                 elif strict:
                     raise NotImplementedError(
                         f"no decoder registered for mime {mime!r}; "
@@ -132,6 +142,8 @@ def decode_features(
                     )
                 else:
                     vec = _fake_decode(content, meta or {}, dim)
+                if len(vec) < dim:
+                    vec = np.pad(vec, (0, dim - len(vec)))
                 feats.append([float(x) for x in vec[:dim]])
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 

@@ -31,6 +31,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_arrow",
     "train_centroids",
+    "train_centroids_distributed",
     "assign_cells",
     "ivf_topk",
     "build_ivf_index",
@@ -210,6 +211,38 @@ def train_centroids(
     return cent
 
 
+def train_centroids_distributed(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Scale-honest IVF/SemDeDup centroid trainer: ``pyspark.ml`` KMeans
+    with ``distanceMeasure='cosine'`` over the WHOLE corpus (kmeans||
+    init + distributed Lloyd iterations), instead of the bounded
+    driver-side sample ``train_centroids`` uses. At 100 TB the sample
+    trainer's centroid quality rests on 20k rows; this one sees every
+    vector while only ever collecting the k centers. Returns unit-norm
+    centroids in the same shape/contract as ``train_centroids``, so
+    ``assign_cells``/``ivf_topk``/``build_ivf_index`` compose unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features")
+    )
+    model = KMeans(
+        k=n_cells,
+        maxIter=iters,
+        seed=seed,
+        distanceMeasure="cosine",
+        featuresCol="__features",
+    ).fit(feats)
+    cent = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    return cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -251,12 +284,21 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     centroids: np.ndarray | None = None,
+    trainer: str = "sample",
 ) -> DataFrame:
     """Approximate cosine top-k: probe only the ``nprobe`` nearest
     IVF cells per query. The equi-join on ``cell`` replaces the full
-    cross join — the scan prunes to ~nprobe/n_cells of the corpus."""
+    cross join — the scan prunes to ~nprobe/n_cells of the corpus.
+
+    ``trainer='distributed'`` swaps the bounded-sample quantizer for
+    the full-corpus ``pyspark.ml`` KMeans (see
+    ``train_centroids_distributed``)."""
     if centroids is None:
-        centroids = train_centroids(corpus, n_cells, corpus_vec)
+        train = (
+            train_centroids_distributed if trainer == "distributed"
+            else train_centroids
+        )
+        centroids = train(corpus, n_cells, corpus_vec)
     cells = assign_cells(corpus, centroids, corpus_vec)
 
     # queries are small: probe cells computed driver-side
@@ -292,14 +334,20 @@ def build_ivf_index(
     n_cells: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    trainer: str = "sample",
     **train_kwargs,
 ) -> None:
     """Materialize an IVF index as TABLES: cell assignments written
     hive-partitioned by ``cell`` (so probing N of M cells is a
     partition-pruned scan that never lists the other directories) plus
     a tiny centroid table. Rebuild after large ingests; queries between
-    rebuilds just probe slightly stale cells."""
-    centroids = train_centroids(corpus, n_cells, corpus_vec, **train_kwargs)
+    rebuilds just probe slightly stale cells. ``trainer='distributed'``
+    trains the quantizer on the full corpus via ``pyspark.ml`` KMeans."""
+    train = (
+        train_centroids_distributed if trainer == "distributed"
+        else train_centroids
+    )
+    centroids = train(corpus, n_cells, corpus_vec, **train_kwargs)
     cells = assign_cells(
         corpus.select(corpus_id, corpus_vec), centroids, corpus_vec
     )

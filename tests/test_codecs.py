@@ -1,0 +1,233 @@
+"""Real media codecs (operators/codecs.py): spec round-trips for the
+stdlib PNG/BMP/PPM/WAV kernels, feature-extractor properties, and the
+registered-decoder path through the distributed ``decode_features``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from energy_pandas_spark.operators import multimodal
+from energy_pandas_spark.operators.codecs import (
+    audio_features,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    image_features,
+    register_default_decoders,
+    sniff_mime,
+)
+
+
+def _rand_img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    return a[:, :, 0] if c == 1 else a
+
+
+class TestPng:
+    @pytest.mark.parametrize("c", [1, 2, 3, 4])
+    def test_roundtrip(self, c):
+        img = _rand_img(13, 7, c, seed=c)
+        got = decode_png(encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+    def test_all_scanline_filters(self, filt):
+        """Hand-filter scanlines per the PNG spec and check the decoder
+        inverts each filter type exactly."""
+        img = _rand_img(9, 11, 3, seed=42)
+        h, w, c = img.shape
+        stride, bpp = w * c, c
+        flat = img.reshape(h, stride).astype(np.int32)
+        lines = []
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            cur = flat[y]
+            if filt == 0:
+                enc = cur
+            elif filt == 1:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                enc = (cur - left) % 256
+            elif filt == 2:
+                enc = (cur - prev) % 256
+            elif filt == 3:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                enc = (cur - ((left + prev) >> 1)) % 256
+            else:  # Paeth
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                p = left + prev - upleft
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                enc = (cur - pred) % 256
+            lines.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), img)
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            decode_png(b"definitely not a png")
+
+
+class TestOtherImageFormats:
+    def test_bmp_24bit(self):
+        img = _rand_img(5, 6, 3, seed=7)
+        h, w, _ = img.shape
+        row = (w * 3 + 3) & ~3
+        px = np.zeros((h, row), np.uint8)
+        px[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        off = 54
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", off + px.size, 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, px.size, 0, 0, 0, 0)
+        )
+        assert np.array_equal(decode_bmp(header + px.tobytes()), img)
+
+    def test_ppm_and_pgm(self):
+        img = _rand_img(4, 5, 3, seed=3)
+        data = b"P6\n# comment\n5 4\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(data), img)
+        gray = _rand_img(4, 5, 1, seed=4)
+        data = b"P5 5 4 255\n" + gray.tobytes()
+        assert np.array_equal(decode_ppm(data)[:, :, 0], gray)
+
+    def test_sniff_and_dispatch(self):
+        img = _rand_img(3, 3, 3, seed=1)
+        png = encode_png(img)
+        assert sniff_mime(png) == "image/png"
+        assert sniff_mime(b"RIFF1234WAVEfmt ") == "audio/wav"
+        assert sniff_mime(b"\x00\x01") is None
+        assert np.array_equal(decode_image(png), img)
+        with pytest.raises(ValueError):
+            decode_image(b"\x00\x01\x02")
+
+
+class TestWav:
+    def test_roundtrip_mono_and_stereo(self):
+        t = np.arange(8000) / 8000.0
+        mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+        got, rate = decode_wav(encode_wav(mono, 8000))
+        assert rate == 8000 and got.shape == (8000, 1)
+        assert np.abs(got[:, 0] - mono).max() < 1e-3  # 16-bit quantization
+        stereo = np.stack([mono, -mono], axis=1)
+        got2, _ = decode_wav(encode_wav(stereo, 8000))
+        assert got2.shape == (8000, 2)
+        assert np.abs(got2 - stereo).max() < 1e-3
+
+
+class TestFeatures:
+    def test_image_features_perceptual(self):
+        img = _rand_img(32, 32, 3, seed=9)
+        f = image_features(img)
+        assert f.shape == (64,) and f.dtype == np.float32
+        assert np.array_equal(f, image_features(img.copy()))  # deterministic
+        noisy = np.clip(
+            img.astype(np.int32)
+            + np.random.default_rng(1).integers(-2, 3, img.shape),
+            0,
+            255,
+        ).astype(np.uint8)
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        assert cos(f, image_features(noisy)) > 0.999  # near-dup stays close
+        # structurally different content separates (uniform noise does
+        # not: its block means are all ~127.5, correctly near-parallel)
+        ramp = np.tile(np.linspace(0, 255, 32, dtype=np.uint8), (32, 1))
+        horiz = np.stack([ramp] * 3, axis=2)
+        vert = np.stack([ramp.T] * 3, axis=2)
+        assert cos(image_features(horiz), image_features(vert)) < cos(
+            f, image_features(noisy)
+        )
+        dark = image_features(np.full((32, 32, 3), 10, np.uint8))
+        bright = image_features(np.full((32, 32, 3), 250, np.uint8))
+        assert bright.mean() > 0.9 > 0.1 > dark.mean()  # luma is real
+
+    def test_audio_features_profile(self):
+        rate = 8000
+        quiet = np.zeros(rate)
+        loud = 0.9 * np.sin(2 * np.pi * 440 * np.arange(rate) / rate)
+        f = audio_features(np.concatenate([quiet, loud]), rate)
+        assert f.shape == (64,)
+        assert f[:32].max() < 1e-6 and f[32:].min() > 0.1  # silence vs tone
+        assert audio_features(np.zeros(0), rate).shape == (64,)
+
+
+class TestRegisteredDecodeFeatures:
+    def test_end_to_end_real_decode(self, spark):
+        register_default_decoders()
+        base = _rand_img(16, 16, 3, seed=5)
+        near = base.copy()
+        near[0, 0, 0] ^= 1  # 1-bit perturbation
+        t = np.arange(4000) / 8000.0
+        rows = [
+            (0, bytearray(encode_png(base)), ("image/png", 16, 16, None)),
+            (1, bytearray(encode_png(near)), ("image/png", 16, 16, None)),
+            (
+                2,
+                bytearray(encode_wav(0.5 * np.sin(2 * np.pi * 220 * t), 8000)),
+                ("audio/wav", None, None, 500),
+            ),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+        )
+        feats = {
+            r["media_id"]: np.array(r["features"])
+            for r in multimodal.decode_features(df, dim=64).collect()
+        }
+        # image features are real luma block means in [0, 1]
+        assert 0.0 <= feats[0].min() and feats[0].max() <= 1.0
+        assert np.allclose(feats[0], image_features(base))
+        cos = float(
+            feats[0]
+            @ feats[1]
+            / (np.linalg.norm(feats[0]) * np.linalg.norm(feats[1]))
+        )
+        assert cos > 0.999  # near-dup image survives decode pipeline
+        assert feats[2].shape == (64,)  # audio landed in the same space
+        assert not np.allclose(feats[2], feats[0])
+
+    def test_unregistered_mime_still_falls_back(self, spark):
+        register_default_decoders()
+        df = spark.createDataFrame(
+            [(0, bytearray(b"plain bytes"), ("application/octet-stream", None, None, None))],
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+        )
+        out = multimodal.decode_features(df, dim=8).collect()
+        assert len(out) == 1 and len(out[0]["features"]) == 8
+        with pytest.raises(Exception, match="no decoder registered"):
+            multimodal.decode_features(df, dim=8, strict=True).collect()

@@ -473,3 +473,38 @@ def test_crosscorpus_with_persisted_band_store(spark, docs, tmp_path):
         )
     )
     assert via_store == direct and len(direct) >= 1
+
+
+def test_ivf_distributed_trainer_recall(spark, sf_dir):
+    """ML-KMeans-trained centroids (full-corpus, cosine distance) keep
+    the same recall bound as the sample trainer and the same downstream
+    plan (assign/probe unchanged)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = train_centroids_distributed(emb, n_cells=8, iters=5)
+    assert cent.shape[0] == 8
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)  # unit contract
+
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 3)
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    got = ivf_topk(emb, queries, k=3, n_cells=8, nprobe=4, centroids=cent).collect()
+    best = {r.query_id: (r.vec_id, r.cosine) for r in got if r.rank == 1}
+    for qid, (vid, cos) in best.items():
+        assert vid == qid and cos > 0.999  # own vector always found
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()}
+    assert len({(r.query_id, r.vec_id) for r in got} & exact) / len(exact) >= 0.6
