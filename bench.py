@@ -60,6 +60,13 @@ HEADLINE = [
     "crosscorpus_neardup",
     "encode_docs_vocab",
     "rolling_trend_by_type",
+    # variant paths: regression-track the alternates, not just the mains
+    "ngram_jaccard",
+    "cosine_topk_blas",
+    "ivf_topk",
+    "media_features",
+    "benchmark_contamination",
+    "stratified_sample_langs",
 ]
 
 

@@ -138,9 +138,16 @@ def ldc(
     # rows with monotonically_increasing_id: within a partition the id is
     # (pid << 33) + a consecutive counter in row order, so it encodes
     # BOTH the partition and the local rank — no per-pid window, no
-    # second shuffle of the data. The projection is cached because
+    # second shuffle of the data. The projection is persisted because
     # repartitionByRange samples its boundaries (nondeterministic across
     # re-evaluations) and the offsets branch must see the SAME layout.
+    # MEMORY_AND_DISK_DESER (not MEMORY-only cache): the pinned dataset
+    # is the FULL sorted projection — at 100 TB it exceeds executor
+    # storage memory, and an evicted MEMORY_ONLY block would silently
+    # recompute with fresh (different) range boundaries, corrupting the
+    # offsets join. Disk spill keeps the layout stable at any scale.
+    from pyspark import StorageLevel
+
     part = (
         base.repartitionByRange(F.desc_nulls_last(value_col))
         .sortWithinPartitions(F.desc_nulls_last(value_col))
@@ -148,7 +155,7 @@ def ldc(
         .withColumn("__pid", F.shiftright("__mid", 33))
         .withColumn("__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
         .select(*cols, "__pid", "__rn")
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     # per-partition counts -> cumulative offsets (tiny: one row/partition)
     offsets = (

@@ -128,6 +128,50 @@ class TestConversions:
         assert len(SI_DEFAULT_CONVERSION) == 75
 
 
+class TestCorpusRoundTripValues:
+    """Value-level SI<->IP round trips for the full reference corpus —
+    exceeds the reference, which only smoke-tests that to_ip/to_si do
+    not raise (test_energypandas.py:327-338)."""
+
+    @pytest.mark.parametrize("u", UNITS_CORPUS)
+    def test_to_ip_value_roundtrip(self, u):
+        pu = ur.parse(u)
+        tgt = to_ip_unit(pu)
+        if tgt is None:
+            return  # silent no-op contract
+        s, b = ur.conversion(pu, tgt)
+        si, bi = ur.conversion(tgt, pu)
+        for x in (0.0, 1.0, -40.0, 123.456):
+            y = si * (s * x + b) + bi
+            assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (
+                f"{u} -> {tgt} -> {u}: {x} became {y}"
+            )
+        # inverse coefficients are the algebraic inverse of the forward
+        assert math.isclose(s * si, 1.0, rel_tol=1e-9)
+        assert math.isclose(si * b + bi, 0.0, abs_tol=1e-9)
+
+    @pytest.mark.parametrize("u", UNITS_CORPUS)
+    def test_to_si_value_roundtrip(self, u):
+        pu = ur.parse(u)
+        tgt = to_si_unit(pu)
+        if tgt is None:
+            return
+        s, b = ur.conversion(pu, tgt)
+        si, bi = ur.conversion(tgt, pu)
+        for x in (0.0, 1.0, -40.0, 987.25):
+            y = si * (s * x + b) + bi
+            assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+
+    def test_ip_si_value_goldens(self):
+        # spot values against published EnergyPlus conversion constants
+        s, b = ur.conversion("C", to_ip_unit(ur.parse("C")))
+        assert math.isclose(25.0 * s + b, 77.0)  # 25 degC = 77 degF
+        s, _ = ur.conversion("m", to_ip_unit(ur.parse("m")))
+        assert math.isclose(100.0 * s, 328.0839895, rel_tol=1e-9)
+        s, _ = ur.conversion("W/m2", to_ip_unit(ur.parse("W/m2")))
+        assert math.isclose(s, 0.09290304, rel_tol=1e-6)  # W/m2 -> W/ft2
+
+
 @given(
     st.sampled_from(["C", "K", "degF", "degR"]),
     st.sampled_from(["C", "K", "degF", "degR"]),
