@@ -2562,6 +2562,106 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def length_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sampling: keep probability =
+    min(n_tokens, 200)/200 by md5 bucket — integer-exact decisions, so
+    a token-budgeted subcorpus is unbiased in tokens, not docs. Pure
+    map-side filter (operators/sampling.py:weighted_bernoulli_sample)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import weighted_bernoulli_sample
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__w", token_count("text")
+    )
+    out = weighted_bernoulli_sample(docs, "doc_id", "__w", max_weight=200)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+_LENGTH_WEIGHTED_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         least(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '')), 200) AS w,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM w WHERE b * 200 < w * 10000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def balanced_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: cap each language at ~300 docs by integer
+    bucket threshold (cap*10000 div n) — a tiny count aggregate
+    broadcast back onto a map-only filter; no per-group rank window, so
+    a dominant source can't create a skewed task at scale."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import balanced_cap_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = balanced_cap_sample(docs, "doc_id", "lang", cap=300)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+_BALANCED_CAP_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+t AS (
+  SELECT lang,
+         CASE WHEN n <= 300 THEN 10000 ELSE (300::BIGINT * 10000) // n END
+           AS thresh
+  FROM c
+)
+SELECT d.lang, count(*) AS n_docs, sum(d.doc_id)::BIGINT AS id_sum
+FROM documents d JOIN t USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < thresh
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: the surviving copy per content group
+    is the argmax by (token count, -doc_id) — keep the cleanest mirror,
+    not the first seen. One digest shuffle via max_by struct ordering
+    (operators/dedup.py:dedup_keep_best), integer quality so ties are
+    engine-exact."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import dedup_keep_best
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality", token_count("text")
+    )
+    return dedup_keep_best(docs, "quality").orderBy("digest")
+
+
+_KEEP_BEST_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '')) AS quality
+  FROM documents
+), r AS (
+  SELECT digest, doc_id, quality,
+         row_number() OVER (PARTITION BY digest
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n_copies
+  FROM q
+)
+SELECT digest, doc_id, quality, n_copies FROM r WHERE rn = 1 ORDER BY digest
+"""
+
+
 def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 terms by document frequency
     (integer-exact ordering)."""
@@ -4281,6 +4381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": cube_orders,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk_blas": cosine_topk_blas,
+        # -- new in round 3 (never checked; next in rotation) ----------
+        "length_weighted_sample_docs": length_weighted_sample_docs,
+        "balanced_cap_docs": balanced_cap_docs,
+        "dedup_keep_best_docs": dedup_keep_best_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4470,6 +4574,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_tolerance_hourly": _ASOF_TOL_SQL,
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,
         "stratified_sample_langs": _STRATIFIED_SQL,
+        "length_weighted_sample_docs": _LENGTH_WEIGHTED_SQL,
+        "balanced_cap_docs": _BALANCED_CAP_SQL,
+        "dedup_keep_best_docs": _KEEP_BEST_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
         "above_avg_orders": _ABOVE_AVG_SQL,

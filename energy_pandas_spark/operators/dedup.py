@@ -41,6 +41,7 @@ from energy_pandas_spark.functions.vectors import cosine_similarity, dot, l2_nor
 
 __all__ = [
     "dedup_exact",
+    "dedup_keep_best",
     "dedup_incremental",
     "minhash_signature",
     "minhash_lsh_candidates",
@@ -84,6 +85,36 @@ def dedup_exact(
         .groupBy("digest")
         .agg(
             keep_fn(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per content group instead
+    of the first: survivor = argmax by (quality, -id) — quality-aware
+    canonicalization (mirrors of the same page differ in boilerplate
+    stripping; keep the cleanest). Single digest shuffle via
+    ``max_by`` on a struct ordering (quality desc, id asc), no window,
+    no second pass. Ties on quality break to the LOWEST id so the
+    result is total-order deterministic."""
+    digest = F.md5(normalized_text(text_col)).alias("digest")
+    # struct ordering: max quality first; among equals, max(-id) = min id
+    best = F.max_by(
+        F.col(id_col),
+        F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")),
+    )
+    return (
+        df.select(digest, F.col(id_col), F.col(quality_col))
+        .groupBy("digest")
+        .agg(
+            best.alias(id_col),
+            F.max(quality_col).alias(quality_col),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )

@@ -33,6 +33,8 @@ __all__ = [
     "hash_sample",
     "hash_sample_by",
     "weighted_mixture",
+    "weighted_bernoulli_sample",
+    "balanced_cap_sample",
 ]
 
 
@@ -119,6 +121,67 @@ def hash_sample_by(
             .otherwise(thresh)
         )
     return df.filter(b < thresh)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    max_weight: int,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep probability is
+    proportional to an INTEGER row weight (e.g. token count), capped at
+    ``max_weight`` (which keeps with probability 1).
+
+    keep iff ``hash_bucket(key) * max_weight < weight * denominator`` —
+    all-integer arithmetic, so the decision is bit-identical on every
+    engine (no pow/exp boundary, see the float-priority trap in
+    Efraimidis-Spirakis style sampling). Rerun-stable, map-only, no
+    shuffle; the classic use is length-proportional document sampling
+    so a token-budgeted subcorpus is unbiased in tokens, not in docs."""
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    b = hash_bucket(key, denominator).cast("long")
+    wl = F.least(w.cast("long"), F.lit(max_weight))
+    return df.filter(b * F.lit(max_weight) < wl * F.lit(denominator))
+
+
+def balanced_cap_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    cap: int,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Approximately cap each group's row count at ``cap`` (downweight
+    dominant sources so one crawl can't drown the mixture), keeping a
+    deterministic hash-subset of oversized groups.
+
+    Two stages: a tiny per-group count aggregate (broadcast back), then
+    a map-only filter ``bucket < floor(cap * denominator / n_group)`` —
+    INTEGER threshold arithmetic, so the kept set is engine-exact and
+    rerun-stable. Groups at or under ``cap`` keep everything. The kept
+    count is within ``n_group/denominator`` of ``cap`` (bucket
+    granularity), which is the price of staying map-only: an exact cap
+    needs a per-group rank, i.e. a skewed window over the largest
+    group — the wrong trade at 100 TB."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    # integer division (div), NOT double division + floor: a quotient
+    # epsilon below an integer can round UP in binary64 and shift the
+    # threshold by one bucket, diverging between engines
+    thresh = F.when(
+        F.col("__n") <= F.lit(cap), F.lit(denominator)
+    ).otherwise(F.expr(f"CAST({cap} AS BIGINT) * {denominator} div __n"))
+    capped = counts.select(group_col, thresh.cast("int").alias("__thresh"))
+    return (
+        df.join(F.broadcast(capped), group_col)
+        .filter(hash_bucket(key, denominator) < F.col("__thresh"))
+        .drop("__thresh")
+    )
 
 
 def weighted_mixture(

@@ -508,3 +508,21 @@ def test_ivf_distributed_trainer_recall(spark, sf_dir):
         assert vid == qid and cos > 0.999  # own vector always found
     exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()}
     assert len({(r.query_id, r.vec_id) for r in got} & exact) / len(exact) >= 0.6
+
+
+def test_dedup_keep_best_prefers_quality_then_lowest_id(spark):
+    from energy_pandas_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (0, "same content here", 3),
+        (1, "same content here", 7),   # best copy of the group
+        (2, "same content here", 7),   # quality tie -> loses to id 1
+        (3, "unique document", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality long")
+    out = {r["doc_id"]: (r["quality"], r["n_copies"])
+           for r in dedup_keep_best(df, "quality").collect()}
+    assert out == {1: (7, 3), 3: (2, 1)}
+    # single digest shuffle, no window
+    plan = dedup_keep_best(df, "quality")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Window" not in plan

@@ -94,3 +94,42 @@ def test_stratified_is_map_only(spark):
     df = spark.createDataFrame([(1, "en")], "key long, lang string")
     plan = hash_sample_by(df, "key", "lang", {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_bernoulli_rate_tracks_weight(spark):
+    from energy_pandas_spark.operators.sampling import weighted_bernoulli_sample
+
+    rows = [(i, 10 if i < 4000 else 100) for i in range(8000)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    out = weighted_bernoulli_sample(df, "key", "w", max_weight=100)
+    kept = out.groupBy("w").agg(F.count("*").alias("n")).collect()
+    by = {r.w: r.n for r in kept}
+    # keep prob = w/max_weight: 10% of the light rows, 100% of the heavy
+    assert by[100] == 4000  # w == max_weight keeps everything
+    assert by[10] == pytest.approx(400, rel=0.25)
+    # deterministic + nested: every key kept at w=10 is kept at w=50
+    light = spark.createDataFrame([(i, 10) for i in range(4000)], "key long, w long")
+    heavier = spark.createDataFrame([(i, 50) for i in range(4000)], "key long, w long")
+    k10 = {r.key for r in weighted_bernoulli_sample(light, "key", "w", 100).collect()}
+    k50 = {r.key for r in weighted_bernoulli_sample(heavier, "key", "w", 100).collect()}
+    assert k10 <= k50
+    # map-only contract
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_balanced_cap_sample(spark):
+    from energy_pandas_spark.operators.sampling import balanced_cap_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(9500)]
+    df = spark.createDataFrame(rows, "key long, grp string")
+    out = balanced_cap_sample(df, "key", "grp", cap=500)
+    by = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 500  # under cap: untouched
+    assert by["big"] == pytest.approx(500, rel=0.2)  # capped near target
+    assert by["big"] < 1500
+    # schema passthrough (no helper columns leak)
+    assert out.columns == ["grp", "key"] or set(out.columns) == {"key", "grp"}
+    # the count side is broadcast, not a shuffled join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
