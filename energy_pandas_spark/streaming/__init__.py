@@ -16,9 +16,17 @@ from energy_pandas_spark.streaming.rollup import (
 )
 from energy_pandas_spark.streaming.anomaly import streaming_zscore
 from energy_pandas_spark.streaming.heavy_hitters import streaming_heavy_hitters
+from energy_pandas_spark.streaming.ingest import (
+    make_neardup_ingest_writer,
+    neardup_ingest,
+    read_corpus,
+)
 from energy_pandas_spark.streaming.stateful import streaming_dedup
 
 __all__ = [
+    "make_neardup_ingest_writer",
+    "neardup_ingest",
+    "read_corpus",
     "streaming_zscore",
     "stream_events",
     "windowed_aggregate",
