@@ -2628,6 +2628,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: exact-content dup pairs that
+    straddle hash_split boundaries (60/20/20 here so small corpora
+    exercise non-zero counts). One digest shuffle + one stats row,
+    stacked to a row per split pair — no pair materialization
+    (operators/sampling.py:split_leakage_stats)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import split_leakage_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_leakage_stats(
+        docs, "doc_id", splits={"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    return out.orderBy("split_a", "split_b")
+
+
+_SPLIT_LEAKAGE_SQL = """
+WITH s AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 6000 THEN 'train'
+              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 8000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), per AS (
+  SELECT digest,
+         count(*) FILTER (split = 'test')  AS n_test,
+         count(*) FILTER (split = 'train') AS n_train,
+         count(*) FILTER (split = 'val')   AS n_val
+  FROM s GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'test' AS split_a, 'train' AS split_b,
+         count(*) FILTER (n_test > 0 AND n_train > 0)::BIGINT AS n_digests,
+         coalesce(sum(n_test * n_train), 0)::BIGINT AS n_pairs FROM per
+  UNION ALL
+  SELECT 'test', 'val',
+         count(*) FILTER (n_test > 0 AND n_val > 0)::BIGINT,
+         coalesce(sum(n_test * n_val), 0)::BIGINT FROM per
+  UNION ALL
+  SELECT 'train', 'val',
+         count(*) FILTER (n_train > 0 AND n_val > 0)::BIGINT,
+         coalesce(sum(n_train * n_val), 0)::BIGINT FROM per
+)
+ORDER BY split_a, split_b
+"""
+
+
 def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup: the surviving copy per content group
     is the argmax by (token count, -doc_id) — keep the cleanest mirror,
@@ -4385,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_weighted_sample_docs": length_weighted_sample_docs,
         "balanced_cap_docs": balanced_cap_docs,
         "dedup_keep_best_docs": dedup_keep_best_docs,
+        "split_leakage_docs": split_leakage_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4577,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
         "length_weighted_sample_docs": _LENGTH_WEIGHTED_SQL,
         "balanced_cap_docs": _BALANCED_CAP_SQL,
         "dedup_keep_best_docs": _KEEP_BEST_SQL,
+        "split_leakage_docs": _SPLIT_LEAKAGE_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
         "above_avg_orders": _ABOVE_AVG_SQL,

@@ -35,6 +35,7 @@ __all__ = [
     "weighted_mixture",
     "weighted_bernoulli_sample",
     "balanced_cap_sample",
+    "split_leakage_stats",
 ]
 
 
@@ -181,6 +182,60 @@ def balanced_cap_sample(
         df.join(F.broadcast(capped), group_col)
         .filter(hash_bucket(key, denominator) < F.col("__thresh"))
         .drop("__thresh")
+    )
+
+
+def split_leakage_stats(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    splits: Mapping[str, float] | None = None,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Train/eval contamination audit: exact-content duplicates that
+    straddle split boundaries after :func:`hash_split` (hash-splitting
+    is by KEY, so two ids with identical text can land in different
+    splits — exactly the leakage an eval must not have).
+
+    One digest-keyed shuffle: per content group, count members per
+    split, then the cross-split pair count is the product of the two
+    counts — no self-join, no pair materialization, integer-exact.
+    Returns one row per split pair: (split_a, split_b, n_digests,
+    n_pairs)."""
+    from energy_pandas_spark.functions.textfns import normalized_text
+
+    tagged = hash_split(df, key, splits, out_col="__split", denominator=denominator)
+    names = sorted(dict(splits or {"train": 0.98, "val": 0.01, "test": 0.01}))
+    per = tagged.groupBy(F.md5(normalized_text(text_col)).alias("digest")).agg(
+        *[
+            F.count_if(F.col("__split") == s).alias(f"__n_{s}")
+            for s in names
+        ]
+    )
+    # ONE final aggregate for every pair (a union of per-pair aggs would
+    # rescan the digest aggregate once per pair), then a literal stack
+    # of the single stats row into (split_a, split_b) rows.
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(
+            F.count_if(
+                (F.col(f"__n_{a}") > 0) & (F.col(f"__n_{b}") > 0)
+            ).alias(f"__d_{a}_{b}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(f"__n_{a}") * F.col(f"__n_{b}")), F.lit(0)
+            ).alias(f"__p_{a}_{b}")
+        )
+    stats = per.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', __d_{a}_{b}, __p_{a}_{b}" for a, b in pairs
+    )
+    return stats.selectExpr(
+        f"stack({len(pairs)}, {stacked}) AS (split_a, split_b, n_digests, n_pairs)"
     )
 
 

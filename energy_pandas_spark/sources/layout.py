@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
+    "write_training_shards",
     "write_clustered",
     "compact",
     "file_column_stats",
@@ -33,6 +34,40 @@ __all__ = [
     "build_manifest",
     "pruned_read",
 ]
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as ``n_shards`` deterministically shuffled
+    shards — the final layout a training data loader consumes.
+
+    Global pseudo-random order comes from sorting on the md5 of the
+    key: rerun-stable (same corpus -> bit-identical shard contents and
+    order, unlike ``orderBy(rand())``), engine-portable, and free of
+    the pathological "sorted by source" locality that inflates
+    gradient variance. Shard assignment is ``md5 % n_shards`` (a pure
+    function of the key — adding hardware or re-running never moves a
+    row), written hive-partitioned ``shard=K`` so loaders address
+    shards by directory. One hash shuffle; within-shard order is the
+    hash order, enforced by sortWithinPartitions."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__h", key)
+        .drop("__h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def write_clustered(
@@ -67,16 +102,13 @@ def compact(
     filesystem call, so readers see old-or-new, never a partial mix).
     Do not run two compactions or a compaction and a writer
     concurrently on the same path."""
+    from energy_pandas_spark.streaming.stats import _swap
+
     tmp = path.rstrip("/") + "__compacting"
     write_clustered(spark.read.parquet(path), tmp, cluster_by, num_files)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    # crash-safe swap (rename-to-backup protocol): a bare
+    # delete-then-rename has a window where the table is simply gone
+    _swap(spark, tmp, path)
 
 
 def file_column_stats(path: str, column: str) -> list[tuple[str, object, object]]:

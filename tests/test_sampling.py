@@ -133,3 +133,31 @@ def test_balanced_cap_sample(spark):
     # the count side is broadcast, not a shuffled join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_leakage_stats_counts_straddling_dups(spark):
+    from energy_pandas_spark.operators.sampling import split_leakage_stats
+
+    # same text under many keys: with 50/50 splits some copies land on
+    # each side; pair count must equal n_a * n_b exactly
+    rows = [(i, "identical leaked content") for i in range(40)]
+    rows += [(100 + i, f"unique doc {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_stats(
+        df, "doc_id", splits={"train": 0.5, "test": 0.5}
+    ).collect()
+    assert len(out) == 1  # one split pair
+    r = out[0]
+    assert (r.split_a, r.split_b) == ("test", "train")
+    # recompute expectation from the same hash assignment
+    from energy_pandas_spark.operators.sampling import hash_split
+
+    tagged = hash_split(
+        df.filter(F.col("text") == "identical leaked content"),
+        "doc_id",
+        {"train": 0.5, "test": 0.5},
+    )
+    by = {x["split"]: x["n"] for x in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert r.n_digests == (1 if by.get("train", 0) and by.get("test", 0) else 0)
+    assert r.n_pairs == by.get("train", 0) * by.get("test", 0) > 0
+    # unique docs contribute nothing
