@@ -2628,6 +2628,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage: fraction of all token occurrences covered by the
+    top-100 vocabulary (operators/text.py:vocab_coverage) — integer
+    counts, one rounded ratio."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top=100)
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+), terms AS (
+  SELECT term, count(*) AS doc_freq, sum(tf)::BIGINT AS total_count
+  FROM tf GROUP BY 1
+), v AS (
+  SELECT * FROM terms ORDER BY doc_freq DESC, term ASC LIMIT 100
+), cov AS (
+  SELECT count(*) AS vocab_size, sum(total_count)::BIGINT AS covered_tokens
+  FROM v
+), tot AS (
+  SELECT coalesce(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x != ''))), 0)::BIGINT
+           AS total_tokens
+  FROM documents
+)
+SELECT vocab_size, covered_tokens, total_tokens,
+       round(covered_tokens / greatest(total_tokens, 1), 6) AS coverage
+FROM cov, tot
+"""
+
+
 def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination audit: exact-content dup pairs that
     straddle hash_split boundaries (60/20/20 here so small corpora
@@ -4435,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_cap_docs": balanced_cap_docs,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "split_leakage_docs": split_leakage_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4628,6 +4668,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_cap_docs": _BALANCED_CAP_SQL,
         "dedup_keep_best_docs": _KEEP_BEST_SQL,
         "split_leakage_docs": _SPLIT_LEAKAGE_SQL,
+        "vocab_coverage_docs": _VOCAB_COVERAGE_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
         "above_avg_orders": _ABOVE_AVG_SQL,

@@ -28,6 +28,7 @@ __all__ = [
     "minhash_fingerprint",
     "term_frequencies",
     "vocabulary",
+    "vocab_coverage",
     "tfidf_top_terms",
     "ngram_counts",
     "redact_pii",
@@ -219,6 +220,42 @@ def vocabulary(
         F.sum("tf").alias("total_count"),
     )
     return terms.orderBy(F.desc("doc_freq"), F.asc("term")).limit(top)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 100,
+) -> DataFrame:
+    """Tokenizer-design metric: what fraction of all token OCCURRENCES
+    does the top-``top`` vocabulary (by document frequency) cover? The
+    Zipf tail this exposes drives vocab-size / OOV-rate decisions.
+
+    One token aggregation feeds both sides: the vocabulary's covered
+    count is the sum of its ``total_count`` (a ``top``-row aggregate)
+    and the denominator is the corpus token count — joined as two
+    1-row frames. Integer counts; only the final ratio is floating,
+    rounded to 6 so it compares exactly cross-engine."""
+    from energy_pandas_spark.functions.textfns import tokens
+
+    covered = vocabulary(df, text_col, id_col, top).agg(
+        F.sum("total_count").alias("covered_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    total = df.select(
+        F.coalesce(F.sum(F.size(tokens(text_col))), F.lit(0)).alias(
+            "total_tokens"
+        )
+    )
+    return covered.crossJoin(total).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") / F.greatest("total_tokens", F.lit(1)), 6
+        ).alias("coverage"),
+    )
 
 
 def tfidf_top_terms(

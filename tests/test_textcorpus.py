@@ -53,3 +53,20 @@ def test_read_text_corpus_feeds_pipeline(spark, tmp_path):
     rows = out.collect()
     assert all(r.n_tokens == 4 for r in rows)
     assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from energy_pandas_spark.operators.text import vocab_coverage
+
+    # corpus tokens: a x4 (df 3), b x3 (df 3), c x1, d x1 -> 9 total
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    r = vocab_coverage(df, top=2).collect()[0]
+    assert (r.vocab_size, r.covered_tokens, r.total_tokens) == (2, 7, 9)
+    assert r.coverage == round(7 / 9, 6)
+    # empty corpus: defined, not a division error
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r0 = vocab_coverage(empty, top=5).collect()[0]
+    assert (r0.covered_tokens is None or r0.covered_tokens == 0) and r0.total_tokens == 0
