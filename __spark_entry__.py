@@ -2360,6 +2360,23 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf(emb, queries, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rank")
 
 
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: PQ codes (8 int16 subspace codes per
+    64-dim vector, 16x compression) + ADC shortlist + exact rerank
+    (operators/similarity.py:pq_recall_topk) — rows-only (approximate
+    by design)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import pq_recall_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_recall_topk(
+        emb, queries, k=5, m=8, n_codes=32, refine=4
+    ).orderBy("query_id", "rank")
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector math parity check: dims + L2 norm per embedding."""
     _prep(spark)
@@ -2664,6 +2681,52 @@ WITH tf AS (
 SELECT vocab_size, covered_tokens, total_tokens,
        round(covered_tokens / greatest(total_tokens, 1), 6) AS coverage
 FROM cov, tot
+"""
+
+
+def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction: share of token occurrences that are
+    corpus-level high-document-frequency terms (>=78% of docs here —
+    the synthetic vocabulary's DF mass sits at 0.75-0.80, so this
+    threshold splits it mid-cluster and the fractions actually vary) —
+    the C4-style chrome/navigation signal (operators/text.py:
+    boilerplate_stats). One (doc,term) aggregate feeds both rollups;
+    the boilerplate term set broadcasts."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import boilerplate_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_stats(docs, df_ratio=0.78).orderBy("doc_id")
+
+
+_BOILERPLATE_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents
+), boiler AS (
+  SELECT term FROM tf, nd GROUP BY term, n_docs
+  HAVING count(*) >= n_docs * 0.78
+), per AS (
+  SELECT tf.doc_id,
+         sum(tf.tf)::BIGINT AS n_tokens,
+         coalesce(sum(CASE WHEN b.term IS NOT NULL THEN tf.tf END), 0)::BIGINT
+           AS boilerplate_tokens
+  FROM tf LEFT JOIN boiler b ON tf.term = b.term
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(boilerplate_tokens, 0)::BIGINT AS boilerplate_tokens,
+       round(coalesce(boilerplate_tokens, 0)
+             / greatest(coalesce(n_tokens, 0), 1), 6) AS boilerplate_fraction
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -4475,6 +4538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "split_leakage_docs": split_leakage_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
+        "boilerplate_docs": boilerplate_docs,
+        "pq_topk_embeddings": pq_topk_embeddings,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4669,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best_docs": _KEEP_BEST_SQL,
         "split_leakage_docs": _SPLIT_LEAKAGE_SQL,
         "vocab_coverage_docs": _VOCAB_COVERAGE_SQL,
+        "boilerplate_docs": _BOILERPLATE_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
         "above_avg_orders": _ABOVE_AVG_SQL,

@@ -36,6 +36,10 @@ __all__ = [
     "ivf_topk",
     "build_ivf_index",
     "ivf_search",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "pq_recall_topk",
 ]
 
 
@@ -398,3 +402,215 @@ def ivf_search(
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
     )
     return _topk_per_query(scored, k, query_id, corpus_id)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound half of IVF-PQ
+# ---------------------------------------------------------------------------
+#
+# At 100 TB of float32 embeddings the working set, not the FLOPs, kills
+# brute force: a 1024-dim vector is 4 KiB; PQ with m=16 subspaces and
+# 256 centroids each stores 16 BYTES per vector (256x) plus one shared
+# (m x 256 x dim/m) codebook that broadcasts to every task. Search is
+# asymmetric distance computation (ADC): per query build an (m x k)
+# lookup table of exact subvector inner products once, then every
+# corpus vector scores with m table lookups — no float vector ever
+# re-read. This is the standard IVF-PQ decomposition (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 20000,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (L2-normalized) vectors into ``m``
+    equal subvectors and run k-means (L2 Lloyd) per subspace on a
+    bounded driver-side sample. Returns ``(m, k, dim/m)`` float64.
+
+    Sample training is the standard practice (FAISS trains PQ on a
+    bounded sample too — codebook quality converges long before the
+    corpus is exhausted); the bounded ``limit`` keeps driver memory
+    flat regardless of corpus size."""
+    sample = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cent = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        for _ in range(iters):
+            # L2 argmin via the expanded form: ||s-c||^2 = -2 s.c + ||c||^2 (+||s||^2 const)
+            d2 = -2.0 * (S @ cent.T) + (cent * cent).sum(axis=1)
+            lab = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = lab == c
+                if msk.any():
+                    cent[c] = S[msk].mean(axis=0)
+        if len(cent) < k:  # degenerate tiny sample: pad by repeating
+            cent = np.concatenate([cent, cent[: k - len(cent)]])
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<smallint>)`` with
+    ``codes[j] = argmin_c ||x_j - codebook[j][c]||`` over the normalized
+    vector's j-th subvector.
+
+    One Arrow batch = m small matmuls; the codebook rides in the task
+    closure (m*k*dsub floats — a few hundred KiB at production sizes).
+    Map-only: no shuffle, output is 1-2 bytes per subspace per vector."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+    cnorm2 = (books * books).sum(axis=2)  # (m, k)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = -2.0 * (S @ books[j].T) + cnorm2[j]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    src = spread_partitions(corpus.select(id_col, vec_col))
+    return src.mapInPandas(fn, schema=f"{id_col} long, codes array<smallint>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over PQ codes.
+
+    Per task the (small, broadcast) query set expands to an exact
+    subvector-IP lookup table ``T[q, j, c] = <q_j, codebook[j][c]>``;
+    each corpus code row scores as ``sum_j T[q, j, codes[j]]`` — a pure
+    gather-sum over int16 codes, never touching float vectors. Batches
+    emit only their per-query local top-k, a final window ranks the
+    ``k x batches`` survivors (same two-stage contract as the exact
+    paths)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk_, dsub = books.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score double, rank int"
+        )
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # (nq, m, k) lookup tables: exact query-side, quantized corpus-side
+    lut = np.einsum(
+        "qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), books
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf[corpus_id].to_numpy()
+            # scores[q, i] = sum_j lut[q, j, C[i, j]]
+            gathered = lut[:, np.arange(m)[None, :], C]  # (nq, n, m)
+            S = gathered.sum(axis=2)
+            kk = min(k, n)
+            out_q: list = []
+            out_id: list = []
+            out_s: list = []
+            for qi in range(S.shape[0]):
+                row = S[qi]
+                idx = np.lexsort((ids, -row))[:kk]
+                out_q.extend([qids[qi]] * len(idx))
+                out_id.extend(ids[idx])
+                out_s.extend(row[idx])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_id, "__cos": out_s}
+            )
+
+    scored = spread_partitions(codes.select(corpus_id, "codes")).mapInPandas(
+        fn, schema=f"{query_id} long, {corpus_id} long, __cos double"
+    )
+    out = _global_topk(scored, k, query_id, corpus_id, round_digits)
+    return out.withColumnRenamed("cosine", "score")
+
+
+def pq_recall_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    codebooks: np.ndarray | None = None,
+    refine: int = 4,
+) -> DataFrame:
+    """Train → encode → ADC shortlist → exact rerank in one call.
+
+    ``refine`` is the standard PQ refinement step (FAISS's
+    ``IndexRefineFlat``): ADC retrieves ``refine * k`` candidates per
+    query from the compressed codes, then ONLY those rows' float
+    vectors are re-read (a semi-join — at 100 TB that's ``refine*k*q``
+    point lookups against the corpus, not a scan) and reranked by exact
+    cosine. Quantization error then only hurts recall when a true
+    neighbor falls outside the shortlist, not via final-rank jitter.
+    ``refine=1`` skips the rerank and returns raw ADC ranks.
+    Production persists the codes table and calls :func:`pq_topk` /
+    reranks explicitly."""
+    if codebooks is None:
+        codebooks = train_pq(corpus, m=m, k=n_codes, vec_col=corpus_vec)
+    enc = pq_encode(corpus, codebooks, id_col=corpus_id, vec_col=corpus_vec)
+    adc = pq_topk(
+        enc, queries, codebooks, k=max(k, refine * k),
+        corpus_id=corpus_id, query_id=query_id, query_vec=query_vec,
+    )
+    if refine <= 1:
+        return adc
+    qn = queries.select(query_id, query_vec)
+    # shortlist (refine*k*q rows) broadcasts; the corpus side is a
+    # broadcast-hash join probe — no corpus shuffle for the rerank
+    cand = adc.select(query_id, corpus_id).join(F.broadcast(qn), query_id)
+    scored = corpus.select(corpus_id, corpus_vec).join(
+        F.broadcast(cand), corpus_id
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    return _global_topk(scored, k, query_id, corpus_id)

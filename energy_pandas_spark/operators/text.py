@@ -29,6 +29,7 @@ __all__ = [
     "term_frequencies",
     "vocabulary",
     "vocab_coverage",
+    "boilerplate_stats",
     "tfidf_top_terms",
     "ngram_counts",
     "redact_pii",
@@ -255,6 +256,65 @@ def vocab_coverage(
         F.round(
             F.col("covered_tokens") / F.greatest("total_tokens", F.lit(1)), 6
         ).alias("coverage"),
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_ratio: float = 0.5,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate audit: what fraction of each
+    document's token OCCURRENCES are corpus-level boilerplate terms —
+    terms whose document frequency is ``>= df_ratio * n_docs``?
+
+    Output: ``(id, n_tokens, boilerplate_tokens, boilerplate_fraction)``
+    — the per-doc signal a cleaning pipeline thresholds on ("drop docs
+    that are >80% navigation chrome"). Counts are integers; only the
+    final ratio is floating, rounded to 6 for cross-engine equality.
+
+    Scale shape: one (doc, term) hash aggregate feeds BOTH the per-term
+    document-frequency rollup and the per-doc rollup. The boilerplate
+    term set (terms in >=50% of documents) is tiny by Zipf — broadcast
+    it; the per-doc sum then needs no second shuffle beyond the (doc,
+    term) aggregate it already consumed. The threshold ``n_docs *
+    df_ratio`` folds in as a broadcast 1-row cross join, not an eager
+    ``count()``.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") >= F.col("__n_docs") * F.lit(df_ratio))
+        .select("term")
+    )
+    marked = tf.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "term", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__b") == 1, F.col("tf"))), F.lit(0)
+        ).alias("boilerplate_tokens"),
+    )
+    # empty docs never produce a (doc, term) row — re-attach with zeros
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("boilerplate_tokens", F.lit(0)).alias(
+                "boilerplate_tokens"
+            ),
+            F.round(
+                F.coalesce("boilerplate_tokens", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boilerplate_fraction"),
+        )
     )
 
 

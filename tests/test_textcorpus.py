@@ -70,3 +70,32 @@ def test_vocab_coverage_hand_computed(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r0 = vocab_coverage(empty, top=5).collect()[0]
     assert (r0.covered_tokens is None or r0.covered_tokens == 0) and r0.total_tokens == 0
+
+
+def test_boilerplate_stats_hand_computed(spark):
+    from energy_pandas_spark.operators.text import boilerplate_stats
+
+    # df over 4 docs: "the" in 3 (0.75), "cat" in 2 (0.5), others in 1.
+    # df_ratio=0.6 -> boilerplate = {"the"} only.
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the the dog"),
+            (2, "the bird"),
+            (3, "cat alone"),
+            (4, ""),  # empty doc: zeros, no division error
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_stats(df, df_ratio=0.6).collect()
+    }
+    assert len(out) == 5
+    assert (out[0].n_tokens, out[0].boilerplate_tokens) == (3, 1)
+    assert (out[1].n_tokens, out[1].boilerplate_tokens) == (3, 2)
+    assert (out[2].n_tokens, out[2].boilerplate_tokens) == (2, 1)
+    assert (out[3].n_tokens, out[3].boilerplate_tokens) == (2, 0)
+    assert (out[4].n_tokens, out[4].boilerplate_tokens) == (0, 0)
+    assert out[1].boilerplate_fraction == round(2 / 3, 6)
+    assert out[4].boilerplate_fraction == 0.0
