@@ -1877,6 +1877,38 @@ ORDER BY e.vec_id
 )
 
 
+def doc_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END quality filter: train a logistic-regression weight
+    table with the distributed DataFrame-native trainer, then score
+    the whole corpus with the codegen inference path
+    (operators/text.py:train_text_classifier / score_with_weights) —
+    rows-only (iterative float training has no SQL twin). Labels are a
+    deterministic text rule (doc mentions "merge") standing in for
+    human quality labels — the synthetic corpus's metadata columns are
+    independent of its text, so a metadata label would have nothing to
+    learn; a content rule demonstrates real distillation into the
+    hashed linear model."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens as _tokens
+    from energy_pandas_spark.operators.text import (
+        score_with_weights,
+        train_text_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.array_contains(_tokens("text"), "merge").cast("int")
+    )
+    weights, bias = train_text_classifier(
+        labeled, n_features=512, iters=300, lr=8.0, trainer="sample"
+    )
+    return (
+        score_with_weights(docs, weights, bias, n_features=512)
+        .select("doc_id", "score", "label_pred")
+        .orderBy("doc_id")
+    )
+
+
 def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier: one codegen'd
     projection (tokenize -> md5-bucket weights -> sequential fold),
@@ -4540,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": vocab_coverage_docs,
         "boilerplate_docs": boilerplate_docs,
         "pq_topk_embeddings": pq_topk_embeddings,
+        "doc_classifier_trained": doc_classifier_trained,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,

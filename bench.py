@@ -67,6 +67,9 @@ HEADLINE = [
     "media_features",
     "benchmark_contamination",
     "stratified_sample_langs",
+    # round-3 additions
+    "boilerplate_docs",
+    "pq_topk_embeddings",
 ]
 
 

@@ -38,6 +38,9 @@ __all__ = [
     "url_stats",
     "hashed_feature_weight",
     "classifier_score",
+    "hashed_doc_features",
+    "train_text_classifier",
+    "score_with_weights",
     "bigram_lm_train",
     "bigram_lm_score",
     "span_dup_stats",
@@ -654,6 +657,276 @@ def classifier_score(
         df.join(per_doc, id_col, "left")
         .withColumn("score", F.round(score, 6))
         .withColumn("label_pred", (score > F.lit(threshold)).cast("int"))
+        .drop("__total", "__n")
+    )
+
+
+def hashed_doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    salt: str = "clf-v1",
+    mode: str = "binary",
+) -> DataFrame:
+    """Hashing-trick features ``(id, bucket, x)``. Bucketing reuses the
+    engine's md5 top-60-bit recipe so a trained weight table joins
+    against the SAME bucket ids a codegen'd scorer computes.
+
+    ``mode='binary'`` (default): ``x = 1`` per distinct (doc, bucket) —
+    presence features, where a single discriminative token moves the
+    margin by its full weight regardless of document length (the right
+    default for keyword-ish quality signals). ``mode='mean'``:
+    ``x = tf_bucket / n_tokens``, the mean-of-token convention
+    :func:`classifier_score` scores with.
+
+    One explode + one map-combined (doc, bucket) aggregate; the shuffle
+    carries one row per distinct (doc, bucket), never raw tokens."""
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    toks = src.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("__t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_features
+    ).cast("int")
+    per = toks.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    if mode == "binary":
+        return per.select(id_col, "bucket", F.lit(1.0).alias("x"))
+    totals = per.groupBy(id_col).agg(F.sum("__tf").alias("__n"))
+    return (
+        per.join(totals, id_col)
+        .select(
+            id_col,
+            "bucket",
+            (F.col("__tf") / F.col("__n")).alias("x"),
+        )
+    )
+
+
+def train_text_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    salt: str = "clf-v1",
+    mode: str = "binary",
+    trainer: str = "distributed",
+    sample_docs: int = 20000,
+):
+    """Distributed logistic-regression trainer for a fastText-style
+    quality filter, as PURE DataFrame plans — no pyspark.ml vector
+    assembly (VectorUDT needs a per-row Python UDF), no driver-side
+    data pass.
+
+    Per iteration: margins come from one broadcast-join of the cached
+    (doc, bucket, x) feature table against the current weights, the
+    batch gradient comes back as one ``groupBy(bucket)`` aggregate
+    (map-side combined — the classic Spark LR shape where only the
+    d-dimensional gradient, never the data, reaches the driver), and
+    the weight update happens on the driver in numpy. The intercept is
+    folded in as a constant feature at ``bucket = n_features`` (one
+    extra row per doc), so ONE aggregate yields the whole gradient.
+    The feature table is computed ONCE and persisted; each iteration is
+    one broadcast join + one shuffle of at most ``n_features + 1``
+    rows.
+
+    ``trainer='sample'`` instead collects the SPARSE feature triples of
+    a bounded ``sample_docs`` subset (driver memory is O(tokens in the
+    sample), like :func:`~energy_pandas_spark.operators.similarity.
+    train_centroids`) and runs the same GD driver-side in numpy —
+    hundreds of iterations in milliseconds, vs one Spark job per
+    iteration. Same contract, same convergence; use it when the
+    labeled set is bounded anyway (it usually is — labels are the
+    scarce resource) and ``'distributed'`` when it is not.
+
+    Returns ``(weights_df, bias)``: a ``(bucket int, weight double)``
+    table (broadcastable; only nonzero rows) and the float intercept —
+    exactly what :func:`score_with_weights` consumes."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    spark = labeled.sparkSession
+    if trainer == "sample":
+        sub = labeled.select(
+            id_col, text_col, F.col(label_col).cast("double").alias("__y")
+        ).limit(sample_docs)
+        trips = (
+            hashed_doc_features(sub, text_col, id_col, n_features, salt, mode)
+            .join(sub.select(id_col, "__y"), id_col)
+            .collect()
+        )
+        ids = {}
+        for r in trips:
+            ids.setdefault(r[0], len(ids))
+        ylab = {}
+        for r in trips:
+            ylab[ids[r[0]]] = r["__y"]
+        # docs with zero tokens produce no triple; they still train the
+        # intercept, so collect their labels too
+        extra = {
+            r[0]: r[1]
+            for r in sub.select(id_col, "__y").collect()
+            if r[0] not in ids
+        }
+        for d, yy in extra.items():
+            ids[d] = len(ids)
+            ylab[ids[d]] = yy
+        n = len(ids)
+        if n == 0:
+            return (
+                spark.createDataFrame([], "bucket int, weight double"),
+                0.0,
+            )
+        rows = np.array([ids[r[0]] for r in trips], dtype=np.int64)
+        cols = np.array([r["bucket"] for r in trips], dtype=np.int64)
+        vals = np.array([r["x"] for r in trips], dtype=np.float64)
+        y = np.array([ylab[i] for i in range(n)], dtype=np.float64)
+        w = np.zeros(n_features)
+        b = 0.0
+        for _ in range(iters):
+            margins = np.full(n, b)
+            np.add.at(margins, rows, w[cols] * vals)
+            r_ = 1.0 / (1.0 + np.exp(-margins)) - y
+            g = np.zeros(n_features)
+            np.add.at(g, cols, r_[rows] * vals)
+            g /= n
+            if l2:
+                g += l2 * w
+            w -= lr * g
+            b -= lr * (r_.sum() / n)
+        weights_df = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0] or
+            [(0, 0.0)],
+            "bucket int, weight double",
+        )
+        return weights_df, float(b)
+    base = hashed_doc_features(
+        labeled, text_col, id_col, n_features, salt, mode
+    )
+    # constant bias feature: bucket = n_features, x = 1 (docs with no
+    # tokens still get it, so empty docs train the intercept too)
+    bias_rows = labeled.select(
+        F.col(id_col),
+        F.lit(int(n_features)).cast("int").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    feats = base.unionByName(bias_rows).join(
+        labeled.select(id_col, F.col(label_col).cast("double").alias("__y")),
+        id_col,
+    )
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    n_docs = labeled.select(id_col).distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        return (
+            spark.createDataFrame([], "bucket int, weight double"),
+            0.0,
+        )
+    w = np.zeros(n_features + 1)
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0] or
+            [(0, 0.0)],
+            "bucket int, weight double",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))
+                ).alias("__m"),
+                F.first("__y").alias("__y"),
+            )
+            .select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
+                    - F.col("__y")
+                ).alias("__r"),
+            )
+        )
+        grad_rows = (
+            feats.join(margins, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("__r")).alias("g"))
+            .collect()
+        )
+        g = np.zeros(n_features + 1)
+        for r in grad_rows:
+            g[r["bucket"]] = r["g"] / n_docs
+        if l2:
+            g[:-1] += l2 * w[:-1]  # don't regularize the intercept
+        w -= lr * g
+    feats.unpersist()
+    weights_df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(w[:-1]) if v != 0.0] or
+        [(0, 0.0)],
+        "bucket int, weight double",
+    )
+    return weights_df, float(w[-1])
+
+
+def score_with_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    salt: str = "clf-v1",
+    threshold: float = 0.5,
+    mode: str = "binary",
+) -> DataFrame:
+    """Score a corpus with a TRAINED weight table: the inference twin of
+    :func:`classifier_score` (same md5-bucket expression), with the
+    synthetic weight expression replaced by a broadcast join against
+    ``weights``. ``mode`` must match the trainer's: ``binary`` sums the
+    weights of DISTINCT present buckets; ``mean`` averages per-token
+    weights. Everything is codegen: explode → broadcast-join → one
+    map-combined per-doc sum. Emits sigmoid probability ``score`` and
+    thresholded ``label_pred``."""
+    src = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("__t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_features
+    ).cast("int")
+    keyed = src.select(F.col(id_col), bucket.alias("bucket"))
+    if mode == "binary":
+        keyed = keyed.distinct()
+    joined = keyed.join(F.broadcast(weights), "bucket", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce("weight", F.lit(0.0))).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    if mode == "binary":
+        margin = F.when(
+            F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(bias)
+        ).otherwise(F.col("__total") + F.lit(bias))
+    else:
+        margin = F.when(
+            F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(bias)
+        ).otherwise(F.col("__total") / F.col("__n") + F.lit(bias))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("score", F.round(prob, 6))
+        .withColumn("label_pred", (prob > F.lit(threshold)).cast("int"))
         .drop("__total", "__n")
     )
 

@@ -615,3 +615,108 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     assert len(approx) == len(exact)
     assert len(approx_set & exact_set) / len(exact_set) >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# distributed quality-classifier training (DataFrame-native logistic
+# regression over hashed features)
+# ---------------------------------------------------------------------------
+
+
+def _labeled_quality_corpus(spark):
+    rows = []
+    good = ["clean prose with varied words and structure",
+            "another well formed document about engines",
+            "measured discussion of storage formats here",
+            "careful analysis of query planning today"]
+    bad = ["buy now spam spam click here spam",
+           "spam click spam buy spam now spam",
+           "click click spam offer spam buy buy",
+           "spam offer click now buy spam click"]
+    for i, t in enumerate(good):
+        rows.append((i, t, 1))
+    for i, t in enumerate(bad):
+        rows.append((100 + i, t, 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_classifier_trains_to_separation(spark):
+    from energy_pandas_spark.operators.text import (
+        score_with_weights,
+        train_text_classifier,
+    )
+
+    labeled = _labeled_quality_corpus(spark)
+    weights, bias = train_text_classifier(
+        labeled, n_features=512, iters=40, lr=4.0
+    )
+    scored = score_with_weights(
+        labeled, weights, bias, n_features=512
+    ).collect()
+    preds = {r.doc_id: r.label_pred for r in scored}
+    truth = {r.doc_id: r.label for r in labeled.collect()}
+    assert preds == truth  # linearly separable by construction
+    # unseen docs built from the same vocabulary generalize
+    holdout = spark.createDataFrame(
+        [(900, "varied prose about query engines"),
+         (901, "spam buy click now offer")],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.label_pred for r in
+         score_with_weights(holdout, weights, bias, n_features=512).collect()}
+    assert h[900] == 1 and h[901] == 0
+
+
+def test_classifier_scoring_is_codegen_only(spark):
+    """The inference path must stay JVM-side: no Python workers in the
+    scoring plan (training may use driver numpy, scoring may not)."""
+    from energy_pandas_spark.operators.text import score_with_weights
+
+    labeled = _labeled_quality_corpus(spark)
+    w = spark.createDataFrame([(1, 0.5), (7, -0.25)], "bucket int, weight double")
+    plan = (
+        score_with_weights(labeled, w, 0.1, n_features=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_empty_doc_gets_bias_score(spark):
+    import math
+
+    from energy_pandas_spark.operators.text import score_with_weights
+
+    df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    w = spark.createDataFrame([(3, 9.9)], "bucket int, weight double")
+    r = score_with_weights(df, w, bias=-2.0, n_features=64).collect()[0]
+    assert abs(r.score - round(1 / (1 + math.exp(2.0)), 6)) < 1e-9
+    assert r.label_pred == 0
+
+
+def test_classifier_sample_trainer_matches_distributed(spark):
+    """The bounded-sample trainer and the distributed trainer optimize
+    the same objective on the same data -> same predictions (the
+    sample covers the whole tiny corpus here)."""
+    from energy_pandas_spark.operators.text import (
+        score_with_weights,
+        train_text_classifier,
+    )
+
+    labeled = _labeled_quality_corpus(spark)
+    w_d, b_d = train_text_classifier(labeled, n_features=512, iters=40, lr=4.0)
+    w_s, b_s = train_text_classifier(
+        labeled, n_features=512, iters=40, lr=4.0, trainer="sample"
+    )
+    pd_ = {r.doc_id: r.label_pred for r in
+           score_with_weights(labeled, w_d, b_d, n_features=512).collect()}
+    ps_ = {r.doc_id: r.label_pred for r in
+           score_with_weights(labeled, w_s, b_s, n_features=512).collect()}
+    truth = {r.doc_id: r.label for r in labeled.collect()}
+    assert pd_ == truth and ps_ == truth
+    # the two trainers agree numerically too (same GD, same order-free
+    # float sums up to aggregation order; compare loosely)
+    wd = {r.bucket: r.weight for r in w_d.collect()}
+    ws = {r.bucket: r.weight for r in w_s.collect()}
+    assert set(wd) == set(ws)
+    assert all(abs(wd[k] - ws[k]) < 1e-6 for k in wd)
+    assert abs(b_d - b_s) < 1e-6
