@@ -1665,8 +1665,11 @@ def crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, split on doc_id here): both sides band with the same
     permutations, per-bucket id lists equi-join so ONLY cross pairs
     expand, true-Jaccard verify on candidates. Oracle = brute-force
-    cross Jaccard (sound for the same 4e-8-miss reason as
-    minhash_pairs)."""
+    cross Jaccard: sound AT THE 0.5 THRESHOLD because 32 bands x 2
+    rows miss a j=0.5 pair with probability (1-0.5^2)^32 ~ 1e-4 (and
+    vanishingly for higher j) — 16x4 banding would miss j~0.5 pairs
+    36% of the time and only looked sound because this corpus has no
+    mid-similarity cross pairs."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import crosscorpus_neardup_pairs
 
@@ -1674,7 +1677,7 @@ def crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= 250)
     store = docs.filter(F.col("doc_id") < 250)
     return crosscorpus_neardup_pairs(
-        new, store, threshold=0.5, num_hashes=64, bands=16
+        new, store, threshold=0.5, num_hashes=64, bands=32
     ).orderBy("id_new", "id_store")
 
 
@@ -2759,6 +2762,73 @@ SELECT d.doc_id,
              / greatest(coalesce(n_tokens, 0), 1), 6) AS boilerplate_fraction
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-documents-under-a-token-budget selection: quality = lexical
+    diversity (distinct/total tokens), budget = 10k tokens — histogram
+    boundary + deterministic hash-slice of the boundary bucket, no
+    global sort (operators/sampling.py:select_token_budget)."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens as _tokens
+    from energy_pandas_spark.operators.sampling import select_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens("text"))).alias("__d"),
+    ).withColumn(
+        "quality",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            F.col("__d").cast("double") / F.col("n_tokens")
+        ),
+    )
+    out = select_token_budget(
+        feats, budget_tokens=10_000, quality_col="quality",
+        token_col="n_tokens", key="doc_id",
+    )
+    return out.select(
+        "doc_id", "qb", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS q
+  FROM d
+), g AS (
+  SELECT doc_id, n_tokens,
+         least(greatest(cast(floor(q * 1000) AS INT), 0), 999) AS qb
+  FROM f
+), h AS (
+  SELECT qb, sum(n_tokens)::BIGINT AS tok FROM g GROUP BY 1
+), w AS (
+  SELECT qb, tok,
+         coalesce(sum(tok) OVER (ORDER BY qb DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS acc
+  FROM h
+), bnd AS (
+  SELECT qb, tok, acc FROM w WHERE acc + tok > 10000
+  ORDER BY qb DESC LIMIT 1
+)
+SELECT g.doc_id, g.qb, g.n_tokens
+FROM g LEFT JOIN bnd ON true
+WHERE bnd.qb IS NULL
+   OR g.qb > bnd.qb
+   OR (g.qb = bnd.qb AND
+       ('0x' || substr(md5(g.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+         < ((10000 - bnd.acc) * 10000 // bnd.tok))
+ORDER BY g.doc_id
 """
 
 
@@ -4573,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": boilerplate_docs,
         "pq_topk_embeddings": pq_topk_embeddings,
         "doc_classifier_trained": doc_classifier_trained,
+        "token_budget_select_docs": token_budget_select_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4768,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_docs": _SPLIT_LEAKAGE_SQL,
         "vocab_coverage_docs": _VOCAB_COVERAGE_SQL,
         "boilerplate_docs": _BOILERPLATE_SQL,
+        "token_budget_select_docs": _TOKEN_BUDGET_SQL,
         "incremental_dedup_docs": _INCREMENTAL_DEDUP_SQL,
         "fuzzy_pairs_prefix": _FUZZY_SQL,
         "above_avg_orders": _ABOVE_AVG_SQL,

@@ -12,11 +12,12 @@
   from the banded (band, bucket) self-join. Bucket skew is bounded by
   ``max_bucket`` (oversized buckets are dropped, the usual guard
   against degenerate shingles).
-- ``simhash64``: 64-bit SimHash per document — token explode +
-  xxhash64 + one hash-aggregate of 64 bit-vote sums (all codegen'd
-  long arithmetic); near-dup candidates from 4x16-bit band buckets
-  verified by Hamming distance (``bit_count`` of xor). No Python
-  workers anywhere on the path.
+- ``simhash64``: 64-bit SimHash per document — tokens hash JVM-side
+  (xxhash64 in one codegen'd projection), then a map-side Arrow
+  kernel (``mapInPandas``) takes the per-document bit-vote majorities
+  with vectorized ``unpackbits``/``reduceat`` — ZERO shuffle; near-dup
+  candidates from 4x16-bit band buckets verified by Hamming distance
+  (``bit_count`` of xor).
 - ``ngram_jaccard_pairs``: all-pairs n-gram Jaccard within LSH buckets
   (never a full cross join).
 - ``embedding_neardup``: random-hyperplane (sign) LSH over an embedding

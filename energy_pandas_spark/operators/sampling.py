@@ -35,6 +35,7 @@ __all__ = [
     "weighted_mixture",
     "weighted_bernoulli_sample",
     "balanced_cap_sample",
+    "select_token_budget",
     "split_leakage_stats",
 ]
 
@@ -182,6 +183,68 @@ def balanced_cap_sample(
         df.join(F.broadcast(capped), group_col)
         .filter(hash_bucket(key, denominator) < F.col("__thresh"))
         .drop("__thresh")
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: Column | str,
+    token_col: Column | str,
+    key: str,
+    n_buckets: int = 1000,
+    denominator: int = 10_000,
+    out_col: str = "qb",
+) -> DataFrame:
+    """Select the highest-quality subcorpus that fits a TOKEN budget —
+    "give me the best ~10B tokens" — without a global sort.
+
+    The scalable shape: quality (in [0, 1]) discretizes to ``n_buckets``
+    integer buckets; ONE map-combined aggregate yields per-bucket token
+    sums (<= ``n_buckets`` rows reach the driver); the driver walks the
+    histogram from the top to find the boundary bucket; the selection
+    is then a map-only filter — full buckets above the boundary, a
+    deterministic hash-slice of the boundary bucket sized to the
+    remaining budget. Contrast the naive ``ORDER BY quality DESC`` +
+    running-sum cutoff: a full shuffle sort of the corpus plus a
+    single-partition window.
+
+    Integer discipline end-to-end: token sums are longs, the boundary
+    slice threshold is ``remaining * denominator div bucket_tokens``
+    (never a float ratio), so the kept set is engine-exact and
+    rerun-stable. Kept tokens land within one hash-bucket granule of
+    the budget (expected deviation ``bucket_tokens / denominator``).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    qb = F.least(
+        F.greatest(F.floor(q * F.lit(n_buckets)).cast("int"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    src = df.withColumn(out_col, qb)
+    hist = (
+        src.groupBy(out_col)
+        .agg(F.sum(t.cast("long")).alias("__tok"))
+        .collect()
+    )
+    acc = 0
+    boundary = None
+    boundary_thresh = 0
+    for r in sorted(hist, key=lambda r: -r[0]):
+        if acc + r["__tok"] <= budget_tokens:
+            acc += r["__tok"]
+            continue
+        boundary = r[0]
+        boundary_thresh = (budget_tokens - acc) * denominator // r["__tok"]
+        break
+    if boundary is None:  # whole corpus fits
+        return src
+    b = hash_bucket(key, denominator)
+    return src.filter(
+        (F.col(out_col) > F.lit(boundary))
+        | ((F.col(out_col) == F.lit(boundary)) & (b < F.lit(int(boundary_thresh))))
     )
 
 

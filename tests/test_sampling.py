@@ -161,3 +161,47 @@ def test_split_leakage_stats_counts_straddling_dups(spark):
     assert r.n_digests == (1 if by.get("train", 0) and by.get("test", 0) else 0)
     assert r.n_pairs == by.get("train", 0) * by.get("test", 0) > 0
     # unique docs contribute nothing
+
+
+def test_select_token_budget_boundary_math(spark):
+    """Full buckets above the boundary survive whole; the boundary
+    bucket keeps a hash slice sized to the remaining budget; lower
+    buckets drop entirely."""
+    from energy_pandas_spark.operators.sampling import (
+        hash_bucket,
+        select_token_budget,
+    )
+    from pyspark.sql import functions as F
+
+    # quality tiers: 0.9 (200 tokens total), 0.5 (400), 0.1 (400)
+    rows = []
+    for i in range(10):
+        rows.append((i, 0.95, 20))        # qb 950: 200 tokens
+    for i in range(10, 30):
+        rows.append((i, 0.55, 20))        # qb 550: 400 tokens
+    for i in range(30, 50):
+        rows.append((i, 0.15, 20))        # qb 150: 400 tokens
+    df = spark.createDataFrame(rows, "doc_id long, quality double, tok int")
+
+    # budget 300: all of qb950 (200) + hash-slice of qb550 for ~100
+    out = select_token_budget(
+        df, 300, "quality", "tok", key="doc_id"
+    ).collect()
+    got = {r.doc_id for r in out}
+    assert set(range(10)) <= got           # top tier fully kept
+    assert got.isdisjoint(range(30, 50))   # bottom tier fully dropped
+    mid = got & set(range(10, 30))
+    # slice threshold = (300-200)*10000 div 400 = 2500 -> expect ~1/4
+    thr = (300 - 200) * 10_000 // 400
+    expect_mid = {
+        r.doc_id
+        for r in df.filter(F.col("doc_id").between(10, 29))
+        .withColumn("b", hash_bucket("doc_id"))
+        .collect()
+        if r.b < thr
+    }
+    assert mid == expect_mid
+
+    # budget >= total keeps everything; budget 0 keeps nothing
+    assert len(select_token_budget(df, 10_000, "quality", "tok", key="doc_id").collect()) == 50
+    assert len(select_token_budget(df, 0, "quality", "tok", key="doc_id").collect()) == 0
