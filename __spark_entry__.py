@@ -3085,6 +3085,26 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered twin of ``benchmark_contamination``: the
+    corpus gram stream hashes JVM-side and drops against a broadcast
+    bit table before the exact join (functions/bloom.py +
+    operators/text.py:contamination_overlap_bloom). No false negatives
+    + exact re-verify => same oracle as the exact version."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import hash_bucket
+    from energy_pandas_spark.operators.text import contamination_overlap_bloom
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__b", hash_bucket("doc_id")
+    )
+    bench = docs.filter(F.col("__b") < 500)
+    train = docs.filter(F.col("__b") >= 500)
+    return contamination_overlap_bloom(
+        train, bench, n=5, threshold=0.5
+    ).orderBy("doc_id")
+
+
 _CONTAMINATION_SQL = r"""
 WITH bucketed AS (
   SELECT doc_id, text,
@@ -4644,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_embeddings": pq_topk_embeddings,
         "doc_classifier_trained": doc_classifier_trained,
         "token_budget_select_docs": token_budget_select_docs,
+        "contamination_bloom_docs": contamination_bloom_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4783,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_top100": _NGRAM_SQL,
         "redact_pii_docs": _REDACT_PII_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
+        "contamination_bloom_docs": _CONTAMINATION_SQL,
         "q4_late_orders": _Q4_SQL,
         "doc_repetition": _REPETITION_SQL,
         "pack_sequences_docs": _PACK_SQL,

@@ -34,6 +34,7 @@ __all__ = [
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",
+    "contamination_overlap_bloom",
     "repetition_stats",
     "url_stats",
     "hashed_feature_weight",
@@ -455,6 +456,87 @@ def contamination_overlap(
     agg = probe.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    overlap = F.round(
+        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def contamination_overlap_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`contamination_overlap` with a broadcast Bloom PREFILTER on
+    the corpus gram stream — identical output (a Bloom filter has no
+    false negatives, and survivors still exact-join the benchmark gram
+    set), radically different shuffle profile at scale.
+
+    The plain version shuffles (or at best broadcast-joins) EVERY
+    distinct corpus gram against the benchmark set; this one hashes
+    each gram JVM-side (``xxhash64``, codegen), drops ~99% of them
+    map-side against an ``n_bits``-bit table riding in the closure, and
+    only the maybe-hits reach the exact join. Per-doc gram totals come
+    from a separate map-only projection (``size(array_distinct(...))``)
+    so the prefilter cannot undercount them.
+    """
+    import numpy as np
+
+    from energy_pandas_spark.functions.bloom import bloom_prefilter, build_bloom
+    from energy_pandas_spark.util import spread_partitions
+
+    def doc_gram_rows(df: DataFrame) -> DataFrame:
+        toks = spread_partitions(df.select(id_col, F.col(text_col))).select(
+            id_col, tokens(text_col).alias("__toks")
+        )
+        return toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(word_shingles_of_tokens("__toks", n))
+            ).alias("gram"),
+        )
+
+    bench_grams = doc_gram_rows(benchmark).select("gram").distinct()
+    bench_hashes = np.array(
+        [r[0] for r in bench_grams.select(F.xxhash64("gram")).collect()],
+        dtype=np.int64,
+    )
+    bits = build_bloom(bench_hashes, n_bits=n_bits, k=k)
+
+    # per-doc totals: map-only, immune to the prefilter (tokens project
+    # to a real column first — inlining them into the shingle transform
+    # re-splits per position, O(len^2) per doc)
+    counts = (
+        spread_partitions(train.select(id_col, F.col(text_col)))
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size(
+                F.array_distinct(word_shingles_of_tokens("__toks", n))
+            ).cast("long").alias("n_grams"),
+        )
+    )
+    probe = doc_gram_rows(train).withColumn("__h", F.xxhash64("gram"))
+    survivors = bloom_prefilter(probe, "__h", bits, k=k).drop("__h")
+    hits = (
+        survivors.join(bench_grams.withColumn("__hit", F.lit(1)), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    agg = counts.join(hits, id_col, "left").withColumn(
+        "n_hits", F.coalesce("n_hits", F.lit(0)).cast("long")
     )
     overlap = F.round(
         F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6

@@ -99,3 +99,41 @@ def test_boilerplate_stats_hand_computed(spark):
     assert (out[4].n_tokens, out[4].boilerplate_tokens) == (0, 0)
     assert out[1].boilerplate_fraction == round(2 / 3, 6)
     assert out[4].boilerplate_fraction == 0.0
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from energy_pandas_spark.functions.bloom import bloom_hits, build_bloom
+
+    rng = np.random.default_rng(3)
+    members = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    others = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    bits = build_bloom(members, n_bits=1 << 16, k=4)  # ~13 bits/member
+    assert bloom_hits(bits, members, k=4).all()  # no false negatives
+    fp = bloom_hits(bits, others, k=4).mean()
+    assert fp < 0.02  # ~1% expected at 13 bits/member, k=4
+
+
+def test_contamination_bloom_matches_exact(spark, sf_dir):
+    """The Bloom-prefiltered decontamination is result-identical to the
+    exact-join version (no false negatives; survivors re-verify)."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.text import (
+        contamination_overlap,
+        contamination_overlap_bloom,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = sorted(map(tuple, contamination_overlap(train, bench, n=3).collect()))
+    bloom = sorted(map(tuple, contamination_overlap_bloom(train, bench, n=3).collect()))
+    assert exact == bloom
+    contaminated = [r for r in exact if r[4]]
+    assert len(exact) > 0
