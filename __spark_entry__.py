@@ -2494,6 +2494,99 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (operators/pipeline.py:corpus_report):
+    volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+_CORPUS_REPORT_SQL = """
+SELECT count(*) AS n_docs,
+       coalesce(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != ''))), 0)::BIGINT AS total_tokens,
+       coalesce(sum(length(text)), 0)::BIGINT AS total_chars,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         AS n_unique_contents,
+       coalesce(sum((len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x != '')) = 0)::BIGINT), 0)::BIGINT
+         AS n_empty_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       round((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g'))))) / greatest(count(*), 1), 6) AS dup_ratio,
+       round(coalesce(sum(len(list_filter(string_split_regex(lower(text),
+                 '\\s+'), x -> x != ''))), 0) / greatest(count(*), 1), 6)
+         AS avg_tokens
+FROM documents
+"""
+
+
+def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO pipeline with the real stdlib codec: each
+    document's bytes become a short 16-bit PCM WAV inside an Arrow
+    batch (encode), then ``decode_features`` round-trips them through
+    the registered WAV decoder + log-RMS energy extractor — rows-only
+    (feature values are codec-defined, but deterministic end-to-end)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from energy_pandas_spark.operators.codecs import (
+        encode_wav,
+        register_default_decoders,
+    )
+    from energy_pandas_spark.operators.multimodal import decode_features
+
+    register_default_decoders()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def render(it):
+        for pdf in it:
+            content = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")[:800]
+                # bytes -> crude waveform in [-1, 1]
+                x = (
+                    np.frombuffer(raw.ljust(800, b"\0"), np.uint8)
+                    .astype(np.float64)
+                    - 128.0
+                ) / 128.0
+                content.append(encode_wav(x, rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": content,
+                    "meta": [
+                        {"mime": "audio/wav", "width": None, "height": None,
+                         "duration_ms": 100}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(
+        render,
+        schema=(
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+        ),
+    )
+    out = decode_features(media, dim=64)
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    ).orderBy("media_id")
+
+
 def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: typical-period clustering of the hourly events series
     (iterative algorithm — rows-only)."""
@@ -4665,6 +4758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_trained": doc_classifier_trained,
         "token_budget_select_docs": token_budget_select_docs,
         "contamination_bloom_docs": contamination_bloom_docs,
+        "audio_features_media": audio_features_media,
+        "corpus_report_docs": corpus_report_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4805,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _REDACT_PII_SQL,
         "benchmark_contamination": _CONTAMINATION_SQL,
         "contamination_bloom_docs": _CONTAMINATION_SQL,
+        "corpus_report_docs": _CORPUS_REPORT_SQL,
         "q4_late_orders": _Q4_SQL,
         "doc_repetition": _REPETITION_SQL,
         "pack_sequences_docs": _PACK_SQL,

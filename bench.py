@@ -70,6 +70,9 @@ HEADLINE = [
     # round-3 additions
     "boilerplate_docs",
     "pq_topk_embeddings",
+    "token_budget_select_docs",
+    "contamination_bloom_docs",
+    "audio_features_media",
 ]
 
 

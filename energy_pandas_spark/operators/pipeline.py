@@ -20,7 +20,7 @@ from energy_pandas_spark.operators.text import (
     quality_features,
 )
 
-__all__ = ["clean_corpus", "prepare_training_corpus"]
+__all__ = ["clean_corpus", "prepare_training_corpus", "corpus_report"]
 
 
 def clean_corpus(
@@ -99,4 +99,55 @@ def prepare_training_corpus(
     keep = stats.filter(F.col("dup_frac") <= max_dup_frac)
     return gated.join(
         keep.select(id_col, "n_spans", "n_dup_spans", "dup_frac"), id_col
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-row corpus data card: the summary table a dataset release
+    ships with (doc/token/char volume, language & source breadth,
+    exact-dup rate, empty-doc count).
+
+    ONE aggregate pass over the corpus: token counts and the
+    normalized-content digest are per-row projections at the scan;
+    ``count_distinct`` on digest/lang/source rides the same hash
+    aggregate (Spark expands multi-distinct into one pass over the
+    mapped rows). Output is integers plus two rounded ratios, so the
+    row compares exactly across engines."""
+    from energy_pandas_spark.functions.textfns import normalized_text, tokens
+
+    t = F.col(text_col)
+    n_toks = F.size(tokens(text_col))
+    digest = F.md5(normalized_text(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(n_toks.cast("long")), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(F.length(t).cast("long")), F.lit(0)).alias(
+            "total_chars"
+        ),
+        F.count_distinct(digest).alias("n_unique_contents"),
+        F.coalesce(F.sum((n_toks == 0).cast("long")), F.lit(0)).alias(
+            "n_empty_docs"
+        ),
+    ]
+    if lang_col is not None:
+        aggs.append(F.count_distinct(F.col(lang_col)).alias("n_langs"))
+    if source_col is not None:
+        aggs.append(F.count_distinct(F.col(source_col)).alias("n_sources"))
+    out = df.agg(*aggs)
+    return out.select(
+        "*",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_contents"))
+            / F.greatest(F.col("n_docs"), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+        F.round(
+            F.col("total_tokens") / F.greatest(F.col("n_docs"), F.lit(1)), 6
+        ).alias("avg_tokens"),
     )

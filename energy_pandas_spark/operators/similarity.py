@@ -35,6 +35,7 @@ __all__ = [
     "assign_cells",
     "ivf_topk",
     "build_ivf_index",
+    "append_ivf_index",
     "ivf_search",
     "train_pq",
     "pq_encode",
@@ -361,6 +362,29 @@ def build_ivf_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def append_ivf_index(
+    new: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental index growth WITHOUT retraining: assign the new
+    vectors against the index's EXISTING centroid table and append to
+    the hive cell partitions. This is how a 100 TB index absorbs a
+    daily ingest — the coarse quantizer only drifts slowly, so the
+    standard operating cycle is append-per-batch, retrain-per-epoch
+    (``build_ivf_index`` again). Search needs no coordination: probes
+    read whatever files the cells hold at scan time."""
+    spark = new.sparkSession
+    cent_rows = spark.read.parquet(path + "/centroids").collect()
+    cent_rows.sort(key=lambda r: r.cell)
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    cells = assign_cells(
+        new.select(corpus_id, corpus_vec), centroids, corpus_vec
+    )
+    cells.write.mode("append").partitionBy("cell").parquet(path + "/cells")
 
 
 def ivf_search(

@@ -720,3 +720,52 @@ def test_classifier_sample_trainer_matches_distributed(spark):
     assert set(wd) == set(ws)
     assert all(abs(wd[k] - ws[k]) < 1e-6 for k in wd)
     assert abs(b_d - b_s) < 1e-6
+
+
+def test_ivf_append_then_search_finds_new_vectors(spark, sf_dir, tmp_path):
+    """Append-per-batch index growth: vectors appended after the build
+    are immediately searchable; their self-query ranks them first."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf-inc")
+    build_ivf_index(first, idx, n_cells=8)
+    append_ivf_index(second, idx)
+
+    queries = second.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_search(spark, idx, queries, k=3, nprobe=4).collect()
+    best = {r.query_id: (r.vec_id, r.cosine) for r in got if r.rank == 1}
+    assert len(best) == 4
+    for qid, (vid, cos) in best.items():
+        assert vid == qid and cos > 0.999
+
+
+def test_corpus_report_hand_computed(spark):
+    from energy_pandas_spark.operators.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1"),
+            (1, "a  B c", "en", "s1"),   # same normalized content as 0
+            (2, "d e", "fr", "s2"),
+            (3, "", "en", "s2"),         # empty
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = corpus_report(df).collect()[0]
+    assert r.n_docs == 4 and r.total_tokens == 8 and r.n_empty_docs == 1
+    assert r.n_unique_contents == 3  # docs 0/1 collapse
+    assert r.n_langs == 2 and r.n_sources == 2
+    assert r.dup_ratio == round(1 / 4, 6)
+    assert r.avg_tokens == 2.0

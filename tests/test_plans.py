@@ -263,3 +263,36 @@ class TestRound2Shapes:
         assert order_scans and all(
             set(s) <= {"o_custkey", "o_orderdate"} for s in order_scans
         )
+
+
+def test_boilerplate_stats_plan_broadcasts_term_set(spark):
+    """The high-DF term set must reach the (doc, term) table as a
+    BroadcastHashJoin, and the whole op needs no more than the two
+    aggregate exchanges plus the final id join."""
+    from energy_pandas_spark.operators.text import boilerplate_stats
+
+    df = spark.createDataFrame(
+        [(i, "a b c d" if i % 2 else "a a b") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = (
+        boilerplate_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_select_token_budget_filter_is_map_only(spark):
+    """After the (tiny) histogram job, the selection itself is a pure
+    filter: zero exchanges in the returned plan."""
+    from energy_pandas_spark.operators.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 0.9 if i < 3 else 0.2, 10) for i in range(10)],
+        "doc_id long, quality double, tok int",
+    )
+    out = select_token_budget(df, 35, "quality", "tok", key="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Filter" in plan
