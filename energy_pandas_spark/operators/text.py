@@ -278,47 +278,47 @@ def boilerplate_stats(
     that are >80% navigation chrome"). Counts are integers; only the
     final ratio is floating, rounded to 6 for cross-engine equality.
 
-    Scale shape: one (doc, term) hash aggregate feeds BOTH the per-term
-    document-frequency rollup and the per-doc rollup. The boilerplate
-    term set (terms in >=50% of documents) is tiny by Zipf — broadcast
-    it; the per-doc sum then needs no second shuffle beyond the (doc,
-    term) aggregate it already consumed. The threshold ``n_docs *
-    df_ratio`` folds in as a broadcast 1-row cross join, not an eager
-    ``count()``.
+    Scale shape: pass 1 is the (doc, term) -> per-term document-
+    frequency aggregate chain, ending in a BOUNDED driver collect of
+    the boilerplate term list (tiny by Zipf — chrome/navigation terms
+    are stopword-like; capped at 10k, highest-DF first, as a guard).
+    Pass 2 is then a PURE PROJECTION: per-doc counts come from array
+    expressions against the literal term array — no join, no second
+    explode, no shuffle, and empty docs need no re-attach. An earlier
+    broadcast-join formulation re-ran the (doc, term) aggregate twice
+    (the join's IsNotNull pushdown defeats Spark's exchange reuse);
+    two scans of a 100 TB text column is the difference that matters.
+    The threshold ``n_docs * df_ratio`` folds into the aggregate chain
+    as a broadcast 1-row cross join, not an eager ``count()``.
     """
     tf = term_frequencies(df, text_col, id_col)
     n_docs = df.agg(
         F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    boiler = (
+    boiler_rows = (
         dfreq.crossJoin(F.broadcast(n_docs))
         .filter(F.col("doc_freq") >= F.col("__n_docs") * F.lit(df_ratio))
-        .select("term")
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(10_000)
+        .collect()
     )
-    marked = tf.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "term", "left")
-    per_doc = marked.groupBy(id_col).agg(
-        F.sum("tf").alias("n_tokens"),
-        F.coalesce(
-            F.sum(F.when(F.col("__b") == 1, F.col("tf"))), F.lit(0)
-        ).alias("boilerplate_tokens"),
-    )
-    # empty docs never produce a (doc, term) row — re-attach with zeros
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("boilerplate_tokens", F.lit(0)).alias(
-                "boilerplate_tokens"
-            ),
-            F.round(
-                F.coalesce("boilerplate_tokens", F.lit(0))
-                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("boilerplate_fraction"),
-        )
+    boiler_terms = F.array(*[F.lit(r["term"]) for r in boiler_rows])
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    if boiler_rows:
+        boiler_count = F.size(
+            F.filter(toks, lambda w: F.array_contains(boiler_terms, w))
+        ).cast("long")
+    else:
+        boiler_count = F.lit(0).cast("long")
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        boiler_count.alias("boilerplate_tokens"),
+        F.round(
+            boiler_count / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("boilerplate_fraction"),
     )
 
 

@@ -265,10 +265,10 @@ class TestRound2Shapes:
         )
 
 
-def test_boilerplate_stats_plan_broadcasts_term_set(spark):
-    """The high-DF term set must reach the (doc, term) table as a
-    BroadcastHashJoin, and the whole op needs no more than the two
-    aggregate exchanges plus the final id join."""
+def test_boilerplate_stats_scoring_pass_is_map_only(spark):
+    """After the bounded term-list collect, the per-doc scoring pass is
+    a pure projection: no exchange, no join, one scan — the returned
+    plan must never re-run the (doc, term) aggregate."""
     from energy_pandas_spark.operators.text import boilerplate_stats
 
     df = spark.createDataFrame(
@@ -279,7 +279,7 @@ def test_boilerplate_stats_plan_broadcasts_term_set(spark):
         boilerplate_stats(df)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
