@@ -237,21 +237,34 @@ def vocab_coverage(
     does the top-``top`` vocabulary (by document frequency) cover? The
     Zipf tail this exposes drives vocab-size / OOV-rate decisions.
 
-    One token aggregation feeds both sides: the vocabulary's covered
-    count is the sum of its ``total_count`` (a ``top``-row aggregate)
-    and the denominator is the corpus token count — joined as two
-    1-row frames. Integer counts; only the final ratio is floating,
-    rounded to 6 so it compares exactly cross-engine."""
-    from energy_pandas_spark.functions.textfns import tokens
+    ONE token aggregation feeds both sides: the per-term table yields
+    the top-``top`` vocabulary's covered sum AND the corpus token total
+    (``sum(total_count)`` over all terms) — the term table is persisted
+    (it is vocab-sized, i.e. tiny) so the corpus-scale (doc, term)
+    chain under it runs once, not once per consumer. Integer counts;
+    only the final ratio is floating, rounded to 6 so it compares
+    exactly cross-engine."""
+    from pyspark import StorageLevel
 
-    covered = vocabulary(df, text_col, id_col, top).agg(
-        F.sum("total_count").alias("covered_tokens"),
-        F.count(F.lit(1)).alias("vocab_size"),
-    )
-    total = df.select(
-        F.coalesce(F.sum(F.size(tokens(text_col))), F.lit(0)).alias(
-            "total_tokens"
+    tf = term_frequencies(df, text_col, id_col)
+    terms = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_count"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    covered = (
+        terms.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(top)
+        .agg(
+            F.sum("total_count").alias("covered_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+        )
+    )
+    total = terms.agg(
+        F.coalesce(F.sum("total_count"), F.lit(0)).alias("total_tokens")
     )
     return covered.crossJoin(total).select(
         "vocab_size",
@@ -341,10 +354,16 @@ def tfidf_top_terms(
     of the term table is WRONG at 100 TB (term table is huge); instead
     the doc-frequency join keys on term — a shuffle join where both
     sides are already term-partitioned from their aggregates — then one
-    per-doc window for the top-k."""
+    per-doc window for the top-k. The (doc, term) frame feeds BOTH join
+    sides, and Spark's exchange reuse does not fire across the join's
+    IsNotNull pushdown, so it is persisted explicitly — without that
+    the text column tokenizes and aggregates twice."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, text_col, id_col)
+    tf = term_frequencies(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
     # corpus size folds into the plan as a broadcast 1-row cross join —
     # no eager count job, no second scan at plan-build time
     n_docs = df.agg(
