@@ -92,8 +92,15 @@ def prepare_training_corpus(
         min_alpha_ratio,
         max_repetition_ratio,
     )
-    gated = classifier_score(cleaned, text_col, id_col).filter(
-        F.col("score") >= min_score
+    from pyspark import StorageLevel
+
+    # gated feeds BOTH the span-stats input and the final join's left
+    # side; without a persist the whole clean+classify chain (two text
+    # scans, a window, an aggregate) runs twice
+    gated = (
+        classifier_score(cleaned, text_col, id_col)
+        .filter(F.col("score") >= min_score)
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     stats = span_dup_stats(gated, text_col, id_col, span_k)
     keep = stats.filter(F.col("dup_frac") <= max_dup_frac)
