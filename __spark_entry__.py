@@ -2494,6 +2494,50 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def chunk_docs_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py:chunk_documents):
+    boundary after token w iff md5-bucket(w) % 16 == 0 — expected
+    16-token chunks whose boundaries survive edits elsewhere in the
+    doc. Map-only array expressions; only the trailing chunk can be
+    empty, so Spark's compacted chunk indices equal the oracle's
+    enumeration."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, target_tokens=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_CHUNK_CDC_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         list_concat([1],
+           [p + 1 FOR p IN bpos]) AS starts,
+         list_concat(bpos, [len(toks)]) AS ends
+  FROM (
+    SELECT doc_id, toks,
+           [i FOR i IN range(1, len(toks) + 1)
+            IF ('0x' || substr(md5('cdc-v1' || toks[i]), 1, 15))::BIGINT
+               % 16 = 0] AS bpos
+    FROM t WHERE len(toks) > 0
+  )
+)
+SELECT doc_id, (k - 1)::INT AS chunk_idx,
+       array_to_string(toks[starts[k]:ends[k]], ' ') AS chunk_text,
+       (ends[k] - starts[k] + 1)::BIGINT AS n_tokens
+FROM s, unnest(range(1, len(starts) + 1)) AS u(k)
+WHERE ends[k] - starts[k] + 1 > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -4760,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom_docs": contamination_bloom_docs,
         "audio_features_media": audio_features_media,
         "corpus_report_docs": corpus_report_docs,
+        "chunk_docs_cdc": chunk_docs_cdc,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4901,6 +4946,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": _CONTAMINATION_SQL,
         "contamination_bloom_docs": _CONTAMINATION_SQL,
         "corpus_report_docs": _CORPUS_REPORT_SQL,
+        "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "q4_late_orders": _Q4_SQL,
         "doc_repetition": _REPETITION_SQL,
         "pack_sequences_docs": _PACK_SQL,

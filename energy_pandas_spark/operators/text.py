@@ -35,6 +35,7 @@ __all__ = [
     "redact_pii",
     "contamination_overlap",
     "contamination_overlap_bloom",
+    "chunk_documents",
     "repetition_stats",
     "url_stats",
     "hashed_feature_weight",
@@ -485,6 +486,71 @@ def contamination_overlap(
         "n_hits",
         overlap.alias("overlap"),
         (overlap >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_tokens: int = 16,
+    salt: str = "cdc-v1",
+) -> DataFrame:
+    """Content-defined chunking: split each document into chunks whose
+    boundaries are a pure function of token CONTENT — a boundary falls
+    after token ``w`` iff ``md5(salt + w) % target_tokens == 0`` — so
+    expected chunk length is ``target_tokens`` and an edit moves only
+    the boundaries near it (the rolling-hash/CDC property that makes
+    chunk-level dedup robust to insertions, vs fixed-width windows
+    where one inserted token shifts every downstream chunk).
+
+    Output: ``(id, chunk_idx, chunk_text, n_tokens)``, one row per
+    non-empty chunk; empty documents produce no rows.
+
+    Scale shape: boundary positions, chunk slices and token counts are
+    all array expressions over the materialized token array — one
+    projection, zero shuffles, no Python. The md5-bucket boundary rule
+    is the engine's standard cross-engine-exact recipe (a DuckDB oracle
+    computes identical boundaries)."""
+    if target_tokens < 1:
+        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    src = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n = F.size("__toks")
+
+    def is_boundary(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 15), 16, 10
+        ).cast("long")
+        return (h % target_tokens) == 0
+
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: is_boundary(F.element_at("__toks", i)),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                F.array_join(F.slice("__toks", s, e - s + 1), " ").alias("t"),
+                (e - s + 1).cast("long").alias("m"),
+            ),
+        ),
+        lambda c: c.getField("m") > 0,
+    )
+    guarded = F.when(n > 0, chunks).otherwise(
+        F.array().cast("array<struct<t:string,m:bigint>>")
+    )
+    out = src.select(
+        F.col(id_col), F.posexplode(guarded).alias("chunk_idx", "__c")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("__c.t").alias("chunk_text"),
+        F.col("__c.m").alias("n_tokens"),
     )
 
 
