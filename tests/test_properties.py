@@ -195,3 +195,69 @@ def test_robust_scale_median_maps_to_zero(spark, vals):
     n = len(scaled)
     if n % 2 == 1:
         assert abs(scaled[n // 2]) < 1e-9
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=40
+    ),
+    quals=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=40,
+    ),
+    budget=st.integers(min_value=0, max_value=2000),
+)
+@settings(**_SETTINGS)
+def test_select_token_budget_monotone_nested(spark, toks, quals, budget):
+    """Budget selections NEST: everything kept at budget B is kept at
+    any budget B' >= B (reruns with a raised budget only add docs), and
+    the kept token total never exceeds the budget by more than one
+    boundary-bucket slice."""
+    from energy_pandas_spark.operators.sampling import select_token_budget
+
+    n = min(len(toks), len(quals))
+    df = spark.createDataFrame(
+        [(i, float(quals[i]), int(toks[i])) for i in range(n)],
+        "doc_id long, quality double, tok int",
+    )
+    small = {
+        r.doc_id
+        for r in select_token_budget(df, budget, "quality", "tok", key="doc_id").collect()
+    }
+    big = {
+        r.doc_id
+        for r in select_token_budget(
+            df, budget + 57, "quality", "tok", key="doc_id"
+        ).collect()
+    }
+    assert small <= big
+    kept_tokens = sum(toks[i] for i in small)
+    assert kept_tokens <= budget + max(toks[:n])
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4),
+        min_size=0, max_size=60,
+    ),
+    target=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_partition_property(spark, words, target):
+    """Chunks PARTITION the token stream: concatenation reconstructs
+    the document, counts add up, indices are dense from 0."""
+    from energy_pandas_spark.operators.text import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, target_tokens=target).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if not words:
+        assert rows == []
+        return
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    assert " ".join(r.chunk_text for r in rows) == text
+    assert sum(r.n_tokens for r in rows) == len(words)
+    assert all(r.n_tokens >= 1 for r in rows)
