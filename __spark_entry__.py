@@ -2454,7 +2454,13 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.multimodal import decode_features
 
     register_default_decoders()
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from energy_pandas_spark.util import spread_partitions
+
+    # a single-file scan arrives as ONE partition; the render/decode
+    # kernels are CPU-bound Python, so spread them across all cores
+    docs = spread_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def render(it):
         for pdf in it:
@@ -2586,7 +2592,13 @@ def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.multimodal import decode_features
 
     register_default_decoders()
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from energy_pandas_spark.util import spread_partitions
+
+    # a single-file scan arrives as ONE partition; the render/decode
+    # kernels are CPU-bound Python, so spread them across all cores
+    docs = spread_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def render(it):
         for pdf in it:

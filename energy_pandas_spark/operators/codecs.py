@@ -316,10 +316,18 @@ def audio_features(
     if n == 0:
         return np.zeros(dim, np.float32)
     edges = np.arange(dim + 1) * n // dim
-    out = np.empty(dim)
-    for i in range(dim):
-        seg = x[edges[i] : max(edges[i + 1], edges[i] + 1)]
-        out[i] = np.sqrt(np.mean(seg * seg)) if len(seg) else 0.0
+    if n >= dim:
+        # edges are strictly increasing here, so one reduceat replaces
+        # the per-window Python loop (the loop was ~95% of decode time)
+        sums = np.add.reduceat(x * x, edges[:-1])
+        counts = np.diff(edges)
+        out = np.sqrt(sums / counts)
+    else:
+        # short clips: windows can repeat/empty — keep the explicit form
+        out = np.empty(dim)
+        for i in range(dim):
+            seg = x[edges[i] : max(edges[i + 1], edges[i] + 1)]
+            out[i] = np.sqrt(np.mean(seg * seg)) if len(seg) else 0.0
     return np.log1p(out).astype(np.float32)
 
 
