@@ -2500,6 +2500,50 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture at alpha=0.5 (group mass ∝
+    sqrt(n) — upweights small sources): per-source counts + kept-id
+    sums after the deterministic hash filter
+    (operators/sampling.py:temperature_mixture). alpha=0.5 uses sqrt,
+    which is IEEE correctly-rounded on BOTH engines, so the integer
+    thresholds reproduce exactly in SQL (pow would not)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, key="doc_id", group_col="lang", alpha=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+), sc AS (
+  -- mirror the driver arithmetic exactly: scale = 1 / max(sqrt(n)/n)
+  SELECT 1.0 / max(sqrt(n) / n) AS scale FROM c
+), t AS (
+  SELECT lang,
+         -- floor, not cast: DuckDB's double->int cast rounds, Python's
+         -- int() truncates
+         CAST(floor(least(greatest(sqrt(n) * scale / n, 0.0), 1.0) * 10000)
+              AS INT) AS thresh
+  FROM c, sc
+)
+SELECT d.lang, count(*) AS n_docs, sum(d.doc_id)::BIGINT AS id_sum
+FROM documents d JOIN t USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+      < t.thresh
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def chunk_docs_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py:chunk_documents):
     boundary after token w iff md5-bucket(w) % 16 == 0 — expected
@@ -4817,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_media": audio_features_media,
         "corpus_report_docs": corpus_report_docs,
         "chunk_docs_cdc": chunk_docs_cdc,
+        "temperature_mixture_docs": temperature_mixture_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -4959,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_bloom_docs": _CONTAMINATION_SQL,
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
+        "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "q4_late_orders": _Q4_SQL,
         "doc_repetition": _REPETITION_SQL,
         "pack_sequences_docs": _PACK_SQL,

@@ -35,6 +35,7 @@ __all__ = [
     "weighted_mixture",
     "weighted_bernoulli_sample",
     "balanced_cap_sample",
+    "temperature_mixture",
     "select_token_budget",
     "split_leakage_stats",
 ]
@@ -181,6 +182,71 @@ def balanced_cap_sample(
     capped = counts.select(group_col, thresh.cast("int").alias("__thresh"))
     return (
         df.join(F.broadcast(capped), group_col)
+        .filter(hash_bucket(key, denominator) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    alpha: float = 0.7,
+    total_rows: int | None = None,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Temperature-flattened source mixture: sample each group at a
+    rate proportional to ``n_group^(alpha-1)``, so group MASS in the
+    output is proportional to ``n_group^alpha`` — the GPT-3/multilingual
+    recipe that upweights small sources without letting one giant crawl
+    dominate (``alpha=1`` keeps natural proportions, ``alpha=0`` makes
+    groups uniform).
+
+    ``total_rows`` scales the output to approximately that many rows;
+    default keeps the largest group whole (max rate 1).
+
+    Two stages like :func:`balanced_cap_sample`: a tiny per-group count
+    aggregate broadcasts back, then a map-only deterministic
+    ``hash_bucket(key) < rate`` filter — rerun-stable, no shuffle of
+    the data, no RNG state. Rates are computed driver-side on the
+    (small) group table so the float ``pow`` happens ONCE per group in
+    one engine, then ships as integer bucket thresholds."""
+    import math
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n")).collect()
+    if not counts:
+        return df
+    # sqrt is IEEE correctly-rounded on every engine, pow is not — use
+    # it for the common alpha=0.5 so integer thresholds are exactly
+    # reproducible by a SQL oracle computing sqrt(n)
+    def _pow(n: int) -> float:
+        return math.sqrt(n) if alpha == 0.5 else float(n) ** alpha
+
+    weights = {r[0]: (r["__n"], _pow(r["__n"])) for r in counts}
+    total_mass = sum(w for _, w in weights.values())
+    if total_rows is None:
+        # keep the group with the highest implied rate at rate 1
+        scale = 1.0 / max(w / n for n, w in weights.values())
+    else:
+        scale = total_rows / total_mass
+    spark = df.sparkSession
+    thresh_rows = [
+        (
+            g,
+            int(
+                min(max(weights[g][1] * scale / weights[g][0], 0.0), 1.0)
+                * denominator
+            ),
+        )
+        for g in weights
+    ]
+    thresh = spark.createDataFrame(
+        thresh_rows, f"{group_col} string, __thresh int"
+    )
+    return (
+        df.join(F.broadcast(thresh), group_col)
         .filter(hash_bucket(key, denominator) < F.col("__thresh"))
         .drop("__thresh")
     )

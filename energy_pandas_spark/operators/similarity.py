@@ -41,6 +41,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_recall_topk",
+    "build_ivfpq_index",
+    "ivfpq_search",
 ]
 
 
@@ -638,3 +640,164 @@ def pq_recall_topk(
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
     )
     return _global_topk(scored, k, query_id, corpus_id)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index: the production ANN stack (coarse cells prune
+# the scan, PQ codes bound the bytes, optional exact rerank restores
+# precision)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    trainer: str = "sample",
+    keep_vectors: bool = True,
+) -> None:
+    """Materialize an IVF-PQ index as tables:
+
+    - ``cells/``  — (id, codes[, vector]) hive-partitioned by coarse
+      cell: probing N of M cells is a partition-pruned scan, and each
+      row carries ``m`` int16 codes instead of the float vector, so
+      the probed bytes shrink ~(4*dim)/(2*m)x on top of the pruning.
+    - ``centroids/`` — the coarse quantizer (tiny).
+    - ``codebooks/`` — the PQ codebooks, flattened (tiny).
+
+    ``keep_vectors=True`` also stores the float vector beside the codes
+    so :func:`ivfpq_search` can exact-rerank without a second source
+    join; pass ``False`` when the raw corpus stays queryable elsewhere
+    and the index must be minimal."""
+    train = (
+        train_centroids_distributed if trainer == "distributed"
+        else train_centroids
+    )
+    centroids = train(corpus, n_cells, corpus_vec)
+    books = train_pq(corpus, m=m, k=n_codes, vec_col=corpus_vec)
+    enc = pq_encode(corpus, books, id_col=corpus_id, vec_col=corpus_vec)
+    src = corpus.select(corpus_id, corpus_vec).join(enc, corpus_id)
+    cells = assign_cells(src, centroids, corpus_vec)
+    if not keep_vectors:
+        cells = cells.drop(corpus_vec)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    mm, kk, dsub = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j][c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index: partition-pruned scan of
+    the ``nprobe`` nearest cells, ADC scoring over the int16 codes, and
+    (when the index kept vectors and ``refine > 1``) an exact cosine
+    rerank of the ``refine * k`` shortlist — the bytes read scale with
+    ``nprobe/n_cells * corpus * (2m + [4 dim])``, never the corpus."""
+    cent_rows = spark.read.parquet(path + "/centroids").collect()
+    cent_rows.sort(key=lambda r: r.cell)
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    book_rows = spark.read.parquet(path + "/codebooks").collect()
+    mm = 1 + max(r.subspace for r in book_rows)
+    kk = 1 + max(r.code for r in book_rows)
+    dsub = len(book_rows[0].centroid)
+    books = np.zeros((mm, kk, dsub))
+    for r in book_rows:
+        books[r.subspace][r.code] = r.centroid
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for pr in probes for c in pr})
+    cells = spark.read.parquet(path + "/cells").filter(
+        F.col("cell").isin(wanted)
+    )
+    has_vectors = corpus_vec in cells.columns
+
+    probe_pairs = {
+        (r[0], int(c)) for r, pr in zip(qrows, probes) for c in pr
+    }
+    qids_by_cell: dict[int, list] = {}
+    for qid, c in probe_pairs:
+        qids_by_cell.setdefault(c, []).append(qid)
+    qid_index = {r[0]: i for i, r in enumerate(qrows)}
+    m_ = mm
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m_, dsub), books)
+
+    def fn(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_q: list = []
+            out_id: list = []
+            out_s: list = []
+            for cell, grp in pdf.groupby("cell"):
+                qids = qids_by_cell.get(int(cell))
+                if not qids:
+                    continue
+                C = np.array(list(grp["codes"]), dtype=np.int64)
+                ids = grp[corpus_id].to_numpy()
+                for qid in qids:
+                    row = lut[qid_index[qid], np.arange(m_)[None, :], C].sum(
+                        axis=1
+                    )
+                    kk_ = min(refine * k if refine > 1 else k, len(ids))
+                    idx = np.lexsort((ids, -row))[:kk_]
+                    out_q.extend([qid] * len(idx))
+                    out_id.extend(ids[idx])
+                    out_s.extend(row[idx])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id: out_q, corpus_id: out_id, "__cos": out_s}
+                )
+
+    scored = cells.select(corpus_id, "codes", "cell").mapInPandas(
+        fn, schema=f"{query_id} long, {corpus_id} long, __cos double"
+    )
+    if not has_vectors or refine <= 1:
+        return _global_topk(scored, k, query_id, corpus_id)
+
+    # exact rerank from the vectors stored IN the index: shortlist
+    # broadcasts, probed cells re-read only the shortlisted rows
+    shortlist = _global_topk(
+        scored, refine * k, query_id, corpus_id, round_digits=None
+    ).select(query_id, corpus_id)
+    qn = queries.select(query_id, query_vec)
+    cand = shortlist.join(F.broadcast(qn), query_id)
+    rescored = cells.select(corpus_id, corpus_vec).join(
+        F.broadcast(cand), corpus_id
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    return _global_topk(rescored, k, query_id, corpus_id)

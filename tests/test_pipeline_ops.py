@@ -769,3 +769,67 @@ def test_corpus_report_hand_computed(spark):
     assert r.n_langs == 2 and r.n_sources == 2
     assert r.dup_ratio == round(1 / 4, 6)
     assert r.avg_tokens == 2.0
+
+
+def test_ivfpq_index_build_and_search(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ: partition-pruned probe + ADC + exact rerank
+    from vectors stored in the index; recall holds against brute force
+    and each query's own vector ranks first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_search,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, n_cells=8, m=8, n_codes=32)
+    for part in ("cells", "centroids", "codebooks"):
+        assert os.path.isdir(f"{idx}/{part}")
+
+    queries = (
+        emb.filter(F.col("vec_id") % 101 == 5)
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    got = ivfpq_search(spark, idx, queries, k=3, nprobe=4, refine=4).collect()
+    assert len(got) == 15
+    best = {r.query_id: (r.vec_id, r.cosine) for r in got if r.rank == 1}
+    for qid, (vid, cos) in best.items():
+        assert vid == qid and cos > 0.999
+    exact = cosine_topk(emb, queries, k=3).collect()
+    overlap = {(r.query_id, r.vec_id) for r in got} & {
+        (r.query_id, r.vec_id) for r in exact
+    }
+    assert len(overlap) / len(exact) >= 0.6
+
+
+def test_ivfpq_minimal_index_without_vectors(spark, sf_dir, tmp_path):
+    """keep_vectors=False: the index holds only codes; search returns
+    ADC-ranked results (no rerank source) and still finds self."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq-min")
+    build_ivfpq_index(emb, idx, n_cells=4, m=8, n_codes=32, keep_vectors=False)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivfpq_search(spark, idx, queries, k=3, nprobe=3).collect()
+    assert len(got) == 9
+    r1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert all(q == v for q, v in r1.items())

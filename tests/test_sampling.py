@@ -205,3 +205,30 @@ def test_select_token_budget_boundary_math(spark):
     # budget >= total keeps everything; budget 0 keeps nothing
     assert len(select_token_budget(df, 10_000, "quality", "tok", key="doc_id").collect()) == 50
     assert len(select_token_budget(df, 0, "quality", "tok", key="doc_id").collect()) == 0
+
+
+def test_temperature_mixture_flattens_group_mass(spark):
+    """alpha=0.5: group mass ~ sqrt(n) — the dominant group downsamples
+    while the smallest keeps (near) everything; alpha=1 keeps natural
+    proportions (no filtering at all)."""
+    from energy_pandas_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    kept = temperature_mixture(df, key="doc_id", group_col="src", alpha=0.5)
+    by = {r[0]: r[1] for r in kept.groupBy("src").count().collect()}
+    # rates: small -> 1.0, big -> sqrt(900)/900 / (sqrt(100)/100) = 1/3
+    assert by["small"] >= 95          # near-complete (hash granularity)
+    assert 250 <= by["big"] <= 350    # ~1/3 of 900
+    # determinism: rerun identical
+    again = {r[0]: r[1] for r in
+             temperature_mixture(df, key="doc_id", group_col="src", alpha=0.5)
+             .groupBy("src").count().collect()}
+    assert by == again
+
+    # alpha=1 keeps everything (natural proportions)
+    full = temperature_mixture(df, key="doc_id", group_col="src", alpha=1.0)
+    assert full.count() == 1000
