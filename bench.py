@@ -74,6 +74,8 @@ HEADLINE = [
     "contamination_bloom_docs",
     "audio_features_media",
     "chunk_docs_cdc",
+    "temperature_mixture_docs",
+    "corpus_report_docs",
 ]
 
 
