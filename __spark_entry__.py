@@ -2500,6 +2500,53 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hashed-BOW document embeddings (operators/text.py:
+    hashed_embedding): ±1 feature hashing into 16 components,
+    L2-normalized — deterministic text→vector with an exact SQL twin
+    (md5 buckets + correctly-rounded sqrt)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hashed_embedding(docs, dim=16)
+        .select("doc_id", "embedding")
+        .orderBy("doc_id")
+    )
+
+
+_HASHED_EMB_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         [coalesce(list_sum(
+            [CASE WHEN ('0x' || substr(md5('emb-v1' || w), 1, 15))::BIGINT
+                       % 16 = i
+                  THEN CASE WHEN ('0x' || substr(md5('emb-v1#s' || w), 1, 15))
+                                 ::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END
+                  ELSE 0 END
+             FOR w IN toks]), 0)::BIGINT
+          FOR i IN range(0, 16)] AS raw
+  FROM t
+), n AS (
+  SELECT doc_id, raw,
+         sqrt(list_sum([x * x FOR x IN raw])::DOUBLE) AS nrm
+  FROM r
+)
+SELECT doc_id,
+       CASE WHEN nrm > 0
+            THEN [round(x::DOUBLE / nrm, 6) FOR x IN raw]
+            ELSE [0.0 FOR x IN raw] END AS embedding
+FROM n ORDER BY doc_id
+"""
+
+
 def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture at alpha=0.5 (group mass ∝
     sqrt(n) — upweights small sources): per-source counts + kept-id
@@ -4862,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_docs": corpus_report_docs,
         "chunk_docs_cdc": chunk_docs_cdc,
         "temperature_mixture_docs": temperature_mixture_docs,
+        "doc_hashed_embedding": doc_hashed_embedding,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -5005,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
+        "doc_hashed_embedding": _HASHED_EMB_SQL,
         "q4_late_orders": _Q4_SQL,
         "doc_repetition": _REPETITION_SQL,
         "pack_sequences_docs": _PACK_SQL,

@@ -36,6 +36,7 @@ __all__ = [
     "contamination_overlap",
     "contamination_overlap_bloom",
     "chunk_documents",
+    "hashed_embedding",
     "repetition_stats",
     "url_stats",
     "hashed_feature_weight",
@@ -487,6 +488,70 @@ def contamination_overlap(
         overlap.alias("overlap"),
         (overlap >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "emb-v1",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic model-free document embeddings: the classic
+    hashing-trick BOW projection (feature hashing with a ±1 sign hash,
+    Weinberger et al. 2009). Token ``t`` adds ``sign(t)`` to component
+    ``bucket(t)``; the vector is L2-normalized. Same text ⇒ same
+    vector on every engine (md5 bucket + md5 sign bit, integer counts,
+    one correctly-rounded sqrt), so near-dup geometry is rerun-stable.
+
+    This closes the text→vector→ANN loop with no external model: the
+    output column feeds :func:`~energy_pandas_spark.operators.
+    similarity.cosine_topk`, IVF/PQ indexes, and SemDeDup directly.
+    Cosine of these vectors approximates token-multiset similarity —
+    a cheap semantic-ish signal, not a learned embedding.
+
+    Scale shape: ONE map-only projection (O(dim * n_tokens) expression
+    work per doc, all JVM); no explode, no shuffle. Empty docs get the
+    zero vector. The token array materializes into a real column first
+    — inlining ``tokens()`` into the per-component lambdas would re-run
+    the split ``dim`` times per document."""
+
+    def bucket(t: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10
+            ).cast("long")
+            % dim
+        )
+
+    def sign(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "#s"), t)), 1, 15), 16, 10
+        ).cast("long")
+        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.filter("__toks", lambda t: bucket(t) == i),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + sign(t),
+        ),
+    )
+    with_toks = df.withColumn("__toks", tokens(text_col)).withColumn(
+        "__raw", raw
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "__raw", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    vec = F.when(
+        norm > 0,
+        F.transform("__raw", lambda x: F.round(x.cast("double") / norm, 6)),
+    ).otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
+    return with_toks.withColumn(out_col, vec).drop("__toks", "__raw")
 
 
 def chunk_documents(

@@ -177,3 +177,39 @@ def test_chunk_documents_cdc_properties(spark):
     assert [c.chunk_text for c in chunks0b[:-1]][: len(chunks0) - 1] == [
         c.chunk_text for c in chunks0[:-1]
     ][: len(chunks0) - 1]
+
+
+def test_hashed_embedding_geometry_and_ann_composition(spark):
+    """Identical docs → identical unit vectors; near-dups → high
+    cosine; unrelated → low. The column feeds cosine_topk directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import cosine_topk
+    from energy_pandas_spark.operators.text import hashed_embedding
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox leaps over the lazy dog again and again"),
+        (3, "completely different content about spark query engines"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(df, dim=64)
+    vecs = {r.doc_id: np.array(r.embedding) for r in emb.collect()}
+    assert np.array_equal(vecs[0], vecs[1])
+    assert abs(np.linalg.norm(vecs[0]) - 1.0) < 1e-5
+    assert np.linalg.norm(vecs[4]) == 0.0
+    assert vecs[0] @ vecs[2] > 0.8          # near-dup
+    assert vecs[0] @ vecs[3] < 0.5          # unrelated
+
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), "embedding").filter(
+        F.col("vec_id") != 4
+    )
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk(corpus, queries, k=3).collect()
+    got = [r.vec_id for r in sorted(top, key=lambda r: r.rank)]
+    assert set(got[:2]) == {0, 1} and got[2] == 2
