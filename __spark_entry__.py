@@ -2547,6 +2547,27 @@ FROM n ORDER BY doc_id
 """
 
 
+def text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic near-dup END-TO-END: hashed-BOW embeddings
+    (doc_hashed_embedding) feed the sign-LSH embedding dedup path —
+    text → vector → banded buckets → vectorized verify, no external
+    model anywhere (operators/text.py:hashed_embedding +
+    operators/dedup.py:embedding_neardup_pairs). Rows-only (LSH
+    banding has no SQL twin); exact-dup doc pairs must surface with
+    cosine 1.0."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import embedding_neardup_pairs
+    from energy_pandas_spark.operators.text import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(
+        emb, threshold=0.9, n_planes=32, bands=16, dim=64
+    ).orderBy("id_a", "id_b")
+
+
 def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixture at alpha=0.5 (group mass ∝
     sqrt(n) — upweights small sources): per-source counts + kept-id
@@ -4910,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_cdc": chunk_docs_cdc,
         "temperature_mixture_docs": temperature_mixture_docs,
         "doc_hashed_embedding": doc_hashed_embedding,
+        "text_semantic_neardup": text_semantic_neardup,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
