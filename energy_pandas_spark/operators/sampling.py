@@ -203,7 +203,9 @@ def temperature_mixture(
     groups uniform).
 
     ``total_rows`` scales the output to approximately that many rows;
-    default keeps the largest group whole (max rate 1).
+    the default pins the group with the highest implied rate at rate 1
+    — for ``alpha < 1`` that is the SMALLEST group (kept whole, while
+    larger groups downsample), for ``alpha > 1`` the largest.
 
     Two stages like :func:`balanced_cap_sample`: a tiny per-group count
     aggregate broadcasts back, then a map-only deterministic
@@ -285,14 +287,25 @@ def select_token_budget(
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
     t = F.col(token_col) if isinstance(token_col, str) else token_col
-    qb = F.least(
-        F.greatest(F.floor(q * F.lit(n_buckets)).cast("int"), F.lit(0)),
-        F.lit(n_buckets - 1),
+    # null-safe: a null quality lands in the LOWEST bucket (kept last),
+    # null token counts weigh 0 — without the coalesces a single null
+    # row would put a None bucket / None sum into the driver walk below
+    # and crash it
+    qb = F.coalesce(
+        F.least(
+            F.greatest(F.floor(q * F.lit(n_buckets)).cast("int"), F.lit(0)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
     )
     src = df.withColumn(out_col, qb)
     hist = (
         src.groupBy(out_col)
-        .agg(F.sum(t.cast("long")).alias("__tok"))
+        .agg(
+            F.coalesce(
+                F.sum(F.coalesce(t.cast("long"), F.lit(0))), F.lit(0)
+            ).alias("__tok")
+        )
         .collect()
     )
     acc = 0

@@ -186,6 +186,20 @@ def cosine_topk_arrow(
 # ---------------------------------------------------------------------------
 
 
+def _bounded_sample(df: DataFrame, sample_rows: int, seed: int) -> list:
+    """Collect a bounded RANDOM sample: estimate the fraction from a
+    (parquet-metadata-cheap) count, oversample 3x for variance, then
+    cap with limit. A bare ``limit(n)`` would take a deterministic
+    PREFIX — on a corpus laid out by source/language that trains the
+    quantizer on one source and silently wrecks everyone else's cells.
+    Seeded Bernoulli sampling draws from every partition instead."""
+    cnt = df.count()
+    if cnt > sample_rows:
+        frac = min(1.0, 3.0 * sample_rows / cnt)
+        df = df.sample(fraction=frac, seed=seed)
+    return df.limit(sample_rows).collect()
+
+
 def train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -197,12 +211,7 @@ def train_centroids(
     """Driver-side k-means (Lloyd) on a bounded sample — the IVF coarse
     quantizer. The sample is capped, so driver memory is bounded
     regardless of corpus size."""
-    sample = (
-        corpus.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(sample_rows)
-        .collect()
-    )
+    sample = _bounded_sample(corpus.select(vec_col), sample_rows, seed)
     X = np.array([r[0] for r in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -460,14 +469,10 @@ def train_pq(
 
     Sample training is the standard practice (FAISS trains PQ on a
     bounded sample too — codebook quality converges long before the
-    corpus is exhausted); the bounded ``limit`` keeps driver memory
-    flat regardless of corpus size."""
-    sample = (
-        corpus.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(sample_rows)
-        .collect()
-    )
+    corpus is exhausted); the bounded seeded sample keeps driver memory
+    flat regardless of corpus size and draws from every partition (a
+    bare limit would train on a single-source prefix)."""
+    sample = _bounded_sample(corpus.select(vec_col), sample_rows, seed)
     X = np.array([r[0] for r in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
@@ -487,8 +492,9 @@ def train_pq(
                 msk = lab == c
                 if msk.any():
                     cent[c] = S[msk].mean(axis=0)
-        if len(cent) < k:  # degenerate tiny sample: pad by repeating
-            cent = np.concatenate([cent, cent[: k - len(cent)]])
+        if len(cent) < k:  # degenerate tiny sample: cycle-pad up to k
+            reps = -(-k // len(cent))  # ceil division
+            cent = np.concatenate([cent] * reps)[:k]
         books[j] = cent
     return books
 

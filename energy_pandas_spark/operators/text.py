@@ -319,7 +319,9 @@ def boilerplate_stats(
         .collect()
     )
     boiler_terms = F.array(*[F.lit(r["term"]) for r in boiler_rows])
-    toks = tokens(text_col)
+    # NULL text -> NULL token array; coalesce so null-text docs score
+    # (0, 0, 0.0) exactly like the SQL oracle's left-join + coalesce
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     n_tokens = F.size(toks).cast("long")
     if boiler_rows:
         boiler_count = F.size(
@@ -531,16 +533,30 @@ def hashed_embedding(
         ).cast("long")
         return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
 
+    # hash each token ONCE into a (bucket, sign) struct array, then
+    # aggregate the precomputed ints per component — inlining bucket()
+    # into the per-component filter would re-run the md5 dim times per
+    # token (the materialize-once rule again, but for hashes)
+    pairs = F.transform(
+        "__toks",
+        lambda t: F.struct(bucket(t).alias("b"), sign(t).alias("s")),
+    )
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.aggregate(
-            F.filter("__toks", lambda t: bucket(t) == i),
+            F.filter("__pairs", lambda p: p.getField("b") == i),
             F.lit(0).cast("long"),
-            lambda acc, t: acc + sign(t),
+            lambda acc, p: acc + p.getField("s"),
         ),
     )
-    with_toks = df.withColumn("__toks", tokens(text_col)).withColumn(
-        "__raw", raw
+    with_toks = (
+        df.withColumn(
+            "__toks",
+            # NULL text would null the whole vector; empty array -> zeros
+            F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+        )
+        .withColumn("__pairs", pairs)
+        .withColumn("__raw", raw)
     )
     norm = F.sqrt(
         F.aggregate(
@@ -551,7 +567,9 @@ def hashed_embedding(
         norm > 0,
         F.transform("__raw", lambda x: F.round(x.cast("double") / norm, 6)),
     ).otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
-    return with_toks.withColumn(out_col, vec).drop("__toks", "__raw")
+    return with_toks.withColumn(out_col, vec).drop(
+        "__toks", "__pairs", "__raw"
+    )
 
 
 def chunk_documents(
@@ -665,20 +683,29 @@ def contamination_overlap_bloom(
     )
     bits = build_bloom(bench_hashes, n_bits=n_bits, k=k)
 
-    # per-doc totals: map-only, immune to the prefilter (tokens project
-    # to a real column first — inlining them into the shingle transform
-    # re-splits per position, O(len^2) per doc)
-    counts = (
+    # ONE tokenize+shingle pass feeds BOTH the per-doc totals and the
+    # probe stream: the (id, grams) projection persists spill-safe so
+    # the two consumers don't re-run the dominant text-scan work (the
+    # counts also can't be undercounted by the prefilter this way)
+    from pyspark import StorageLevel
+
+    grams_df = (
         spread_partitions(train.select(id_col, F.col(text_col)))
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
             F.col(id_col),
-            F.size(
-                F.array_distinct(word_shingles_of_tokens("__toks", n))
-            ).cast("long").alias("n_grams"),
+            F.array_distinct(
+                word_shingles_of_tokens("__toks", n)
+            ).alias("__grams"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    probe = doc_gram_rows(train).withColumn("__h", F.xxhash64("gram"))
+    counts = grams_df.select(
+        F.col(id_col), F.size("__grams").cast("long").alias("n_grams")
+    )
+    probe = grams_df.select(
+        F.col(id_col), F.explode("__grams").alias("gram")
+    ).withColumn("__h", F.xxhash64("gram"))
     survivors = bloom_prefilter(probe, "__h", bits, k=k).drop("__h")
     hits = (
         survivors.join(bench_grams.withColumn("__hit", F.lit(1)), "gram")

@@ -213,3 +213,35 @@ def test_hashed_embedding_geometry_and_ann_composition(spark):
     top = cosine_topk(corpus, queries, k=3).collect()
     got = [r.vec_id for r in sorted(top, key=lambda r: r.rank)]
     assert set(got[:2]) == {0, 1} and got[2] == 2
+
+
+def test_null_text_rows_are_safe(spark):
+    """NULL text must behave like empty text everywhere (the oracle's
+    left-join + coalesce convention), and null quality/token values
+    must not crash the token-budget driver walk."""
+    from energy_pandas_spark.operators.sampling import select_token_budget
+    from energy_pandas_spark.operators.text import (
+        boilerplate_stats,
+        chunk_documents,
+        hashed_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    bp = {r.doc_id: r for r in boilerplate_stats(df, df_ratio=0.5).collect()}
+    assert (bp[1].n_tokens, bp[1].boilerplate_tokens) == (0, 0)
+    assert bp[1].boilerplate_fraction == 0.0
+
+    emb = {r.doc_id: r.embedding for r in hashed_embedding(df, dim=8).collect()}
+    assert emb[1] == [0.0] * 8
+
+    assert chunk_documents(df).filter("doc_id = 1").count() == 0
+
+    q = spark.createDataFrame(
+        [(0, 0.9, 10), (1, None, None), (2, 0.5, 10)],
+        "doc_id long, quality double, tok int",
+    )
+    kept = select_token_budget(q, 10, "quality", "tok", key="doc_id").collect()
+    assert {r.doc_id for r in kept} == {0}  # nulls sink to bucket 0, weigh 0
