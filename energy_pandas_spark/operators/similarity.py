@@ -38,6 +38,7 @@ __all__ = [
     "append_ivf_index",
     "ivf_search",
     "train_pq",
+    "train_pq_distributed",
     "pq_encode",
     "pq_topk",
     "pq_recall_topk",
@@ -499,6 +500,54 @@ def train_pq(
     return books
 
 
+def train_pq_distributed(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Scale-honest PQ trainer: one ``pyspark.ml`` KMeans (kmeans||
+    init + distributed Lloyd) PER SUBSPACE over the WHOLE corpus —
+    the full-data twin of :func:`train_pq`, mirroring
+    ``train_centroids_distributed`` for the coarse quantizer. Returns
+    the same ``(m, k, dim/m)`` contract, so encode/search compose
+    unchanged. Cost is ``m`` clustering jobs over slices of the
+    normalized vectors; at 100 TB that is the honest price of codebooks
+    that have seen every source."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    from energy_pandas_spark.functions.vectors import l2_normalize
+
+    base = corpus.select(
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("__v", j * dsub + 1, dsub)).alias(
+                "__features"
+            )
+        )
+        model = KMeans(
+            k=k, maxIter=iters, seed=seed + j, featuresCol="__features"
+        ).fit(feats)
+        cent = np.array(
+            [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+        )
+        if len(cent) < k:  # degenerate tiny corpus: cycle-pad up to k
+            reps = -(-k // len(cent))
+            cent = np.concatenate([cent] * reps)[:k]
+        books[j] = cent
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: np.ndarray,
@@ -684,7 +733,10 @@ def build_ivfpq_index(
         else train_centroids
     )
     centroids = train(corpus, n_cells, corpus_vec)
-    books = train_pq(corpus, m=m, k=n_codes, vec_col=corpus_vec)
+    train_codes = (
+        train_pq_distributed if trainer == "distributed" else train_pq
+    )
+    books = train_codes(corpus, m=m, k=n_codes, vec_col=corpus_vec)
     enc = pq_encode(corpus, books, id_col=corpus_id, vec_col=corpus_vec)
     src = corpus.select(corpus_id, corpus_vec).join(enc, corpus_id)
     cells = assign_cells(src, centroids, corpus_vec)

@@ -833,3 +833,35 @@ def test_ivfpq_minimal_index_without_vectors(spark, sf_dir, tmp_path):
     assert len(got) == 9
     r1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
     assert all(q == v for q, v in r1.items())
+
+
+def test_pq_distributed_trainer_recall(spark, sf_dir):
+    """Distributed (pyspark.ml per-subspace KMeans) codebooks hold the
+    same recall bound as the sample trainer and share the (m, k, dsub)
+    contract end-to-end."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        cosine_topk,
+        pq_recall_topk,
+        train_pq_distributed,
+    )
+    from energy_pandas_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_distributed(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    queries = (
+        emb.filter(F.col("vec_id") % 97 == 1)
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    approx = pq_recall_topk(emb, queries, k=5, codebooks=books).collect()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    overlap = {(r.query_id, r.vec_id) for r in approx} & {
+        (r.query_id, r.vec_id) for r in exact
+    }
+    assert len(overlap) / len(exact) >= 0.5
