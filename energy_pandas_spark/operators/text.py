@@ -1019,7 +1019,15 @@ def train_text_classifier(
     if trainer == "sample":
         sub = labeled.select(
             id_col, text_col, F.col(label_col).cast("double").alias("__y")
-        ).limit(sample_docs)
+        )
+        # seeded sample, not a prefix limit: on a source-ordered labeled
+        # set a bare limit would train on one source (same flaw as the
+        # quantizer trainers' _bounded_sample fixes)
+        n_lab = sub.count()
+        if n_lab > sample_docs:
+            sub = sub.sample(fraction=min(1.0, 3.0 * sample_docs / n_lab),
+                             seed=42)
+        sub = sub.limit(sample_docs)
         trips = (
             hashed_doc_features(sub, text_col, id_col, n_features, salt, mode)
             .join(sub.select(id_col, "__y"), id_col)
