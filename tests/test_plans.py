@@ -296,3 +296,37 @@ def test_select_token_budget_filter_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_tfidf_reuses_one_token_aggregate(spark):
+    """The (doc, term) frame feeds both join sides through the persist:
+    after materialization the plan reads InMemory scans, not a second
+    tokenize+aggregate chain over the text column."""
+    from energy_pandas_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} w{i % 5} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    out.count()  # materialize the persist
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_contamination_bloom_single_tokenize_pass(spark):
+    """Counts and probe both come from the persisted grams projection:
+    one tokenize+shingle pass, then InMemory reuse."""
+    from energy_pandas_spark.operators.text import contamination_overlap_bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta epsilon") for i in range(12)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = contamination_overlap_bloom(docs, bench, n=3)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
