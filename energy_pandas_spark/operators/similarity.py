@@ -661,8 +661,11 @@ def pq_recall_topk(
     query_vec: str = "query_vec",
     codebooks: np.ndarray | None = None,
     refine: int = 4,
+    trainer: str = "sample",
 ) -> DataFrame:
     """Train → encode → ADC shortlist → exact rerank in one call.
+    ``trainer='distributed'`` swaps the bounded-sample codebooks for
+    the full-corpus per-subspace ``pyspark.ml`` KMeans.
 
     ``refine`` is the standard PQ refinement step (FAISS's
     ``IndexRefineFlat``): ADC retrieves ``refine * k`` candidates per
@@ -675,7 +678,8 @@ def pq_recall_topk(
     Production persists the codes table and calls :func:`pq_topk` /
     reranks explicitly."""
     if codebooks is None:
-        codebooks = train_pq(corpus, m=m, k=n_codes, vec_col=corpus_vec)
+        train = train_pq_distributed if trainer == "distributed" else train_pq
+        codebooks = train(corpus, m=m, k=n_codes, vec_col=corpus_vec)
     enc = pq_encode(corpus, codebooks, id_col=corpus_id, vec_col=corpus_vec)
     adc = pq_topk(
         enc, queries, codebooks, k=max(k, refine * k),
