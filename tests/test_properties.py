@@ -261,3 +261,30 @@ def test_chunk_documents_partition_property(spark, words, target):
     assert " ".join(r.chunk_text for r in rows) == text
     assert sum(r.n_tokens for r in rows) == len(words)
     assert all(r.n_tokens >= 1 for r in rows)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=0, max_size=6),
+        min_size=0, max_size=30,
+    ),
+    dim=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_hashed_embedding_unit_norm_or_zero(spark, words, dim):
+    """For ANY text: the vector has exactly `dim` components and is
+    unit-norm (to rounding) or exactly zero; identical texts map to
+    identical vectors."""
+    import numpy as np
+
+    text = " ".join(words)
+    from energy_pandas_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.embedding for r in hashed_embedding(df, dim=dim).collect()}
+    v0, v1 = np.array(out[0]), np.array(out[1])
+    assert len(v0) == dim and np.array_equal(v0, v1)
+    nrm = np.linalg.norm(v0)
+    assert nrm == 0.0 or abs(nrm - 1.0) < 1e-4
