@@ -2656,6 +2656,82 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document LINE dedup (operators/text.py:line_dedup):
+    documents are deterministically re-lined into 8-token rows, then
+    every normalized non-blank line occurring 2+ times corpus-wide
+    keeps only its smallest-(doc, idx) occurrence; each document's
+    text is rebuilt from its surviving lines. The planted exact-dup
+    documents lose all their lines to their originals, so the dedup
+    path is genuinely exercised. Winner selection is a digest-keyed
+    map-combined aggregate shipping two longs per distinct line."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__tk")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("__tk") / F.lit(8.0)).cast("int"), F.lit(1)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice("__tk", (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)),
+                    " ",
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return (
+        line_dedup(lined)
+        .select("doc_id", "n_lines_kept", F.col("text").alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), lines AS (
+  SELECT doc_id, i::INT - 1 AS idx,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM tk, unnest(range(1, greatest(ceil(len(toks)/8.0)::INT, 1) + 1)) AS u(i)
+), keyed AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) != ''
+              THEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) END AS key,
+         doc_id * 1000000 + idx AS pos
+  FROM lines
+), win AS (
+  SELECT key, min(pos) AS win, count(*) AS c
+  FROM keyed WHERE key IS NOT NULL GROUP BY 1
+), kept AS (
+  SELECT k.doc_id, k.idx, k.line
+  FROM keyed k LEFT JOIN win w ON k.key = w.key
+  WHERE k.key IS NULL OR w.c = 1 OR k.pos = w.win
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS text_out
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+       coalesce(a.text_out, '') AS text_out
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -4932,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_docs": temperature_mixture_docs,
         "doc_hashed_embedding": doc_hashed_embedding,
         "text_semantic_neardup": text_semantic_neardup,
+        "line_dedup_docs": line_dedup_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -5074,6 +5151,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_bloom_docs": _CONTAMINATION_SQL,
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "doc_hashed_embedding": _HASHED_EMB_SQL,
         "q4_late_orders": _Q4_SQL,

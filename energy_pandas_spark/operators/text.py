@@ -48,6 +48,8 @@ __all__ = [
     "bigram_lm_score",
     "span_dup_stats",
     "span_dedup_filter",
+    "line_dup_stats",
+    "line_dedup",
     "vocab_index",
     "encode_docs",
     "PII_PATTERNS",
@@ -1451,3 +1453,130 @@ def encode_docs(
     return df.join(encoded, id_col, "left").withColumn(
         "token_ids", F.coalesce("token_ids", F.array().cast("array<int>"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (the C4 "remove repeated lines" hygiene step)
+# ---------------------------------------------------------------------------
+
+
+def _line_rows(df: DataFrame, text_col: str, id_col: str, sep: str) -> DataFrame:
+    """(id, idx, line, key) rows: one per line, key = normalized form
+    (NULL for blank lines, which never participate in dedup)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+                "idx", "line"
+            ),
+        )
+        .withColumn("key", F.when(norm != "", norm))
+    )
+
+
+def line_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """One-row corpus audit of cross-document line repetition: total
+    lines, distinct normalized non-blank lines, lines that occur 2+
+    times, and the fraction of line OCCURRENCES that are repeats
+    (occurrences beyond each line's first).
+
+    Plan: explode to (key) and ONE map-combined hash aggregate on the
+    line digest — blank lines are counted but excluded from dup math.
+    The shuffle carries only (digest, partial count); no text or ids
+    move after the hash is computed at the scan."""
+    lines = _line_rows(df, text_col, id_col, sep)
+    per_key = (
+        lines.filter(F.col("key").isNotNull())
+        .groupBy(F.xxhash64(F.lit("line-v1"), F.col("key")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    blanks = lines.filter(F.col("key").isNull()).count()
+    return per_key.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_lines"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.round(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            / F.greatest(F.coalesce(F.sum("c"), F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_occurrence_frac"),
+    ).withColumn("n_blank_lines", F.lit(blanks).cast("long"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    drop_empty: bool = False,
+    max_idx: int = 1_000_000,
+) -> DataFrame:
+    """Cross-document exact line dedup, C4-style: every normalized
+    non-blank line that occurs 2+ times anywhere in the corpus keeps
+    ONLY its first occurrence (smallest ``(id, idx)``); later repeats
+    are dropped and each document's text is rebuilt from its surviving
+    lines (blank lines always survive — they are structure, not
+    content). ``drop_empty=True`` additionally drops documents whose
+    rebuilt text is empty.
+
+    Scale shape: 3 shuffles, none carrying more than it must —
+    (1) winner-per-line is a map-combined hash aggregate keyed on the
+    line DIGEST (xxhash64), shipping (digest, linearized position)
+    longs only; (2) the digest-keyed equi-join brings winners back to
+    the line rows (corpus-sized both sides — a broadcast is impossible
+    for a corpus-scale winner set, so this is the canonical shuffle
+    join); (3) per-document re-assembly groups by id with a struct
+    ``array_sort`` (per-doc sort, never global). Positions linearize as
+    ``id * max_idx + idx`` so the winner min is a single long
+    (documents with more than ``max_idx`` lines would corrupt the
+    ordering — raise it for pathological inputs)."""
+    lines = _line_rows(df, text_col, id_col, sep).withColumn(
+        "pos", F.col(id_col).cast("long") * F.lit(max_idx) + F.col("idx")
+    )
+    keyed = lines.withColumn(
+        "h", F.xxhash64(F.lit("line-v1"), F.col("key"))
+    )
+    winners = (
+        keyed.filter(F.col("key").isNotNull())
+        .groupBy("h")
+        .agg(F.min("pos").alias("win"), F.count(F.lit(1)).alias("c"))
+    )
+    kept = (
+        keyed.join(winners, "h", "left")
+        .filter(
+            F.col("key").isNull()  # blank lines always kept
+            | (F.col("c") == 1)
+            | (F.col("pos") == F.col("win"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx").alias("i"), F.col("line").alias("l")))
+            ).alias("__il")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("__il", lambda s: s.getField("l")), sep).alias(
+                "__text_out"
+            ),
+            F.size("__il").cast("long").alias("n_lines_kept"),
+        )
+    )
+    out = (
+        df.drop("n_lines_kept")
+        .join(kept, id_col, "left")
+        .withColumn(text_col, F.coalesce("__text_out", F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .drop("__text_out")
+    )
+    if drop_empty:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out

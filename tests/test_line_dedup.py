@@ -1,0 +1,82 @@
+"""Cross-document line dedup (C4-style corpus hygiene)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from energy_pandas_spark.operators.text import line_dedup, line_dup_stats
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            # doc 0: boilerplate header + unique body
+            Row(doc_id=0, text="Subscribe to our newsletter\nalpha body zero\n\nfooter common"),
+            # doc 1: same header (different case/space), unique body
+            Row(doc_id=1, text="subscribe  to our Newsletter\nbeta body one\nfooter common"),
+            # doc 2: all lines are repeats of earlier docs
+            Row(doc_id=2, text="SUBSCRIBE TO OUR NEWSLETTER\nfooter common"),
+            # doc 3: unique everywhere
+            Row(doc_id=3, text="wholly unique line"),
+            # doc 4: null text
+            Row(doc_id=4, text=None),
+        ]
+    )
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    out = {r.doc_id: r for r in line_dedup(_docs(spark)).collect()}
+    # doc 0 keeps everything (it IS the first occurrence of both dups)
+    assert out[0].text == "Subscribe to our newsletter\nalpha body zero\n\nfooter common"
+    assert out[0].n_lines_kept == 4
+    # doc 1 loses the header and the footer, keeps its body
+    assert out[1].text == "beta body one"
+    assert out[1].n_lines_kept == 1
+    # doc 2 loses every line
+    assert out[2].text == ""
+    assert out[2].n_lines_kept == 0
+    # doc 3 untouched (count == 1)
+    assert out[3].text == "wholly unique line"
+    # null text becomes one blank line, kept as structure
+    assert out[4].text == ""
+    assert out[4].n_lines_kept == 1
+
+
+def test_line_dedup_drop_empty(spark):
+    kept = line_dedup(_docs(spark), drop_empty=True)
+    assert {r.doc_id for r in kept.collect()} == {0, 1, 3}
+
+
+def test_line_dedup_blank_lines_survive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a\n\nb"), Row(doc_id=1, text="a\n\nc")]
+    )
+    out = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    # the blank line occurs in both docs but is never deduped
+    assert out[0] == "a\n\nb"
+    assert out[1] == "\nc"
+
+
+def test_line_dedup_schema_preserved(spark):
+    df = _docs(spark).withColumn("lang", F.lit("en"))
+    out = line_dedup(df)
+    assert set(out.columns) == {"doc_id", "text", "lang", "n_lines_kept"}
+    assert out.count() == 5
+
+
+def test_line_dup_stats(spark):
+    stats = line_dup_stats(_docs(spark)).collect()[0]
+    # non-blank lines: 3 + 3 + 2 + 1 = 9; blanks: doc0's empty line + doc4
+    assert stats.n_lines == 9
+    assert stats.n_blank_lines == 2
+    # distinct normalized: header, alpha, footer, beta, wholly = 5
+    assert stats.n_distinct_lines == 5
+    assert stats.n_dup_lines == 2  # header x3, footer x3
+    # repeats beyond first: (3-1) + (3-1) = 4 of 9 occurrences
+    assert abs(stats.dup_occurrence_frac - round(4 / 9, 6)) < 1e-9
+
+
+def test_line_dedup_deterministic(spark):
+    a = line_dedup(_docs(spark)).orderBy("doc_id").collect()
+    b = line_dedup(_docs(spark).repartition(7)).orderBy("doc_id").collect()
+    assert a == b
