@@ -2732,6 +2732,69 @@ ORDER BY doc_id
 """
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/text.py:dsir_weights/
+    dsir_select): hashed-unigram Laplace log-ratio weights of the
+    English-language slice (target domain) vs the whole corpus,
+    quantized to integer 1/1024-nat units so document importances are
+    exact BIGINT sums — order-free, engine-portable. Returns the
+    top-100 documents by quantized importance (id tiebreak)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import dsir_select, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, n_buckets=4096, scale=1024)
+    return dsir_select(docs, w, k=100, n_buckets=4096, scale=1024).select(
+        "doc_id", "importance_q", "n_tokens", "score"
+    )
+
+
+_DSIR_SQL = r"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+), dt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('dsir-v1' || t), 1, 15))::BIGINT % 4096)::INT
+           AS bucket
+  FROM rtok
+), rc AS (
+  SELECT bucket, count(*) AS c FROM dt GROUP BY 1
+), tc AS (
+  SELECT bucket, count(*) AS c
+  FROM dt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS T,
+         (SELECT coalesce(sum(c), 0) FROM rc) AS R
+), w AS (
+  SELECT b.bucket::INT AS bucket,
+         round(1024 * (ln((coalesce(tc.c, 0) + 1) / (tot.T + 4096))
+                       - ln((coalesce(rc.c, 0) + 1) / (tot.R + 4096))))::BIGINT
+           AS iw
+  FROM range(4096) AS b(bucket)
+  CROSS JOIN tot
+  LEFT JOIN tc ON tc.bucket = b.bucket
+  LEFT JOIN rc ON rc.bucket = b.bucket
+), per AS (
+  SELECT d.doc_id,
+         coalesce(sum(w.iw), 0)::BIGINT AS importance_q,
+         count(dt.bucket)::BIGINT AS n_tokens
+  FROM documents d
+  LEFT JOIN dt ON dt.doc_id = d.doc_id
+  LEFT JOIN w ON w.bucket = dt.bucket
+  GROUP BY 1
+)
+SELECT doc_id, importance_q, n_tokens,
+       round(importance_q / (1024.0 * greatest(n_tokens, 1)), 6) AS score
+FROM per
+ORDER BY importance_q DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -5009,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hashed_embedding": doc_hashed_embedding,
         "text_semantic_neardup": text_semantic_neardup,
         "line_dedup_docs": line_dedup_docs,
+        "dsir_select_docs": dsir_select_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -5152,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        "dsir_select_docs": _DSIR_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "doc_hashed_embedding": _HASHED_EMB_SQL,
         "q4_late_orders": _Q4_SQL,

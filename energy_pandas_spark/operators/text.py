@@ -50,6 +50,9 @@ __all__ = [
     "span_dedup_filter",
     "line_dup_stats",
     "line_dedup",
+    "dsir_weights",
+    "dsir_score",
+    "dsir_select",
     "vocab_index",
     "encode_docs",
     "PII_PATTERNS",
@@ -1580,3 +1583,153 @@ def line_dedup(
     if drop_empty:
         out = out.filter(F.trim(F.col(text_col)) != "")
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance reweighting (data selection via importance
+# resampling over hashed n-gram features — Xie et al. 2023, public)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_bucket(t: Column, salt: str, n_buckets: int) -> Column:
+    """Hashed-unigram feature bucket: the engine's md5 top-60-bit
+    recipe (same as hashed_doc_features), modulo ``n_buckets``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-bucket integer importance weights for DSIR data selection:
+    ``iw = round(scale * (ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))))`` —
+    the Laplace-smoothed log-likelihood ratio of the target-domain vs
+    raw hashed-unigram models, quantized to BIGINT units of
+    ``1/scale`` nats.
+
+    Quantizing makes every downstream document score an exact integer
+    sum: order-free across partial aggregation, bit-identical across
+    engines and reruns (the same dyadic trick classifier_score uses,
+    pushed all the way to integers).
+
+    Plan: each corpus contributes ONE map-combined hash aggregate over
+    its exploded token stream (shuffle carries ``n_buckets`` partial
+    counts); the weight table itself is ``n_buckets`` rows — broadcast
+    material for any real configuration. Buckets unseen in either
+    corpus still get a (smoothed) weight via the dense bucket range."""
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        toks = df.select(
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
+        )
+        return (
+            toks.groupBy(_dsir_bucket(F.col("__t"), salt, n_buckets).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    t_counts = counts(target, "tc")
+    r_counts = counts(raw, "rc")
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        buckets.join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.lit(scale)
+                * (
+                    F.log((F.col("tc") + 1) / (F.col("T") + F.lit(n_buckets)))
+                    - F.log((F.col("rc") + 1) / (F.col("R") + F.lit(n_buckets)))
+                )
+            )
+            .cast("long")
+            .alias("iw"),
+            "tc",
+            "rc",
+        )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance: ``importance_q`` = exact BIGINT sum
+    of quantized bucket weights over the document's token occurrences
+    (the un-normalized log-likelihood ratio, in 1/``scale`` nats), plus
+    the float per-token mean ``score``. ``salt``/``n_buckets``/``scale``
+    must match the :func:`dsir_weights` call that built ``weights``.
+
+    Plan: explode tokens with the bucket computed inline (codegen),
+    broadcast-join the ``n_buckets``-row weight table, ONE map-combined
+    groupBy(id) — the classifier_score shape: the shuffle carries two
+    longs per document."""
+    src = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("__t").isNotNull(), _dsir_bucket(F.col("__t"), salt, n_buckets)
+        ).alias("bucket"),
+    )
+    per_doc = (
+        src.join(F.broadcast(weights.select("bucket", "iw")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("iw"), F.lit(0)).cast("long").alias("importance_q"),
+            F.count(F.col("bucket")).cast("long").alias("n_tokens"),
+        )
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "score",
+        F.round(
+            F.col("importance_q")
+            / (F.lit(scale) * F.greatest(F.col("n_tokens"), F.lit(1))).cast("double"),
+            6,
+        ),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+    scale: int = 1024,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` documents with the
+    highest quantized importance (ties broken by ascending id) — the
+    greedy-selection variant of importance resampling, rerun-stable by
+    construction. The global top-k is a TakeOrderedAndProject (per-
+    partition heaps, never a full sort)."""
+    scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
+    return scored.orderBy(F.desc("importance_q"), F.asc(id_col)).limit(k)
