@@ -2795,6 +2795,93 @@ LIMIT 100
 """
 
 
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-pack audit (operators/text.py:gopher_rules): every
+    signal is an integer count from one map-only array projection;
+    ratio rules compare count <= threshold * count with the identical
+    IEEE expression on both engines. Thresholds tuned so the synthetic
+    corpus splits on word count and on the stopword rule."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        gopher_rules(
+            docs,
+            min_words=55,
+            required_stopwords=("the", "a", "value", "table"),
+            min_stopword_hits=2,
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "n_symbol_chars",
+            "n_alpha_words",
+            "n_stopword_hits",
+            "r_word_count",
+            "r_mean_word_len",
+            "r_symbol_ratio",
+            "r_alpha_words",
+            "r_stopwords",
+            "passes_gopher",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         coalesce(list_sum(list_transform(toks, w -> length(w))), 0)::BIGINT
+           AS word_chars,
+         ((length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) / 3
+          + (length(t) - length(replace(t, '…', ''))))::BIGINT AS symbols,
+         len(list_filter(toks, w -> regexp_matches(w, '\p{L}')))
+           AS alpha_words,
+         len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'value', 'table'])) AS stop_hits,
+         len(string_split(t, chr(10))) AS n_lines,
+         len(list_filter(string_split(t, chr(10)),
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+         len(list_filter(string_split(t, chr(10)),
+             l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_lines
+  FROM c
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE round(word_chars / n_words, 6) END AS mean_word_len,
+       symbols AS n_symbol_chars,
+       alpha_words::BIGINT AS n_alpha_words,
+       stop_hits::BIGINT AS n_stopword_hits,
+       (n_words >= 55 AND n_words <= 100000) AS r_word_count,
+       (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words
+        AND n_words > 0) AS r_mean_word_len,
+       (symbols <= 0.1 * n_words) AS r_symbol_ratio,
+       (alpha_words >= 0.8 * n_words AND n_words > 0) AS r_alpha_words,
+       (stop_hits >= 2) AS r_stopwords,
+       ((n_words >= 55 AND n_words <= 100000)
+        AND (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words
+             AND n_words > 0)
+        AND (symbols <= 0.1 * n_words)
+        AND (bullet_lines <= 0.9 * n_lines)
+        AND (ell_lines <= 0.3 * n_lines)
+        AND (alpha_words >= 0.8 * n_words AND n_words > 0)
+        AND (stop_hits >= 2)) AS passes_gopher
+FROM m
+ORDER BY doc_id
+"""
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -5073,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_neardup": text_semantic_neardup,
         "line_dedup_docs": line_dedup_docs,
         "dsir_select_docs": dsir_select_docs,
+        "gopher_rules_docs": gopher_rules_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -5217,6 +5305,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "dsir_select_docs": _DSIR_SQL,
+        "gopher_rules_docs": _GOPHER_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "doc_hashed_embedding": _HASHED_EMB_SQL,
         "q4_late_orders": _Q4_SQL,

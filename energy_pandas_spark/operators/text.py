@@ -53,6 +53,9 @@ __all__ = [
     "dsir_weights",
     "dsir_score",
     "dsir_select",
+    "gopher_rules",
+    "gopher_filter",
+    "GOPHER_STOPWORDS",
     "vocab_index",
     "encode_docs",
     "PII_PATTERNS",
@@ -1733,3 +1736,123 @@ def dsir_select(
     partition heaps, never a full sort)."""
     scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
     return scored.orderBy(F.desc("importance_q"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, public) — the
+# rule-based document filter pack, one map-only projection
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    required_stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule outcomes: word-count bounds, mean word
+    length bounds, symbol-to-word ratio (``#`` and ellipsis), bullet /
+    ellipsis line fractions, fraction of words containing a letter,
+    and the required-stopword hit count — plus the conjunction
+    ``passes_gopher``.
+
+    Every signal is an integer count computed with array expressions
+    in ONE map-only codegen'd projection (no explode, no shuffle, no
+    Python); ratio rules compare a count against ``threshold * count``
+    — both engines evaluate the identical IEEE expression, so rule
+    booleans are engine-portable despite float thresholds."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(t)
+    out = df.withColumn("__tk", toks)
+    n_words = F.size("__tk")
+    word_chars = F.aggregate(
+        "__tk", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    hash_chars = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ellipsis3 = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    ellipsis_uni = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    symbols = (hash_chars + ellipsis3 + ellipsis_uni).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).rlike(r"^[-*•]"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    alpha_words = F.size(F.filter("__tk", lambda w: w.rlike(r"\p{L}")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("__tk"),
+            F.array(*[F.lit(w) for w in required_stopwords]),
+        )
+    )
+    mean_wl = F.when(n_words == 0, 0.0).otherwise(
+        word_chars / n_words.cast("double")
+    )
+    rules = {
+        "r_word_count": (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words)),
+        "r_mean_word_len": (word_chars >= F.lit(min_mean_word_len) * n_words)
+        & (word_chars <= F.lit(max_mean_word_len) * n_words)
+        & (n_words > 0),
+        "r_symbol_ratio": symbols
+        <= F.lit(max_symbol_word_ratio) * n_words,
+        "r_bullet_lines": bullet_lines <= F.lit(max_bullet_frac) * n_lines,
+        "r_ellipsis_lines": ellipsis_lines
+        <= F.lit(max_ellipsis_frac) * n_lines,
+        "r_alpha_words": (alpha_words >= F.lit(min_alpha_word_frac) * n_words)
+        & (n_words > 0),
+        "r_stopwords": stop_hits >= F.lit(min_stopword_hits),
+    }
+    out = out.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round(mean_wl, 6),
+            "n_symbol_chars": symbols,
+            "n_bullet_lines": bullet_lines.cast("long"),
+            "n_ellipsis_lines": ellipsis_lines.cast("long"),
+            "n_alpha_words": alpha_words.cast("long"),
+            "n_stopword_hits": stop_hits.cast("long"),
+            **rules,
+        }
+    )
+    passes = None
+    for name in rules:
+        c = F.col(name)
+        passes = c if passes is None else (passes & c)
+    return out.withColumn("passes_gopher", passes).drop("__tk")
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Keep only documents passing every Gopher rule; same input
+    column set out (the rule columns are projected away). Map-only —
+    the filter composes into any downstream scan."""
+    scored = gopher_rules(df, text_col, id_col, **thresholds)
+    return scored.filter(F.col("passes_gopher")).select(*df.columns)
