@@ -2882,6 +2882,21 @@ ORDER BY doc_id
 """
 
 
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py:train_bpe):
+    the corpus is scanned ONCE for word counts; 16 merge iterations
+    then run on the vocab-sized word table with a deterministic
+    (count desc, pair asc) argmax. Rows-only BY DESIGN: the trainer is
+    iterative (argmax + rebuild per round), outside single-statement
+    SQL — correctness is pinned instead by tests/test_bpe.py, which
+    asserts bit-exact equality with a pure-Python reference trainer."""
+    _prep(spark)
+    from energy_pandas_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe(docs, num_merges=16).orderBy("rank")
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -5161,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "dsir_select_docs": dsir_select_docs,
         "gopher_rules_docs": gopher_rules_docs,
+        "bpe_merges_docs": bpe_merges_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,

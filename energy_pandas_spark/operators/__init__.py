@@ -16,6 +16,11 @@ from energy_pandas_spark.operators.analytics import (
     source_side,
     time_at_min,
 )
+from energy_pandas_spark.operators.bpe import (
+    bpe_encode,
+    train_bpe,
+    word_counts,
+)
 from energy_pandas_spark.operators.dedup import (
     dedup_exact,
     dedup_incremental,
@@ -75,6 +80,10 @@ __all__ = [
     # reshape
     "unstack_to_periods",
     "with_ordinal",
+    # bpe tokenizer training
+    "train_bpe",
+    "bpe_encode",
+    "word_counts",
     # dedup
     "dedup_exact",
     "dedup_incremental",
