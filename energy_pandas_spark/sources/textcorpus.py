@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_text_corpus"]
+__all__ = ["read_text_corpus", "read_jsonl_corpus"]
 
 
 def read_text_corpus(
@@ -62,3 +62,67 @@ def read_text_corpus(
         "source",
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    schema: str | None = None,
+    on_corrupt: str = "drop",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Read a JSONL corpus (one JSON object per line — the dominant
+    web-scale interchange layout) into the ``documents`` shape:
+    ``(doc_id, text, source, n_chars, *extra-schema-fields)``.
+
+    ``schema`` is a DDL string for the EXTRA fields beyond
+    ``text_field`` (e.g. ``"lang STRING, url STRING"``); passing it
+    skips Spark's schema-inference pre-scan — at 100 TB the inference
+    pass IS a full corpus read, so production always passes a schema.
+    Malformed lines are captured permissively into a corrupt-record
+    column: ``on_corrupt='drop'`` (default) discards them,
+    ``'keep'`` retains them with NULL text and ``is_corrupt=true``
+    (for quarantine/audit sinks), ``'fail'`` aborts the read on the
+    first bad line (FAILFAST).
+
+    ``doc_id`` is the same content-addressed xxhash64 the text reader
+    uses — rerun-stable, no partition-layout dependence."""
+    if on_corrupt not in ("drop", "keep", "fail"):
+        raise ValueError(f"on_corrupt must be drop/keep/fail, got {on_corrupt!r}")
+    ddl = f"{text_field} STRING"
+    if schema:
+        ddl += f", {schema}"
+    reader = spark.read
+    if on_corrupt == "fail":
+        parsed = reader.schema(ddl).option("mode", "FAILFAST").json(path)
+        corrupt = F.lit(False)
+    else:
+        parsed = (
+            reader.schema(ddl + ", _corrupt_record STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        corrupt = F.col("_corrupt_record").isNotNull()
+    docs = parsed.select(
+        "*",
+        F.input_file_name().alias("source"),
+        F.monotonically_increasing_id().alias("__pos"),  # hash salt only
+        corrupt.alias("is_corrupt"),
+    ).drop("_corrupt_record")
+    if on_corrupt == "drop":
+        docs = docs.filter(~F.col("is_corrupt")).drop("is_corrupt")
+    keep_cols = [c for c in docs.columns if c not in (text_field, "__pos")]
+    out = docs.select(
+        F.xxhash64("source", "__pos", F.col(text_field)).alias("doc_id"),
+        F.col(text_field).alias("text"),
+        F.coalesce(F.length(text_field), F.lit(0)).alias("n_chars"),
+        *[c for c in keep_cols if c != "source"],
+        "source",
+    )
+    if min_chars > 0 and on_corrupt != "keep":
+        out = out.filter(F.col("n_chars") >= min_chars)
+    elif min_chars > 0:
+        out = out.filter(F.col("is_corrupt") | (F.col("n_chars") >= min_chars))
+    return out

@@ -245,3 +245,51 @@ def test_null_text_rows_are_safe(spark):
     )
     kept = select_token_budget(q, 10, "quality", "tok", key="doc_id").collect()
     assert {r.doc_id for r in kept} == {0}  # nulls sink to bucket 0, weigh 0
+
+
+def test_read_jsonl_corpus(spark, tmp_path):
+    from energy_pandas_spark.sources.textcorpus import read_jsonl_corpus
+
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    (d / "part0.jsonl").write_text(
+        '{"text": "hello world", "lang": "en"}\n'
+        '{"text": "hallo welt", "lang": "de"}\n'
+        "{this is not json}\n"
+        '{"text": "", "lang": "en"}\n'
+    )
+    docs = read_jsonl_corpus(spark, str(d), schema="lang STRING")
+    rows = docs.collect()
+    assert {r.text for r in rows} == {"hello world", "hallo welt"}
+    assert all(r.n_chars == len(r.text) for r in rows)
+    assert {r.lang for r in rows} == {"en", "de"}
+    # rerun-stable ids
+    again = {r.text: r.doc_id for r in read_jsonl_corpus(
+        spark, str(d), schema="lang STRING").collect()}
+    for r in rows:
+        assert again[r.text] == r.doc_id
+
+
+def test_read_jsonl_corpus_keep_corrupt(spark, tmp_path):
+    from energy_pandas_spark.sources.textcorpus import read_jsonl_corpus
+
+    d = tmp_path / "jsonl2"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"text": "fine"}\nnot json at all\n')
+    docs = read_jsonl_corpus(spark, str(d), on_corrupt="keep").collect()
+    assert len(docs) == 2
+    bad = [r for r in docs if r.is_corrupt]
+    assert len(bad) == 1 and bad[0].text is None
+
+
+def test_read_jsonl_corpus_failfast(spark, tmp_path):
+    import pytest
+
+    from energy_pandas_spark.sources.textcorpus import read_jsonl_corpus
+
+    d = tmp_path / "jsonl3"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"text": "fine"}\nbroken\n')
+    with pytest.raises(Exception) as exc:
+        read_jsonl_corpus(spark, str(d), on_corrupt="fail").collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
