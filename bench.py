@@ -76,6 +76,11 @@ HEADLINE = [
     "chunk_docs_cdc",
     "temperature_mixture_docs",
     "corpus_report_docs",
+    # round-3 second-wave additions
+    "line_dedup_docs",
+    "dsir_select_docs",
+    "gopher_rules_docs",
+    "bpe_merges_docs",
 ]
 
 

@@ -1524,6 +1524,7 @@ def line_dedup(
     sep: str = "\n",
     drop_empty: bool = False,
     max_idx: int = 1_000_000,
+    persist_lines: bool = True,
 ) -> DataFrame:
     """Cross-document exact line dedup, C4-style: every normalized
     non-blank line that occurs 2+ times anywhere in the corpus keeps
@@ -1543,13 +1544,29 @@ def line_dedup(
     ``array_sort`` (per-doc sort, never global). Positions linearize as
     ``id * max_idx + idx`` so the winner min is a single long
     (documents with more than ``max_idx`` lines would corrupt the
-    ordering — raise it for pathological inputs)."""
+    ordering — raise it for pathological inputs).
+
+    The exploded line rows feed BOTH the winner aggregate and the join
+    probe, and the IsNotNull pushdown makes the two subtrees unequal —
+    Spark will NOT reuse the exchange and would re-scan + re-explode
+    the whole corpus (the exchange-reuse trap). ``persist_lines=True``
+    (default) persists them spill-safe instead, one corpus-sized
+    working set on disk; pass ``False`` to trade the storage for a
+    second scan. Winner selection deliberately stays an aggregate +
+    equi-join rather than a ``Window.partitionBy(h)``: the aggregate
+    gets map-side combine and AQE skew-join splitting, so a boilerplate
+    line repeated a billion times costs one combined row per map task —
+    a window partition would pile every copy into one task."""
     lines = _line_rows(df, text_col, id_col, sep).withColumn(
         "pos", F.col(id_col).cast("long") * F.lit(max_idx) + F.col("idx")
     )
     keyed = lines.withColumn(
         "h", F.xxhash64(F.lit("line-v1"), F.col("key"))
     )
+    if persist_lines:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     winners = (
         keyed.filter(F.col("key").isNotNull())
         .groupBy("h")
