@@ -95,11 +95,54 @@ def _apply_merge(syms, left: str, right: str) -> F.Column:
     )
 
 
+def _train_bpe_local(
+    wc: list[tuple[str, int]], num_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side trainer twin: identical algorithm and tiebreak to
+    the distributed loop (asserted equal in tests), used when the word
+    table is small enough to collect."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in wc:
+        k = tuple(w) + (END_OF_WORD,)
+        vocab[k] = vocab.get(k, 0) + c
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, l + r, c))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    driver_vocab_threshold: int = 200_000,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ranked merge table ``(rank, left, right, merged, pair_count)``.
@@ -107,11 +150,29 @@ def train_bpe(
 
     Determinism: the best pair is (count desc, left asc, right asc) —
     a total order, so the learned table is independent of partitioning
-    and rerun-stable."""
+    and rerun-stable.
+
+    The corpus-scale pass (word counting) is always distributed. If
+    the resulting word table has at most ``driver_vocab_threshold``
+    rows it is collected and the merge loop runs driver-side — the
+    same bounded-twin pattern as the classifier trainer: the word
+    table IS the training state, iterations are pure dictionary work,
+    and 2 Spark jobs per merge would be pure scheduling overhead.
+    Larger vocabularies take the distributed loop (``0`` forces it).
+    Both paths produce bit-identical merge tables (tested)."""
     spark = df.sparkSession
+    wc = word_counts(df, text_col)
+    if driver_vocab_threshold > 0:
+        sample = wc.limit(driver_vocab_threshold + 1).collect()
+        if len(sample) <= driver_vocab_threshold:
+            merges = _train_bpe_local(
+                [(r.word, int(r["count"])) for r in sample],
+                num_merges,
+                min_pair_count,
+            )
+            return spark.createDataFrame(merges, schema=_MERGE_SCHEMA)
     words = (
-        word_counts(df, text_col)
-        .select(_symbolize(F.col("word")).alias("syms"), "count")
+        wc.select(_symbolize(F.col("word")).alias("syms"), "count")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
@@ -133,18 +194,18 @@ def train_bpe(
             _apply_merge(F.col("syms"), l, r).alias("syms"), "count"
         ).localCheckpoint(eager=True)
         prev.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema=StructType(
-            [
-                StructField("rank", LongType()),
-                StructField("left", StringType()),
-                StructField("right", StringType()),
-                StructField("merged", StringType()),
-                StructField("pair_count", LongType()),
-            ]
-        ),
-    )
+    return spark.createDataFrame(merges, schema=_MERGE_SCHEMA)
+
+
+_MERGE_SCHEMA = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+    ]
+)
 
 
 def bpe_encode(

@@ -74,7 +74,9 @@ def test_word_counts(spark):
 def test_train_bpe_matches_reference(spark):
     learned = [
         (r.rank, r.left, r.right, r.merged, r.pair_count)
-        for r in train_bpe(_df(spark), num_merges=12).orderBy("rank").collect()
+        for r in train_bpe(_df(spark), num_merges=12, driver_vocab_threshold=0)
+        .orderBy("rank")
+        .collect()
     ]
     assert learned == ref_train_bpe(TEXTS, 12)
     assert len(learned) > 5  # the corpus genuinely supports many merges
@@ -93,6 +95,19 @@ def test_train_bpe_partition_invariant(spark):
         for r in train_bpe(_df(spark).repartition(7), 8).orderBy("rank").collect()
     ]
     assert a == b
+
+
+def test_train_bpe_distributed_path_matches_local(spark):
+    # driver_vocab_threshold=0 forces the distributed merge loop; the
+    # default path collects the tiny word table and trains driver-side
+    dist = [
+        tuple(r)
+        for r in train_bpe(_df(spark), 10, driver_vocab_threshold=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    local = [tuple(r) for r in train_bpe(_df(spark), 10).orderBy("rank").collect()]
+    assert dist == local == [tuple(m) for m in ref_train_bpe(TEXTS, 10)]
 
 
 def test_bpe_encode_roundtrip(spark):
