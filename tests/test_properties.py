@@ -288,3 +288,70 @@ def test_hashed_embedding_unit_norm_or_zero(spark, words, dim):
     assert len(v0) == dim and np.array_equal(v0, v1)
     nrm = np.linalg.norm(v0)
     assert nrm == 0.0 or abs(nrm - 1.0) < 1e-4
+
+
+_LINE_ALPHABET = ["dup one", "dup two", "alpha", "beta", "gamma", ""]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_LINE_ALPHABET), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_line_dedup_invariants(spark, docs):
+    from energy_pandas_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    # invariant 1: every non-blank line survives exactly once corpus-wide,
+    # at its first (doc, idx) occurrence; blanks survive everywhere
+    first_seen: set[str] = set()
+    for i, lines in enumerate(docs):
+        expect = []
+        for ln in ("\n".join(lines)).split("\n"):
+            if ln.strip() == "":
+                expect.append(ln)
+            elif ln not in first_seen:
+                first_seen.add(ln)
+                expect.append(ln)
+        assert out[i].text == "\n".join(expect), (i, docs)
+        assert out[i].n_lines_kept == len(expect)
+    # invariant 2: idempotence — a deduped corpus has nothing left to drop
+    once = line_dedup(df).select("doc_id", "text")
+    twice = line_dedup(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=30
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_bpe_invariants(spark, words, n_merges):
+    from energy_pandas_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode,
+        train_bpe,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = train_bpe(df, n_merges)
+    mrows = merges.orderBy("rank").collect()
+    # counts are non-increasing in rank (greedy argmax)
+    counts = [r.pair_count for r in mrows]
+    assert counts == sorted(counts, reverse=True)
+    enc = bpe_encode(df, merges).collect()[0]
+    # lossless: concatenation reconstructs the words
+    rebuilt = "".join(enc.bpe_tokens).replace(END_OF_WORD, " ").split()
+    assert rebuilt == text.lower().split()
+    # compression: token count never exceeds chars + one marker per word
+    assert enc.n_bpe_tokens <= sum(len(w) for w in words) + len(words)
