@@ -2795,6 +2795,72 @@ LIMIT 100
 """
 
 
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k RESAMPLING (operators/text.py:dsir_resample):
+    keep probability ∝ exp(importance/τ) via deterministic Gumbel
+    noise — u from the md5 bucket of the id, key quantized to BIGINT
+    1/1024-nat units so membership is an integer total order."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import dsir_resample, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, n_buckets=4096, scale=1024)
+    return dsir_resample(
+        docs, w, k=100, temperature=2.0, n_buckets=4096, scale=1024
+    ).select("doc_id", "importance_q", "gumbel_key_q")
+
+
+_DSIR_RESAMPLE_SQL = r"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+), dt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('dsir-v1' || t), 1, 15))::BIGINT % 4096)::INT
+           AS bucket
+  FROM rtok
+), rc AS (
+  SELECT bucket, count(*) AS c FROM dt GROUP BY 1
+), tc AS (
+  SELECT bucket, count(*) AS c
+  FROM dt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS T,
+         (SELECT coalesce(sum(c), 0) FROM rc) AS R
+), w AS (
+  SELECT b.bucket::INT AS bucket,
+         round(1024 * (ln((coalesce(tc.c, 0) + 1) / (tot.T + 4096))
+                       - ln((coalesce(rc.c, 0) + 1) / (tot.R + 4096))))::BIGINT
+           AS iw
+  FROM range(4096) AS b(bucket)
+  CROSS JOIN tot
+  LEFT JOIN tc ON tc.bucket = b.bucket
+  LEFT JOIN rc ON rc.bucket = b.bucket
+), per AS (
+  SELECT d.doc_id,
+         coalesce(sum(w.iw), 0)::BIGINT AS importance_q
+  FROM documents d
+  LEFT JOIN dt ON dt.doc_id = d.doc_id
+  LEFT JOIN w ON w.bucket = dt.bucket
+  GROUP BY 1
+), keyed AS (
+  SELECT doc_id, importance_q,
+         round(importance_q / 2.0
+               + 1024 * -ln(-ln(((('0x' || substr(md5('dsir-g1' || doc_id::VARCHAR),
+                                                  1, 15))::BIGINT % 1048576)
+                                 + 0.5) / 1048576.0)))::BIGINT AS gumbel_key_q
+  FROM per
+)
+SELECT doc_id, importance_q, gumbel_key_q
+FROM keyed
+ORDER BY gumbel_key_q DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-pack audit (operators/text.py:gopher_rules): every
     signal is an integer count from one map-only array projection;
@@ -5175,6 +5241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_neardup": text_semantic_neardup,
         "line_dedup_docs": line_dedup_docs,
         "dsir_select_docs": dsir_select_docs,
+        "dsir_resample_docs": dsir_resample_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "bpe_merges_docs": bpe_merges_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -5321,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "dsir_select_docs": _DSIR_SQL,
+        "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "gopher_rules_docs": _GOPHER_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "doc_hashed_embedding": _HASHED_EMB_SQL,

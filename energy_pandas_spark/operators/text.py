@@ -53,6 +53,7 @@ __all__ = [
     "dsir_weights",
     "dsir_score",
     "dsir_select",
+    "dsir_resample",
     "gopher_rules",
     "gopher_filter",
     "GOPHER_STOPWORDS",
@@ -1873,3 +1874,55 @@ def gopher_filter(
     the filter composes into any downstream scan."""
     scored = gopher_rules(df, text_col, id_col, **thresholds)
     return scored.filter(F.col("passes_gopher")).select(*df.columns)
+
+
+def dsir_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+    noise_salt: str = "dsir-g1",
+    scale: int = 1024,
+) -> DataFrame:
+    """DSIR importance RESAMPLING (the paper's sampling semantics, vs
+    :func:`dsir_select`'s greedy argmax): draw ``k`` documents without
+    replacement with probability ∝ ``exp(importance / temperature)``
+    via the Gumbel-top-k trick — ``key = score/τ + Gumbel(0,1)``, take
+    the k largest keys.
+
+    The Gumbel noise is DETERMINISTIC: ``u = (md5_bucket(id) + 0.5) /
+    2^20`` and ``g = -ln(-ln(u))`` — a pure function of the document
+    id, so the draw is rerun-stable, engine-portable, and needs no RNG
+    state. The ranking key quantizes to BIGINT 1/``scale`` units
+    (``round(importance_q/τ + scale·g)``), so selection is an integer
+    total order with an id tiebreak — no float-boundary membership
+    flips. Map-only on top of dsir_score's plan; the global top-k is a
+    TakeOrderedAndProject."""
+    scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
+    denom = 1 << 20
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(noise_salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(denom)
+        + F.lit(0.5)
+    ) / F.lit(float(denom))
+    g = -F.log(-F.log(u))
+    key_q = F.round(
+        F.col("importance_q") / F.lit(float(temperature)) + F.lit(scale) * g
+    ).cast("long")
+    return (
+        scored.withColumn("gumbel_key_q", key_q)
+        .orderBy(F.desc("gumbel_key_q"), F.asc(id_col))
+        .limit(k)
+    )

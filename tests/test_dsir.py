@@ -91,3 +91,36 @@ def test_dsir_score_order_free(spark):
     assert [(r.doc_id, r.importance_q, r.score) for r in a] == [
         (r.doc_id, r.importance_q, r.score) for r in b
     ]
+
+
+def test_dsir_resample_deterministic_and_temperature(spark):
+    import math
+
+    from energy_pandas_spark.operators.text import dsir_resample
+
+    raw, target = _corpora(spark)
+    w = dsir_weights(raw, target, n_buckets=64)
+    sel = dsir_resample(raw, w, k=3, temperature=1.0, n_buckets=64).collect()
+    again = dsir_resample(
+        raw.repartition(5), w, k=3, temperature=1.0, n_buckets=64
+    ).collect()
+    assert [r.doc_id for r in sel] == [r.doc_id for r in again]
+    # keys match the closed-form recomputation
+    import hashlib
+
+    for r in sel:
+        h = int(
+            hashlib.md5(("dsir-g1" + str(r.doc_id)).encode()).hexdigest()[:15], 16
+        )
+        u = (h % (1 << 20) + 0.5) / float(1 << 20)
+        g = -math.log(-math.log(u))
+        assert r.gumbel_key_q == round(r.importance_q / 1.0 + 1024 * g)
+    # temperature -> infinity approaches pure-noise selection: keys are
+    # dominated by the Gumbel term
+    hot = dsir_resample(raw, w, k=5, temperature=1e9, n_buckets=64).collect()
+    for r in hot:
+        h = int(
+            hashlib.md5(("dsir-g1" + str(r.doc_id)).encode()).hexdigest()[:15], 16
+        )
+        u = (h % (1 << 20) + 0.5) / float(1 << 20)
+        assert r.gumbel_key_q == round(1024 * -math.log(-math.log(u)))
