@@ -2732,6 +2732,65 @@ ORDER BY doc_id
 """
 
 
+def line_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus line-repetition audit (operators/text.py:
+    line_dup_stats) over the same deterministic 8-token re-lining the
+    line-dedup query uses — one digest-keyed hash aggregate."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.text import line_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__tk")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("__tk") / F.lit(8.0)).cast("int"), F.lit(1)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice("__tk", (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)),
+                    " ",
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dup_stats(lined)
+
+
+_LINE_DUP_STATS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM tk, unnest(range(1, greatest(ceil(len(toks)/8.0)::INT, 1) + 1)) AS u(i)
+), keyed AS (
+  SELECT CASE WHEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) != ''
+              THEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) END AS key
+  FROM lines
+), per AS (
+  SELECT key, count(*) AS c FROM keyed WHERE key IS NOT NULL GROUP BY 1
+)
+SELECT coalesce(sum(c), 0)::BIGINT AS n_lines,
+       count(*)::BIGINT AS n_distinct_lines,
+       coalesce(sum((c >= 2)::INT), 0)::BIGINT AS n_dup_lines,
+       round(coalesce(sum(c - 1), 0)
+             / greatest(coalesce(sum(c), 0), 1), 6) AS dup_occurrence_frac,
+       (SELECT count(*) FROM keyed WHERE key IS NULL)::BIGINT AS n_blank_lines
+FROM per
+"""
+
+
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (operators/text.py:dsir_weights/
     dsir_select): hashed-unigram Laplace log-ratio weights of the
@@ -5240,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hashed_embedding": doc_hashed_embedding,
         "text_semantic_neardup": text_semantic_neardup,
         "line_dedup_docs": line_dedup_docs,
+        "line_dup_stats_docs": line_dup_stats_docs,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_rules_docs": gopher_rules_docs,
@@ -5387,6 +5447,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_docs": _CORPUS_REPORT_SQL,
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        "line_dup_stats_docs": _LINE_DUP_STATS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "gopher_rules_docs": _GOPHER_SQL,

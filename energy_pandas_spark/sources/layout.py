@@ -42,6 +42,7 @@ def write_training_shards(
     key: str,
     n_shards: int = 64,
     mode: str = "overwrite",
+    salt: str = "",
 ) -> None:
     """Materialize a corpus as ``n_shards`` deterministically shuffled
     shards — the final layout a training data loader consumes.
@@ -54,9 +55,18 @@ def write_training_shards(
     function of the key — adding hardware or re-running never moves a
     row), written hive-partitioned ``shard=K`` so loaders address
     shards by directory. One hash shuffle; within-shard order is the
-    hash order, enforced by sortWithinPartitions."""
+    hash order, enforced by sortWithinPartitions.
+
+    ``salt`` reshuffles deterministically: a per-epoch salt (e.g.
+    ``"epoch-3"``) yields an independent permutation AND shard
+    assignment while staying rerun-stable — the multi-epoch shuffle a
+    training run needs, still free of RNG state."""
     h = F.conv(
-        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
     ).cast("long")
     (
         df.withColumn("__h", h)

@@ -190,3 +190,34 @@ def test_compact_survives_crash_window(spark, tmp_path):
     shutil.move(p, p + "__backup")  # crash between the two renames
     recovered = _read_table(spark, p)
     assert recovered is not None and recovered.count() == 1000
+
+
+def test_write_training_shards_epoch_salt(spark, tmp_path):
+    from energy_pandas_spark.sources.layout import write_training_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    p1, p2, p3 = (str(tmp_path / n) for n in ("e0", "e1", "e0b"))
+    write_training_shards(df, p1, "doc_id", n_shards=4, salt="epoch-0")
+    write_training_shards(df, p2, "doc_id", n_shards=4, salt="epoch-1")
+    write_training_shards(df, p3, "doc_id", n_shards=4, salt="epoch-0")
+
+    def order(p):
+        out = []
+        for r in spark.read.parquet(p).select("doc_id", "shard").collect():
+            out.append((r.shard, r.doc_id))
+        return out
+
+    def per_shard(p):
+        rows = spark.read.parquet(p)
+        return {
+            r.shard: r.n
+            for r in rows.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+
+    # same salt -> identical assignment; different salt -> a genuinely
+    # different permutation of the same 200 rows
+    assert sorted(order(p1)) == sorted(order(p3))
+    assert {d for _, d in order(p1)} == set(range(200))
+    assert {d for _, d in order(p2)} == set(range(200))
+    assert sorted(order(p1)) != sorted(order(p2))
+    assert sum(per_shard(p2).values()) == 200
