@@ -25,6 +25,7 @@ GPT-2-reference algorithm; merges broadcast via the closure.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -261,12 +262,17 @@ def bpe_encode(
         cache[word] = syms
         return syms
 
+    # ASCII \s split mirrors the Java `\s+` the JVM-side tokens()
+    # uses — Python str.split() would also break on unicode spaces,
+    # silently diverging from the word counts the merges trained on
+    _ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
             toks_col = []
             for text in pdf["__text"]:
-                words = (text or "").lower().split()
+                words = [w for w in _ws.split((text or "").lower()) if w]
                 enc: list[str] = []
                 for w in words:
                     enc.extend(encode_word(w, cache))

@@ -1524,7 +1524,6 @@ def line_dedup(
     id_col: str = "doc_id",
     sep: str = "\n",
     drop_empty: bool = False,
-    max_idx: int = 1_000_000,
     persist_lines: bool = True,
 ) -> DataFrame:
     """Cross-document exact line dedup, C4-style: every normalized
@@ -1542,10 +1541,9 @@ def line_dedup(
     the line rows (corpus-sized both sides — a broadcast is impossible
     for a corpus-scale winner set, so this is the canonical shuffle
     join); (3) per-document re-assembly groups by id with a struct
-    ``array_sort`` (per-doc sort, never global). Positions linearize as
-    ``id * max_idx + idx`` so the winner min is a single long
-    (documents with more than ``max_idx`` lines would corrupt the
-    ordering — raise it for pathological inputs).
+    ``array_sort`` (per-doc sort, never global). The winner is the
+    lexicographic ``(id, idx)`` struct minimum — safe for full-range
+    64-bit content-addressed ids.
 
     The exploded line rows feed BOTH the winner aggregate and the join
     probe, and the IsNotNull pushdown makes the two subtrees unequal —
@@ -1559,7 +1557,10 @@ def line_dedup(
     line repeated a billion times costs one combined row per map task —
     a window partition would pile every copy into one task."""
     lines = _line_rows(df, text_col, id_col, sep).withColumn(
-        "pos", F.col(id_col).cast("long") * F.lit(max_idx) + F.col("idx")
+        "pos",
+        F.struct(
+            F.col(id_col).cast("long").alias("i"), F.col("idx").alias("x")
+        ),
     )
     keyed = lines.withColumn(
         "h", F.xxhash64(F.lit("line-v1"), F.col("key"))
@@ -1568,6 +1569,9 @@ def line_dedup(
         from pyspark import StorageLevel
 
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # winner = lexicographic struct min — NOT an `id * max_idx + idx`
+    # linearization, which overflows for full-range 64-bit ids (the
+    # content-addressed xxhash64 ids the corpus readers emit)
     winners = (
         keyed.filter(F.col("key").isNotNull())
         .groupBy("h")
@@ -1902,6 +1906,8 @@ def dsir_resample(
     total order with an id tiebreak — no float-boundary membership
     flips. Map-only on top of dsir_score's plan; the global top-k is a
     TakeOrderedAndProject."""
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature!r}")
     scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
     denom = 1 << 20
     u = (

@@ -113,6 +113,10 @@ def read_jsonl_corpus(
     ).drop("_corrupt_record")
     if on_corrupt == "drop":
         docs = docs.filter(~F.col("is_corrupt")).drop("is_corrupt")
+    elif on_corrupt == "fail":
+        # FAILFAST already guarantees no corrupt rows; keep the output
+        # schema identical to drop-mode
+        docs = docs.drop("is_corrupt")
     keep_cols = [c for c in docs.columns if c not in (text_field, "__pos")]
     out = docs.select(
         F.xxhash64("source", "__pos", F.col(text_field)).alias("doc_id"),
