@@ -18,6 +18,7 @@ from energy_pandas_spark.operators.analytics import (
 )
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
+    bpe_vocabulary,
     train_bpe,
     word_counts,
 )
@@ -83,6 +84,7 @@ __all__ = [
     # bpe tokenizer training
     "train_bpe",
     "bpe_encode",
+    "bpe_vocabulary",
     "word_counts",
     # dedup
     "dedup_exact",

@@ -40,9 +40,46 @@ from pyspark.sql.types import (
 
 from energy_pandas_spark.functions.textfns import tokens
 
-__all__ = ["word_counts", "train_bpe", "bpe_encode", "END_OF_WORD"]
+__all__ = [
+    "word_counts",
+    "train_bpe",
+    "bpe_encode",
+    "bpe_vocabulary",
+    "END_OF_WORD",
+]
 
 END_OF_WORD = "</w>"
+
+
+def _encode_word(word: str, ranked: dict, cache: dict) -> list[str]:
+    """Apply the ranked merge list to one word (GPT-2 reference
+    algorithm): repeatedly merge the best-ranked adjacent pair."""
+    got = cache.get(word)
+    if got is not None:
+        return got
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) >= 2:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        best = min(
+            (p for p in pairs if p in ranked),
+            key=lambda p: ranked[p],
+            default=None,
+        )
+        if best is None:
+            break
+        l, r = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -235,33 +272,6 @@ def bpe_encode(
         ]
     )
 
-    def encode_word(word: str, cache: dict) -> list[str]:
-        got = cache.get(word)
-        if got is not None:
-            return got
-        syms = list(word) + [END_OF_WORD]
-        while len(syms) >= 2:
-            pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
-            best = min(
-                (p for p in pairs if p in ranked),
-                key=lambda p: ranked[p],
-                default=None,
-            )
-            if best is None:
-                break
-            l, r = best
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        cache[word] = syms
-        return syms
-
     # ASCII \s split mirrors the Java `\s+` the JVM-side tokens()
     # uses — Python str.split() would also break on unicode spaces,
     # silently diverging from the word counts the merges trained on
@@ -275,7 +285,7 @@ def bpe_encode(
                 words = [w for w in _ws.split((text or "").lower()) if w]
                 enc: list[str] = []
                 for w in words:
-                    enc.extend(encode_word(w, cache))
+                    enc.extend(_encode_word(w, ranked, cache))
                 toks_col.append(enc)
             yield pd.DataFrame(
                 {
@@ -290,3 +300,44 @@ def bpe_encode(
     )
     encoded = src.mapInPandas(run, schema=out_schema)
     return df.join(encoded, id_col, "left")
+
+
+def bpe_vocabulary(
+    df: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The vocabulary the learned merges induce over the corpus:
+    ``(symbol, count)`` — base characters, the end-of-word marker, and
+    every merged symbol, weighted by corpus occurrences.
+
+    One corpus pass (the word-count aggregate), then the encode kernel
+    runs over the VOCAB-sized word table in Arrow batches; symbols
+    explode weighted by word count into a final map-combined aggregate.
+    The symbol table is what a trainer exports next to the merges."""
+    ranked = {
+        (r.left, r.right): r.rank
+        for r in merges.select("left", "right", "rank").collect()
+    }
+    wc = word_counts(df, text_col)
+    sym_schema = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("count", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            syms: list[str] = []
+            counts: list[int] = []
+            for word, c in zip(pdf["word"], pdf["count"]):
+                for sym in _encode_word(word, ranked, cache):
+                    syms.append(sym)
+                    counts.append(int(c))
+            yield pd.DataFrame({"symbol": syms, "count": counts})
+
+    return (
+        wc.mapInPandas(run, schema=sym_schema)
+        .groupBy("symbol")
+        .agg(F.sum("count").alias("count"))
+    )

@@ -145,3 +145,22 @@ def test_train_bpe_corpus_matches_reference(spark, sf_dir):
         for r in train_bpe(docs, num_merges=8).orderBy("rank").collect()
     ]
     assert learned == ref_train_bpe(texts, 8)
+
+
+def test_bpe_vocabulary_conserves_tokens(spark):
+    from collections import Counter
+
+    from energy_pandas_spark.operators.bpe import bpe_vocabulary
+
+    df = _df(spark)
+    merges = train_bpe(df, num_merges=10)
+    vocab = {r.symbol: r["count"] for r in bpe_vocabulary(df, merges).collect()}
+    # recompute from the encoded docs: identical multiset of symbols
+    enc = bpe_encode(df, merges).collect()
+    expect = Counter()
+    for r in enc:
+        expect.update(r.bpe_tokens)
+    assert vocab == dict(expect)
+    # every merged symbol that survives in encoded text is in the vocab,
+    # and total symbol mass equals the total encoded token count
+    assert sum(vocab.values()) == sum(r.n_bpe_tokens for r in enc)
