@@ -43,6 +43,7 @@ def write_training_shards(
     n_shards: int = 64,
     mode: str = "overwrite",
     salt: str = "",
+    curriculum: str | None = None,
 ) -> None:
     """Materialize a corpus as ``n_shards`` deterministically shuffled
     shards — the final layout a training data loader consumes.
@@ -60,7 +61,16 @@ def write_training_shards(
     ``salt`` reshuffles deterministically: a per-epoch salt (e.g.
     ``"epoch-3"``) yields an independent permutation AND shard
     assignment while staying rerun-stable — the multi-epoch shuffle a
-    training run needs, still free of RNG state."""
+    training run needs, still free of RNG state.
+
+    ``curriculum`` (a column name) orders WITHIN each shard by that
+    column first (ascending — e.g. a difficulty or quality bucket),
+    with the hash order breaking ties, so a sequential loader sees an
+    easy-to-hard curriculum while shard membership stays the unbiased
+    hash assignment. Curriculum ordering is within-shard by design: a
+    GLOBAL sort by difficulty would both need a range shuffle and put
+    each difficulty band into one shard — shard-parallel loaders would
+    then read skewed difficulty, not a curriculum."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
@@ -68,11 +78,14 @@ def write_training_shards(
         16,
         10,
     ).cast("long")
+    order = ["shard", "__h", key]
+    if curriculum is not None:
+        order = ["shard", curriculum, "__h", key]
     (
         df.withColumn("__h", h)
         .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
         .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__h", key)
+        .sortWithinPartitions(*order)
         .drop("__h")
         .write.mode(mode)
         .partitionBy("shard")

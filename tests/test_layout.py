@@ -221,3 +221,27 @@ def test_write_training_shards_epoch_salt(spark, tmp_path):
     assert {d for _, d in order(p2)} == set(range(200))
     assert sorted(order(p1)) != sorted(order(p2))
     assert sum(per_shard(p2).values()) == 200
+
+
+def test_write_training_shards_curriculum(spark, tmp_path):
+    from energy_pandas_spark.sources.layout import write_training_shards
+
+    df = (
+        spark.range(120)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("difficulty", (F.col("doc_id") % 3).cast("int"))
+    )
+    p = str(tmp_path / "cur")
+    write_training_shards(df, p, "doc_id", n_shards=3, curriculum="difficulty")
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    for shard_dir in sorted(glob.glob(os.path.join(p, "shard=*"))):
+        rows = []
+        for f in sorted(glob.glob(os.path.join(shard_dir, "*.parquet"))):
+            t = pq.read_table(f)
+            rows.extend(t.column("difficulty").to_pylist())
+        # file order within a shard is the written row order: ascending
+        # difficulty bands
+        assert rows == sorted(rows)
