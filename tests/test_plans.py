@@ -330,3 +330,39 @@ def test_contamination_bloom_single_tokenize_pass(spark):
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2
+
+
+class TestRound3SecondWavePlans:
+    def test_line_dedup_single_text_scan_via_persist(self, spark, sf_dir):
+        # the exploded line rows feed winner agg AND rebuild join; both
+        # consumers must hit the persisted relation, not a re-scan
+        df = entrymod.line_dedup_docs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2
+        # no single-partition exchange anywhere (per-doc regroup only)
+        assert single_partition_exchanges(df) == 0
+
+    def test_dsir_weights_join_is_broadcast(self, spark, sf_dir):
+        # the n_buckets-row weight table must broadcast to the token
+        # stream; a shuffle join on bucket would reshuffle the corpus
+        df = entrymod.dsir_select_docs(spark, sf_dir)
+        assert broadcast_join_count(df) >= 2  # bucket range + weights
+        assert single_partition_exchanges(df) == 0
+
+    def test_gopher_rules_map_only(self, spark, sf_dir):
+        from energy_pandas_spark.operators.text import gopher_rules
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        df = gopher_rules(docs)
+        # one map-only projection: zero exchanges, no explode-shuffle
+        assert exchange_count(df) == 0
+
+    def test_gopher_rules_codegen(self, spark, sf_dir):
+        from energy_pandas_spark.operators.text import gopher_rules
+        from energy_pandas_spark.plans import codegen_stage_count
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert codegen_stage_count(gopher_rules(docs)) >= 1
