@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_text_corpus", "read_jsonl_corpus"]
+__all__ = ["read_text_corpus", "read_jsonl_corpus", "read_csv_corpus"]
 
 
 def read_text_corpus(
@@ -64,6 +64,43 @@ def read_text_corpus(
     )
 
 
+def _shape_corpus(
+    parsed: DataFrame,
+    corrupt,
+    text_field: str,
+    on_corrupt: str,
+    min_chars: int,
+) -> DataFrame:
+    """Common documents-shaping tail for the structured readers:
+    content-addressed ids, n_chars, corrupt-mode filtering — one
+    contract for JSONL and CSV."""
+    docs = parsed.select(
+        "*",
+        F.input_file_name().alias("source"),
+        F.monotonically_increasing_id().alias("__pos"),  # hash salt only
+        corrupt.alias("is_corrupt"),
+    ).drop("_corrupt_record")
+    if on_corrupt == "drop":
+        docs = docs.filter(~F.col("is_corrupt")).drop("is_corrupt")
+    elif on_corrupt == "fail":
+        # FAILFAST already guarantees no corrupt rows; keep the output
+        # schema identical to drop-mode
+        docs = docs.drop("is_corrupt")
+    keep_cols = [c for c in docs.columns if c not in (text_field, "__pos")]
+    out = docs.select(
+        F.xxhash64("source", "__pos", F.col(text_field)).alias("doc_id"),
+        F.col(text_field).alias("text"),
+        F.coalesce(F.length(text_field), F.lit(0)).alias("n_chars"),
+        *[c for c in keep_cols if c != "source"],
+        "source",
+    )
+    if min_chars > 0 and on_corrupt != "keep":
+        out = out.filter(F.col("n_chars") >= min_chars)
+    elif min_chars > 0:
+        out = out.filter(F.col("is_corrupt") | (F.col("n_chars") >= min_chars))
+    return out
+
+
 def read_jsonl_corpus(
     spark: SparkSession,
     path: str,
@@ -105,28 +142,45 @@ def read_jsonl_corpus(
             .json(path)
         )
         corrupt = F.col("_corrupt_record").isNotNull()
-    docs = parsed.select(
-        "*",
-        F.input_file_name().alias("source"),
-        F.monotonically_increasing_id().alias("__pos"),  # hash salt only
-        corrupt.alias("is_corrupt"),
-    ).drop("_corrupt_record")
-    if on_corrupt == "drop":
-        docs = docs.filter(~F.col("is_corrupt")).drop("is_corrupt")
-    elif on_corrupt == "fail":
-        # FAILFAST already guarantees no corrupt rows; keep the output
-        # schema identical to drop-mode
-        docs = docs.drop("is_corrupt")
-    keep_cols = [c for c in docs.columns if c not in (text_field, "__pos")]
-    out = docs.select(
-        F.xxhash64("source", "__pos", F.col(text_field)).alias("doc_id"),
-        F.col(text_field).alias("text"),
-        F.coalesce(F.length(text_field), F.lit(0)).alias("n_chars"),
-        *[c for c in keep_cols if c != "source"],
-        "source",
+    return _shape_corpus(parsed, corrupt, text_field, on_corrupt, min_chars)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    on_corrupt: str = "drop",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Read a CSV/TSV corpus into the ``documents`` shape — the CSV
+    twin of :func:`read_jsonl_corpus`, same corrupt-record contract
+    (``drop`` / ``keep`` / ``fail``), same content-addressed ids,
+    same explicit-schema rule (inference is a full corpus pre-scan).
+
+    ``schema`` is the DDL for the EXTRA columns beyond ``text_field``,
+    in file column order when ``header=False``."""
+    if on_corrupt not in ("drop", "keep", "fail"):
+        raise ValueError(f"on_corrupt must be drop/keep/fail, got {on_corrupt!r}")
+    ddl = f"{text_field} STRING"
+    if schema:
+        ddl += f", {schema}"
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("multiLine", "false")
     )
-    if min_chars > 0 and on_corrupt != "keep":
-        out = out.filter(F.col("n_chars") >= min_chars)
-    elif min_chars > 0:
-        out = out.filter(F.col("is_corrupt") | (F.col("n_chars") >= min_chars))
-    return out
+    if on_corrupt == "fail":
+        parsed = reader.schema(ddl).option("mode", "FAILFAST").csv(path)
+        corrupt = F.lit(False)
+    else:
+        parsed = (
+            reader.schema(ddl + ", _corrupt_record STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        corrupt = F.col("_corrupt_record").isNotNull()
+    return _shape_corpus(parsed, corrupt, text_field, on_corrupt, min_chars)

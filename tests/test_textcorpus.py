@@ -293,3 +293,35 @@ def test_read_jsonl_corpus_failfast(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         read_jsonl_corpus(spark, str(d), on_corrupt="fail").collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_read_csv_corpus(spark, tmp_path):
+    from energy_pandas_spark.sources.textcorpus import read_csv_corpus
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "text,lang\nhello world,en\nhallo welt,de\n,en\n"
+    )
+    docs = read_csv_corpus(spark, str(d), schema="lang STRING")
+    rows = docs.collect()
+    assert {r.text for r in rows} == {"hello world", "hallo welt"}
+    assert {r.lang for r in rows} == {"en", "de"}
+    assert all(r.n_chars == len(r.text) for r in rows)
+
+
+def test_read_csv_corpus_corrupt_modes(spark, tmp_path):
+    import pytest
+
+    from energy_pandas_spark.sources.textcorpus import read_csv_corpus
+
+    d = tmp_path / "csv2"
+    d.mkdir()
+    # second line has too many fields for the 2-column schema
+    (d / "a.csv").write_text('text,n\nfine,1\n"x",2,EXTRA,FIELDS\n')
+    ok = read_csv_corpus(spark, str(d), schema="n INT").collect()
+    assert [r.text for r in ok] == ["fine"]
+    kept = read_csv_corpus(spark, str(d), schema="n INT", on_corrupt="keep").collect()
+    assert len(kept) == 2 and sum(r.is_corrupt for r in kept) == 1
+    with pytest.raises(Exception):
+        read_csv_corpus(spark, str(d), schema="n INT", on_corrupt="fail").collect()
