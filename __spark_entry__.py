@@ -2732,6 +2732,79 @@ ORDER BY doc_id
 """
 
 
+def line_dedup_in_doc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (operators/text.py:line_dedup_in_doc,
+    a zero-shuffle map-only projection). The corpus has no natural
+    within-doc repeated 8-token lines, so the query plants one: each
+    document's first line is appended again at the end — the dedup
+    must remove exactly that copy (blank first lines survive, blanks
+    are structure)."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.text import line_dedup_in_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__tk")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.ceil(F.size("__tk") / F.lit(8.0)).cast("int"), F.lit(1)
+                ),
+            ),
+            lambda i: F.array_join(
+                F.slice("__tk", (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)),
+                " ",
+            ),
+        ).alias("__lines"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.concat(F.col("__lines"), F.slice("__lines", 1, 1)), "\n"
+        ).alias("text"),
+    )
+    return (
+        line_dedup_in_doc(lined)
+        .select("doc_id", "n_lines_kept", F.col("text").alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_IN_DOC_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+         [array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')
+          FOR i IN range(1, greatest(ceil(len(toks)/8.0)::INT, 1) + 1)]
+           AS ls
+  FROM tk
+), planted AS (
+  SELECT doc_id, list_concat(ls, ls[1:1]) AS ls FROM lined
+), normed AS (
+  SELECT doc_id, ls,
+         list_transform(ls, l -> trim(regexp_replace(lower(l), '\s+', ' ', 'g')))
+           AS ns
+  FROM planted
+), kept AS (
+  SELECT doc_id,
+         list_filter(ls, (l, i) -> ns[i] = ''
+                     OR list_position(ns, ns[i]) = i) AS ks
+  FROM normed
+)
+SELECT doc_id, len(ks)::BIGINT AS n_lines_kept,
+       array_to_string(ks, chr(10)) AS text_out
+FROM kept
+ORDER BY doc_id
+"""
+
+
 def line_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus line-repetition audit (operators/text.py:
     line_dup_stats) over the same deterministic 8-token re-lining the
@@ -5300,6 +5373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_neardup": text_semantic_neardup,
         "line_dedup_docs": line_dedup_docs,
         "line_dup_stats_docs": line_dup_stats_docs,
+        "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_rules_docs": gopher_rules_docs,
@@ -5448,6 +5522,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs_cdc": _CHUNK_CDC_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "line_dup_stats_docs": _LINE_DUP_STATS_SQL,
+        "line_dedup_in_doc_docs": _LINE_DEDUP_IN_DOC_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "gopher_rules_docs": _GOPHER_SQL,

@@ -50,6 +50,7 @@ __all__ = [
     "span_dedup_filter",
     "line_dup_stats",
     "line_dedup",
+    "line_dedup_in_doc",
     "dsir_weights",
     "dsir_score",
     "dsir_select",
@@ -1932,3 +1933,42 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key_q"), F.asc(id_col))
         .limit(k)
     )
+
+
+def line_dedup_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    drop_empty: bool = False,
+) -> DataFrame:
+    """WITHIN-document line dedup: each document keeps only the first
+    occurrence of every normalized non-blank line it contains (blank
+    lines always survive); other documents are unaffected — the
+    page-local boilerplate scrub, vs :func:`line_dedup`'s corpus-wide
+    contract.
+
+    Document scope needs no cross-document state, so this is ONE
+    map-only projection: zero shuffles, zero joins — the first-
+    occurrence test is ``array_position(norms, norm) == index`` over a
+    materialized per-row norm array (O(lines²) comparisons within one
+    row, fine for any real document). Composes into any scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " "))  # noqa: E731
+    tmp = df.withColumn("__lines", F.split(t, sep)).withColumn(
+        "__norms", F.transform("__lines", norm)
+    )
+    kept = F.filter(
+        "__lines",
+        lambda l, i: (F.get("__norms", i) == "")
+        | (F.array_position("__norms", F.get("__norms", i)) == i + F.lit(1)),
+    )
+    out = (
+        tmp.withColumn("__kept", kept)
+        .withColumn(text_col, F.array_join("__kept", sep))
+        .withColumn("n_lines_kept", F.size("__kept").cast("long"))
+        .drop("__lines", "__norms", "__kept")
+    )
+    if drop_empty:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out

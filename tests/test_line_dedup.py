@@ -80,3 +80,30 @@ def test_line_dedup_deterministic(spark):
     a = line_dedup(_docs(spark)).orderBy("doc_id").collect()
     b = line_dedup(_docs(spark).repartition(7)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_line_dedup_in_doc(spark):
+    from energy_pandas_spark.operators.text import line_dedup_in_doc
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="same\nother\nSAME \nlast\nsame"),
+            Row(doc_id=1, text="same\nsame"),  # other docs unaffected
+            Row(doc_id=2, text="a\n\nb\n\na"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    out = {r.doc_id: r for r in line_dedup_in_doc(df).collect()}
+    assert out[0].text == "same\nother\nlast"
+    assert out[0].n_lines_kept == 3
+    assert out[1].text == "same"  # corpus-wide repeat NOT removed across docs
+    assert out[2].text == "a\n\nb\n"  # blanks survive, repeated 'a' dropped
+    assert out[3].text == "" and out[3].n_lines_kept == 1
+
+
+def test_line_dedup_in_doc_map_only(spark):
+    from energy_pandas_spark.operators.text import line_dedup_in_doc
+    from energy_pandas_spark.plans import exchange_count
+
+    df = spark.createDataFrame([Row(doc_id=0, text="x\ny\nx")])
+    assert exchange_count(line_dedup_in_doc(df)) == 0
