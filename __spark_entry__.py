@@ -3194,6 +3194,78 @@ def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def video_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO pipeline with the real stdlib GIF codec: each
+    document's bytes render into a small deterministic animated GIF
+    inside an Arrow batch (encode_gif), then ``decode_features``
+    round-trips them through the registered video decoder — LZW
+    decode, frame compositing, evenly-sampled luma block-mean features
+    — rows-only (codec-defined values, deterministic end-to-end)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from energy_pandas_spark.operators.codecs import (
+        encode_gif,
+        register_default_decoders,
+    )
+    from energy_pandas_spark.operators.multimodal import decode_features
+
+    register_default_decoders()
+    from energy_pandas_spark.util import spread_partitions
+
+    # single-file scan -> ONE partition; the render/decode kernels are
+    # CPU-bound Python, so spread them across all cores first
+    docs = spread_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    palette = np.array(
+        [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]], np.uint8
+    )
+
+    def render(it):
+        for pdf in it:
+            content = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")[:192]
+                # bytes -> 3 frames of 8x8 4-gray video
+                idx = (
+                    np.frombuffer(raw.ljust(192, b"\0"), np.uint8)
+                    .reshape(3, 8, 8)
+                    % 4
+                )
+                content.append(encode_gif(palette[idx], palette=palette))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": content,
+                    "meta": [
+                        {"mime": "video/gif", "width": 8, "height": 8,
+                         "duration_ms": 300}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(
+        render,
+        schema=(
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+        ),
+    )
+    out = decode_features(media, dim=64)
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    ).orderBy("media_id")
+
+
 def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: typical-period clustering of the hourly events series
     (iterative algorithm — rows-only)."""
@@ -5450,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "ivf_topk": ivf_topk,
         "media_features": media_features,
+        "video_features_media": video_features_media,
         "discretize_typical_periods": discretize_typical_periods,
         "corpus_sketch_stats": corpus_sketch_stats,
     }

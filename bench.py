@@ -73,6 +73,7 @@ HEADLINE = [
     "token_budget_select_docs",
     "contamination_bloom_docs",
     "audio_features_media",
+    "video_features_media",
     "chunk_docs_cdc",
     "temperature_mixture_docs",
     "corpus_report_docs",

@@ -231,3 +231,73 @@ class TestRegisteredDecodeFeatures:
         assert len(out) == 1 and len(out[0]["features"]) == 8
         with pytest.raises(Exception, match="no decoder registered"):
             multimodal.decode_features(df, dim=8, strict=True).collect()
+
+
+class TestGif:
+    def test_gif_roundtrip_animated(self):
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import encode_gif, gif_frames
+
+        rng = np.random.RandomState(7)
+        palette = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        idx = rng.randint(0, 4, size=(3, 11, 17))
+        frames = palette[idx]
+        data = encode_gif(frames)
+        assert data[:6] == b"GIF89a" and data[-1] == 0x3B
+        decoded = gif_frames(data)
+        assert decoded.shape == (3, 11, 17, 3)
+        assert (decoded == frames).all()
+
+    def test_gif_single_frame_and_many_colors(self):
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import encode_gif, gif_frames
+
+        # 16x16 grayscale ramp: 256 distinct colors exercises 8-bit codes
+        ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        img = np.stack([ramp, ramp, ramp], axis=-1)
+        decoded = gif_frames(encode_gif(img))
+        assert decoded.shape == (1, 16, 16, 3)
+        assert (decoded[0] == img).all()
+
+    def test_gif_lzw_clear_spam_boundary(self):
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import encode_gif, gif_frames
+
+        # tiny 2-color palette forces minimum code size + frequent CLEARs
+        img = np.zeros((9, 13, 3), np.uint8)
+        img[::2, ::3] = [255, 255, 255]
+        decoded = gif_frames(encode_gif(img))
+        assert (decoded[0] == img).all()
+
+    def test_video_features_deterministic(self):
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import video_features
+
+        frames = np.zeros((6, 8, 8, 3), np.uint8)
+        frames[3:] = 255  # second half white
+        f = video_features(frames, n_sample=4, block=2)
+        assert f.shape == (16,)
+        assert (f[:4] == 0).all() and (f[-4:] == 1).all()
+        assert (f == video_features(frames, n_sample=4, block=2)).all()
+
+    def test_video_decoder_registered(self):
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import (
+            encode_gif,
+            register_default_decoders,
+        )
+        from energy_pandas_spark.operators.multimodal import _DECODERS
+
+        register_default_decoders()
+        assert any(k.startswith("video/") for k in _DECODERS)
+        fn = next(v for k, v in _DECODERS.items() if k.startswith("video/"))
+        img = np.zeros((2, 8, 8, 3), np.uint8)
+        out = fn(encode_gif(img), {})
+        assert out.shape == (64,) and (out == 0).all()
