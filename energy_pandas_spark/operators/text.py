@@ -51,6 +51,8 @@ __all__ = [
     "line_dup_stats",
     "line_dedup",
     "line_dedup_in_doc",
+    "line_dedup_incremental",
+    "line_digests",
     "dsir_weights",
     "dsir_score",
     "dsir_select",
@@ -1645,7 +1647,12 @@ def dsir_weights(
     Quantizing makes every downstream document score an exact integer
     sum: order-free across partial aggregation, bit-identical across
     engines and reruns (the same dyadic trick classifier_score uses,
-    pushed all the way to integers).
+    pushed all the way to integers). Honest caveat: the quantization
+    itself computes ``ln`` in each engine — two correctly-rounded libm
+    implementations can disagree by 1 ulp, which flips a weight only
+    when ``scale*w`` sits within that ulp of a .5 rounding boundary
+    (~2^-40 per bucket; negligible at 4096 buckets, but a mismatch
+    would localize to exactly one bucket's weight).
 
     Plan: each corpus contributes ONE map-combined hash aggregate over
     its exploded token stream (shuffle carries ``n_buckets`` partial
@@ -1972,3 +1979,88 @@ def line_dedup_in_doc(
     if drop_empty:
         out = out.filter(F.trim(F.col(text_col)) != "")
     return out
+
+
+def line_dedup_incremental(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    store_digest_col: str = "h",
+    sep: str = "\n",
+    drop_empty: bool = False,
+    persist_lines: bool = True,
+) -> DataFrame:
+    """Incremental cross-corpus LINE dedup, the batch twin of
+    ``streaming/line_ingest.py``: drop every line whose digest appears
+    in the historical ``store`` (a frame with the accepted-line digest
+    column), then keep-first among this batch's own repeats; documents
+    rebuild from survivors. Returns the deduped batch — append
+    ``line_digests`` of the output to the store afterwards.
+
+    Scale shape matches :func:`line_dedup` plus ONE left_anti join
+    against the store, which ships only its digest longs."""
+    lines = _line_rows(new_docs, text_col, id_col, sep).withColumn(
+        "pos",
+        F.struct(
+            F.col(id_col).cast("long").alias("i"), F.col("idx").alias("x")
+        ),
+    )
+    keyed = lines.withColumn("h", F.xxhash64(F.lit("line-v1"), F.col("key")))
+    if persist_lines:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    winners = (
+        keyed.filter(F.col("key").isNotNull())
+        .groupBy("h")
+        .agg(F.min("pos").alias("win"))
+        .join(
+            store.select(F.col(store_digest_col).alias("h")).distinct(),
+            "h",
+            "left_anti",
+        )
+    )
+    kept = (
+        keyed.join(winners, "h", "left")
+        .filter(F.col("key").isNull() | (F.col("pos") == F.col("win")))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("idx").alias("i"), F.col("line").alias("l"))
+                )
+            ).alias("__il")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("__il", lambda s: s.getField("l")), sep).alias(
+                "__text_out"
+            ),
+            F.size("__il").cast("long").alias("n_lines_kept"),
+        )
+    )
+    out = (
+        new_docs.drop("n_lines_kept")
+        .join(kept, id_col, "left")
+        .withColumn(text_col, F.coalesce("__text_out", F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .drop("__text_out")
+    )
+    if drop_empty:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out
+
+
+def line_digests(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """Distinct digests of the non-blank normalized lines — what an
+    incremental pipeline appends to its line store after accepting a
+    deduped batch."""
+    return (
+        _line_rows(df, text_col, id_col, sep)
+        .filter(F.col("key").isNotNull())
+        .select(F.xxhash64(F.lit("line-v1"), F.col("key")).alias("h"))
+        .distinct()
+    )

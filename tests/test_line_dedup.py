@@ -107,3 +107,33 @@ def test_line_dedup_in_doc_map_only(spark):
 
     df = spark.createDataFrame([Row(doc_id=0, text="x\ny\nx")])
     assert exchange_count(line_dedup_in_doc(df)) == 0
+
+
+def test_line_dedup_incremental(spark):
+    from energy_pandas_spark.operators.text import (
+        line_dedup_incremental,
+        line_digests,
+    )
+
+    batch0 = spark.createDataFrame(
+        [Row(doc_id=0, text="header common\nalpha body")]
+    )
+    store = line_digests(batch0)
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="header common\nbeta body\nbeta body"),
+            Row(doc_id=11, text="gamma body"),
+        ]
+    )
+    out = {r.doc_id: r for r in line_dedup_incremental(batch1, store).collect()}
+    # store line rejected; in-batch repeat keeps first
+    assert out[10].text == "beta body"
+    assert out[10].n_lines_kept == 1
+    assert out[11].text == "gamma body"
+    # appending the accepted digests makes the dedup cumulative
+    store2 = store.union(line_digests(line_dedup_incremental(batch1, store)))
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=20, text="beta body\nnew line here")]
+    )
+    out2 = line_dedup_incremental(batch2, store2).collect()[0]
+    assert out2.text == "new line here"
