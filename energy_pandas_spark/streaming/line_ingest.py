@@ -52,15 +52,23 @@ def make_line_dedup_ingest_writer(
     id_col: str = "doc_id",
     sep: str = "\n",
     drop_empty: bool = True,
+    pre_filter: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` writer (exposed for direct testing of
-    dedup/replay behavior)."""
+    dedup/replay behavior).
+
+    ``pre_filter`` is an optional quality gate applied to each batch
+    BEFORE dedup (e.g. ``operators.text.gopher_filter``) — rejected
+    documents contribute no digests, so they can never block a later
+    good document's lines."""
     from pyspark import StorageLevel
 
     from energy_pandas_spark.operators.text import _line_rows
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if pre_filter is not None:
+            batch = pre_filter(batch)
         lines = (
             _line_rows(batch, text_col, id_col, sep)
             .withColumn(

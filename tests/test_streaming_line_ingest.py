@@ -108,3 +108,42 @@ def test_line_ingest_streaming_end_to_end(spark, tmp_path):
     texts = sorted(got.values())
     # exactly one of the two kept the header line
     assert sum(HEADER in t for t in texts) == 1
+
+
+def test_line_ingest_pre_filter_gate(spark, tmp_path):
+    from energy_pandas_spark.operators.text import gopher_filter
+    from energy_pandas_spark.streaming.line_ingest import (
+        make_line_dedup_ingest_writer,
+    )
+
+    w = make_line_dedup_ingest_writer(
+        str(tmp_path / "corpus"),
+        str(tmp_path / "digests"),
+        pre_filter=lambda df: gopher_filter(
+            df, min_words=3, min_stopword_hits=1
+        ),
+    )
+    b0 = spark.createDataFrame(
+        [
+            (0, "the good line stays here"),
+            (1, "##"),  # fails the gate: too short, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    w(b0, 0)
+    got = {
+        r.doc_id for r in read_line_corpus(spark, str(tmp_path / "corpus")).collect()
+    }
+    assert got == {0}
+    # the rejected doc left NO digests (only doc 0's single line landed)
+    digests = spark.read.parquet(str(tmp_path / "digests"))
+    assert digests.count() == 1
+    # and a later passing doc still lands
+    b1 = spark.createDataFrame(
+        [(10, "the brand new line is here")], "doc_id long, text string"
+    )
+    w(b1, 1)
+    got1 = {
+        r.doc_id for r in read_line_corpus(spark, str(tmp_path / "corpus")).collect()
+    }
+    assert got1 == {0, 10}
