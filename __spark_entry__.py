@@ -1776,6 +1776,66 @@ ORDER BY doc_id
 """
 
 
+def minhash_keep_best_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization (operators/dedup.py:
+    minhash_dedup_keep_best): same LSH pairs + connected components as
+    minhash_dedup_drop, but each cluster keeps its highest-token-count
+    member (tie -> smallest id) instead of the smallest id. Oracle =
+    brute-force Jaccard + recursive-CTE components + a rank window."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.dedup import minhash_dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__q", F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    )
+    return minhash_dedup_keep_best(
+        docs, "__q", threshold=0.5, num_hashes=64, bands=16
+    ).orderBy("doc_id")
+
+
+_MINHASH_KEEP_BEST_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE /
+           len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, label) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.id = s.u
+), comp AS (
+  SELECT id, min(label) AS component FROM cc GROUP BY id
+), q AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> x != ''))::BIGINT AS q
+  FROM documents
+), ranked AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.q DESC, c.id ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.id
+)
+SELECT id AS doc_id FROM ranked WHERE rn > 1 ORDER BY doc_id
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, the standard 64-bit
     near-dup threshold -> 4 bands with guaranteed candidate recall) —
@@ -5446,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "line_dup_stats_docs": line_dup_stats_docs,
         "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
+        "minhash_keep_best_drop": minhash_keep_best_drop,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_rules_docs": gopher_rules_docs,
@@ -5596,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "line_dup_stats_docs": _LINE_DUP_STATS_SQL,
         "line_dedup_in_doc_docs": _LINE_DEDUP_IN_DOC_SQL,
+        "minhash_keep_best_drop": _MINHASH_KEEP_BEST_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "gopher_rules_docs": _GOPHER_SQL,

@@ -48,6 +48,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "minhash_dedup_keep_best",
     "edit_distance_pairs",
     "simhash64",
     "simhash_neardup_pairs",
@@ -1032,3 +1033,44 @@ def build_band_store(
 def load_band_store(spark, path: str) -> DataFrame:
     """Read a persisted band store for ``store_bands=``."""
     return spark.read.parquet(path)
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Documents to DROP under QUALITY-AWARE near-dup canonicalization:
+    connected components over the verified MinHash pairs, keeping the
+    highest-``quality_col`` document per cluster (ties broken by the
+    smallest id) — the near-dup analogue of :func:`dedup_keep_best`,
+    for pipelines that canonicalize to the best-written copy rather
+    than the earliest id.
+
+    Scale shape: the pair/CC cost is identical to :func:`minhash_dedup`
+    (banded LSH + capped buckets + the per-round CC loop); survivor
+    selection adds ONE ``max_by`` hash aggregate over cluster members —
+    members ship (cluster, id, quality) only, never text."""
+    from energy_pandas_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    clusters = dedup_clusters(pairs)  # only docs IN some cluster appear
+    members = clusters.select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    ).join(df.select(id_col, quality_col), id_col, "inner")
+    best = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("tie"),
+            ),
+        ).alias("__keep")
+    )
+    return (
+        members.join(best, "cluster_id")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )

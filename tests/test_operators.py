@@ -641,3 +641,32 @@ def test_rolling_fit_bucketed_plan_two_exchanges(spark):
     # bucket aggregate + key window — nothing else, no SinglePartition
     assert plan.count("Exchange") == 2
     assert "SinglePartition" not in plan
+
+
+def test_minhash_dedup_keep_best(spark):
+    from energy_pandas_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_keep_best,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox leaps over the lazy dog again and again today"
+    other = "completely different content about catalyst planning and shuffles"
+    df = spark.createDataFrame(
+        [
+            (0, base, 0.2),
+            (1, near, 0.9),  # the better-written near-dup
+            (2, other, 0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kw = dict(num_hashes=64, bands=32, shingle_size=2, threshold=0.3)
+    # id rule keeps 0; quality rule keeps 1
+    assert {r.doc_id for r in minhash_dedup(df, **kw).collect()} == {1}
+    drops = minhash_dedup_keep_best(df, "quality", **kw)
+    assert {r.doc_id for r in drops.collect()} == {0}
+    # quality tie falls back to the smallest id
+    tied = df.withColumn("quality", F.lit(1.0))
+    assert {
+        r.doc_id for r in minhash_dedup_keep_best(tied, "quality", **kw).collect()
+    } == {1}
