@@ -355,3 +355,42 @@ def test_bpe_invariants(spark, words, n_merges):
     assert rebuilt == text.lower().split()
     # compression: token count never exceeds chars + one marker per word
     assert enc.n_bpe_tokens <= sum(len(w) for w in words) + len(words)
+
+
+_GOPHER_WORDS = ["the", "fox", "##", "a1", "…", "supercal", "-x", "..."]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_GOPHER_WORDS), min_size=0, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_counts_match_python(spark, docs):
+    import re as _re
+
+    from energy_pandas_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i, ws in enumerate(docs):
+        text = " ".join(ws)
+        toks = [w for w in text.lower().split(" ") if w]
+        r = got[i]
+        assert r.n_words == len(toks)
+        assert r.n_alpha_words == sum(
+            1 for w in toks if _re.search(r"[^\W\d_]", w, _re.UNICODE)
+        )
+        symbols = (
+            text.count("#")
+            + text.count("…")
+            + (len(text) - len(text.replace("...", ""))) // 3
+        )
+        assert r.n_symbol_chars == symbols
+        stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        assert r.n_stopword_hits == len(set(toks) & stop)
