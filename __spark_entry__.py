@@ -2865,6 +2865,141 @@ ORDER BY doc_id
 """
 
 
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep composed pipeline, fully oracle-checked end-to-end:
+    Gopher rule gate -> 8-token re-lining -> corpus-wide line dedup
+    (keep-first) -> drop emptied docs -> exact dedup on the REBUILT
+    text (smallest id per digest) -> one-row corpus report
+    (n_docs, id_sum, total_tokens). Every stage is an operator the
+    registry also verifies in isolation; this query verifies their
+    COMPOSITION — where stage-boundary bugs (schema drift, null
+    leaks, order dependence) would hide."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.text import gopher_rules, line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = (
+        gopher_rules(
+            docs,
+            min_words=55,
+            required_stopwords=("the", "a", "value", "table"),
+            min_stopword_hits=2,
+        )
+        .filter(F.col("passes_gopher"))
+        .select("doc_id", "text")
+    )
+    lined = gated.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__tk")
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("__tk") / F.lit(8.0)).cast("int"), F.lit(1)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice("__tk", (i - F.lit(1)) * F.lit(8) + F.lit(1), F.lit(8)),
+                    " ",
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    deduped_lines = line_dedup(lined, drop_empty=True)
+    digest = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    win = (
+        deduped_lines.select("doc_id", "text")
+        .withColumn("__d", digest)
+        .groupBy("__d")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = deduped_lines.join(win.select("doc_id"), "doc_id", "left_semi")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_sum"),
+        F.coalesce(
+            F.sum(F.size(tokens(F.col("text")))), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_tokens"),
+    )
+
+
+_CURATE_SQL = r"""
+WITH m AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), gate AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           len(toks) AS n_words,
+           coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+             AS word_chars,
+           ((length(t) - length(replace(t, '#', '')))
+            + (length(t) - length(replace(t, '...', ''))) / 3
+            + (length(t) - length(replace(t, '…', '')))) AS symbols,
+           len(list_filter(toks, w -> regexp_matches(w, '\p{L}')))
+             AS alpha_words,
+           len(list_intersect(list_distinct(toks),
+                              ['the', 'a', 'value', 'table'])) AS stop_hits,
+           len(string_split(t, chr(10))) AS n_lines,
+           len(list_filter(string_split(t, chr(10)),
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+           len(list_filter(string_split(t, chr(10)),
+               l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_lines
+    FROM m
+  )
+  WHERE (n_words >= 55 AND n_words <= 100000)
+    AND (word_chars >= 3.0 * n_words AND word_chars <= 10.0 * n_words
+         AND n_words > 0)
+    AND (symbols <= 0.1 * n_words)
+    AND (bullet_lines <= 0.9 * n_lines)
+    AND (ell_lines <= 0.3 * n_lines)
+    AND (alpha_words >= 0.8 * n_words AND n_words > 0)
+    AND (stop_hits >= 2)
+), lines AS (
+  SELECT doc_id, i::INT - 1 AS idx,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+  FROM gate, unnest(range(1, greatest(ceil(len(toks)/8.0)::INT, 1) + 1)) AS u(i)
+), keyed AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) != ''
+              THEN trim(regexp_replace(lower(line), '\s+', ' ', 'g')) END AS key,
+         doc_id * 1000000 + idx AS pos
+  FROM lines
+), lwin AS (
+  SELECT key, min(pos) AS win, count(*) AS c
+  FROM keyed WHERE key IS NOT NULL GROUP BY 1
+), keptl AS (
+  SELECT k.doc_id, k.idx, k.line
+  FROM keyed k LEFT JOIN lwin w ON k.key = w.key
+  WHERE k.key IS NULL OR w.c = 1 OR k.pos = w.win
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM keptl GROUP BY 1
+), nonempty AS (
+  SELECT doc_id, text FROM rebuilt WHERE trim(text) != ''
+), dwin AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d,
+         min(doc_id) AS doc_id
+  FROM nonempty GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_docs,
+       coalesce(sum(n.doc_id), 0)::BIGINT AS id_sum,
+       coalesce(sum(len(list_filter(string_split_regex(lower(n.text), '\s+'),
+                                    x -> x != ''))), 0)::BIGINT AS total_tokens
+FROM nonempty n JOIN dwin ON dwin.doc_id = n.doc_id
+"""
+
+
 def line_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus line-repetition audit (operators/text.py:
     line_dup_stats) over the same deterministic 8-token re-lining the
@@ -5507,6 +5642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dup_stats_docs": line_dup_stats_docs,
         "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
         "minhash_keep_best_drop": minhash_keep_best_drop,
+        "curate_corpus_docs": curate_corpus_docs,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_rules_docs": gopher_rules_docs,
@@ -5658,6 +5794,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dup_stats_docs": _LINE_DUP_STATS_SQL,
         "line_dedup_in_doc_docs": _LINE_DEDUP_IN_DOC_SQL,
         "minhash_keep_best_drop": _MINHASH_KEEP_BEST_SQL,
+        "curate_corpus_docs": _CURATE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "gopher_rules_docs": _GOPHER_SQL,

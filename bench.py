@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_select_docs",
     "gopher_rules_docs",
     "bpe_merges_docs",
+    "curate_corpus_docs",
 ]
 
 
