@@ -2909,12 +2909,21 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("text"),
     )
-    deduped_lines = line_dedup(lined, drop_empty=True)
+    from pyspark import StorageLevel
+
+    # the rebuilt corpus feeds BOTH the digest-winner aggregate and the
+    # final semi-join; persist it or the whole line-dedup subtree runs
+    # twice (the same exchange-reuse trap line_dedup guards internally)
+    deduped_lines = (
+        line_dedup(lined, drop_empty=True)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     digest = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     )
     win = (
-        deduped_lines.select("doc_id", "text")
+        deduped_lines
         .withColumn("__d", digest)
         .groupBy("__d")
         .agg(F.min("doc_id").alias("doc_id"))
