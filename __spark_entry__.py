@@ -3197,6 +3197,73 @@ LIMIT 100
 """
 
 
+def dsir_bigram_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the paper's full feature space — hashed unigrams AND
+    adjacent bigrams (ngram_max=2) — greedy top-100 selection; same
+    integer-quantized weight algebra as dsir_select_docs."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import dsir_select, dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, n_buckets=4096, scale=1024, ngram_max=2)
+    return dsir_select(
+        docs, w, k=100, n_buckets=4096, scale=1024, ngram_max=2
+    ).select("doc_id", "importance_q", "n_tokens", "score")
+
+
+_DSIR_BIGRAM_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         )) AS t
+  FROM tk
+), dt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('dsir-v1' || t), 1, 15))::BIGINT % 4096)::INT
+           AS bucket
+  FROM feats
+), rc AS (
+  SELECT bucket, count(*) AS c FROM dt GROUP BY 1
+), tc AS (
+  SELECT bucket, count(*) AS c
+  FROM dt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS T,
+         (SELECT coalesce(sum(c), 0) FROM rc) AS R
+), w AS (
+  SELECT b.bucket::INT AS bucket,
+         round(1024 * (ln((coalesce(tc.c, 0) + 1) / (tot.T + 4096))
+                       - ln((coalesce(rc.c, 0) + 1) / (tot.R + 4096))))::BIGINT
+           AS iw
+  FROM range(4096) AS b(bucket)
+  CROSS JOIN tot
+  LEFT JOIN tc ON tc.bucket = b.bucket
+  LEFT JOIN rc ON rc.bucket = b.bucket
+), per AS (
+  SELECT d.doc_id,
+         coalesce(sum(w.iw), 0)::BIGINT AS importance_q,
+         count(dt.bucket)::BIGINT AS n_tokens
+  FROM documents d
+  LEFT JOIN dt ON dt.doc_id = d.doc_id
+  LEFT JOIN w ON w.bucket = dt.bucket
+  GROUP BY 1
+)
+SELECT doc_id, importance_q, n_tokens,
+       round(importance_q / (1024.0 * greatest(n_tokens, 1)), 6) AS score
+FROM per
+ORDER BY importance_q DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-pack audit (operators/text.py:gopher_rules): every
     signal is an integer count from one map-only array projection;
@@ -5654,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_docs": curate_corpus_docs,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
+        "dsir_bigram_select_docs": dsir_bigram_select_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "bpe_merges_docs": bpe_merges_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -5806,6 +5874,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_docs": _CURATE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
+        "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
         "gopher_rules_docs": _GOPHER_SQL,
         "temperature_mixture_docs": _TEMPERATURE_MIX_SQL,
         "doc_hashed_embedding": _HASHED_EMB_SQL,

@@ -1630,6 +1630,27 @@ def _dsir_bucket(t: Column, salt: str, n_buckets: int) -> Column:
     ).cast("int")
 
 
+def _dsir_features(text_col: str, ngram_max: int) -> Column:
+    """Hashed-feature token array: unigrams, plus adjacent "w1 w2"
+    bigram strings when ``ngram_max >= 2`` (the DSIR paper's feature
+    space). Built with array expressions only; 1-token docs contribute
+    no bigrams."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if ngram_max < 2:
+        return toks
+    m = F.size(toks)
+    bigrams = F.when(
+        m >= 2,
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -1637,6 +1658,7 @@ def dsir_weights(
     n_buckets: int = 4096,
     salt: str = "dsir-v1",
     scale: int = 1024,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Per-bucket integer importance weights for DSIR data selection:
     ``iw = round(scale * (ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))))`` —
@@ -1663,7 +1685,7 @@ def dsir_weights(
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         toks = df.select(
-            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
+            F.explode(_dsir_features(text_col, ngram_max)).alias("__t")
         )
         return (
             toks.groupBy(_dsir_bucket(F.col("__t"), salt, n_buckets).alias("bucket"))
@@ -1711,6 +1733,7 @@ def dsir_score(
     n_buckets: int = 4096,
     salt: str = "dsir-v1",
     scale: int = 1024,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Per-document DSIR importance: ``importance_q`` = exact BIGINT sum
     of quantized bucket weights over the document's token occurrences
@@ -1724,7 +1747,7 @@ def dsir_score(
     longs per document."""
     src = df.select(
         F.col(id_col),
-        F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+        F.explode_outer(_dsir_features(text_col, ngram_max)).alias("__t"),
     ).select(
         F.col(id_col),
         F.when(
@@ -1758,13 +1781,16 @@ def dsir_select(
     n_buckets: int = 4096,
     salt: str = "dsir-v1",
     scale: int = 1024,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Deterministic DSIR selection: the ``k`` documents with the
     highest quantized importance (ties broken by ascending id) — the
     greedy-selection variant of importance resampling, rerun-stable by
     construction. The global top-k is a TakeOrderedAndProject (per-
     partition heaps, never a full sort)."""
-    scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
+    scored = dsir_score(
+        df, weights, text_col, id_col, n_buckets, salt, scale, ngram_max
+    )
     return scored.orderBy(F.desc("importance_q"), F.asc(id_col)).limit(k)
 
 
@@ -1899,6 +1925,7 @@ def dsir_resample(
     salt: str = "dsir-v1",
     noise_salt: str = "dsir-g1",
     scale: int = 1024,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """DSIR importance RESAMPLING (the paper's sampling semantics, vs
     :func:`dsir_select`'s greedy argmax): draw ``k`` documents without
@@ -1916,7 +1943,9 @@ def dsir_resample(
     TakeOrderedAndProject."""
     if not temperature > 0:
         raise ValueError(f"temperature must be > 0, got {temperature!r}")
-    scored = dsir_score(df, weights, text_col, id_col, n_buckets, salt, scale)
+    scored = dsir_score(
+        df, weights, text_col, id_col, n_buckets, salt, scale, ngram_max
+    )
     denom = 1 << 20
     u = (
         F.conv(

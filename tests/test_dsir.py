@@ -124,3 +124,52 @@ def test_dsir_resample_deterministic_and_temperature(spark):
         )
         u = (h % (1 << 20) + 0.5) / float(1 << 20)
         assert r.gumbel_key_q == round(1024 * -math.log(-math.log(u)))
+
+
+def test_dsir_bigram_features_match_numpy(spark):
+    import hashlib
+    import math
+
+    raw, target = _corpora(spark)
+    n_buckets, scale = 64, 1024
+    w = dsir_weights(raw, target, n_buckets=n_buckets, scale=scale, ngram_max=2)
+    rows = {r.bucket: r for r in w.collect()}
+
+    def feats(text):
+        toks = text.split()
+        return toks + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+
+    def bucket(tok):
+        h = int(hashlib.md5(("dsir-v1" + tok).encode()).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    from collections import Counter
+
+    t_counts, r_counts = Counter(), Counter()
+    for df, ctr in ((raw, r_counts), (target, t_counts)):
+        for r in df.collect():
+            for f in feats(r.text or ""):
+                ctr[bucket(f)] += 1
+    T, R = sum(t_counts.values()), sum(r_counts.values())
+    for b, r in rows.items():
+        assert (r.tc, r.rc) == (t_counts.get(b, 0), r_counts.get(b, 0))
+        expect = round(
+            scale
+            * (
+                math.log((r.tc + 1) / (T + n_buckets))
+                - math.log((r.rc + 1) / (R + n_buckets))
+            )
+        )
+        assert r.iw == expect
+    # scoring consumes the same feature space
+    scored = {
+        r.doc_id: r
+        for r in dsir_score(raw, w, n_buckets=64, ngram_max=2).collect()
+    }
+    wmap = {r.bucket: r.iw for r in w.collect()}
+    for r in raw.collect():
+        fs = feats(r.text or "")
+        assert scored[r.doc_id].n_tokens == len(fs)
+        assert scored[r.doc_id].importance_q == sum(wmap[bucket(f)] for f in fs)
