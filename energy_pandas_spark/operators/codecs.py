@@ -516,7 +516,10 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
         raise ValueError("encode_gif supports <= 256 distinct colors")
     # index every pixel into the palette
     lut = {tuple(c): i for i, c in enumerate(palette)}
-    idx = np.array([lut[tuple(c)] for c in flat], np.int32).reshape(n, h, w)
+    try:
+        idx = np.array([lut[tuple(c)] for c in flat], np.int32).reshape(n, h, w)
+    except KeyError as exc:
+        raise ValueError(f"frame color {exc} not in the supplied palette") from None
     bits = max(2, int(len(palette) - 1).bit_length())
     table_n = 1 << bits
     pal = np.zeros((table_n, 3), np.uint8)

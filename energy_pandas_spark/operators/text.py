@@ -1630,25 +1630,36 @@ def _dsir_bucket(t: Column, salt: str, n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _dsir_features(text_col: str, ngram_max: int) -> Column:
-    """Hashed-feature token array: unigrams, plus adjacent "w1 w2"
-    bigram strings when ``ngram_max >= 2`` (the DSIR paper's feature
-    space). Built with array expressions only; 1-token docs contribute
-    no bigrams."""
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+def _dsir_feature_rows(
+    df: DataFrame, text_col: str, ngram_max: int, extra_cols: list[str]
+) -> DataFrame:
+    """One row per hashed feature occurrence: unigrams, plus adjacent
+    "w1 w2" bigram strings when ``ngram_max >= 2`` (the DSIR paper's
+    feature space). The token array materializes into a REAL column
+    before the bigram lambdas reference it — inlining ``tokens()``
+    would re-run the split per bigram element (the materialize-once
+    rule word_shingles_of_tokens documents). Uses explode_outer so
+    empty docs keep a NULL-feature row (dsir_score's left-join
+    contract)."""
+    base = df.select(
+        *extra_cols, tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+    )
+    toks = F.col("__toks")
     if ngram_max < 2:
-        return toks
-    m = F.size(toks)
-    bigrams = F.when(
-        m >= 2,
-        F.transform(
-            F.sequence(F.lit(1), m - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        feats = toks
+    else:
+        m = F.size(toks)
+        bigrams = F.when(
+            m >= 2,
+            F.transform(
+                F.sequence(F.lit(1), m - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, bigrams)
+    return base.select(*extra_cols, F.explode_outer(feats).alias("__t"))
 
 
 def dsir_weights(
@@ -1684,8 +1695,8 @@ def dsir_weights(
     spark = raw.sparkSession
 
     def counts(df: DataFrame, name: str) -> DataFrame:
-        toks = df.select(
-            F.explode(_dsir_features(text_col, ngram_max)).alias("__t")
+        toks = _dsir_feature_rows(df, text_col, ngram_max, []).filter(
+            F.col("__t").isNotNull()
         )
         return (
             toks.groupBy(_dsir_bucket(F.col("__t"), salt, n_buckets).alias("bucket"))
@@ -1745,10 +1756,7 @@ def dsir_score(
     broadcast-join the ``n_buckets``-row weight table, ONE map-combined
     groupBy(id) — the classifier_score shape: the shuffle carries two
     longs per document."""
-    src = df.select(
-        F.col(id_col),
-        F.explode_outer(_dsir_features(text_col, ngram_max)).alias("__t"),
-    ).select(
+    src = _dsir_feature_rows(df, text_col, ngram_max, [id_col]).select(
         F.col(id_col),
         F.when(
             F.col("__t").isNotNull(), _dsir_bucket(F.col("__t"), salt, n_buckets)
