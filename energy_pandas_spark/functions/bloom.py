@@ -29,7 +29,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["build_bloom", "bloom_hits", "bloom_prefilter"]
+__all__ = [
+    "build_bloom",
+    "bloom_hits",
+    "bloom_prefilter",
+    "bloom_flag",
+    "build_bloom_distributed",
+]
 
 
 def _indices(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
@@ -89,3 +95,51 @@ def bloom_prefilter(
                 yield out
 
     return df.mapInPandas(fn, schema=schema)
+
+
+def bloom_flag(
+    df: DataFrame, hash_col: str, bits: np.ndarray, k: int = 4, out_col: str = "__maybe"
+) -> DataFrame:
+    """Annotate each row with a maybe-member boolean instead of
+    filtering — for callers that need BOTH sides (e.g. an incremental
+    dedup that fast-paths definite non-members around the verify
+    join). Map-only."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = (
+                bloom_hits(bits, pdf[hash_col].to_numpy(), k)
+                if len(pdf)
+                else np.zeros(0, dtype=bool)
+            )
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def build_bloom_distributed(
+    df: DataFrame, hash_col: str, n_bits: int = 1 << 24, k: int = 4
+) -> np.ndarray:
+    """Build the bit table from a DISTRIBUTED member set: each
+    partition folds its hashes into a local table, tables OR-combine
+    up a tree — the driver never sees the hashes, only ``n_bits/8``
+    bytes per combine. This is how a bloom over a corpus-sized store
+    (e.g. an incremental-dedup digest table) is built; the driver-side
+    :func:`build_bloom` stays for small member sets.
+
+    Honest sizing bound: the RESULT still broadcasts to every task, so
+    the technique caps out where ``~10 bits x n_members`` stops being
+    broadcast material (~10^9 members at ~1 GB). Beyond that, skip the
+    bloom — the anti-join is the scale path."""
+    if n_bits % 64:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+
+    rdd = df.select(hash_col).rdd.map(lambda r: r[0]).glom().map(
+        lambda xs: build_bloom(np.asarray(xs, dtype=np.int64), n_bits, k)
+    )
+    zero = np.zeros(n_bits // 64, dtype=np.uint64)
+    return rdd.treeReduce(np.bitwise_or) if not rdd.isEmpty() else zero

@@ -128,6 +128,8 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     store_digest_col: str = "digest",
+    store_bloom: "np.ndarray | None" = None,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Incremental exact dedup: keep the new documents whose normalized
     content digest appears neither in the historical ``store`` (a frame
@@ -137,13 +139,36 @@ def dedup_incremental(
     Scale shape: one left_anti join against the store (shuffle or
     broadcast by store size — Catalyst/AQE decides) plus the same
     single-digest-shuffle keep-first as :func:`dedup_exact`. The store
-    side only ships its digest column; document text never moves."""
+    side only ships its digest column; document text never moves.
+
+    ``store_bloom`` (a bit table from
+    ``functions.bloom.build_bloom_distributed`` over the store's
+    xxhash64'd digests) adds a map-side fast path: definite
+    non-members skip the anti-join entirely, so the join probe shrinks
+    to true dups + the bloom's false positives. No false negatives ->
+    result-identical (tested)."""
     digested = new_docs.withColumn("__digest", F.md5(normalized_text(text_col)))
-    fresh = digested.join(
-        store.select(F.col(store_digest_col).alias("__digest")).distinct(),
-        "__digest",
-        "left_anti",
-    )
+    store_digests = store.select(
+        F.col(store_digest_col).alias("__digest")
+    ).distinct()
+    if store_bloom is not None:
+        from energy_pandas_spark.functions.bloom import bloom_flag
+
+        flagged = bloom_flag(
+            digested.withColumn("__bh", F.xxhash64("__digest")),
+            "__bh",
+            store_bloom,
+            bloom_k,
+        )
+        definite_new = flagged.filter(~F.col("__maybe")).drop("__bh", "__maybe")
+        verified_new = (
+            flagged.filter(F.col("__maybe"))
+            .drop("__bh", "__maybe")
+            .join(store_digests, "__digest", "left_anti")
+        )
+        fresh = definite_new.unionByName(verified_new)
+    else:
+        fresh = digested.join(store_digests, "__digest", "left_anti")
     from pyspark.sql import Window
 
     w = Window.partitionBy("__digest").orderBy(F.asc(id_col))

@@ -670,3 +670,40 @@ def test_minhash_dedup_keep_best(spark):
     assert {
         r.doc_id for r in minhash_dedup_keep_best(tied, "quality", **kw).collect()
     } == {1}
+
+
+def test_dedup_incremental_bloom_fast_path(spark):
+    import numpy as np
+
+    from energy_pandas_spark.functions.bloom import (
+        build_bloom,
+        build_bloom_distributed,
+    )
+    from energy_pandas_spark.operators.dedup import dedup_incremental
+
+    store_docs = spark.createDataFrame(
+        [(i, f"historical doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    store = store_docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "digest"
+        )
+    )
+    new = spark.createDataFrame(
+        [(100, "historical doc number 7"), (101, "genuinely new content"),
+         (102, "genuinely new content"), (103, "another fresh one")],
+        "doc_id long, text string",
+    )
+    plain = dedup_incremental(new, store).select("doc_id")
+    # distributed builder == driver builder on the same member hashes
+    hashed = store.select(F.xxhash64("digest").alias("h"))
+    bits = build_bloom_distributed(hashed, "h", n_bits=1 << 16)
+    local = build_bloom(
+        np.array([r.h for r in hashed.collect()], np.int64), n_bits=1 << 16
+    )
+    assert (bits == local).all()
+    fast = dedup_incremental(new, store, store_bloom=bits).select("doc_id")
+    assert sorted(r.doc_id for r in plain.collect()) == sorted(
+        r.doc_id for r in fast.collect()
+    ) == [101, 103]
