@@ -2027,6 +2027,8 @@ def line_dedup_incremental(
     sep: str = "\n",
     drop_empty: bool = False,
     persist_lines: bool = True,
+    store_bloom=None,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Incremental cross-corpus LINE dedup, the batch twin of
     ``streaming/line_ingest.py``: drop every line whose digest appears
@@ -2036,7 +2038,10 @@ def line_dedup_incremental(
     ``line_digests`` of the output to the store afterwards.
 
     Scale shape matches :func:`line_dedup` plus ONE left_anti join
-    against the store, which ships only its digest longs."""
+    against the store, which ships only its digest longs.
+    ``store_bloom`` (functions.bloom.build_bloom_distributed over the
+    store digests) short-circuits definite-new winner digests around
+    the anti-join map-side — no false negatives, result-identical."""
     lines = _line_rows(new_docs, text_col, id_col, sep).withColumn(
         "pos",
         F.struct(
@@ -2052,12 +2057,19 @@ def line_dedup_incremental(
         keyed.filter(F.col("key").isNotNull())
         .groupBy("h")
         .agg(F.min("pos").alias("win"))
-        .join(
-            store.select(F.col(store_digest_col).alias("h")).distinct(),
-            "h",
-            "left_anti",
-        )
     )
+    store_digests = store.select(F.col(store_digest_col).alias("h")).distinct()
+    if store_bloom is not None:
+        from energy_pandas_spark.functions.bloom import bloom_flag
+
+        flagged = bloom_flag(winners, "h", store_bloom, bloom_k)
+        winners = flagged.filter(~F.col("__maybe")).drop("__maybe").unionByName(
+            flagged.filter(F.col("__maybe"))
+            .drop("__maybe")
+            .join(store_digests, "h", "left_anti")
+        )
+    else:
+        winners = winners.join(store_digests, "h", "left_anti")
     kept = (
         keyed.join(winners, "h", "left")
         .filter(F.col("key").isNull() | (F.col("pos") == F.col("win")))

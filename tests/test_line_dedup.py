@@ -137,3 +137,36 @@ def test_line_dedup_incremental(spark):
     )
     out2 = line_dedup_incremental(batch2, store2).collect()[0]
     assert out2.text == "new line here"
+
+
+def test_line_dedup_incremental_bloom_identical(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.functions.bloom import build_bloom_distributed
+    from energy_pandas_spark.operators.text import (
+        line_dedup_incremental,
+        line_digests,
+    )
+
+    history = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared header\nbody {i}") for i in range(20)]
+    )
+    store = line_digests(history)
+    bits = build_bloom_distributed(store, "h", n_bits=1 << 16)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="shared header\nnovel alpha"),
+            Row(doc_id=101, text="body 7\nnovel beta"),
+        ]
+    )
+    plain = sorted(
+        (r.doc_id, r.text)
+        for r in line_dedup_incremental(batch, store).collect()
+    )
+    fast = sorted(
+        (r.doc_id, r.text)
+        for r in line_dedup_incremental(batch, store, store_bloom=bits).collect()
+    )
+    assert plain == fast
+    assert dict(plain)[100] == "novel alpha"
+    assert dict(plain)[101] == "novel beta"
