@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["write_webdataset", "read_webdataset_manifest"]
+__all__ = ["write_webdataset", "read_webdataset", "read_webdataset_manifest"]
 
 _MANIFEST_SCHEMA = StructType(
     [
@@ -138,3 +138,79 @@ def read_webdataset_manifest(spark, path: str) -> DataFrame:
     if pdf.empty:
         return spark.createDataFrame([], schema=_MANIFEST_SCHEMA)
     return spark.createDataFrame(pdf, schema=_MANIFEST_SCHEMA)
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    columns: dict[str, str],
+    key_type: str = "long",
+) -> DataFrame:
+    """Read WebDataset tar shards back into a DataFrame — the loader
+    side of :func:`write_webdataset`. ``columns`` maps output column ->
+    member extension (the writer's mapping); ``.txt`` members decode as
+    UTF-8 strings, ``.json`` as parsed objects (returned as JSON
+    strings for schema stability), anything else stays binary.
+
+    Plan shape: Spark's ``binaryFile`` source lists the shard files
+    (one task per tar — shard count IS the parallelism, exactly how
+    WebDataset loaders consume shards), and an Arrow kernel streams
+    each tar's members grouped by basename. No shuffle; column pruning
+    applies downstream."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    col_exts = dict(columns)
+    fields = [
+        StructField(
+            "key",
+            LongType() if key_type == "long" else StringType(),
+        )
+    ]
+    for col, ext in col_exts.items():
+        fields.append(
+            StructField(
+                col, StringType() if ext in ("txt", "json") else BinaryType()
+            )
+        )
+    schema = StructType(fields)
+
+    def parse(it):
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in fields}
+            for blob in pdf["content"]:
+                samples: dict[str, dict] = {}
+                order: list[str] = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for member in tar:
+                        if not member.isfile() or "." not in member.name:
+                            continue
+                        base, ext = member.name.rsplit(".", 1)
+                        if base not in samples:
+                            samples[base] = {}
+                            order.append(base)
+                        samples[base][ext] = tar.extractfile(member).read()
+                for base in order:
+                    got = samples[base]
+                    out["key"].append(
+                        int(base) if key_type == "long" else base
+                    )
+                    for col, ext in col_exts.items():
+                        raw = got.get(ext)
+                        if raw is None:
+                            out[col].append(None)
+                        elif ext in ("txt", "json"):
+                            out[col].append(raw.decode("utf-8"))
+                        else:
+                            out[col].append(raw)
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    )
+    return files.select("content").mapInPandas(parse, schema=schema)

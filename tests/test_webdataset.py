@@ -81,3 +81,24 @@ def test_webdataset_manifest_persisted(spark, tmp_path):
     assert sorted(map(tuple, written.collect())) == sorted(
         map(tuple, loaded.collect())
     )
+
+
+def test_webdataset_read_roundtrip(spark, tmp_path):
+    from energy_pandas_spark.sources.webdataset import read_webdataset
+
+    out = str(tmp_path / "wds_rt")
+    df = _df(spark)
+    write_webdataset(
+        df, out, "doc_id",
+        {"text": "txt", "meta": "json", "payload": "bin"}, n_shards=3,
+    )
+    back = read_webdataset(
+        spark, out, {"text": "txt", "meta": "json", "payload": "bin"}
+    )
+    rows = {r.key: r for r in back.collect()}
+    assert len(rows) == 40
+    for r in df.collect():
+        got = rows[r.doc_id]
+        assert got.text == r.text
+        assert json.loads(got.meta) == dict(r.meta)
+        assert bytes(got.payload) == bytes(r.payload)
