@@ -69,6 +69,12 @@ def write_webdataset(
     shard assignment)."""
     os.makedirs(path, exist_ok=True)
     col_exts = dict(columns)
+    if len(set(col_exts.values())) != len(col_exts):
+        raise ValueError(
+            f"duplicate member extensions in {col_exts!r}: WebDataset "
+            "members are addressed {key}.{ext}, so each column needs a "
+            "distinct extension"
+        )
     src = (
         df.select(F.col(key_col).cast("string").alias("__key"), *col_exts)
         .withColumn(
@@ -173,9 +179,12 @@ def read_webdataset(
         )
     ]
     for col, ext in col_exts.items():
+        # type by the FINAL suffix so multi-part extensions
+        # ("score.txt", "seg.json") decode as text too
+        suffix = ext.rsplit(".", 1)[-1]
         fields.append(
             StructField(
-                col, StringType() if ext in ("txt", "json") else BinaryType()
+                col, StringType() if suffix in ("txt", "json") else BinaryType()
             )
         )
     schema = StructType(fields)
@@ -190,7 +199,10 @@ def read_webdataset(
                     for member in tar:
                         if not member.isfile() or "." not in member.name:
                             continue
-                        base, ext = member.name.rsplit(".", 1)
+                        # WebDataset convention: the key is everything
+                        # up to the FIRST period, the extension the rest
+                        # (multi-part extensions like "seg.json" work)
+                        base, ext = member.name.split(".", 1)
                         if base not in samples:
                             samples[base] = {}
                             order.append(base)
@@ -204,7 +216,7 @@ def read_webdataset(
                         raw = got.get(ext)
                         if raw is None:
                             out[col].append(None)
-                        elif ext in ("txt", "json"):
+                        elif ext.rsplit(".", 1)[-1] in ("txt", "json"):
                             out[col].append(raw.decode("utf-8"))
                         else:
                             out[col].append(raw)
