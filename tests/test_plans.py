@@ -366,3 +366,11 @@ class TestRound3SecondWavePlans:
 
         docs = load_table(spark, sf_dir, "documents")
         assert codegen_stage_count(gopher_rules(docs)) >= 1
+
+    def test_curate_corpus_single_line_dedup_execution(self, spark, sf_dir):
+        # BOTH the rebuilt corpus and the line rows persist: the digest
+        # winner aggregate and the final semi-join must read cached
+        # relations, not re-run the gate + explode + dedup chain
+        df = entrymod.curate_corpus_docs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
