@@ -394,3 +394,35 @@ def test_gopher_counts_match_python(spark, docs):
         assert r.n_symbol_chars == symbols
         stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
         assert r.n_stopword_hits == len(set(toks) & stop)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    n_shards=st.integers(min_value=1, max_value=4),
+    payload=st.binary(min_size=0, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_webdataset_roundtrip_property(spark, tmp_path_factory, n, n_shards, payload):
+    import tarfile
+
+    from energy_pandas_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    tmp = tmp_path_factory.mktemp("wds_prop")
+    df = spark.createDataFrame(
+        [(i, f"text {i}", bytes(payload) + bytes([i])) for i in range(n)],
+        "doc_id long, text string, blob binary",
+    )
+    out = str(tmp / "w")
+    manifest = write_webdataset(
+        df, out, "doc_id", {"text": "txt", "blob": "bin"}, n_shards=n_shards
+    )
+    assert sum(r.n_samples for r in manifest.collect()) == n
+    back = {r.key: r for r in read_webdataset(
+        spark, out, {"text": "txt", "blob": "bin"}).collect()}
+    assert len(back) == n
+    for i in range(n):
+        assert back[i].text == f"text {i}"
+        assert bytes(back[i].blob) == bytes(payload) + bytes([i])
