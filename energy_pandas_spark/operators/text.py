@@ -1528,11 +1528,13 @@ def line_dedup(
     sep: str = "\n",
     drop_empty: bool = False,
     persist_lines: bool = True,
+    min_count: int = 2,
 ) -> DataFrame:
     """Cross-document exact line dedup, C4-style: every normalized
-    non-blank line that occurs 2+ times anywhere in the corpus keeps
-    ONLY its first occurrence (smallest ``(id, idx)``); later repeats
-    are dropped and each document's text is rebuilt from its surviving
+    non-blank line that occurs ``min_count``+ times anywhere in the
+    corpus keeps ONLY its first occurrence (smallest ``(id, idx)``);
+    later repeats are dropped (raise ``min_count`` to scrub only
+    heavily-boilerplate lines, C4 used 3 for some variants) and each document's text is rebuilt from its surviving
     lines (blank lines always survive — they are structure, not
     content). ``drop_empty=True`` additionally drops documents whose
     rebuilt text is empty.
@@ -1584,7 +1586,7 @@ def line_dedup(
         keyed.join(winners, "h", "left")
         .filter(
             F.col("key").isNull()  # blank lines always kept
-            | (F.col("c") == 1)
+            | (F.col("c") < F.lit(min_count))
             | (F.col("pos") == F.col("win"))
         )
         .groupBy(id_col)

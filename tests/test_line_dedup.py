@@ -170,3 +170,21 @@ def test_line_dedup_incremental_bloom_identical(spark):
     assert plain == fast
     assert dict(plain)[100] == "novel alpha"
     assert dict(plain)[101] == "novel beta"
+
+
+def test_line_dedup_min_count_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="twice\nthrice"),
+            Row(doc_id=1, text="twice\nthrice"),
+            Row(doc_id=2, text="thrice"),
+        ]
+    )
+    # min_count=3: the 2x line survives everywhere, the 3x line dedups
+    out = {r.doc_id: r.text for r in line_dedup(df, min_count=3).collect()}
+    assert out[0] == "twice\nthrice"
+    assert out[1] == "twice"
+    assert out[2] == ""
+    # default (2) dedups both
+    out2 = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert out2[1] == "" and out2[2] == ""
