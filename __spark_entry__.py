@@ -1836,6 +1836,47 @@ SELECT id AS doc_id FROM ranked WHERE rn > 1 ORDER BY doc_id
 """
 
 
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection (operators/dedup.py:containment_pairs):
+    |A∩B| / min(|A|,|B|) >= 0.6 over distinct 3-shingles, candidates
+    via EXACT PPJoin-style rare-shingle prefix filtering (a
+    deterministic witness guarantee, not an LSH recall probability) —
+    so the brute-force oracle match is unconditional, not a
+    data-dependent accident."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.6, shingle_size=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_CONTAINMENT_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                       x -> x != '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(a.grams)::BIGINT AS size_a, len(b.grams)::BIGINT AS size_b,
+         len(list_intersect(a.grams, b.grams))::BIGINT AS n_inter
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, size_a, size_b, n_inter,
+       round(n_inter / least(size_a, size_b), 6) AS containment
+FROM pairs
+WHERE n_inter >= 0.6 * least(size_a, size_b)
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, the standard 64-bit
     near-dup threshold -> 4 bands with guaranteed candidate recall) —
@@ -5719,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
         "minhash_keep_best_drop": minhash_keep_best_drop,
         "curate_corpus_docs": curate_corpus_docs,
+        "containment_pairs_docs": containment_pairs_docs,
         "dsir_select_docs": dsir_select_docs,
         "dsir_resample_docs": dsir_resample_docs,
         "dsir_bigram_select_docs": dsir_bigram_select_docs,
@@ -5872,6 +5914,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_in_doc_docs": _LINE_DEDUP_IN_DOC_SQL,
         "minhash_keep_best_drop": _MINHASH_KEEP_BEST_SQL,
         "curate_corpus_docs": _CURATE_SQL,
+        "containment_pairs_docs": _CONTAINMENT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -49,6 +49,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_dedup",
     "minhash_dedup_keep_best",
+    "containment_pairs",
     "edit_distance_pairs",
     "simhash64",
     "simhash_neardup_pairs",
@@ -1098,4 +1099,110 @@ def minhash_dedup_keep_best(
         members.join(best, "cluster_id")
         .filter(F.col(id_col) != F.col("__keep"))
         .select(id_col)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: emit (a, b) when
+    ``|A∩B| / min(|A|, |B|) >= threshold`` over distinct word
+    shingles — the subset-duplicate detector (a quoted article inside
+    a wrapper page has low Jaccard but high containment, so the
+    MinHash paths structurally miss it).
+
+    Candidates come from PPJoin-style PREFIX FILTERING (Xiao et al.
+    2008, public), not probabilistic LSH: if the smaller side A has
+    containment >= t, then ANY ``floor((1-t)*|A|) + 1`` of A's
+    shingles must hit B, so joining each document's that-many RAREST
+    shingles (global document-frequency order, ties by shingle) against
+    the full shingle postings finds every qualifying pair — an
+    EXACTNESS guarantee, not a recall probability. Rarest-first keeps
+    the posting lists short; ``max_df`` drops degenerate postings
+    (shingles in 1000+ docs) from candidate generation, the same
+    documented skew guard as every LSH bucket cap — a miss then
+    requires even the rarest witness shingle to be corpus-boilerplate.
+
+    Plan: one DF aggregate over exploded shingles, a per-document
+    rank window (doc-sized partitions, never global), the prefix ×
+    postings equi-join on the shingle hash, then one verify join
+    computing exact intersections on the distinct-shingle arrays.
+    Emits ``containment`` (of the smaller side), both sizes, and the
+    intersection."""
+    grams = (
+        df.select(F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles_of_tokens("__tk", shingle_size)).alias(
+                "grams"
+            ),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    rows = grams.select(
+        F.col(id_col), F.explode("grams").alias("g")
+    ).withColumn("h", F.xxhash64(F.lit("cont-v1"), F.col("g")))
+    dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    sized = rows.join(dfreq, "h").join(
+        grams.select(F.col(id_col), F.size("grams").alias("sz")), id_col
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("g"))
+    # prefix size derives from the SAME t*size expression the verify
+    # filter uses (R = sz - ceil(t*sz) + 1): a pair passing verify has
+    # n_inter >= ceil(t*sz), so B misses at most sz - ceil(t*sz) of
+    # A's shingles and the R rarest must contain a witness — computing
+    # R from an independent (1-t)*sz rounding could lose 1 at float
+    # boundaries and break the exactness argument
+    prefix = (
+        sized.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+            + 1
+        )
+        .filter(F.col("df") <= F.lit(max_df))
+        .select(F.col(id_col).alias("id_a"), "h")
+    )
+    postings = rows.join(dfreq, "h").filter(F.col("df") <= F.lit(max_df)).select(
+        F.col(id_col).alias("id_b"), "h"
+    )
+    cands = (
+        prefix.join(postings, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("n_inter", inter.cast("long"))
+        .withColumn("size_a", F.size("__ga").cast("long"))
+        .withColumn("size_b", F.size("__gb").cast("long"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter")
+                / F.least("size_a", "size_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            F.col("n_inter")
+            >= F.lit(threshold) * F.least("size_a", "size_b").cast("double")
+        )
+        .select("id_a", "id_b", "size_a", "size_b", "n_inter", "containment")
     )

@@ -707,3 +707,55 @@ def test_dedup_incremental_bloom_fast_path(spark):
     assert sorted(r.doc_id for r in plain.collect()) == sorted(
         r.doc_id for r in fast.collect()
     ) == [101, 103]
+
+
+def test_containment_pairs_exact_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from energy_pandas_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,                                   # the full document
+        1: "alpha beta gamma delta epsilon zeta",  # contained prefix
+        2: base + " lambda mu nu xi omicron pi rho sigma tau upsilon",
+        3: "completely different words about sparks and shuffles here",
+        4: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, threshold=0.8, shingle_size=3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) < 3:
+            return {t}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        if inter >= 0.8 * min(len(sa), len(sb)):
+            expect[(a, b)] = round(inter / min(len(sa), len(sb)), 6)
+    assert got == expect
+    # the signature subset-dup cases are present
+    assert (0, 1) in got and (0, 2) in got and (1, 4) in got
+
+
+def test_containment_pairs_partition_invariant(spark):
+    from energy_pandas_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common one two three four five six seven") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, containment_pairs(df, threshold=0.7).collect()))
+    b = sorted(
+        map(tuple, containment_pairs(df.repartition(7), threshold=0.7).collect())
+    )
+    assert a == b
