@@ -83,6 +83,7 @@ HEADLINE = [
     "gopher_rules_docs",
     "bpe_merges_docs",
     "curate_corpus_docs",
+    "containment_pairs_docs",
 ]
 
 

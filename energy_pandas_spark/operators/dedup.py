@@ -50,6 +50,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_dedup_keep_best",
     "containment_pairs",
+    "containment_dedup",
     "edit_distance_pairs",
     "simhash64",
     "simhash_neardup_pairs",
@@ -1206,3 +1207,32 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "size_a", "size_b", "n_inter", "containment")
     )
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Documents to DROP under containment dedup: for every qualifying
+    pair the SMALLER-shingle-set side drops (ties by the larger id),
+    keeping the superset document. Chains need no connected
+    components — "contained in anything" is already transitive-safe
+    for a drop set: in A ⊂ B ⊂ C the (A,B) and (B,C) pairs drop A and
+    B, and C (contained in nothing) survives."""
+    pairs = containment_pairs(
+        df, text_col, id_col, threshold, shingle_size, max_df
+    )
+    dropped = pairs.select(
+        F.when(
+            (F.col("size_a") < F.col("size_b"))
+            | ((F.col("size_a") == F.col("size_b")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    )
+    return dropped.distinct()

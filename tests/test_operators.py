@@ -759,3 +759,19 @@ def test_containment_pairs_partition_invariant(spark):
         map(tuple, containment_pairs(df.repartition(7), threshold=0.7).collect())
     )
     assert a == b
+
+
+def test_containment_dedup_chain(spark):
+    from energy_pandas_spark.operators.dedup import containment_dedup
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = a + " eta theta iota kappa"
+    c = b + " lambda mu nu xi omicron"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, "unrelated text about other things entirely")],
+        "doc_id long, text string",
+    )
+    drops = {r.doc_id for r in containment_dedup(df, threshold=0.8).collect()}
+    # the chain drops the two contained docs; the superset and the
+    # unrelated doc survive
+    assert drops == {0, 1}
