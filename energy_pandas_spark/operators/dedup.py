@@ -1135,6 +1135,11 @@ def containment_pairs(
     computing exact intersections on the distinct-shingle arrays.
     Emits ``containment`` (of the smaller side), both sizes, and the
     intersection."""
+    from pyspark import StorageLevel
+
+    # the shingle arrays feed SIX consumers (DF agg, rank join,
+    # postings, both verify sides) — persist spill-safe or the text
+    # scan + shingle explode re-runs per consumer (exchange-reuse rule)
     grams = (
         df.select(F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"))
         .select(
@@ -1144,6 +1149,7 @@ def containment_pairs(
             ),
         )
         .filter(F.size("grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     rows = grams.select(
         F.col(id_col), F.explode("grams").alias("g")
