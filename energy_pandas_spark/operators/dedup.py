@@ -1157,7 +1157,11 @@ def containment_pairs(
     dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
-    sized = rows.join(dfreq, "h").join(
+    # (row ⋈ df) feeds both the rank input and the postings — share it
+    # instead of joining the corpus-sized row stream against the gram
+    # table twice
+    rows_df = rows.join(dfreq, "h").persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    sized = rows_df.join(
         grams.select(F.col(id_col), F.size("grams").alias("sz")), id_col
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("g"))
@@ -1178,7 +1182,7 @@ def containment_pairs(
         .filter(F.col("df") <= F.lit(max_df))
         .select(F.col(id_col).alias("id_a"), "h")
     )
-    postings = rows.join(dfreq, "h").filter(F.col("df") <= F.lit(max_df)).select(
+    postings = rows_df.filter(F.col("df") <= F.lit(max_df)).select(
         F.col(id_col).alias("id_b"), "h"
     )
     cands = (
