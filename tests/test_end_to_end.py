@@ -51,7 +51,10 @@ def test_jsonl_to_webdataset_pipeline(spark, tmp_path):
     lines.append("{broken json")
     (src / "part0.jsonl").write_text("\n".join(lines) + "\n")
 
-    docs = read_jsonl_corpus(spark, str(src), schema="lang STRING")
+    # stable_ids: the whole chain below (line-dedup winners, exact-dedup
+    # keep-first, hash_split) is keyed on doc_id, so the assertions are
+    # only deterministic if ids don't depend on Spark's file-split plan
+    docs = read_jsonl_corpus(spark, str(src), schema="lang STRING", stable_ids=True)
     assert docs.count() == 30  # malformed line dropped
 
     # --- quality gate: junk doc out ----------------------------------

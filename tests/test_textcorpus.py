@@ -325,3 +325,72 @@ def test_read_csv_corpus_corrupt_modes(spark, tmp_path):
     assert len(kept) == 2 and sum(r.is_corrupt for r in kept) == 1
     with pytest.raises(Exception):
         read_csv_corpus(spark, str(d), schema="n INT", on_corrupt="fail").collect()
+
+
+def test_stable_ids_are_split_plan_invariant(spark, tmp_path):
+    """The stable-id tier must produce the same id SET no matter how
+    the file splits — the default position-salted tier is expected to
+    re-key when the split plan changes (that is its documented
+    limitation)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.sources.textcorpus import read_jsonl_corpus
+
+    d = tmp_path / "stable"
+    d.mkdir()
+    lines = [json.dumps({"text": f"document number {i} body"}) for i in range(40)]
+    lines.append(json.dumps({"text": "document number 3 body"}))  # exact repeat
+    (d / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        id_sets, pos_sets = [], []
+        for mpb in ("128m", "200"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            stable = read_jsonl_corpus(spark, str(d), stable_ids=True)
+            id_sets.append(sorted(r.doc_id for r in stable.select("doc_id").collect()))
+            pos = read_jsonl_corpus(spark, str(d))
+            pos_sets.append(sorted(r.doc_id for r in pos.select("doc_id").collect()))
+        assert id_sets[0] == id_sets[1]  # layout-invariant
+        assert len(set(id_sets[0])) == 41  # repeat line disambiguated by occ
+        # the id->text binding is invariant too, not just the id set
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "80")
+        again = read_jsonl_corpus(spark, str(d), stable_ids=True)
+        bind = {(r.doc_id, r.text) for r in again.collect()}
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        base = read_jsonl_corpus(spark, str(d), stable_ids=True)
+        assert {(r.doc_id, r.text) for r in base.collect()} == bind
+        assert len(pos_sets[0]) == len(pos_sets[1]) == 41  # counts survive
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_id_field_passthrough(spark, tmp_path):
+    """id_field hashes the corpus's own key: stable, layout-free, and
+    the extra schema column still rides along."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.sources.textcorpus import read_jsonl_corpus
+
+    d = tmp_path / "keyed"
+    d.mkdir()
+    rows = [{"uid": f"warc-{i:04d}", "text": f"body {i}", "lang": "en"} for i in range(5)]
+    (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    docs = read_jsonl_corpus(
+        spark, str(d), schema="uid STRING, lang STRING", id_field="uid"
+    )
+    got = docs.select("doc_id", "uid").collect()
+    expect = {
+        r.uid: spark.range(1)
+        .select(F.xxhash64(F.lit(r.uid)).alias("h"))
+        .collect()[0]
+        .h
+        for r in got
+    }
+    assert {r.uid: r.doc_id for r in got} == expect
+    assert docs.count() == 5
