@@ -1877,6 +1877,138 @@ ORDER BY id_a, id_b
 """
 
 
+# retrieval query set shared by the Spark queries and the oracles —
+# covers repeated query terms (qtf=2), stopword-heavy and rare-ish
+# term mixes over the synthetic vocabulary
+_SEARCH_QUERIES = {
+    0: "spark hash join",
+    1: "window sort stream",
+    2: "table table value",
+    3: "merge batch scan",
+    4: "the fast line",
+    5: "agg key row filter",
+}
+
+_SEARCH_QUERY_VALUES = """(0,'spark',1),(0,'hash',1),(0,'join',1),
+         (1,'window',1),(1,'sort',1),(1,'stream',1),
+         (2,'table',2),(2,'value',1),
+         (3,'merge',1),(3,'batch',1),(3,'scan',1),
+         (4,'the',1),(4,'fast',1),(4,'line',1),
+         (5,'agg',1),(5,'key',1),(5,'row',1),(5,'filter',1)"""
+
+
+def search_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index top-10 retrieval with exact integer-quantized
+    TF-IDF (operators/retrieval.py:search_topk): postings = one
+    explode + map-combined aggregate, broadcast query-term prune, and
+    the two-stage top-k. Scores are order-free BIGINT sums
+    (idf_q = (N*1024) div df), so the oracle match is bit-exact —
+    no float boundary anywhere."""
+    _prep(spark)
+    from energy_pandas_spark.operators.retrieval import query_terms, search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = query_terms(spark, _SEARCH_QUERIES)
+    return search_topk(docs, q, k=10).orderBy("query_id", "rank")
+
+
+_SEARCH_TOPK_SQL = rf"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM rtok GROUP BY 1, 2
+), q(query_id, term, qtf) AS (
+  VALUES {_SEARCH_QUERY_VALUES}
+), n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(p.tf * q.qtf * ((n.n_docs * 1024) // d.df))::BIGINT AS score_q
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN dfreq d ON d.term = p.term
+  CROSS JOIN n
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_q, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/retrieval.py:bm25_topk),
+    k1=1.2 b=0.75. Per-term contributions quantize to BIGINT 1/1024
+    units before summing, so scores are order-free integer sums; the
+    only cross-engine hazard is a 1-ulp ln() divergence landing on a
+    rounding boundary (the DSIR oracle's documented caveat — both
+    engines evaluate the identical IEEE expression otherwise)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.retrieval import bm25_topk, query_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    q = query_terms(spark, _SEARCH_QUERIES)
+    return bm25_topk(docs, q, k=10).orderBy("query_id", "rank")
+
+
+_BM25_TOPK_SQL = rf"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+    SELECT doc_id, term, count(*) OVER (PARTITION BY doc_id) AS dl
+    FROM rtok
+  ) GROUP BY 1, 2
+), q(query_id, term, qtf) AS (
+  VALUES {_SEARCH_QUERY_VALUES}
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM rtok) AS total_tokens
+), dfreq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), idf AS (
+  SELECT d.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         s.total_tokens / s.n_docs AS avgdl
+  FROM dfreq d CROSS JOIN stats s
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(round(1024.0 * q.qtf * i.idf *
+                   ((p.tf * 2.2) /
+                    (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl))))::BIGINT
+         )::BIGINT AS score_q
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN idf i ON i.term = p.term
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_q, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, the standard 64-bit
     near-dup threshold -> 4 bands with guaranteed candidate recall) —
@@ -5766,6 +5898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_bigram_select_docs": dsir_bigram_select_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "bpe_merges_docs": bpe_merges_docs,
+        "search_topk_docs": search_topk_docs,
+        "bm25_topk_docs": bm25_topk_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -5915,6 +6049,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_keep_best_drop": _MINHASH_KEEP_BEST_SQL,
         "curate_corpus_docs": _CURATE_SQL,
         "containment_pairs_docs": _CONTAINMENT_SQL,
+        "search_topk_docs": _SEARCH_TOPK_SQL,
+        "bm25_topk_docs": _BM25_TOPK_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

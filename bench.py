@@ -84,6 +84,8 @@ HEADLINE = [
     "bpe_merges_docs",
     "curate_corpus_docs",
     "containment_pairs_docs",
+    "search_topk_docs",
+    "bm25_topk_docs",
 ]
 
 

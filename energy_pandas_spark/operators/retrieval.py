@@ -1,0 +1,285 @@
+"""Distributed inverted-index text retrieval: postings build, exact
+integer-quantized TF-IDF top-k search, BM25 top-k, and a persisted
+term-bucketed postings index with partition-pruned search.
+
+Why this lives in a training-data engine: retrieval over the corpus is
+the workhorse behind targeted decontamination ("find the documents
+that could leak this benchmark"), dedup forensics ("what else matches
+this boilerplate"), and data curation ("pull the docs most relevant to
+a target domain" — the retrieval-based cousin of DSIR).
+
+Scale shape (the plan you would want at 100 TB):
+
+- The postings list is ONE explode + map-combined hash aggregate per
+  corpus — the same (doc, term, tf) shuffle `term_frequencies` pays,
+  with the document length carried through the aggregate for free
+  (``max`` of a per-doc constant), so BM25 needs no second corpus
+  scan and no doc-length join.
+- The query term set broadcasts; the broadcast hash join prunes the
+  corpus to postings of query terms BEFORE anything else runs — the
+  per-query work is proportional to the matched postings, not the
+  corpus.
+- The matched-postings frame feeds both the document-frequency
+  aggregate and the scoring aggregate; it persists spill-safe because
+  Spark will not reuse the exchange across those two consumers (the
+  repo's recurring IsNotNull-pushdown trap).
+- Top-k per query is the two-stage local/global pattern (bounded
+  per-partition window, then a window over k x partitions survivors)
+  — never a single-partition sort of one query's full candidate set.
+- ``write_postings_index`` lays postings out hive-partitioned by a
+  term-hash bucket; ``search_index`` pushes an ``IN (buckets of the
+  query terms)`` filter into the scan, so a search touches only the
+  index partitions its terms hash into — query cost at rest scales
+  with the query, not the index.
+
+Scoring is exact where exactness is possible: the headline scorer
+quantizes IDF to integer 1/1024 units (``(N * 1024) div df``), making
+every document score an order-free BIGINT sum that any engine
+reproduces bit-for-bit (the dyadic-weight pattern `dsir_weights`
+established). BM25 keeps the standard log IDF and quantizes per-term
+contributions to 1/1024 units before summing — deterministic up to
+the 1-ulp libm difference in ``ln`` at a quantization boundary (the
+same documented caveat as the DSIR oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from energy_pandas_spark.functions.textfns import tokens
+from energy_pandas_spark.util import spread_partitions
+
+__all__ = [
+    "build_postings",
+    "query_terms",
+    "search_topk",
+    "bm25_topk",
+    "write_postings_index",
+    "search_index",
+]
+
+IDF_SCALE = 1024
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, dl): the inverted-index postings rows plus
+    the document token length.
+
+    One explode + one map-combined hash aggregate; ``dl`` rides
+    through the aggregate as ``max`` of a per-document constant, so
+    BM25's length normalization costs no extra scan or join."""
+    arr = tokens(text_col)
+    src = spread_partitions(
+        df.select(F.col(id_col), arr.alias("__toks"))
+    ).withColumn("dl", F.coalesce(F.size("__toks"), F.lit(0)).cast("long"))
+    toks = src.select(id_col, "dl", F.explode("__toks").alias("term"))
+    return toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+
+
+def query_terms(spark: SparkSession, queries: dict[int, str]) -> DataFrame:
+    """Tokenize a small driver-side query set into (query_id, term,
+    qtf) with the SAME whitespace/lowercase tokenizer the postings
+    use — tokenizer drift between index and query is the classic
+    retrieval bug."""
+    rows = []
+    for qid, text in queries.items():
+        counts: dict[str, int] = {}
+        for t in (text or "").lower().split():
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        rows.extend((int(qid), term, n) for term, n in sorted(counts.items()))
+    return spark.createDataFrame(rows, "query_id long, term string, qtf long")
+
+
+def _matched(
+    docs: DataFrame,
+    qterms: DataFrame,
+    text_col: str,
+    id_col: str,
+    postings: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared search prologue: corpus stats (1 row), matched postings
+    (persisted — feeds df-agg AND scoring), per-term document
+    frequency (broadcast-sized)."""
+    if postings is None:
+        postings = build_postings(docs, text_col, id_col)
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = qterms.select("term").distinct()
+    matched = postings.join(F.broadcast(terms), "term").persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return stats, matched, dfreq
+
+
+def search_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact quantized-TF-IDF top-k retrieval.
+
+    Score = sum over matched terms of ``tf * qtf * idf_q`` with
+    ``idf_q = (N * 1024) div df`` — all-BIGINT, order-free, engine
+    -portable (integer division on positive longs is exact
+    everywhere). Returns (query_id, doc_id, score_q, rank), rank
+    1..k per query by (score desc, doc_id asc)."""
+    stats, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.expr(f"(n_docs * {IDF_SCALE}) div df").alias("idf_q"),
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("qtf") * F.col("idf_q")).alias("__score")
+        )
+    )
+    return _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k (Robertson/Sparck Jones, the Lucene-default scoring).
+
+    Per-term contributions ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    are quantized to integer 1/1024 units BEFORE the sum, so document
+    scores are order-free BIGINT sums; the only cross-engine hazard is
+    a 1-ulp ``ln`` difference landing exactly on a rounding boundary
+    (the DSIR oracle's documented caveat). Returns (query_id, doc_id,
+    score_q, rank)."""
+    _, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
+    # N and avgdl must cover ALL docs, not just matched postings — one
+    # map-only scan folding to a single broadcastable stats row
+    full_stats = docs.select(
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long").alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("__dl"), F.lit(0)).alias("total_tokens"),
+    )
+    idf = dfreq.crossJoin(F.broadcast(full_stats)).select(
+        "term",
+        "n_docs",
+        "total_tokens",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(F.lit(float(IDF_SCALE)) * F.col("qtf") * F.col("idf") * tfnorm).cast(
+        "long"
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib).alias("__score"))
+    )
+    return _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+
+
+def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Two-stage top-k by (__score desc, id asc): a bounded local
+    window per (query, input partition), then the global window over
+    the k x partitions survivors."""
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("query_id", "__pid").orderBy(
+                    F.desc("__score"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("__lr") <= k)
+    )
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__score"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "__score", "rank")
+    )
+
+
+def write_postings_index(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> DataFrame:
+    """Persist postings hive-partitioned by ``bucket =
+    pmod(xxhash64(term), n_buckets)``. A search only reads the
+    partitions its query terms hash into (see :func:`search_index`) —
+    the at-rest layout twin of the broadcast term-prune.
+
+    Returns the per-bucket manifest (bucket, n_terms, n_postings)."""
+    bucketed = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = postings.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized-TF-IDF search against a persisted postings index.
+
+    The query terms' buckets become a partition-pruning filter on the
+    parquet scan — ``.explain`` shows ``PartitionFilters: [bucket IN
+    (...)]`` and only those directories are read. ``docs`` supplies
+    the corpus-size stat only (one count)."""
+    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    postings = spark.read.parquet(path).filter(F.col("bucket").isin(buckets)).drop(
+        "bucket"
+    )
+    return search_topk(docs, qterms, k=k, id_col=id_col, postings=postings)

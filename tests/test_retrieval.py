@@ -1,0 +1,170 @@
+"""Inverted-index retrieval: hand-computed exact scores, BM25 parity
+with an independent Python recomputation, and the persisted index's
+partition pruning + result identity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS = [
+    (1, "spark hash join beats sort merge join here"),
+    (2, "the sort merge join path"),
+    (3, "hash hash hash table"),
+    (4, "window sort window sort window"),
+    (5, "totally unrelated words only"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _py_postings():
+    post = {}
+    for did, text in CORPUS:
+        toks = text.lower().split()
+        for t in toks:
+            key = (did, t)
+            post[key] = post.get(key, 0) + 1
+    return post
+
+
+def test_search_topk_hand_computed(spark):
+    from energy_pandas_spark.operators.retrieval import query_terms, search_topk
+
+    q = query_terms(spark, {0: "hash join", 1: "sort sort window"})
+    got = {
+        (r.query_id, r.doc_id): (r.score_q, r.rank)
+        for r in search_topk(_docs(spark), q, k=3).collect()
+    }
+
+    post = _py_postings()
+    n = len(CORPUS)
+    expected = {}
+    for qid, qtext in {0: "hash join", 1: "sort sort window"}.items():
+        qtf = {}
+        for t in qtext.split():
+            qtf[t] = qtf.get(t, 0) + 1
+        df = {
+            t: sum(1 for (d, tt) in post if tt == t) for t in qtf
+        }
+        scores = {}
+        for (d, t), tf in post.items():
+            if t in qtf:
+                scores[d] = scores.get(d, 0) + tf * qtf[t] * ((n * 1024) // df[t])
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (d, s) in enumerate(top, 1):
+            expected[(qid, d)] = (s, rank)
+    assert got == expected
+
+
+def test_query_terms_counts_repeats(spark):
+    from energy_pandas_spark.operators.retrieval import query_terms
+
+    rows = query_terms(spark, {7: "Table TABLE value"}).collect()
+    assert {(r.term, r.qtf) for r in rows} == {("table", 2), ("value", 1)}
+    assert all(r.query_id == 7 for r in rows)
+
+
+def test_bm25_matches_python_reference(spark):
+    from energy_pandas_spark.operators.retrieval import bm25_topk, query_terms
+
+    k1, b = 1.2, 0.75
+    q = {0: "hash join", 1: "sort window"}
+    got = {
+        (r.query_id, r.doc_id): (r.score_q, r.rank)
+        for r in bm25_topk(_docs(spark), query_terms(spark, q), k=5, k1=k1, b=b).collect()
+    }
+
+    post = _py_postings()
+    n = len(CORPUS)
+    dl = {did: len(text.split()) for did, text in CORPUS}
+    avgdl = sum(dl.values()) / n
+    for qid, qtext in q.items():
+        qtf = {}
+        for t in qtext.split():
+            qtf[t] = qtf.get(t, 0) + 1
+        dfreq = {t: sum(1 for (d, tt) in post if tt == t) for t in qtf}
+        scores = {}
+        for (d, t), tf in post.items():
+            if t in qtf and dfreq[t] > 0:
+                idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+                scores[d] = scores.get(d, 0) + round(1024.0 * qtf[t] * idf * tfn)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rank, (d, s) in enumerate(top, 1):
+            qs, qr = got[(qid, d)]
+            # 1-ulp ln() divergence can move a quantized contribution
+            # by 1; ranks must still agree on this well-separated data
+            assert abs(qs - s) <= len(qtf) and qr == rank
+    assert len(got) == sum(
+        min(5, len({d for (d, t) in post if t in qtext.split()})) for qid, qtext in q.items()
+    )
+
+
+def test_postings_carry_doc_length(spark):
+    from energy_pandas_spark.operators.retrieval import build_postings
+
+    p = build_postings(_docs(spark))
+    got = {(r.doc_id, r.term): (r.tf, r.dl) for r in p.collect()}
+    assert got[(3, "hash")] == (3, 4)
+    assert got[(1, "join")] == (2, 8)
+
+
+def test_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    from energy_pandas_spark.operators.retrieval import (
+        build_postings,
+        query_terms,
+        search_index,
+        search_topk,
+        write_postings_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "postings")
+    manifest = write_postings_index(build_postings(docs), path, n_buckets=16)
+    assert manifest.agg(F.sum("n_postings")).collect()[0][0] == len(
+        {(d, t) for d, t in _py_postings()}
+    )
+
+    q = query_terms(spark, {0: "hash join"})
+    direct = {
+        (r.query_id, r.doc_id, r.score_q, r.rank)
+        for r in search_topk(docs, q, k=3).collect()
+    }
+    via_index = search_index(spark, path, docs, q, k=3, n_buckets=16)
+    assert {
+        (r.query_id, r.doc_id, r.score_q, r.rank) for r in via_index.collect()
+    } == direct
+
+    # pruning: the scan plan must carry the bucket partition filter
+    # (directory-level skip), and the query terms' buckets must be a
+    # strict subset of the index's populated partition directories
+    import os
+
+    buckets = sorted(
+        r.b
+        for r in spark.createDataFrame([("hash",), ("join",)], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b"))
+        .collect()
+    )
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    on_disk = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert 0 < len({f"bucket={b}" for b in buckets} & on_disk) < len(on_disk)
+
+
+def test_search_handles_no_hit_and_null_text(spark):
+    from energy_pandas_spark.operators.retrieval import query_terms, search_topk
+
+    docs = spark.createDataFrame(
+        CORPUS + [(9, None)], "doc_id long, text string"
+    )
+    q = query_terms(spark, {0: "zzzz absent", 1: "hash"})
+    rows = search_topk(docs, q, k=3).collect()
+    assert {r.query_id for r in rows} == {1}  # no-hit query returns nothing
+    assert all(r.doc_id != 9 for r in rows)
