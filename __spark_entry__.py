@@ -3830,6 +3830,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sample_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 7 deterministic inspection rows per source
+    (operators/sampling.py:sample_k_per_group): per-group min-k by
+    (md5 bucket, id) via the two-stage bounded rank — never a
+    whole-group window partition."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "source", 7).select(
+        "source", "doc_id", "lang", "n_chars", "sample_rank"
+    ).orderBy("source", "sample_rank")
+
+
+_SAMPLE_PER_SOURCE_SQL = """
+SELECT source, doc_id, lang, n_chars, sample_rank::INT AS sample_rank FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 1000000,
+                    doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 7
+ORDER BY source, sample_rank
+"""
+
+
 def length_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-proportional deterministic sampling: keep probability =
     min(n_tokens, 200)/200 by md5 bucket — integer-exact decisions, so
@@ -5900,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": bpe_merges_docs,
         "search_topk_docs": search_topk_docs,
         "bm25_topk_docs": bm25_topk_docs,
+        "sample_per_source_docs": sample_per_source_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6051,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs_docs": _CONTAINMENT_SQL,
         "search_topk_docs": _SEARCH_TOPK_SQL,
         "bm25_topk_docs": _BM25_TOPK_SQL,
+        "sample_per_source_docs": _SAMPLE_PER_SOURCE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -32,6 +32,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "hash_sample_by",
+    "sample_k_per_group",
     "weighted_mixture",
     "weighted_bernoulli_sample",
     "balanced_cap_sample",
@@ -124,6 +125,53 @@ def hash_sample_by(
             .otherwise(thresh)
         )
     return df.filter(b < thresh)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key: str = "doc_id",
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, deterministically:
+    the per-group min-k by ``(hash_bucket(key), key)``. The rerun-
+    stable analogue of "show me k random rows from every source" —
+    inspection samples, eval panels, per-domain spot checks.
+
+    Rate-based sampling (:func:`hash_sample_by`) can't pin an exact
+    count; a plain ``Window.partitionBy(group)`` rank would pile the
+    biggest group into one task. This is the two-stage top-k the
+    engine uses everywhere: a bounded rank per (group, input
+    partition) prunes to ``k × partitions`` survivors, then the
+    global rank runs over that small set. Output adds ``sample_rank``
+    (1..k within group)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    b = hash_bucket(key, denominator)
+    order = [F.asc("__b"), F.asc(key)]
+    local = (
+        df.withColumn("__b", b)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(group_col, "__pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
+    )
+    return (
+        local.withColumn(
+            "sample_rank",
+            F.row_number().over(Window.partitionBy(group_col).orderBy(*order)),
+        )
+        .filter(F.col("sample_rank") <= k)
+        .drop("__b")
+    )
 
 
 def weighted_bernoulli_sample(

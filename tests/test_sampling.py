@@ -232,3 +232,42 @@ def test_temperature_mixture_flattens_group_mass(spark):
     # alpha=1 keeps everything (natural proportions)
     full = temperature_mixture(df, key="doc_id", group_col="src", alpha=1.0)
     assert full.count() == 1000
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.sampling import (
+        hash_bucket,
+        sample_k_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(200)] + [(900, "tiny")],
+        "doc_id long, src string",
+    )
+    got = sample_k_per_group(df, "src", 5, key="doc_id")
+    counts = {r.src: r.n for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5, "c": 5, "tiny": 1}  # min(k, |group|)
+    # ranks are 1..k and ordered by (bucket, id) within each group
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    keys = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", hash_bucket("doc_id", 1_000_000).alias("b")).collect()
+    }
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.sample_rank)
+        assert [r.sample_rank for r in rs] == list(range(1, len(rs) + 1))
+        ordered = sorted((keys[r.doc_id], r.doc_id) for r in rs)
+        assert [d for _, d in ordered] == [r.doc_id for r in rs]
+    # deterministic under repartitioning
+    again = sample_k_per_group(df.repartition(13), "src", 5, key="doc_id")
+    assert {(r.src, r.doc_id) for r in again.collect()} == {
+        (r.src, r.doc_id) for r in rows
+    }
+    with pytest.raises(ValueError):
+        sample_k_per_group(df, "src", 0)
