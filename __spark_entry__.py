@@ -3570,6 +3570,62 @@ FROM documents
 """
 
 
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (operators/pipeline.py:corpus_diff_stats):
+    old = documents; new = documents with every 7th id removed, every
+    11th text amended, and every 13th re-added under a shifted id —
+    the counts-per-status of the delta. Each side reduces map-side to
+    (id, digest-long) before the single full-outer equi-join; text
+    never shuffles."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import corpus_diff_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new = changed.unionByName(added)
+    return corpus_diff_stats(docs, new).orderBy("status")
+
+
+_CORPUS_DIFF_SQL = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+           AS d
+  FROM documents
+), new_src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' changed' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+), new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+           AS d
+  FROM new_src
+), j AS (
+  SELECT o.d AS od, n.d AS nd
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN od IS NULL THEN 'added'
+              WHEN nd IS NULL THEN 'removed'
+              WHEN od = nd THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM j
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal AUDIO pipeline with the real stdlib codec: each
     document's bytes become a short 16-bit PCM WAV inside an Arrow
@@ -5931,6 +5987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk_docs": search_topk_docs,
         "bm25_topk_docs": bm25_topk_docs,
         "sample_per_source_docs": sample_per_source_docs,
+        "corpus_diff_docs": corpus_diff_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6083,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_docs": _SEARCH_TOPK_SQL,
         "bm25_topk_docs": _BM25_TOPK_SQL,
         "sample_per_source_docs": _SAMPLE_PER_SOURCE_SQL,
+        "corpus_diff_docs": _CORPUS_DIFF_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

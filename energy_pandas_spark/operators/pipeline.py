@@ -20,7 +20,13 @@ from energy_pandas_spark.operators.text import (
     quality_features,
 )
 
-__all__ = ["clean_corpus", "prepare_training_corpus", "corpus_report"]
+__all__ = [
+    "clean_corpus",
+    "prepare_training_corpus",
+    "corpus_report",
+    "corpus_diff",
+    "corpus_diff_stats",
+]
 
 
 def clean_corpus(
@@ -157,4 +163,57 @@ def corpus_report(
         F.round(
             F.col("total_tokens") / F.greatest(F.col("n_docs"), F.lit(1)), 6
         ).alias("avg_tokens"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: for every id in
+    either snapshot, ``status`` is ``added`` (new only), ``removed``
+    (old only), ``changed`` (both, normalized-content digests differ)
+    or ``unchanged``. The audit primitive for continuous ingest —
+    "what did this refresh actually do" — and the precondition check
+    before reprocessing only the delta.
+
+    Scale shape: each side reduces map-side to ``(id, xxhash64 of
+    normalized text)`` — two longs per row — before the single
+    full-outer equi-join on the id; the full text never shuffles.
+    Returns (id, status)."""
+    from energy_pandas_spark.functions.textfns import normalized_text
+
+    def digests(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(normalized_text(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                name
+            ),
+        )
+
+    j = digests(old, "__od").join(digests(new, "__nd"), id_col, "full_outer")
+    status = (
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_stats(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per diff status with its count — the summary view of
+    :func:`corpus_diff` (same single-join plan; the count aggregate
+    combines map-side)."""
+    return (
+        corpus_diff(old, new, text_col, id_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -865,3 +865,34 @@ def test_pq_distributed_trainer_recall(spark, sf_dir):
         (r.query_id, r.vec_id) for r in exact
     }
     assert len(overlap) / len(exact) >= 0.5
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.pipeline import corpus_diff, corpus_diff_stats
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA  "), (4, ""), (5, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # 3: normalization folds case/whitespace -> unchanged; 4: NULL and
+    # empty normalize to the same digest -> unchanged
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",
+        4: "unchanged",
+        5: "added",
+    }
+    changed = corpus_diff(
+        old, new.withColumn("text", F.concat_ws("", F.col("text"), F.lit("!")))
+    ).collect()
+    assert {r.doc_id: r.status for r in changed}[2] == "changed"
+    stats = {r.status: r.n for r in corpus_diff_stats(old, new).collect()}
+    assert stats == {"removed": 1, "unchanged": 3, "added": 1}
