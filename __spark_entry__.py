@@ -1836,6 +1836,64 @@ SELECT id AS doc_id FROM ranked WHERE rn > 1 ORDER BY doc_id
 """
 
 
+def minhash_cluster_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (operators/dedup.py:
+    minhash_cluster_stats) at jaccard >= 0.5 with 32x2 banding (miss
+    probability ~1e-4 at the 0.5 boundary — sound at this threshold,
+    unlike 16x4). Oracle = brute-force Jaccard + recursive-CTE
+    components + two grouped counts."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import minhash_cluster_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_cluster_stats(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    )
+
+
+_MINHASH_CLUSTER_STATS_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct([
+    array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)
+  ]) AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE /
+           len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, label) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.v, cc.label FROM cc JOIN sym s ON cc.id = s.u
+), comp AS (
+  SELECT id, min(label) AS component FROM cc GROUP BY id
+), szs AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+), hist AS (
+  SELECT cluster_size, count(*) AS n_clusters FROM szs GROUP BY 1
+  UNION ALL
+  SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+  WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM comp)
+)
+SELECT cluster_size::BIGINT AS cluster_size,
+       n_clusters::BIGINT AS n_clusters,
+       (cluster_size * n_clusters)::BIGINT AS n_docs
+FROM hist
+ORDER BY cluster_size
+"""
+
+
 def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subset-duplicate detection (operators/dedup.py:containment_pairs):
     |A∩B| / min(|A|,|B|) >= 0.6 over distinct 3-shingles, candidates
@@ -5988,6 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": bm25_topk_docs,
         "sample_per_source_docs": sample_per_source_docs,
         "corpus_diff_docs": corpus_diff_docs,
+        "minhash_cluster_stats_docs": minhash_cluster_stats_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6141,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _BM25_TOPK_SQL,
         "sample_per_source_docs": _SAMPLE_PER_SOURCE_SQL,
         "corpus_diff_docs": _CORPUS_DIFF_SQL,
+        "minhash_cluster_stats_docs": _MINHASH_CLUSTER_STATS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

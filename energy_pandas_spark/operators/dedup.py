@@ -48,6 +48,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "minhash_cluster_stats",
     "minhash_dedup_keep_best",
     "containment_pairs",
     "containment_dedup",
@@ -478,6 +479,49 @@ def minhash_dedup(
     clusters = dedup_clusters(pairs)
     return clusters.filter(~F.col("is_survivor")).select(
         F.col("doc_id").alias(id_col)
+    )
+
+
+def minhash_cluster_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Near-dup cluster-size histogram: (cluster_size, n_clusters,
+    n_docs) for every size, singletons included — the dedup
+    observability view ("is my corpus 2% pairwise dups or one
+    million-doc boilerplate blob?") that decides whether plain CC
+    label propagation or the large-star variant is the right dedup
+    path, and what dedup will actually delete.
+
+    Cost is the same LSH pairs + connected components as
+    :func:`minhash_dedup`; the histogram adds two vocab-sized
+    aggregates and a 1-row singleton count (total docs minus clustered
+    docs) — no extra corpus scan beyond the count."""
+    from energy_pandas_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    singletons = (
+        df.agg(F.count(F.lit(1)).alias("__t"))
+        .crossJoin(clusters.agg(F.count(F.lit(1)).alias("__c")))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("__t") - F.col("__c")).alias("n_clusters"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.unionByName(singletons)
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .orderBy("cluster_size")
     )
 
 

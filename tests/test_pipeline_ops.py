@@ -896,3 +896,24 @@ def test_corpus_diff_statuses(spark):
     assert {r.doc_id: r.status for r in changed}[2] == "changed"
     stats = {r.status: r.n for r in corpus_diff_stats(old, new).collect()}
     assert stats == {"removed": 1, "unchanged": 3, "added": 1}
+
+
+def test_minhash_cluster_stats_hand_built(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.dedup import minhash_cluster_stats
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base), (2, base), (3, base + " extra"),          # one 3-cluster
+        (4, "completely different words live in this one"),
+        (5, "completely different words live in this one"),  # one 2-cluster
+        (6, "a singleton document with its very own text body"),
+        (7, "another lonely unique document body here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in minhash_cluster_stats(df, threshold=0.5, bands=32).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
