@@ -2673,6 +2673,43 @@ ORDER BY query_id, rank
 """
 
 
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:
+    hard_negative_topk): top-5 most-similar vectors with a DIFFERENT
+    label for each of 10 query vectors — the contrastive-training
+    near-miss set. cosine_topk's exact plan plus the label-inequality
+    predicate before scoring."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negative_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+_HARD_NEGATIVES_SQL = """
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 10 AND c.label != q.label
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k — rows-only (approximate by
     design)."""
@@ -3971,6 +4008,54 @@ SELECT source, doc_id, lang, n_chars, sample_rank::INT AS sample_rank FROM (
 )
 WHERE sample_rank <= 7
 ORDER BY source, sample_rank
+"""
+
+
+def quantile_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bottom-decile gate (operators/sampling.py:
+    drop_below_group_quantile): drop every document whose n_chars is
+    strictly below its source's 10% quantile (integer-rational rank,
+    percentile_disc semantics, boundary-inclusive keep), then report
+    per-source survivor stats. The cumulative walk runs on the
+    (source, score) count table, never a per-row window."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import drop_below_group_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = drop_below_group_quantile(docs, "n_chars", "source", permille=100)
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUANTILE_GATE_SQL = """
+WITH counts AS (
+  SELECT source, n_chars, count(*) AS n FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(n) AS n_rows FROM counts GROUP BY 1
+), cum AS (
+  SELECT source, n_chars,
+         sum(n) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM counts
+), thr AS (
+  SELECT c.source, min(c.n_chars) AS threshold
+  FROM cum c JOIN tot t ON t.source = c.source
+  WHERE c.c >= (t.n_rows * 100 + 999) // 1000
+  GROUP BY 1
+)
+SELECT d.source, count(*)::BIGINT AS n_kept,
+       min(d.n_chars)::BIGINT AS min_chars,
+       sum(d.n_chars)::BIGINT AS chars_sum
+FROM documents d JOIN thr ON thr.source = d.source
+WHERE d.n_chars >= thr.threshold
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -6047,6 +6132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_source_docs": sample_per_source_docs,
         "corpus_diff_docs": corpus_diff_docs,
         "minhash_cluster_stats_docs": minhash_cluster_stats_docs,
+        "hard_negatives_topk": hard_negatives_topk,
+        "quantile_gate_docs": quantile_gate_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6201,6 +6288,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source_docs": _SAMPLE_PER_SOURCE_SQL,
         "corpus_diff_docs": _CORPUS_DIFF_SQL,
         "minhash_cluster_stats_docs": _MINHASH_CLUSTER_STATS_SQL,
+        "hard_negatives_topk": _HARD_NEGATIVES_SQL,
+        "quantile_gate_docs": _QUANTILE_GATE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

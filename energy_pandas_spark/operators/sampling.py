@@ -33,6 +33,8 @@ __all__ = [
     "hash_sample",
     "hash_sample_by",
     "sample_k_per_group",
+    "group_quantile_thresholds",
+    "drop_below_group_quantile",
     "weighted_mixture",
     "weighted_bernoulli_sample",
     "balanced_cap_sample",
@@ -172,6 +174,67 @@ def sample_k_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("__b")
     )
+
+
+def group_quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    permille: int = 100,
+) -> DataFrame:
+    """Exact per-group ``permille``/1000 quantile of an integer score
+    (percentile_disc semantics: the smallest score whose cumulative
+    count reaches ``ceil(n * permille / 1000)``), computed WITHOUT a
+    per-row window: one map-combined ``(group, score)`` count
+    aggregate, then the cumulative walk runs over that small table
+    (distinct scores per group, not rows per group). The quantile rank
+    is pure integer arithmetic — ``(n * permille + 999) div 1000`` —
+    so the threshold is engine-exact, no float quantile semantics.
+
+    Returns (by, threshold, n_rows)."""
+    if not 0 < permille <= 1000:
+        raise ValueError(f"permille must be in (0, 1000], got {permille}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(by, score_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.groupBy(by).agg(F.sum("__n").alias("n_rows"))
+    cum = counts.withColumn(
+        "__cum",
+        F.sum("__n").over(
+            Window.partitionBy(by)
+            .orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    need = F.expr(f"(n_rows * {int(permille)} + 999) div 1000")
+    return (
+        cum.join(tot, by)
+        .filter(F.col("__cum") >= need)
+        .groupBy(by, "n_rows")
+        .agg(F.min(score_col).alias("threshold"))
+        .select(by, "threshold", "n_rows")
+    )
+
+
+def drop_below_group_quantile(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    permille: int = 100,
+) -> DataFrame:
+    """Per-group quality gate: drop rows whose score is strictly BELOW
+    the group's ``permille``/1000 quantile — "cut the bottom decile of
+    every source" as one broadcast threshold join + map-side filter.
+    Boundary-inclusive: rows tied AT the threshold survive, so the
+    kept fraction is >= 1 - permille/1000 (exact-count trimming of a
+    tied boundary would need an arbitrary within-tie order; a quality
+    gate should not split ties)."""
+    thr = group_quantile_thresholds(df, score_col, by, permille).select(
+        by, "threshold"
+    )
+    return df.join(F.broadcast(thr), by, "left").filter(
+        F.col("threshold").isNull() | (F.col(score_col) >= F.col("threshold"))
+    ).drop("threshold")
 
 
 def weighted_bernoulli_sample(

@@ -30,6 +30,7 @@ from energy_pandas_spark.util import spread_partitions
 __all__ = [
     "cosine_topk",
     "cosine_topk_arrow",
+    "hard_negative_topk",
     "train_centroids",
     "train_centroids_distributed",
     "assign_cells",
@@ -69,6 +70,42 @@ def cosine_topk(
         F.col(query_id),
         F.col(corpus_id),
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+    )
+    return _topk_per_query(scored, k, query_id, corpus_id, round_digits)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the top-k most-similar corpus vectors whose label DIFFERS
+    from the query's — the near-miss negatives that make retriever /
+    embedding training actually learn boundaries (random negatives are
+    too easy).
+
+    Same plan as :func:`cosine_topk` (broadcast query set, two-stage
+    top-k) with the label-inequality predicate applied before scoring,
+    so disallowed rows never enter the candidate set. Rows with a NULL
+    label on either side are excluded (inequality is unknowable)."""
+    q = queries.select(F.col(query_id), F.col(query_vec), F.col(query_label))
+    corpus = spread_partitions(corpus)
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(corpus_label) != F.col(query_label))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_similarity(corpus_vec, query_vec).alias("__cos"),
+        )
     )
     return _topk_per_query(scored, k, query_id, corpus_id, round_digits)
 

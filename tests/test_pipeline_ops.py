@@ -917,3 +917,42 @@ def test_minhash_cluster_stats_hand_built(spark):
         for r in minhash_cluster_stats(df, threshold=0.5, bands=32).collect()
     }
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        cosine_topk,
+        hard_negative_topk,
+    )
+
+    rows = [
+        (i, [float(i % 4 == j) + 0.1 * j for j in range(4)], i % 3)
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = hard_negative_topk(corpus, q, k=4).collect()
+    labels = {r.vec_id: r.label for r in corpus.collect()}
+    for r in got:
+        assert labels[r.vec_id] != r.query_id % 3  # query i has label i%3
+    # ranks contiguous per query
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # agreement with plain cosine_topk on the allowed subset
+    allowed = corpus.filter(F.col("label") != 0)  # query 0 has label 0
+    plain = {
+        (r.vec_id, r.rank)
+        for r in cosine_topk(
+            allowed, q.filter(F.col("query_id") == 0).drop("query_label"), k=4
+        ).collect()
+    }
+    hard = {(r.vec_id, r.rank) for r in got if r.query_id == 0}
+    assert hard == plain

@@ -271,3 +271,36 @@ def test_sample_k_per_group_exact_and_stable(spark):
     }
     with pytest.raises(ValueError):
         sample_k_per_group(df, "src", 0)
+
+
+def test_group_quantile_gate_exact(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.sampling import (
+        drop_below_group_quantile,
+        group_quantile_thresholds,
+    )
+
+    # group a: scores 1..10 -> 10% quantile needs ceil(10*100/1000)=1
+    # row -> threshold 1 (nothing dropped); at permille=300 needs 3
+    # rows -> threshold 3 (drops scores 1,2)
+    rows = [(i, "a", i) for i in range(1, 11)] + [
+        (100 + i, "b", v) for i, v in enumerate([5, 5, 5, 9])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    thr = {
+        r.src: (r.threshold, r.n_rows)
+        for r in group_quantile_thresholds(df, "score", "src", permille=300).collect()
+    }
+    # b: need ceil(4*0.3)=2 rows -> cum at score 5 is 3 >= 2 -> threshold 5
+    assert thr == {"a": (3, 10), "b": (5, 4)}
+    kept = drop_below_group_quantile(df, "score", "src", permille=300)
+    got = {r.src: sorted(x.score for x in rows_) for r, rows_ in []} or {
+        s: sorted(r.score for r in kept.filter(F.col("src") == s).collect())
+        for s in ("a", "b")
+    }
+    assert got["a"] == list(range(3, 11))  # 1,2 dropped; 3 kept (boundary)
+    assert got["b"] == [5, 5, 5, 9]  # ties at threshold all survive
+    with pytest.raises(ValueError):
+        group_quantile_thresholds(df, "score", "src", permille=0)
