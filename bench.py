@@ -86,6 +86,11 @@ HEADLINE = [
     "containment_pairs_docs",
     "search_topk_docs",
     "bm25_topk_docs",
+    "sample_per_source_docs",
+    "corpus_diff_docs",
+    "minhash_cluster_stats_docs",
+    "hard_negatives_topk",
+    "quantile_gate_docs",
 ]
 
 
