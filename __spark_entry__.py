@@ -5080,6 +5080,108 @@ FROM ex ORDER BY doc_id
 """
 
 
+_BLOCKLIST_TERMS = ["dup", "slow", "the"]
+
+
+def blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist exposure (operators/text.py:blocklist_stats):
+    occurrence and distinct-term counts plus the blocked-token
+    fraction, against a small in-plan term list — one map-only codegen
+    projection, zero shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import blocklist_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_stats(docs, _BLOCKLIST_TERMS).select(
+        "doc_id", "n_blocklist_hits", "n_blocklist_terms", "blocklist_frac"
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, t -> list_contains(['dup', 'slow', 'the'], t)))
+         ::BIGINT AS n_blocklist_hits,
+       len(list_intersect(list_distinct(toks), ['dup', 'slow', 'the']))
+         ::BIGINT AS n_blocklist_terms,
+       round(len(list_filter(toks, t -> list_contains(['dup', 'slow', 'the'], t)))
+             / greatest(len(toks), 1), 6) AS blocklist_frac
+FROM tok ORDER BY doc_id
+"""
+
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/text.py:html_to_text) over
+    documents wrapped in deterministic synthetic markup (script/style
+    heads, headings, paragraph + entity footers — the corpus itself is
+    plain text, so injection makes the strip path oracle-checked).
+    One chain of codegen regex/literal replacements, zero shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var x = '<p>';</script><style>p{color:red}</style>"),
+            F.lit("</head><body><!-- hidden --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><div>tail &amp;amp; &lt;end&gt;</div></body></html>"),
+        ).alias("text"),
+    )
+    return (
+        html_to_text(wrapped)
+        .select("doc_id", "text", F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+_HTML_EXTRACT_SQL = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id::VARCHAR
+         || '</title><script>var x = ''<p>'';</script><style>p{color:red}</style>'
+         || '</head><body><!-- hidden --><h1>Doc ' || doc_id::VARCHAR
+         || '</h1><p>' || coalesce(text, '')
+         || '</p><div>tail &amp;amp; &lt;end&gt;</div></body></html>' AS h
+  FROM documents
+), stripped AS (
+  SELECT doc_id, trim(
+    regexp_replace(
+    regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(h,
+          '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+          '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|section|article|header|footer)\b[^>]*>',
+          chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\r]+', ' ', 'g'),
+      ' ?\n[ \n]*', chr(10), 'g')
+  ) AS text
+  FROM wrapped
+)
+SELECT doc_id, text, length(text)::BIGINT AS n_chars
+FROM stripped ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth pack 2: multi-join volume/share/profit, top-k join aggs,
 # correlated-average, exists/not-exists, scalar-subquery anti-join.
@@ -6134,6 +6236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cluster_stats_docs": minhash_cluster_stats_docs,
         "hard_negatives_topk": hard_negatives_topk,
         "quantile_gate_docs": quantile_gate_docs,
+        "blocklist_docs": blocklist_docs,
+        "html_extract_docs": html_extract_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6290,6 +6394,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_stats_docs": _MINHASH_CLUSTER_STATS_SQL,
         "hard_negatives_topk": _HARD_NEGATIVES_SQL,
         "quantile_gate_docs": _QUANTILE_GATE_SQL,
+        "blocklist_docs": _BLOCKLIST_SQL,
+        "html_extract_docs": _HTML_EXTRACT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

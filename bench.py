@@ -91,6 +91,8 @@ HEADLINE = [
     "minhash_cluster_stats_docs",
     "hard_negatives_topk",
     "quantile_gate_docs",
+    "blocklist_docs",
+    "html_extract_docs",
 ]
 
 

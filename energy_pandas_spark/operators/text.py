@@ -39,6 +39,9 @@ __all__ = [
     "hashed_embedding",
     "repetition_stats",
     "url_stats",
+    "blocklist_stats",
+    "blocklist_filter",
+    "html_to_text",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2115,3 +2118,106 @@ def line_digests(
         .select(F.xxhash64(F.lit("line-v1"), F.col("key")).alias("h"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist filtering (the C4 "bad words" gate) and HTML text extraction
+# ---------------------------------------------------------------------------
+
+
+def blocklist_stats(
+    df: DataFrame,
+    terms: "Sequence[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document blocklist exposure: ``n_blocklist_hits`` (token
+    OCCURRENCES matching the list), ``n_blocklist_terms`` (distinct
+    list terms present) and ``blocklist_frac`` (hits / tokens). The
+    C4-style safety/badwords signal.
+
+    Map-only codegen projection: the (lowercased) list rides as an
+    array literal inside the plan, so per-token membership is an
+    in-expression scan — right for the few-hundred-term curated lists
+    this gate uses. A list big enough to warrant a broadcast join
+    belongs in :func:`contamination_overlap` instead."""
+    lit_terms = F.lit(sorted({t.lower() for t in terms}))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    hits = F.filter(toks, lambda t: F.array_contains(lit_terms, t))
+    return df.withColumns(
+        {
+            "n_blocklist_hits": F.size(hits).cast("long"),
+            "n_blocklist_terms": F.size(
+                F.array_intersect(F.array_distinct(toks), lit_terms)
+            ).cast("long"),
+            "blocklist_frac": F.round(
+                F.size(hits)
+                / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+                6,
+            ),
+        }
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: "Sequence[str]",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop documents with more than ``max_hits`` blocklisted token
+    occurrences. ``max_hits=0`` is the C4 rule: any occurrence of any
+    list term removes the page. Same map-only projection as
+    :func:`blocklist_stats`; the helper columns do not survive."""
+    gated = blocklist_stats(df, terms, text_col).filter(
+        F.col("n_blocklist_hits") <= max_hits
+    )
+    return gated.drop("n_blocklist_hits", "n_blocklist_terms", "blocklist_frac")
+
+
+def html_to_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Lightweight HTML -> text extraction as ONE chain of codegen'd
+    regex/literal replacements — the WET-style text pass of a web
+    corpus, tag-soup tolerant, no DOM, no Python workers:
+
+    1. ``<script>``/``<style>`` elements and HTML comments vanish
+       wholesale (dotall, non-greedy, case-insensitive);
+    2. block-level closers/openers (p, div, li, tr, br, headings,
+       blockquote, section, article) become newlines so paragraph
+       structure survives;
+    3. every remaining tag becomes a space;
+    4. the common entities decode (``&lt; &gt; &quot; &#39; &nbsp;``
+       first, ``&amp;`` LAST so ``&amp;lt;`` yields the literal
+       ``&lt;`` rather than double-decoding);
+    5. horizontal whitespace collapses to single spaces, blank-ish
+       line runs collapse to one newline, and the result is trimmed.
+
+    The pattern set is shared Java-regex / RE2 syntax (no lookaround,
+    no backreferences) so a SQL oracle can replay it verbatim."""
+    out = out_col or text_col
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, r"(?is)<script\b.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t,
+        r"(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|section|article|header|footer)\b[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    t = F.trim(t)
+    return df.withColumn(out, t)

@@ -394,3 +394,53 @@ def test_id_field_passthrough(spark, tmp_path):
     }
     assert {r.uid: r.doc_id for r in got} == expect
     assert docs.count() == 5
+
+
+def test_blocklist_stats_and_filter(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.text import blocklist_filter, blocklist_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "one BAD word appears"),
+            (3, "bad bad worse bad"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r for r in blocklist_stats(df, ["bad", "WORSE"]).collect()}
+    assert (s[1].n_blocklist_hits, s[1].n_blocklist_terms) == (0, 0)
+    assert (s[2].n_blocklist_hits, s[2].n_blocklist_terms) == (1, 1)  # case-folded
+    assert (s[3].n_blocklist_hits, s[3].n_blocklist_terms) == (4, 2)
+    assert s[3].blocklist_frac == 1.0
+    assert (s[4].n_blocklist_hits, s[4].blocklist_frac) == (0, 0.0)
+    kept = {r.doc_id for r in blocklist_filter(df, ["bad", "worse"]).collect()}
+    assert kept == {1, 4}
+    lenient = {r.doc_id for r in blocklist_filter(df, ["bad"], max_hits=1).collect()}
+    assert lenient == {1, 2, 4}
+
+
+def test_html_to_text_extraction(spark):
+    from energy_pandas_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><title>T</title><script>var x = '<p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- hidden --><h1>Big News</h1>"
+        "<p>first &amp;amp; second &lt;tag&gt;</p>"
+        "<div>alpha <b>bold</b> beta</div>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "no markup")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.text for r in html_to_text(df).collect()}
+    lines = got[1].split("\n")
+    assert lines[0] == "T"
+    assert "Big News" in lines
+    assert "first &amp; second <tag>" in lines   # &amp;amp; decodes ONCE
+    assert "alpha bold beta" in lines
+    assert "one" in lines and "two" in lines
+    assert "var x" not in got[1] and "color" not in got[1] and "hidden" not in got[1]
+    assert got[2] == "" and got[3] == "no markup"
