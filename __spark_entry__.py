@@ -2622,6 +2622,95 @@ ORDER BY d.doc_id
 """
 
 
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail triage (operators/text.py:
+    perplexity_buckets): bigram LM trained on the src0 slice, each
+    language split at its 333/666 per-mille likelihood quantiles —
+    per-(lang, bucket) document counts. Integer-quantized scores +
+    integer rank thresholds keep the composition engine-exact."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import (
+        bigram_lm_train,
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_train(docs.filter(F.col("source") == "src0"))
+    return (
+        perplexity_buckets(docs, lm, by="lang")
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "bucket")
+    )
+
+
+_PERPLEXITY_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE source = 'src0'
+  GROUP BY 1, 2
+),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS v FROM lm),
+scored AS (
+  SELECT b.doc_id,
+         (coalesce(l.c12, 0) + 1)::DOUBLE
+           / (coalesce(c.c1, 0) + v.v)::DOUBLE AS p
+  FROM bg b
+  LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  LEFT JOIN c1 c ON b.w1 = c.w1
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, round(avg(p), 6) AS avg_p
+  FROM scored GROUP BY 1
+),
+q AS (
+  SELECT d.doc_id, d.lang,
+         round(coalesce(per.avg_p, 0.0) * 1000000)::BIGINT AS score_q
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+),
+counts AS (SELECT lang, score_q, count(*) AS n FROM q GROUP BY 1, 2),
+tot AS (SELECT lang, sum(n) AS n_rows FROM counts GROUP BY 1),
+cum AS (
+  SELECT lang, score_q,
+         sum(n) OVER (PARTITION BY lang ORDER BY score_q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM counts
+),
+tlow AS (
+  SELECT c.lang, min(c.score_q) AS t_low
+  FROM cum c JOIN tot t ON t.lang = c.lang
+  WHERE c.c >= (t.n_rows * 333 + 999) // 1000 GROUP BY 1
+),
+thigh AS (
+  SELECT c.lang, min(c.score_q) AS t_high
+  FROM cum c JOIN tot t ON t.lang = c.lang
+  WHERE c.c >= (t.n_rows * 666 + 999) // 1000 GROUP BY 1
+),
+lab AS (
+  SELECT q.lang,
+         CASE WHEN q.score_q >= th.t_high THEN 'head'
+              WHEN q.score_q >= tl.t_low THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM q
+  JOIN tlow tl ON tl.lang = q.lang
+  JOIN thigh th ON th.lang = q.lang
+)
+SELECT lang, bucket, count(*)::BIGINT AS n_docs
+FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -6238,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_gate_docs": quantile_gate_docs,
         "blocklist_docs": blocklist_docs,
         "html_extract_docs": html_extract_docs,
+        "perplexity_buckets_docs": perplexity_buckets_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6396,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_gate_docs": _QUANTILE_GATE_SQL,
         "blocklist_docs": _BLOCKLIST_SQL,
         "html_extract_docs": _HTML_EXTRACT_SQL,
+        "perplexity_buckets_docs": _PERPLEXITY_BUCKETS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

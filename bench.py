@@ -93,6 +93,7 @@ HEADLINE = [
     "quantile_gate_docs",
     "blocklist_docs",
     "html_extract_docs",
+    "perplexity_buckets_docs",
 ]
 
 

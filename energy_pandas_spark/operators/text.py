@@ -42,6 +42,7 @@ __all__ = [
     "blocklist_stats",
     "blocklist_filter",
     "html_to_text",
+    "perplexity_buckets",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2221,3 +2222,58 @@ def html_to_text(
     t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
     t = F.trim(t)
     return df.withColumn(out, t)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple[int, int] = (333, 666),
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing: score every
+    document against a reference bigram LM, then split each ``by``
+    group at the ``cuts`` per-mille likelihood quantiles — ``head`` =
+    most target-like third, ``tail`` = least. The standard
+    web-corpus triage (Wenzek et al., CCNet) that decides what gets
+    kept, kept-with-caution, or dropped/relabeled.
+
+    Exactness: ``avg_p`` is rounded to 6 decimals by the scorer, so
+    ``score_q = round(avg_p * 1e6)`` is an exact integer on any
+    engine, and the thresholds come from
+    :func:`~energy_pandas_spark.operators.sampling.group_quantile_thresholds`'s
+    integer rank arithmetic — no float quantile semantics anywhere.
+
+    Scale shape: the scored (id, group, score_q) projection persists
+    spill-safe because THREE consumers need it (two quantile count
+    aggregates + the final label join); the thresholds themselves are
+    group-count-sized and broadcast."""
+    from pyspark import StorageLevel
+
+    from energy_pandas_spark.operators.sampling import group_quantile_thresholds
+
+    lo, hi = cuts
+    if not 0 < lo < hi <= 1000:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi <= 1000, got {cuts}")
+    scored = bigram_lm_score(df, lm, text_col, id_col).select(
+        id_col, (F.round(F.col("avg_p") * F.lit(1000000))).cast("long").alias("score_q")
+    )
+    q = df.join(scored, id_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    t_low = group_quantile_thresholds(q, "score_q", by, permille=lo).select(
+        by, F.col("threshold").alias("__t_low")
+    )
+    t_high = group_quantile_thresholds(q, "score_q", by, permille=hi).select(
+        by, F.col("threshold").alias("__t_high")
+    )
+    return (
+        q.join(F.broadcast(t_low), by)
+        .join(F.broadcast(t_high), by)
+        .withColumn(
+            "bucket",
+            F.when(F.col("score_q") >= F.col("__t_high"), F.lit("head"))
+            .when(F.col("score_q") >= F.col("__t_low"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__t_low", "__t_high")
+    )

@@ -444,3 +444,43 @@ def test_html_to_text_extraction(spark):
     assert "one" in lines and "two" in lines
     assert "var x" not in got[1] and "color" not in got[1] and "hidden" not in got[1]
     assert got[2] == "" and got[3] == "no markup"
+
+
+def test_perplexity_buckets_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.text import (
+        bigram_lm_train,
+        perplexity_buckets,
+    )
+
+    # reference LM = repetitions of one phrase; docs range from pure
+    # target phrasing to gibberish -> likelihood separates them
+    target = [(100 + i, "the quick brown fox jumps", "en") for i in range(4)]
+    docs = spark.createDataFrame(
+        target
+        + [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brown fox sleeps", "en"),
+            (3, "quick fox the brown jumps", "en"),
+            (4, "zz yy xx ww vv", "en"),
+            (5, "aa bb cc dd ee", "en"),
+            (6, "the quick brown fox jumps", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    lm = bigram_lm_train(docs.filter(F.col("doc_id") >= 100))
+    got = perplexity_buckets(
+        docs.filter(F.col("doc_id") < 100), lm, by="lang"
+    )
+    buckets = {r.doc_id: r.bucket for r in got.collect()}
+    scores = {r.doc_id: r.score_q for r in got.collect()}
+    # exact-phrase docs must outrank gibberish
+    assert buckets[1] == "head" and buckets[6] == "head"
+    # all-unseen-bigram docs score identically (1/V per bigram) and sit
+    # at the bottom tie: same bucket, never head
+    assert buckets[4] == buckets[5] != "head"
+    assert scores[4] == scores[5]
+    assert scores[1] > scores[4]
+    # every bucket value is one of the three labels
+    assert set(buckets.values()) <= {"head", "middle", "tail"}
