@@ -3029,6 +3029,35 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def chunk_docs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width token chunking with overlap (operators/text.py:
+    chunk_fixed): 12-token windows stepping by 8 (4-token overlap) —
+    the RAG/embedding-index chunker. One generator over sequence
+    starts + 1-based array slices; zero shuffles."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import chunk_fixed
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_fixed(docs, size=12, overlap=4).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_FIXED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       (s // 8)::BIGINT AS chunk_idx,
+       array_to_string(t[s + 1 : s + 12], ' ') AS chunk_text,
+       least(12, len(t) - s)::BIGINT AS n_chunk_tokens
+FROM toks, LATERAL (SELECT unnest(range(0, len(t), 8)) AS s)
+WHERE len(t) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def chunk_docs_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py:chunk_documents):
     boundary after token w iff md5-bucket(w) % 16 == 0 — expected
@@ -6328,6 +6357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": blocklist_docs,
         "html_extract_docs": html_extract_docs,
         "perplexity_buckets_docs": perplexity_buckets_docs,
+        "chunk_docs_fixed": chunk_docs_fixed,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6487,6 +6517,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_docs": _BLOCKLIST_SQL,
         "html_extract_docs": _HTML_EXTRACT_SQL,
         "perplexity_buckets_docs": _PERPLEXITY_BUCKETS_SQL,
+        "chunk_docs_fixed": _CHUNK_FIXED_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -94,6 +94,7 @@ HEADLINE = [
     "blocklist_docs",
     "html_extract_docs",
     "perplexity_buckets_docs",
+    "chunk_docs_fixed",
 ]
 
 

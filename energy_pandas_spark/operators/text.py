@@ -43,6 +43,7 @@ __all__ = [
     "blocklist_filter",
     "html_to_text",
     "perplexity_buckets",
+    "chunk_fixed",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2276,4 +2277,47 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
         .drop("__t_low", "__t_high")
+    )
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Fixed-width token chunking with overlap — the standard RAG /
+    embedding-index chunker: chunk ``i`` covers tokens
+    ``[i*(size-overlap), i*(size-overlap)+size)``; the final chunk may
+    be short; empty documents produce no rows. (For dedup-robust
+    boundaries use :func:`chunk_documents` — CDC — instead; fixed
+    windows shift wholesale under one inserted token, which is fine
+    for retrieval chunks and wrong for chunk-level dedup.)
+
+    Output: ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: start offsets come from ``sequence``, chunks from
+    1-based ``slice`` on the materialized token array — one projection
+    + one generator, zero shuffles, no Python workers."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    step = size - overlap
+    src = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    exploded = src.select(
+        F.col(id_col), F.col("__toks"), F.explode(starts).alias("__s")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__s") / F.lit(step)).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("__toks", F.col("__s") + 1, F.lit(size)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(size), n - F.col("__s")).cast("long").alias("n_chunk_tokens"),
     )

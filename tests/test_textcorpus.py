@@ -484,3 +484,38 @@ def test_perplexity_buckets_semantics(spark):
     assert scores[1] > scores[4]
     # every bucket value is one of the three labels
     assert set(buckets.values()) <= {"head", "middle", "tail"}
+
+
+def test_chunk_fixed_overlap_semantics(spark):
+    import pytest
+
+    from energy_pandas_spark.operators.text import chunk_fixed
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_fixed(df, size=4, overlap=2).collect()
+    )
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "c d e f", 4),
+        (1, 2, "e f g h", 4),
+        (1, 3, "g h i j", 4),
+        (1, 4, "i j", 2),
+        (2, 0, "x y", 2),
+    ]
+    # reconstruction invariant at overlap=0: concatenating chunks in
+    # order restores the tokenized document
+    flat = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_fixed(df, size=3, overlap=0).collect()
+    )
+    doc1 = " ".join(t for d, i, t in flat if d == 1)
+    assert doc1 == "a b c d e f g h i j"
+    with pytest.raises(ValueError):
+        chunk_fixed(df, size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_fixed(df, size=0)
