@@ -43,17 +43,32 @@ from energy_pandas_spark.operators.joins import (
     interval_join_bucketed,
     salted_join,
 )
-from energy_pandas_spark.operators.pipeline import clean_corpus
+from energy_pandas_spark.operators.pipeline import (
+    clean_corpus,
+    corpus_diff,
+    corpus_diff_stats,
+)
+from energy_pandas_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    search_topk,
+)
 from energy_pandas_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     hash_sample_by,
     hash_split,
     weighted_mixture,
+    sample_k_per_group,
+    drop_below_group_quantile,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
 from energy_pandas_spark.operators.text import (
+    blocklist_filter,
+    chunk_fixed,
     contamination_overlap,
+    html_to_text,
+    perplexity_buckets,
     ngram_counts,
     redact_pii,
     repetition_stats,
@@ -62,7 +77,12 @@ from energy_pandas_spark.operators.text import (
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
-from energy_pandas_spark.operators.similarity import cosine_topk, ivf_topk
+from energy_pandas_spark.operators.similarity import (
+    cosine_topk,
+    hard_negative_topk,
+    ivf_topk,
+)
+from energy_pandas_spark.operators.dedup import minhash_cluster_stats
 from energy_pandas_spark.operators.windows import (
     cumulative_aggregate,
     rolling_aggregate,
@@ -94,6 +114,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "minhash_cluster_stats",
     "simhash64",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
@@ -113,8 +134,20 @@ __all__ = [
     "hash_sample",
     "hash_sample_by",
     "weighted_mixture",
+    "sample_k_per_group",
+    "drop_below_group_quantile",
     "clean_corpus",
+    "corpus_diff",
+    "corpus_diff_stats",
+    # retrieval
+    "build_postings",
+    "search_topk",
+    "bm25_topk",
     # corpus statistics / text pipeline
+    "blocklist_filter",
+    "chunk_fixed",
+    "html_to_text",
+    "perplexity_buckets",
     "term_frequencies",
     "vocabulary",
     "tfidf_top_terms",
@@ -125,6 +158,7 @@ __all__ = [
     "pack_sequences",
     # similarity
     "cosine_topk",
+    "hard_negative_topk",
     "ivf_topk",
     # windows
     "rolling_aggregate",
