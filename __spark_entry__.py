@@ -3029,6 +3029,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (operators/text.py:
+    source_vocab_overlap): distinct-term intersections + Jaccard for
+    every source pair — one vocab-sized distinct aggregate persisted
+    across its three consumers, then a term-keyed self-join."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import source_vocab_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_vocab_overlap(docs).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n_terms FROM vocab GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b,
+       sa.n_terms::BIGINT AS vocab_a,
+       sb.n_terms::BIGINT AS vocab_b,
+       s.n_shared::BIGINT AS n_shared,
+       round(s.n_shared / (sa.n_terms + sb.n_terms - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+ORDER BY source_a, source_b
+"""
+
+
 def chunk_docs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width token chunking with overlap (operators/text.py:
     chunk_fixed): 12-token windows stepping by 8 (4-token overlap) —
@@ -6358,6 +6395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": html_extract_docs,
         "perplexity_buckets_docs": perplexity_buckets_docs,
         "chunk_docs_fixed": chunk_docs_fixed,
+        "source_overlap_docs": source_overlap_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6518,6 +6556,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_docs": _HTML_EXTRACT_SQL,
         "perplexity_buckets_docs": _PERPLEXITY_BUCKETS_SQL,
         "chunk_docs_fixed": _CHUNK_FIXED_SQL,
+        "source_overlap_docs": _SOURCE_OVERLAP_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

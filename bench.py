@@ -95,6 +95,7 @@ HEADLINE = [
     "html_extract_docs",
     "perplexity_buckets_docs",
     "chunk_docs_fixed",
+    "source_overlap_docs",
 ]
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "html_to_text",
     "perplexity_buckets",
     "chunk_fixed",
+    "source_vocab_overlap",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2320,4 +2321,66 @@ def chunk_fixed(
             F.slice("__toks", F.col("__s") + 1, F.lit(size)), " "
         ).alias("chunk_text"),
         F.least(F.lit(size), n - F.col("__s")).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices: for every
+    unordered pair of ``by`` groups, the distinct-term intersection
+    size and Jaccard — the "how different are my sources really"
+    audit that informs mixture weights and dedup expectations
+    (near-identical vocabularies predict heavy cross-source dup).
+
+    Scale shape: one distinct aggregate to (group, term) — vocabulary
+    x groups sized, tiny next to the corpus — then a term-keyed
+    self-join that only pairs DIFFERENT groups, plus a per-group vocab
+    count joined twice. Per-term join fan-out is (groups sharing the
+    term)², so this is built for group counts in the hundreds (source
+    labels, languages, shards); for tens of thousands of groups,
+    sketch per-group vocabularies (minhash) instead.
+
+    Output: (source_a, source_b, vocab_a, vocab_b, n_shared, jaccard)
+    with source_a < source_b."""
+    from pyspark import StorageLevel
+
+    # the (group, term) table feeds THREE consumers (sizes + both join
+    # sides); persist the vocab-sized result or the corpus-scale
+    # explode+distinct re-runs per consumer (exchange-reuse rule)
+    vocab = (
+        df.select(F.col(by), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    sizes = vocab.groupBy(by).agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.select(F.col(by).alias("source_a"), "term")
+    b = vocab.select(F.col(by).alias("source_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(by).alias("source_a"), F.col("n_terms").alias("vocab_a"))
+    sb = sizes.select(F.col(by).alias("source_b"), F.col("n_terms").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
     )

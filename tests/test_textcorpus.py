@@ -519,3 +519,23 @@ def test_chunk_fixed_overlap_semantics(spark):
         chunk_fixed(df, size=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_fixed(df, size=0)
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from energy_pandas_spark.operators.text import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s1"),     # s1 vocab {a,b,c,d}
+            (3, "c d e", "s2"),     # s2 vocab {c,d,e}
+            (4, "x y", "s3"),       # s3 vocab {x,y} (disjoint)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r for r in source_vocab_overlap(df).collect()}
+    r = rows[("s1", "s2")]
+    assert (r.vocab_a, r.vocab_b, r.n_shared) == (4, 3, 2)
+    assert r.jaccard == round(2 / 5, 6)
+    # disjoint pairs simply do not appear (no shared terms)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
