@@ -182,7 +182,10 @@ def corpus_diff(
     Scale shape: each side reduces map-side to ``(id, xxhash64 of
     normalized text)`` — two longs per row — before the single
     full-outer equi-join on the id; the full text never shuffles.
-    Returns (id, status)."""
+    Returns (id, status). Assumes ids are unique within each snapshot
+    (the documents contract); duplicate ids would fan out the join —
+    run :func:`~energy_pandas_spark.operators.dedup.dedup_exact`
+    first if the snapshot may contain repeated ids."""
     from energy_pandas_spark.functions.textfns import normalized_text
 
     def digests(df: DataFrame, name: str) -> DataFrame:

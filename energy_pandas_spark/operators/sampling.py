@@ -190,13 +190,20 @@ def group_quantile_thresholds(
     (distinct scores per group, not rows per group). The quantile rank
     is pure integer arithmetic — ``(n * permille + 999) div 1000`` —
     so the threshold is engine-exact, no float quantile semantics.
+    NULL scores are excluded from both the count and the quantile
+    (engines disagree on where NULL sorts; an unscored row has no
+    place in a score quantile).
 
     Returns (by, threshold, n_rows)."""
     if not 0 < permille <= 1000:
         raise ValueError(f"permille must be in (0, 1000], got {permille}")
     from pyspark.sql import Window
 
-    counts = df.groupBy(by, score_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(by, score_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     tot = counts.groupBy(by).agg(F.sum("__n").alias("n_rows"))
     cum = counts.withColumn(
         "__cum",

@@ -57,8 +57,16 @@ def _stable_doc_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     looks like that, dedup it at the source or use ``id_field``."""
     from pyspark.sql import Window
 
+    # the hash spreads the shuffle; the text column itself is ALSO a
+    # partition key so a 64-bit hash collision between two different
+    # texts cannot merge their occ rankings (at 1e12 lines, birthday
+    # collisions are expected, and a merged ranking would let a
+    # split-plan change swap occ between the two texts — breaking the
+    # invariance this tier exists to provide)
     occ = F.row_number().over(
-        Window.partitionBy("source", F.xxhash64(text_col)).orderBy("__pos")
+        Window.partitionBy(
+            "source", F.xxhash64(text_col), F.col(text_col)
+        ).orderBy("__pos")
     )
     return docs.withColumn(
         "__id", F.xxhash64("source", text_col, occ.cast("long"))

@@ -304,3 +304,16 @@ def test_group_quantile_gate_exact(spark):
     assert got["b"] == [5, 5, 5, 9]  # ties at threshold all survive
     with pytest.raises(ValueError):
         group_quantile_thresholds(df, "score", "src", permille=0)
+    # NULL scores are excluded from count and quantile, and gated out
+    withnull = df.union(
+        spark.createDataFrame([(999, "a", None)], "doc_id long, src string, score long")
+    )
+    thr2 = {
+        r.src: (r.threshold, r.n_rows)
+        for r in group_quantile_thresholds(withnull, "score", "src", permille=300).collect()
+    }
+    assert thr2 == thr
+    assert 999 not in {
+        r.doc_id
+        for r in drop_below_group_quantile(withnull, "score", "src", permille=300).collect()
+    }
