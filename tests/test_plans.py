@@ -374,3 +374,71 @@ class TestRound3SecondWavePlans:
         df = entrymod.curate_corpus_docs(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 3
+
+
+class TestFourthWavePlans:
+    def test_blocklist_and_html_zero_shuffle(self, spark, sf_dir):
+        from energy_pandas_spark.operators.text import blocklist_stats, html_to_text
+        from energy_pandas_spark.plans import codegen_stage_count, exchange_count
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert exchange_count(blocklist_stats(docs, ["dup", "slow"])) == 0
+        assert exchange_count(html_to_text(docs)) == 0
+        assert codegen_stage_count(html_to_text(docs)) >= 1
+
+    def test_chunk_fixed_zero_shuffle(self, spark, sf_dir):
+        from energy_pandas_spark.operators.text import chunk_fixed
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert exchange_count(chunk_fixed(docs, size=16, overlap=4)) == 0
+
+    def test_search_topk_shares_postings_and_broadcasts(self, spark, sf_dir):
+        # postings persist across the df-aggregate and scoring consumers
+        # (no second corpus scan) and every dimension join broadcasts
+        df = entrymod.search_topk_docs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2
+        # live scans: postings build + the N-count (the cached relation's
+        # description repeats its build scan, hence <= 3 occurrences);
+        # the N-count scan reads ZERO columns (metadata-count shape)
+        assert plan.count("Scan parquet") <= 3
+        assert "ReadSchema: struct<>" in plan
+        from energy_pandas_spark.plans import broadcast_join_count
+
+        assert broadcast_join_count(df) >= 3  # terms, qterms, idf
+        # the two-stage top-k compiles to rank pushdown, never a global sort
+        assert "WindowGroupLimit" in plan
+        from energy_pandas_spark.plans.explain import single_partition_exchanges
+
+        assert single_partition_exchanges(df) <= 1  # only the 1-row N agg
+
+    def test_quantile_gate_broadcasts_thresholds(self, spark, sf_dir):
+        df = entrymod.quantile_gate_docs(spark, sf_dir)
+        from energy_pandas_spark.plans import broadcast_join_count
+
+        assert broadcast_join_count(df) >= 1
+        # the per-row corpus is never globally sorted: the walk runs on
+        # the (group, score) count table
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" not in plan  # no top-k needed at all
+
+    def test_sample_per_group_two_stage(self, spark, sf_dir):
+        df = entrymod.sample_per_source_docs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # local bounded rank + global rank both push the k-limit down
+        assert plan.count("WindowGroupLimit") >= 2
+
+    def test_corpus_diff_ships_longs_only(self, spark, sf_dir):
+        from energy_pandas_spark.operators.pipeline import corpus_diff
+        from energy_pandas_spark.plans import read_schemas
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        df = corpus_diff(docs, docs.limit(100))
+        # each side's scan reads only (doc_id, text): digests compute at
+        # the scan, so columns like lang/source never load
+        for cols in read_schemas(df):
+            assert set(cols) <= {"doc_id", "text"}
