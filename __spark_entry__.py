@@ -2005,6 +2005,59 @@ ORDER BY query_id, rank
 """
 
 
+def search_all_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval (search_topk(require_all=True)): only
+    documents containing EVERY query term rank; the matched-term count
+    rides the scoring aggregate, so AND costs no extra shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.retrieval import query_terms, search_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = query_terms(spark, _SEARCH_QUERIES)
+    return search_topk(docs, q, k=10, require_all=True).orderBy(
+        "query_id", "rank"
+    )
+
+
+_SEARCH_ALL_SQL = rf"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM rtok GROUP BY 1, 2
+), q(query_id, term, qtf) AS (
+  VALUES {_SEARCH_QUERY_VALUES}
+), need AS (
+  SELECT query_id, count(*) AS need FROM q GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(p.tf * q.qtf * ((n.n_docs * 1024) // d.df))::BIGINT AS score_q,
+         count(*) AS nt
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN dfreq d ON d.term = p.term
+  CROSS JOIN n
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT s.query_id, s.doc_id, s.score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id ORDER BY s.score_q DESC, s.doc_id
+         ) AS rank
+  FROM scored s JOIN need ON need.query_id = s.query_id
+  WHERE s.nt = need.need
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_q, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (operators/retrieval.py:bm25_topk),
     k1=1.2 b=0.75. Per-term contributions quantize to BIGINT 1/1024
@@ -6396,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_docs": perplexity_buckets_docs,
         "chunk_docs_fixed": chunk_docs_fixed,
         "source_overlap_docs": source_overlap_docs,
+        "search_all_terms_docs": search_all_terms_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6557,6 +6611,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets_docs": _PERPLEXITY_BUCKETS_SQL,
         "chunk_docs_fixed": _CHUNK_FIXED_SQL,
         "source_overlap_docs": _SOURCE_OVERLAP_SQL,
+        "search_all_terms_docs": _SEARCH_ALL_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

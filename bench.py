@@ -96,6 +96,7 @@ HEADLINE = [
     "perplexity_buckets_docs",
     "chunk_docs_fixed",
     "source_overlap_docs",
+    "search_all_terms_docs",
 ]
 
 

@@ -56,6 +56,7 @@ __all__ = [
     "search_topk",
     "bm25_topk",
     "write_postings_index",
+    "append_postings_index",
     "search_index",
 ]
 
@@ -124,14 +125,18 @@ def search_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """Exact quantized-TF-IDF top-k retrieval.
 
     Score = sum over matched terms of ``tf * qtf * idf_q`` with
     ``idf_q = (N * 1024) div df`` — all-BIGINT, order-free, engine
     -portable (integer division on positive longs is exact
-    everywhere). Returns (query_id, doc_id, score_q, rank), rank
-    1..k per query by (score desc, doc_id asc)."""
+    everywhere). ``require_all=True`` switches from OR to boolean-AND
+    semantics: only documents containing EVERY query term rank (the
+    matched-term count rides the same aggregate — no extra shuffle).
+    Returns (query_id, doc_id, score_q, rank), rank 1..k per query by
+    (score desc, doc_id asc)."""
     stats, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -142,9 +147,18 @@ def search_topk(
         .join(F.broadcast(idf), "term")
         .groupBy("query_id", id_col)
         .agg(
-            F.sum(F.col("tf") * F.col("qtf") * F.col("idf_q")).alias("__score")
+            F.sum(F.col("tf") * F.col("qtf") * F.col("idf_q")).alias("__score"),
+            F.count(F.lit(1)).alias("__nt"),
         )
     )
+    if require_all:
+        need = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("__need"))
+        scored = (
+            scored.join(F.broadcast(need), "query_id")
+            .filter(F.col("__nt") == F.col("__need"))
+            .drop("__need")
+        )
+    scored = scored.drop("__nt")
     return _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
 
 
@@ -244,6 +258,32 @@ def write_postings_index(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = postings.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+    )
+
+
+def append_postings_index(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> DataFrame:
+    """Append a new batch's postings into an existing bucketed index
+    WITHOUT rebuilding: rows land in the same term-hash partition
+    directories (dynamic append), so `search_index`'s partition
+    pruning keeps working and ingest cost is proportional to the new
+    batch. Callers own not re-appending the same docs (postings are
+    keyed facts, not upserts — the IVF-append contract).
+
+    Returns the refreshed per-bucket manifest."""
+    bucketed = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(path)
     spark = postings.sparkSession
     return (
         spark.read.parquet(path)

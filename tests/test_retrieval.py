@@ -168,3 +168,56 @@ def test_search_handles_no_hit_and_null_text(spark):
     rows = search_topk(docs, q, k=3).collect()
     assert {r.query_id for r in rows} == {1}  # no-hit query returns nothing
     assert all(r.doc_id != 9 for r in rows)
+
+
+def test_search_require_all_and_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.retrieval import query_terms, search_topk
+
+    docs = _docs(spark)
+    q = query_terms(spark, {0: "hash join"})
+    any_hits = {r.doc_id for r in search_topk(docs, q, k=10).collect()}
+    all_hits = {r.doc_id for r in search_topk(docs, q, k=10, require_all=True).collect()}
+    # doc 1 has both terms; docs 2 (join only) and 3 (hash only) match OR not AND
+    assert 1 in all_hits and all_hits < any_hits
+    assert {2, 3} <= any_hits and not {2, 3} & all_hits
+    # AND scores equal the OR scores for surviving docs
+    or_scores = {r.doc_id: r.score_q for r in search_topk(docs, q, k=10).collect()}
+    for r in search_topk(docs, q, k=10, require_all=True).collect():
+        assert or_scores[r.doc_id] == r.score_q
+
+
+def test_append_postings_index_matches_rebuild(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.retrieval import (
+        append_postings_index,
+        build_postings,
+        query_terms,
+        search_index,
+        write_postings_index,
+    )
+
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") <= 3)
+    rest = docs.filter(F.col("doc_id") > 3)
+    inc = str(tmp_path / "inc")
+    write_postings_index(build_postings(first), inc, n_buckets=16)
+    manifest = append_postings_index(build_postings(rest), inc, n_buckets=16)
+
+    full = str(tmp_path / "full")
+    write_postings_index(build_postings(docs), full, n_buckets=16)
+    q = query_terms(spark, {0: "hash join", 1: "sort window"})
+    got_inc = {
+        (r.query_id, r.doc_id, r.score_q, r.rank)
+        for r in search_index(spark, inc, docs, q, k=4, n_buckets=16).collect()
+    }
+    got_full = {
+        (r.query_id, r.doc_id, r.score_q, r.rank)
+        for r in search_index(spark, full, docs, q, k=4, n_buckets=16).collect()
+    }
+    assert got_inc == got_full
+    assert manifest.agg(F.sum("n_postings")).collect()[0][0] == len(
+        {(d, t) for d, t in _py_postings()}
+    )
