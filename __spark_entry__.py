@@ -2815,6 +2815,30 @@ ORDER BY query_id, rank
 """
 
 
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (operators/similarity.py:
+    embedding_dim_stats): posexplode + ONE map-combined aggregate on
+    the dimension index — whitening/drift/dead-dimension audit."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+_EMB_DIM_STATS_SQL = """
+SELECT (i - 1)::INT AS dim,
+       round(avg(v), 6) AS mean,
+       round(sqrt(var_pop(v)), 6) AS std,
+       count(*)::BIGINT AS n
+FROM (
+  SELECT embedding[i]::DOUBLE AS v, i
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py:
     hard_negative_topk): top-5 most-similar vectors with a DIFFERENT
@@ -6450,6 +6474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_fixed": chunk_docs_fixed,
         "source_overlap_docs": source_overlap_docs,
         "search_all_terms_docs": search_all_terms_docs,
+        "embedding_dim_stats_q": embedding_dim_stats_q,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6612,6 +6637,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs_fixed": _CHUNK_FIXED_SQL,
         "source_overlap_docs": _SOURCE_OVERLAP_SQL,
         "search_all_terms_docs": _SEARCH_ALL_SQL,
+        "embedding_dim_stats_q": _EMB_DIM_STATS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

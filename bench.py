@@ -97,6 +97,7 @@ HEADLINE = [
     "chunk_docs_fixed",
     "source_overlap_docs",
     "search_all_terms_docs",
+    "embedding_dim_stats_q",
 ]
 
 

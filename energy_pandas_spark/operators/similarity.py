@@ -31,6 +31,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_arrow",
     "hard_negative_topk",
+    "embedding_dim_stats",
+    "whiten_embeddings",
     "train_centroids",
     "train_centroids_distributed",
     "assign_cells",
@@ -900,3 +902,62 @@ def ivfpq_search(
         cosine_similarity(corpus_vec, query_vec).alias("__cos"),
     )
     return _global_topk(rescored, k, query_id, corpus_id)
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension mean and standard deviation of an embedding
+    column — the statistics behind whitening, drift monitoring, and
+    dead-dimension detection.
+
+    Scale shape: posexplode to (dim, value) rows, then ONE
+    map-combined aggregate keyed on the dimension index — the shuffle
+    carries ``dims x partitions`` partial rows, never the vectors.
+    Returns (dim, mean, std, n) ordered by dim; ``std`` is the
+    population (sqrt of ``var_pop``) value."""
+    vals = df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.round(F.avg("__v"), 6).alias("mean"),
+            F.round(F.sqrt(F.var_pop("__v")), 6).alias("std"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dim")
+    )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    stats: DataFrame | None = None,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening):
+    ``(x - mean) / max(std, eps)`` for every dimension — the cheap
+    whitening that repairs anisotropic embedding spaces before
+    IVF/PQ training (dominant dimensions stop owning every centroid).
+
+    The per-dimension stats collapse to two broadcastable arrays (one
+    driver collect of ``dims`` rows), so the transform itself is a
+    map-only ``zip_with`` over in-plan literals — zero shuffles on the
+    corpus path."""
+    out = out_col or vec_col
+    if stats is None:
+        stats = embedding_dim_stats(df, vec_col)
+    rows = sorted(
+        ((r.dim, r.mean, r.std) for r in stats.collect()), key=lambda t: t[0]
+    )
+    if not rows:
+        return df.withColumn(out, F.col(vec_col))
+    means = F.lit([float(m) for _, m, _ in rows])
+    scales = F.lit([1.0 / max(float(s), eps) for _, _, s in rows])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
+    )
+    return df.withColumn(
+        out, F.zip_with(centered, scales, lambda x, s: x * s)
+    )

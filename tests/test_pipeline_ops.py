@@ -956,3 +956,35 @@ def test_hard_negative_topk_excludes_same_label(spark):
     }
     hard = {(r.vec_id, r.rank) for r in got if r.query_id == 0}
     assert hard == plain
+
+
+def test_whiten_embeddings_standardizes(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.similarity import (
+        embedding_dim_stats,
+        whiten_embeddings,
+    )
+
+    # dim 0 dominates (scale 100), dim 1 has an offset, dim 2 is dead
+    rows = [(i, [100.0 * i, 5.0 + 0.1 * i, 7.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert set(stats) == {0, 1, 2}
+    assert stats[2].std == 0.0  # dead dimension detected
+    assert stats[1].mean == round(5.0 + 0.1 * (19 / 2), 6)
+
+    white = whiten_embeddings(df)
+    import numpy as np
+
+    X = np.array([r.embedding for r in white.orderBy("vec_id").collect()])
+    # live dims standardize to mean ~0, population std ~1
+    for d in (0, 1):
+        assert abs(X[:, d].mean()) < 1e-6
+        assert abs(X[:, d].std() - 1.0) < 1e-3
+    # dead dim centers to 0 without dividing by zero
+    assert np.allclose(X[:, 2], 0.0)
+    # idempotent shape: output column replaces the input by default
+    assert white.columns == df.columns
