@@ -3143,6 +3143,43 @@ ORDER BY source_a, source_b
 """
 
 
+def vocab_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary (operators/text.py:
+    vocabulary_by_group): (lang, term, doc_freq, total_count, rank) by
+    (doc_freq desc, term asc) — integer sort keys, two-stage per-group
+    top-k."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import vocabulary_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_by_group(docs, by="lang", top=10).orderBy("lang", "rank")
+
+
+_VOCAB_BY_LANG_SQL = r"""
+WITH tf AS (
+  SELECT lang, doc_id, term, count(*) AS tf FROM (
+    SELECT lang, doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY 1, 2, 3
+), terms AS (
+  SELECT lang, term, count(*) AS doc_freq, sum(tf) AS total_count
+  FROM tf GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, term, doc_freq, total_count,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY doc_freq DESC, term ASC
+         ) AS rank
+  FROM terms
+)
+SELECT lang, term, doc_freq::BIGINT AS doc_freq,
+       total_count::BIGINT AS total_count, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 def chunk_docs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width token chunking with overlap (operators/text.py:
     chunk_fixed): 12-token windows stepping by 8 (4-token overlap) —
@@ -6475,6 +6512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_docs": source_overlap_docs,
         "search_all_terms_docs": search_all_terms_docs,
         "embedding_dim_stats_q": embedding_dim_stats_q,
+        "vocab_by_lang_docs": vocab_by_lang_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6638,6 +6676,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_docs": _SOURCE_OVERLAP_SQL,
         "search_all_terms_docs": _SEARCH_ALL_SQL,
         "embedding_dim_stats_q": _EMB_DIM_STATS_SQL,
+        "vocab_by_lang_docs": _VOCAB_BY_LANG_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

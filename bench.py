@@ -98,6 +98,7 @@ HEADLINE = [
     "source_overlap_docs",
     "search_all_terms_docs",
     "embedding_dim_stats_q",
+    "vocab_by_lang_docs",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "perplexity_buckets",
     "chunk_fixed",
     "source_vocab_overlap",
+    "vocabulary_by_group",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2383,4 +2384,50 @@ def source_vocab_overlap(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def vocabulary_by_group(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+) -> DataFrame:
+    """Per-group top-``top`` vocabulary by (document frequency desc,
+    term asc) — the per-source/per-language twin of :func:`vocabulary`
+    ("what does each slice talk about"). Integer sort keys keep the
+    ranking bit-reproducible.
+
+    Scale shape: one (group, doc, term) map-combined aggregate, one
+    (group, term) rollup, then the engine's two-stage top-k per group
+    (bounded per-partition rank, global rank over k x partitions
+    survivors) — a giant group never lands in one window task."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(by), F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"))
+        .groupBy(by, id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = tf.groupBy(by, "term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_count"),
+    )
+    order = [F.desc("doc_freq"), F.asc("term")]
+    local = (
+        terms.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(Window.partitionBy(by, "__pid").orderBy(*order)),
+        )
+        .filter(F.col("__lr") <= top)
+        .drop("__lr", "__pid")
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(Window.partitionBy(by).orderBy(*order))
+        )
+        .filter(F.col("rank") <= top)
+        .select(by, "term", "doc_freq", "total_count", "rank")
     )
