@@ -426,3 +426,77 @@ def test_webdataset_roundtrip_property(spark, tmp_path_factory, n, n_shards, pay
     for i in range(n):
         assert back[i].text == f"text {i}"
         assert bytes(back[i].blob) == bytes(payload) + bytes([i])
+
+
+@given(
+    old_texts=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=12), min_size=0, max_size=10
+    ),
+    new_texts=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=12), min_size=0, max_size=10
+    ),
+)
+@settings(**_SETTINGS)
+def test_corpus_diff_matches_python(spark, old_texts, new_texts):
+    """corpus_diff == a dict-based recomputation with the same
+    normalization, on arbitrary (possibly overlapping) id spaces."""
+    import re
+
+    from energy_pandas_spark.operators.pipeline import corpus_diff
+
+    old = [(i, t) for i, t in enumerate(old_texts)]
+    new = [(i + len(old_texts) // 2, t) for i, t in enumerate(new_texts)]
+    schema = "doc_id long, text string"
+    got = {
+        r.doc_id: r.status
+        for r in corpus_diff(
+            spark.createDataFrame(old, schema), spark.createDataFrame(new, schema)
+        ).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+    od, nd = dict(old), dict(new)
+    expect = {}
+    for i in set(od) | set(nd):
+        if i not in od:
+            expect[i] = "added"
+        elif i not in nd:
+            expect[i] = "removed"
+        elif norm(od[i]) == norm(nd[i]):
+            expect[i] = "unchanged"
+        else:
+            expect[i] = "changed"
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    size=st.integers(min_value=1, max_value=6),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_chunk_fixed_matches_python(spark, texts, size, overlap):
+    """chunk_fixed == a pure-Python sliding window for ANY size/overlap
+    combination (overlap clamped below size)."""
+    from energy_pandas_spark.operators.text import chunk_fixed
+
+    overlap = min(overlap, size - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_fixed(df, size=size, overlap=overlap).collect()
+    )
+    step = size - overlap
+    expect = []
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        for ci, s in enumerate(range(0, len(toks), step)):
+            window = toks[s : s + size]
+            expect.append((i, ci, " ".join(window), len(window)))
+    assert got == sorted(expect)
