@@ -539,3 +539,26 @@ def test_source_vocab_overlap_hand_computed(spark):
     assert r.jaccard == round(2 / 5, 6)
     # disjoint pairs simply do not appear (no shared terms)
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_vocabulary_by_group_hand_computed(spark):
+    from energy_pandas_spark.operators.text import vocabulary_by_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "z z z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(
+        (r.source, r.rank, r.term, r.doc_freq, r.total_count)
+        for r in vocabulary_by_group(df, top=2).collect()
+    )
+    # s1: a in 2 docs (3 occurrences), b/c tie at df=1 -> 'b' wins by term asc
+    assert got == [
+        ("s1", 1, "a", 2, 3),
+        ("s1", 2, "b", 1, 1),
+        ("s2", 1, "z", 1, 3),
+    ]
