@@ -3990,6 +3990,60 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def distribution_shift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift (operators/pipeline.py:distribution_shift)
+    between the documents length distribution and a synthetic refresh
+    (every 3rd doc lengthened, every 7th removed). Integer cumulative
+    counts + correctly-rounded IEEE division make the statistic
+    bit-identical across engines; the cumulative walk runs over the
+    distinct-value count table."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import distribution_shift
+
+    docs = _t(spark, sf_dir, "documents")
+    newer = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 40).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return distribution_shift(docs, newer, "n_chars")
+
+
+_DISTRIBUTION_SHIFT_SQL = """
+WITH o AS (
+  SELECT n_chars AS v, count(*) AS ca FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1
+), nn AS (
+  SELECT v, count(*) AS cb FROM (
+    SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 40 ELSE n_chars END AS v
+    FROM documents WHERE doc_id % 7 != 0
+  ) WHERE v IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT coalesce(o.v, nn.v) AS v,
+         coalesce(o.ca, 0) AS ca, coalesce(nn.cb, 0) AS cb
+  FROM o FULL JOIN nn ON o.v = nn.v
+), t AS (
+  SELECT sum(ca) AS n_old, sum(cb) AS n_new FROM m
+), c AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM m
+), g AS (
+  SELECT v, abs(cuma / greatest(t.n_old, 1)
+                - cumb / greatest(t.n_new, 1)) AS gap
+  FROM c CROSS JOIN t
+)
+SELECT round((SELECT max(gap) FROM g), 6) AS ks_stat,
+       (SELECT v FROM g ORDER BY gap DESC, v ASC LIMIT 1) AS at_value,
+       t.n_old::BIGINT AS n_old, t.n_new::BIGINT AS n_new
+FROM t
+"""
+
+
 def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal AUDIO pipeline with the real stdlib codec: each
     document's bytes become a short 16-bit PCM WAV inside an Arrow
@@ -6513,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_all_terms_docs": search_all_terms_docs,
         "embedding_dim_stats_q": embedding_dim_stats_q,
         "vocab_by_lang_docs": vocab_by_lang_docs,
+        "distribution_shift_docs": distribution_shift_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6677,6 +6732,7 @@ def oracle_sql() -> dict[str, str]:
         "search_all_terms_docs": _SEARCH_ALL_SQL,
         "embedding_dim_stats_q": _EMB_DIM_STATS_SQL,
         "vocab_by_lang_docs": _VOCAB_BY_LANG_SQL,
+        "distribution_shift_docs": _DISTRIBUTION_SHIFT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

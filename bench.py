@@ -99,6 +99,7 @@ HEADLINE = [
     "search_all_terms_docs",
     "embedding_dim_stats_q",
     "vocab_by_lang_docs",
+    "distribution_shift_docs",
 ]
 
 

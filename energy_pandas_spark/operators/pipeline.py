@@ -26,6 +26,7 @@ __all__ = [
     "corpus_report",
     "corpus_diff",
     "corpus_diff_stats",
+    "distribution_shift",
 ]
 
 
@@ -219,4 +220,75 @@ def corpus_diff_stats(
         corpus_diff(old, new, text_col, id_col)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def distribution_shift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``col``
+    distributions of two corpus snapshots — the drift alarm for a
+    refresh ("did this crawl change the length/quality profile"), the
+    numeric companion to :func:`corpus_diff`'s row accounting.
+
+    Exactness: cumulative counts are integers and the final
+    ``|cum_a/n_a - cum_b/n_b|`` uses only correctly-rounded IEEE
+    division/subtraction on them, so the statistic is bit-identical on
+    any engine — no approximation, no sampling.
+
+    Scale shape: one map-combined count aggregate per side keyed on
+    the value, a full-outer merge of the two (value, count) tables,
+    then the cumulative walk as a window over DISTINCT VALUES (the
+    count-table, never per-row — the same shape as the quantile
+    thresholds). NULL values are excluded (they have no place on the
+    CDF). Returns one row: (ks_stat, at_value, n_old, n_new)."""
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("__v"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = side(old, "__ca").join(side(new, "__cb"), "__v", "full_outer").select(
+        "__v",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the cumulative window runs over the distinct-value table; its
+    # single-partition sort is value-cardinality sized, not corpus
+    # sized (document the bound: for high-cardinality float columns,
+    # quantize first)
+    cdf = merged.select(
+        "__v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = merged.agg(
+        F.sum("__ca").alias("n_old"), F.sum("__cb").alias("n_new")
+    )
+    # greatest(n, 1): an empty side degenerates to "everything
+    # drifted" (ks -> 1) instead of division-by-zero infinities
+    gap = F.abs(
+        F.col("__cuma") / F.greatest(F.col("n_old"), F.lit(1))
+        - F.col("__cumb") / F.greatest(F.col("n_new"), F.lit(1))
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .select("__v", gap.alias("__gap"), "n_old", "n_new")
+        .groupBy("n_old", "n_new")
+        .agg(
+            F.max("__gap").alias("ks_stat"),
+            F.min_by("__v", F.struct((-F.col("__gap")).alias("g"), F.col("__v").alias("v"))).alias("at_value"),
+        )
+        .select(
+            F.round("ks_stat", 6).alias("ks_stat"),
+            "at_value",
+            "n_old",
+            "n_new",
+        )
     )

@@ -988,3 +988,32 @@ def test_whiten_embeddings_standardizes(spark):
     assert np.allclose(X[:, 2], 0.0)
     # idempotent shape: output column replaces the input by default
     assert white.columns == df.columns
+
+
+def test_distribution_shift_ks(spark):
+    from energy_pandas_spark.operators.pipeline import distribution_shift
+
+    old = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 1, 2, 3, 4])], "doc_id long, x long"
+    )
+    # identical distribution -> ks = 0
+    same = distribution_shift(old, old, "x").collect()[0]
+    assert same.ks_stat == 0.0 and same.n_old == same.n_new == 5
+    # fully shifted -> ks = 1, attained at the old support's top
+    new = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 11, 12])], "doc_id long, x long"
+    )
+    far = distribution_shift(old, new, "x").collect()[0]
+    assert far.ks_stat == 1.0 and far.at_value == 4
+    # hand-computed partial shift: old {1,1,2,3,4}, new {2,3,4,4,5}
+    new2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([2, 3, 4, 4, 5])], "doc_id long, x long"
+    )
+    mid = distribution_shift(old, new2, "x").collect()[0]
+    # cdfs at v=1: .4 vs 0 -> gap .4 (the max)
+    assert mid.ks_stat == 0.4 and mid.at_value == 1
+    # NULLs are excluded
+    withnull = old.union(
+        spark.createDataFrame([(9, None)], "doc_id long, x long")
+    )
+    assert distribution_shift(withnull, old, "x").collect()[0].ks_stat == 0.0
