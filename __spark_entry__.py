@@ -3990,6 +3990,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def exact_substring_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr scrubbing (operators/text.py:exact_substring_dedup):
+    duplicated 8-token spans keep only their globally-first occurrence;
+    later occurrences are CUT and documents rebuilt from surviving
+    tokens — passage removal, not document dropping. All shuffles ship
+    longs; the rebuild is an (id, pos)-keyed anti-join."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=8).select(
+        "doc_id", "text", "n_tokens_before", "n_tokens_removed"
+    ).orderBy("doc_id")
+
+
+_EXACT_SUBSTRING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT
+           AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i)
+), marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM spans
+), covered AS (
+  SELECT DISTINCT doc_id, pos + j AS ti
+  FROM marked, LATERAL (SELECT unnest(range(0, 8)) AS j)
+  WHERE c >= 2 AND rn > 1
+), tokrows AS (
+  SELECT doc_id, i AS ti, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+), kept AS (
+  SELECT tr.doc_id, tr.ti, tr.tok
+  FROM tokrows tr LEFT JOIN covered cv
+    ON cv.doc_id = tr.doc_id AND cv.ti = tr.ti
+  WHERE cv.ti IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_out,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(r.text_out, '') AS text,
+       coalesce(len(tk.t), 0)::BIGINT AS n_tokens_before,
+       (coalesce(len(tk.t), 0) - coalesce(r.n_kept, 0))::BIGINT
+         AS n_tokens_removed
+FROM documents d
+JOIN toks tk ON tk.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def distribution_shift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift (operators/pipeline.py:distribution_shift)
     between the documents length distribution and a synthetic refresh
@@ -6568,6 +6628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats_q": embedding_dim_stats_q,
         "vocab_by_lang_docs": vocab_by_lang_docs,
         "distribution_shift_docs": distribution_shift_docs,
+        "exact_substring_scrub_docs": exact_substring_scrub_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6733,6 +6794,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats_q": _EMB_DIM_STATS_SQL,
         "vocab_by_lang_docs": _VOCAB_BY_LANG_SQL,
         "distribution_shift_docs": _DISTRIBUTION_SHIFT_SQL,
+        "exact_substring_scrub_docs": _EXACT_SUBSTRING_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

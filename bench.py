@@ -100,6 +100,7 @@ HEADLINE = [
     "embedding_dim_stats_q",
     "vocab_by_lang_docs",
     "distribution_shift_docs",
+    "exact_substring_scrub_docs",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "chunk_fixed",
     "source_vocab_overlap",
     "vocabulary_by_group",
+    "exact_substring_dedup",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2430,4 +2431,132 @@ def vocabulary_by_group(
         )
         .filter(F.col("rank") <= top)
         .select(by, "term", "doc_freq", "total_count", "rank")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style scrubbing (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): every k-token
+    span whose content occurs ``min_count``+ times anywhere in the
+    corpus keeps only its GLOBALLY FIRST occurrence (smallest
+    ``(id, pos)``); every other occurrence's k token positions are cut
+    from their documents, and each document's text is rebuilt from the
+    surviving tokens. This REMOVES duplicated passages in place — the
+    scrub the paper ships — where :func:`span_dup_stats` /
+    :func:`span_dedup_filter` only score or drop whole documents.
+
+    Token-granular by design: rebuilt text is the space-joined
+    surviving tokens (original whitespace is not preserved — the
+    training-corpus contract, same as the paper's token-stream cuts).
+    Docs shorter than ``k`` tokens pass through verbatim (tokenized).
+
+    Scale shape — every shuffle ships longs, never span strings:
+    (1) winner-per-span is a map-combined aggregate on the span HASH
+    carrying a lexicographic (id, pos) struct min (the line_dedup
+    recipe — safe for full-range 64-bit content-addressed ids);
+    (2) dropped occurrences explode to (id, covered-position) longs,
+    deduplicated by key; (3) the rebuild is an (id, pos)-keyed
+    ANTI-JOIN of exploded token rows against covered positions, then a
+    per-document ``array_sort`` re-assembly — no per-token linear
+    scans over covered sets, so a fully-boilerplate document costs
+    O(n log n), not O(n²). The hashed span rows and token arrays each
+    feed two consumers and persist spill-safe (exchange-reuse rule).
+
+    Returns the input rows with ``text`` rebuilt plus
+    ``n_tokens_before`` / ``n_tokens_removed``."""
+    from pyspark import StorageLevel
+
+    from energy_pandas_spark.util import spread_partitions
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = (
+        spread_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    m = F.size("__toks")
+    spanh = F.when(
+        m >= k,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("__toks", i, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = (
+        toks.select(F.col(id_col), F.posexplode(spanh).alias("__p0", "__h"))
+        .select(
+            F.col(id_col), (F.col("__p0") + 1).alias("pos"), F.col("__h")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    agg = occ.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).cast("long").alias("i"), F.col("pos").alias("p"))
+        ).alias("win"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    dropped = (
+        occ.join(agg, "__h")
+        .filter(
+            (F.col("__c") >= min_count)
+            & ~(
+                (F.col(id_col) == F.col("win.i"))
+                & (F.col("pos") == F.col("win.p"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"))
+    )
+    covered = dropped.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "__ti"
+        ),
+    ).distinct()
+    tokrows = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("__t0", "__tok")
+    ).select(F.col(id_col), (F.col("__t0") + 1).alias("__ti"), F.col("__tok"))
+    kept = tokrows.join(covered, [id_col, "__ti"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ti").alias("i"), F.col("__tok").alias("t")))
+        ).alias("__il")
+    ).select(
+        F.col(id_col),
+        F.array_join(F.transform("__il", lambda s: s.getField("t")), " ").alias(
+            "__text_out"
+        ),
+        F.size("__il").cast("long").alias("__n_kept"),
+    )
+    sizes = toks.select(F.col(id_col), m.cast("long").alias("n_tokens_before"))
+    return (
+        df.join(sizes, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__text_out", F.lit("")))
+        .withColumn(
+            "n_tokens_removed",
+            F.coalesce("n_tokens_before", F.lit(0))
+            - F.coalesce("__n_kept", F.lit(0)),
+        )
+        .withColumn(
+            "n_tokens_before", F.coalesce("n_tokens_before", F.lit(0))
+        )
+        .drop("__text_out", "__n_kept")
     )

@@ -562,3 +562,48 @@ def test_vocabulary_by_group_hand_computed(spark):
         ("s1", 2, "b", 1, 1),
         ("s2", 1, "z", 1, 3),
     ]
+
+
+def test_exact_substring_dedup_hand_built(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.text import exact_substring_dedup
+
+    boiler = "all rights reserved contact us today"  # 6 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler}"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, "unique words that appear nowhere else at all"),
+        (4, "tiny doc"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=6).collect()}
+
+    # doc 1 holds the globally-first occurrence (smallest (id,pos)) ->
+    # its text survives intact
+    assert out[1].text == f"alpha beta gamma {boiler}"
+    assert out[1].n_tokens_removed == 0
+    # doc 2's copy of the span is cut; its own tail survives
+    assert out[2].text == "delta epsilon zeta"
+    assert (out[2].n_tokens_before, out[2].n_tokens_removed) == (9, 6)
+    # untouched docs round-trip (tokenized join)
+    assert out[3].text == rows[2][1] and out[3].n_tokens_removed == 0
+    assert out[4].text == "tiny doc"  # shorter than k -> verbatim
+    assert out[5].text == "" and out[5].n_tokens_before == 0
+
+    # WITHIN-doc repetition: the same k-span twice in one doc loses its
+    # second occurrence
+    rep = spark.createDataFrame(
+        [(7, "one two three four one two three four tail")],
+        "doc_id long, text string",
+    )
+    r7 = exact_substring_dedup(rep, k=4).collect()[0]
+    assert r7.text == "one two three four tail"
+    assert r7.n_tokens_removed == 4
+
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, k=0)
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, min_count=1)
