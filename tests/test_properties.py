@@ -500,3 +500,43 @@ def test_chunk_fixed_matches_python(spark, texts, size, overlap):
             window = toks[s : s + size]
             expect.append((i, ci, " ".join(window), len(window)))
     assert got == sorted(expect)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_exact_substring_dedup_matches_python(spark, docs, k):
+    """The scrub == a pure-Python recomputation of the same semantics
+    (global-first winner per span content, later occurrences' k
+    positions cut) on tiny-alphabet corpora that force heavy span
+    collisions and overlaps."""
+    from energy_pandas_spark.operators.text import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_before, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, k=k).collect()
+    }
+
+    toks = {i: [w for w in t.lower().split() if w] for i, t in enumerate(docs)}
+    occ: dict[tuple, list] = {}
+    for i, tt in toks.items():
+        for p in range(len(tt) - k + 1):
+            occ.setdefault(tuple(tt[p : p + k]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for span, places in occ.items():
+        if len(places) < 2:
+            continue
+        for (i, p) in sorted(places)[1:]:
+            covered[i].update(range(p, p + k))
+    for i, tt in toks.items():
+        keep = [w for j, w in enumerate(tt) if j not in covered[i]]
+        assert got[i] == (" ".join(keep), len(tt), len(tt) - len(keep))
