@@ -1228,6 +1228,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_bursts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst dedup (operators/analytics.py:dedup_bursts):
+    per (user, event_type), gap-chained bursts at 2-minute tolerance
+    keep only their first event — session_window AGGREGATE + min_by
+    survivor, never a per-key lag window."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import dedup_bursts
+
+    ev = _t(spark, sf_dir, "events")
+    return dedup_bursts(ev, tolerance="2 minutes").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).orderBy("event_id")
+
+
+_DEDUP_BURSTS_SQL = """
+WITH marked AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 MINUTE
+              THEN 1 ELSE 0 END AS new_burst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM marked
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst_id
+             ORDER BY ts, event_id) AS rn
+  FROM numbered
+)
+SELECT event_id, ts, user_id, event_type, value
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (session_window); verified against a
     lag/cumulative-sum SQL formulation."""
@@ -6629,6 +6666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_by_lang_docs": vocab_by_lang_docs,
         "distribution_shift_docs": distribution_shift_docs,
         "exact_substring_scrub_docs": exact_substring_scrub_docs,
+        "dedup_bursts_events": dedup_bursts_events,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6795,6 +6833,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_by_lang_docs": _VOCAB_BY_LANG_SQL,
         "distribution_shift_docs": _DISTRIBUTION_SHIFT_SQL,
         "exact_substring_scrub_docs": _EXACT_SUBSTRING_SQL,
+        "dedup_bursts_events": _DEDUP_BURSTS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

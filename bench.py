@@ -101,6 +101,7 @@ HEADLINE = [
     "vocab_by_lang_docs",
     "distribution_shift_docs",
     "exact_substring_scrub_docs",
+    "dedup_bursts_events",
 ]
 
 

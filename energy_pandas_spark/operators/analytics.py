@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..util import epoch_micros
 
 __all__ = [
+    "dedup_bursts",
     "normalize",
     "ldc",
     "ldc_source",
@@ -852,3 +853,35 @@ def rolling_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def dedup_bursts(
+    df: DataFrame,
+    keys: "Sequence[str]" = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tolerance: str = "60 seconds",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry burst dedup: within each key, events form gap-based
+    bursts (a gap > ``tolerance`` starts a new burst, same chaining as
+    sessionization) and only each burst's FIRST event survives
+    (earliest ``ts``, ``id_col`` tiebreak) — the retry/duplicate-fire
+    collapse every event pipeline needs before counting anything.
+
+    Scale shape: ``session_window`` is an AGGREGATE, so burst
+    assignment gets map-side partial aggregation and AQE skew handling
+    — deliberately NOT a per-key ``lag`` window, which would put a
+    hot key's full history in one task. The survivor is a ``min_by``
+    struct over the same aggregate; no second pass."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    kept = df.groupBy(
+        *[F.col(k) for k in keys], F.session_window(ts_col, tolerance)
+    ).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in cols]),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        ).alias("__first")
+    )
+    return kept.select("__first.*")

@@ -775,3 +775,32 @@ def test_containment_dedup_chain(spark):
     # the chain drops the two contained docs; the superset and the
     # unrelated doc survive
     assert drops == {0, 1}
+
+
+def test_dedup_bursts_semantics(spark):
+    from datetime import datetime
+
+    from energy_pandas_spark.operators.analytics import dedup_bursts
+
+    rows = [
+        # user 1 / type a: burst of three (the 2nd sits EXACTLY at the
+        # tolerance boundary — session_window chains it; the oracle's
+        # strict > matches), then a separate event far later
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0),
+        (2, datetime(2024, 1, 1, 0, 2, 0), 1, "a", 2.0),
+        (3, datetime(2024, 1, 1, 0, 3, 59), 1, "a", 3.0),
+        (4, datetime(2024, 1, 1, 1, 0, 0), 1, "a", 4.0),
+        # same user, different type: independent bursts
+        (5, datetime(2024, 1, 1, 0, 0, 30), 1, "b", 5.0),
+        # tie on ts: smallest event_id wins
+        (7, datetime(2024, 1, 1, 0, 0, 0), 2, "a", 7.0),
+        (6, datetime(2024, 1, 1, 0, 0, 0), 2, "a", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    kept = sorted(
+        r.event_id for r in dedup_bursts(df, tolerance="2 minutes").collect()
+    )
+    assert kept == [1, 4, 5, 6]

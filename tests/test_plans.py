@@ -442,3 +442,12 @@ class TestFourthWavePlans:
         # the scan, so columns like lang/source never load
         for cols in read_schemas(df):
             assert set(cols) <= {"doc_id", "text"}
+
+    def test_exact_substring_scrub_shape(self, spark, sf_dir):
+        # span hashes and token arrays persist (each feeds two
+        # consumers); every shuffle ships longs, and the rebuild is an
+        # anti-join, never a per-token membership scan
+        df = entrymod.exact_substring_scrub_docs(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+        assert "SortMergeJoin LeftAnti" in plan or "BroadcastHashJoin" in plan
