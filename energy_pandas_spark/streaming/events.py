@@ -22,7 +22,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["EVENTS_SCHEMA", "stream_events", "windowed_aggregate", "sessionize"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stream_events",
+    "windowed_aggregate",
+    "sessionize",
+    "burst_dedup_stream",
+]
 
 EVENTS_SCHEMA = StructType(
     [
@@ -108,3 +114,36 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def burst_dedup_stream(
+    events: DataFrame,
+    keys: "tuple[str, ...]" = ("user_id", "event_type"),
+    tolerance: str = "60 seconds",
+    watermark: str = "10 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`energy_pandas_spark.operators.analytics.dedup_bursts`: per
+    key, gap-chained bursts keep only their earliest event. On a
+    stream the ``session_window`` aggregate holds one open session per
+    active key, merges incrementally, and emits the survivor once the
+    watermark closes the burst (append mode) — state is pruned at the
+    watermark, so memory is bounded by ACTIVE bursts, not history.
+
+    Identical semantics to the batch operator (same aggregate, same
+    ``min_by`` survivor, same boundary chaining), so a replayed batch
+    yields the same survivors the stream emitted."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    cols = events.columns
+    kept = src.groupBy(
+        *[F.col(k) for k in keys], F.session_window("ts", tolerance)
+    ).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in cols]),
+            F.struct(F.col("ts"), F.col(id_col)),
+        ).alias("__first")
+    )
+    return kept.select("__first.*")
