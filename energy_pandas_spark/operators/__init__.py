@@ -8,6 +8,7 @@ mapInPandas/applyInPandas), never row-at-a-time.
 
 from energy_pandas_spark.operators.analytics import (
     capacity_factor,
+    dedup_bursts,
     ldc,
     ldc_source,
     monthly,
@@ -47,6 +48,7 @@ from energy_pandas_spark.operators.pipeline import (
     clean_corpus,
     corpus_diff,
     corpus_diff_stats,
+    distribution_shift,
 )
 from energy_pandas_spark.operators.retrieval import (
     bm25_topk,
@@ -67,6 +69,7 @@ from energy_pandas_spark.operators.text import (
     blocklist_filter,
     chunk_fixed,
     contamination_overlap,
+    exact_substring_dedup,
     html_to_text,
     perplexity_buckets,
     ngram_counts,
@@ -98,6 +101,7 @@ __all__ = [
     "capacity_factor",
     "time_at_min",
     "source_side",
+    "dedup_bursts",
     # reshape
     "unstack_to_periods",
     "with_ordinal",
@@ -139,6 +143,7 @@ __all__ = [
     "clean_corpus",
     "corpus_diff",
     "corpus_diff_stats",
+    "distribution_shift",
     # retrieval
     "build_postings",
     "search_topk",
@@ -146,6 +151,7 @@ __all__ = [
     # corpus statistics / text pipeline
     "blocklist_filter",
     "chunk_fixed",
+    "exact_substring_dedup",
     "html_to_text",
     "perplexity_buckets",
     "term_frequencies",
