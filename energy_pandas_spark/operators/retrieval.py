@@ -57,6 +57,7 @@ __all__ = [
     "bm25_topk",
     "write_postings_index",
     "append_postings_index",
+    "compact_postings_index",
     "search_index",
 ]
 
@@ -323,3 +324,32 @@ def search_index(
         "bucket"
     )
     return search_topk(docs, qterms, k=k, id_col=id_col, postings=postings)
+
+
+def compact_postings_index(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> DataFrame:
+    """Compact an appended postings index: each ``bucket=N`` partition
+    directory rewrites into ``files_per_bucket`` term-clustered files
+    via the crash-safe layout compactor (stage + backup-rename swap),
+    so a long-running ingest's accumulation of per-append small files
+    stops degrading scan setup. Buckets compact independently —
+    parallelize externally if wanted; each swap is per-directory, so a
+    crash mid-compaction leaves every bucket old-or-new, never mixed.
+
+    Returns the refreshed per-bucket manifest."""
+    import os
+
+    from energy_pandas_spark.sources.layout import compact
+
+    for name in sorted(os.listdir(path)):
+        if name.startswith("bucket="):
+            compact(spark, os.path.join(path, name), "term", files_per_bucket)
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+    )

@@ -221,3 +221,51 @@ def test_append_postings_index_matches_rebuild(spark, tmp_path):
     assert manifest.agg(F.sum("n_postings")).collect()[0][0] == len(
         {(d, t) for d, t in _py_postings()}
     )
+
+
+def test_compact_postings_index_preserves_results(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.retrieval import (
+        append_postings_index,
+        build_postings,
+        compact_postings_index,
+        query_terms,
+        search_index,
+        write_postings_index,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "cidx")
+    write_postings_index(build_postings(docs.filter(F.col("doc_id") <= 2)), idx, n_buckets=8)
+    append_postings_index(build_postings(docs.filter(F.col("doc_id") == 3)), idx, n_buckets=8)
+    append_postings_index(build_postings(docs.filter(F.col("doc_id") >= 4)), idx, n_buckets=8)
+
+    q = query_terms(spark, {0: "hash join", 1: "sort window"})
+    before = {
+        (r.query_id, r.doc_id, r.score_q, r.rank)
+        for r in search_index(spark, idx, docs, q, k=4, n_buckets=8).collect()
+    }
+
+    def n_files():
+        total = 0
+        for d in os.listdir(idx):
+            if d.startswith("bucket="):
+                total += sum(
+                    1 for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet")
+                )
+        return total
+
+    frag = n_files()
+    manifest = compact_postings_index(spark, idx, files_per_bucket=1)
+    assert n_files() < frag  # appends actually compacted away
+    after = {
+        (r.query_id, r.doc_id, r.score_q, r.rank)
+        for r in search_index(spark, idx, docs, q, k=4, n_buckets=8).collect()
+    }
+    assert after == before
+    assert manifest.agg(F.sum("n_postings")).collect()[0][0] == len(
+        {(d, t) for d, t in _py_postings()}
+    )
