@@ -1598,6 +1598,94 @@ FROM s ORDER BY doc_id
 """
 
 
+_DE_LINE = "der hund und die katze ist nicht ein mit auf"
+_FR_LINE = "le chat est dans la maison et pour que"
+
+
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mixing audit (operators/text.py:
+    mixed_language_stats) over documents with deterministic German /
+    French lines injected (the corpus is single-line, so injection
+    exercises the mixing path): per-line stopword votes, two long-only
+    aggregates, lexicographic-struct majority, integer-arithmetic
+    mixing threshold."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import mixed_language_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\n" + _DE_LINE)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("\n" + _FR_LINE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mixed_language_stats(injected).orderBy("doc_id")
+
+
+def _mixed_language_sql() -> str:
+    votes, case = _langid_vote_sql()
+    return rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_DE_LINE}' ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || '{_FR_LINE}' ELSE '' END)
+           AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+    FROM inj
+  ) WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) != ''
+), t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(line), '\s+'),
+                                   x -> x != '')) AS toks,
+         string_split(line, '') AS chars
+  FROM l
+), s AS (
+  SELECT doc_id,
+         {votes}
+  FROM t
+), v AS (
+  SELECT doc_id,
+  {case} AS lg
+  FROM s
+), c AS (
+  SELECT doc_id, lg, count(*) AS n FROM v GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, sum(n) AS n_lines, count(*) AS n_langs FROM c GROUP BY 1
+), mj AS (
+  SELECT doc_id, lg AS majority_lang, n AS majority_lines FROM (
+    SELECT doc_id, lg, n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, lg DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(per.n_langs, 0)::BIGINT AS n_langs,
+       coalesce(mj.majority_lang, 'und') AS majority_lang,
+       coalesce(mj.majority_lines, 0)::BIGINT AS majority_lines,
+       round(coalesce(mj.majority_lines, 0)
+             / greatest(coalesce(per.n_lines, 0), 1), 6) AS majority_share,
+       (coalesce(per.n_langs, 0) >= 2
+        AND coalesce(mj.majority_lines, 0) * 1000
+            < 700 * coalesce(per.n_lines, 0)) AS is_mixed
+FROM documents d
+LEFT JOIN per ON per.doc_id = d.doc_id
+LEFT JOIN mj ON mj.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint = md5 of normalized text."""
     _prep(spark)
@@ -6667,6 +6755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_shift_docs": distribution_shift_docs,
         "exact_substring_scrub_docs": exact_substring_scrub_docs,
         "dedup_bursts_events": dedup_bursts_events,
+        "mixed_language_docs": mixed_language_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6834,6 +6923,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_shift_docs": _DISTRIBUTION_SHIFT_SQL,
         "exact_substring_scrub_docs": _EXACT_SUBSTRING_SQL,
         "dedup_bursts_events": _DEDUP_BURSTS_SQL,
+        "mixed_language_docs": _mixed_language_sql(),
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

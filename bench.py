@@ -102,6 +102,7 @@ HEADLINE = [
     "distribution_shift_docs",
     "exact_substring_scrub_docs",
     "dedup_bursts_events",
+    "mixed_language_docs",
 ]
 
 

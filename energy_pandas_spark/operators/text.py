@@ -47,6 +47,7 @@ __all__ = [
     "source_vocab_overlap",
     "vocabulary_by_group",
     "exact_substring_dedup",
+    "mixed_language_stats",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2559,4 +2560,74 @@ def exact_substring_dedup(
             "n_tokens_before", F.coalesce("n_tokens_before", F.lit(0))
         )
         .drop("__text_out", "__n_kept")
+    )
+
+
+def mixed_language_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_majority_share: int = 700,
+) -> DataFrame:
+    """Per-document language-mixing audit: vote a language for every
+    non-blank line (the same stopword-vote :func:`language_id` uses),
+    then report lines counted, distinct line-languages, the majority
+    language and its share, and an ``is_mixed`` flag (2+ languages and
+    the majority holding under ``min_majority_share``/1000 of lines).
+    The triage behind "split or drop code-switched / boilerplate-mixed
+    pages" in multilingual corpus prep.
+
+    Scale shape: the vote is a per-line projection (no shuffle); two
+    map-combined aggregates — (doc, lang) then doc — carry only longs.
+    The majority is a lexicographic struct max (count, then language
+    string) — deterministic, engine-exact; the share threshold is
+    integer arithmetic (``share*1000 < min_majority_share`` without
+    float division in the predicate). Zero-line documents report
+    ('und', 0 lines, not mixed)."""
+    lines = _line_rows(df, text_col, id_col, sep).filter(
+        F.col("key").isNotNull()
+    )
+    scored = language_id(lines, "line", "lang_line")
+    counts = scored.groupBy(id_col, "lang_line").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per = (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(
+                F.struct(F.col("__n").alias("n"), F.col("lang_line").alias("l"))
+            ).alias("__m"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "n_langs",
+            F.col("__m.l").alias("majority_lang"),
+            F.col("__m.n").alias("majority_lines"),
+        )
+    )
+    out = df.select(F.col(id_col)).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+        F.coalesce("majority_lang", F.lit("und")).alias("majority_lang"),
+        F.coalesce("majority_lines", F.lit(0)).alias("majority_lines"),
+    )
+    return out.select(
+        "*",
+        F.round(
+            F.col("majority_lines")
+            / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"),
+            6,
+        ).alias("majority_share"),
+        (
+            (F.col("n_langs") >= 2)
+            & (
+                F.col("majority_lines") * 1000
+                < F.lit(int(min_majority_share)) * F.col("n_lines")
+            )
+        ).alias("is_mixed"),
     )

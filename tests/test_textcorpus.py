@@ -607,3 +607,27 @@ def test_exact_substring_dedup_hand_built(spark):
         exact_substring_dedup(df, k=0)
     with pytest.raises(ValueError):
         exact_substring_dedup(df, min_count=1)
+
+
+def test_mixed_language_stats(spark):
+    from energy_pandas_spark.operators.text import mixed_language_stats
+
+    en = "the quick fox and it is that for"
+    de = "der hund und die katze ist nicht ein"
+    rows = [
+        (1, f"{en}\n{en}\n{en}"),          # pure en
+        (2, f"{en}\n{de}"),                # 50/50 -> mixed at 0.7
+        (3, f"{en}\n{en}\n{de}"),          # 2/3 en -> still under 0.7
+        (4, f"{en}\n{en}\n{en}\n{de}"),    # 3/4 = 0.75 -> NOT mixed
+        (5, ""),                           # zero lines
+        (6, "zzz qqq vvv"),                # no stopword hits -> 'und'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in mixed_language_stats(df).collect()}
+    assert (got[1].majority_lang, got[1].is_mixed) == ("en", False)
+    assert got[1].majority_share == 1.0
+    assert got[2].is_mixed and got[2].n_langs == 2
+    assert got[3].is_mixed and got[3].majority_lang == "en"
+    assert not got[4].is_mixed and got[4].majority_share == 0.75
+    assert (got[5].n_lines, got[5].majority_lang, got[5].is_mixed) == (0, "und", False)
+    assert got[6].majority_lang == "und" and not got[6].is_mixed
