@@ -1598,6 +1598,18 @@ FROM s ORDER BY doc_id
 """
 
 
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/text.py:
+    compression_ratio) — rows-only by nature (no SQL engine ships
+    zlib) but fully deterministic: zlib output is specified by
+    (input, level); Arrow batch kernel, zero shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")
+
+
 _DE_LINE = "der hund und die katze ist nicht ein mit auf"
 _FR_LINE = "le chat est dans la maison et pour que"
 
@@ -6822,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "redact_pii_docs": redact_pii_docs,
         # -- rows-only (approximate / hash-engine-specific by design) --
+        "compression_ratio_docs": compression_ratio_docs,
         "sketch_rollup_users": sketch_rollup_users,
         "doc_min_fingerprint": doc_min_fingerprint,
         "simhash_pairs": simhash_pairs,

@@ -103,6 +103,7 @@ HEADLINE = [
     "exact_substring_scrub_docs",
     "dedup_bursts_events",
     "mixed_language_docs",
+    "compression_ratio_docs",
 ]
 
 

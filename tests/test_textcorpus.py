@@ -631,3 +631,59 @@ def test_mixed_language_stats(spark):
     assert not got[4].is_mixed and got[4].majority_share == 0.75
     assert (got[5].n_lines, got[5].majority_lang, got[5].is_mixed) == (0, "und", False)
     assert got[6].majority_lang == "und" and not got[6].is_mixed
+
+
+def test_pii_stats_matches_redactor(spark):
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.operators.text import pii_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or c@d.org from 10.0.0.1"),
+            (2, "call +1 (415) 555-0100 now"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert (s[1].n_email, s[1].n_ip, s[1].n_phone, s[1].n_pii) == (2, 1, 0, 3)
+    assert (s[2].n_phone, s[2].n_pii) == (1, 1)
+    assert s[3].n_pii == 0 and s[4].n_pii == 0
+    r = {x.doc_id: x for x in redact_pii(df).collect()}
+    for i in (1, 2, 3):
+        assert (s[i].n_email, s[i].n_ip, s[i].n_phone) == (
+            r[i].n_email, r[i].n_ip, r[i].n_phone
+        )
+
+
+def test_compression_ratio_orders_repetitiveness(spark):
+    import random
+
+    from energy_pandas_spark.operators.text import compression_ratio
+
+    random.seed(7)
+    noise = " ".join(
+        "".join(random.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(120)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "quietly near a warm window and the afternoon light fades slowly "
+    ) * 10
+    boiler = "buy now click here " * 100
+    df = spark.createDataFrame(
+        [(1, noise), (2, prose), (3, boiler), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    # repetition orders strictly: boilerplate << prose << random noise
+    assert got[3].compression_ratio < got[2].compression_ratio < got[1].compression_ratio
+    assert got[1].compression_ratio > 0.5  # noise barely compresses
+    assert got[3].compression_ratio < 0.05  # pure boilerplate collapses
+    assert got[4].compression_ratio == 1.0 and got[5].compression_ratio == 1.0
+    assert got[2].raw_bytes == len(prose.encode())
+    # deterministic across runs
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert again == {k: v.compression_ratio for k, v in got.items()}
