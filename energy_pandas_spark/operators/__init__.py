@@ -69,7 +69,10 @@ from energy_pandas_spark.operators.text import (
     blocklist_filter,
     chunk_fixed,
     contamination_overlap,
+    compression_ratio,
     exact_substring_dedup,
+    mixed_language_stats,
+    pii_stats,
     html_to_text,
     perplexity_buckets,
     ngram_counts,
@@ -152,6 +155,9 @@ __all__ = [
     "blocklist_filter",
     "chunk_fixed",
     "exact_substring_dedup",
+    "compression_ratio",
+    "mixed_language_stats",
+    "pii_stats",
     "html_to_text",
     "perplexity_buckets",
     "term_frequencies",
