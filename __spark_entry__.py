@@ -1598,6 +1598,50 @@ FROM s ORDER BY doc_id
 """
 
 
+def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (operators/text.py:collocations): one
+    bigram aggregate, vocabulary-sized marginals, integer-quantized
+    PMI (DSIR's 1/1024-nat pattern, 1-ulp ln caveat)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, top=50, min_count=5).orderBy("rank")
+
+
+_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+), cnt AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+c2 AS (SELECT w2, sum(c12) AS c2 FROM cnt GROUP BY 1),
+tt AS (SELECT sum(c12) AS T FROM cnt),
+scored AS (
+  SELECT cnt.w1, cnt.w2, cnt.c12,
+         round(1024.0 * ln((cnt.c12::DOUBLE * tt.T) / (c1.c1 * c2.c2)))::BIGINT
+           AS pmi_q
+  FROM cnt
+  JOIN c1 ON c1.w1 = cnt.w1
+  JOIN c2 ON c2.w2 = cnt.w2
+  CROSS JOIN tt
+  WHERE cnt.c12 >= 5
+), ranked AS (
+  SELECT w1, w2, c12::BIGINT AS c12, pmi_q,
+         row_number() OVER (ORDER BY pmi_q DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT w1, w2, c12, pmi_q, rank::INT AS rank
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/text.py:
     compression_ratio) — rows-only by nature (no SQL engine ships
@@ -6768,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_scrub_docs": exact_substring_scrub_docs,
         "dedup_bursts_events": dedup_bursts_events,
         "mixed_language_docs": mixed_language_docs,
+        "collocations_docs": collocations_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6937,6 +6982,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_scrub_docs": _EXACT_SUBSTRING_SQL,
         "dedup_bursts_events": _DEDUP_BURSTS_SQL,
         "mixed_language_docs": _mixed_language_sql(),
+        "collocations_docs": _COLLOCATIONS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_bursts_events",
     "mixed_language_docs",
     "compression_ratio_docs",
+    "collocations_docs",
 ]
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "mixed_language_stats",
     "pii_stats",
     "compression_ratio",
+    "collocations",
     "hashed_feature_weight",
     "classifier_score",
     "hashed_doc_features",
@@ -2712,4 +2713,70 @@ def compression_ratio(
         fn,
         schema=f"{id_col} long, raw_bytes long, compressed_bytes long, "
         "compression_ratio double",
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 50,
+    min_count: int = 5,
+    scale: int = 1024,
+) -> DataFrame:
+    """Top PMI-ranked adjacent-word collocations — the corpus's
+    "these belong together" pairs (multi-word entities, idioms) that
+    inform tokenizer merges and vocabulary design. PMI is computed
+    over the bigram process: ``ln(c12 * T / (c1 * c2))`` with ``c1`` /
+    ``c2`` the left/right marginal counts and ``T`` total bigrams,
+    quantized to integer 1/``scale``-nat units (the DSIR pattern — the
+    only float op is one ``ln``, 1-ulp caveat at a rounding boundary).
+    ``min_count`` suppresses the unstable low-frequency tail PMI is
+    notorious for.
+
+    Scale shape: ONE bigram hash aggregate over the corpus; the
+    marginals and total derive from that (vocabulary-sized) count
+    table, which persists across its four consumers; final top-k is a
+    TakeOrdered over qualifying pairs, then ranks attach on the
+    ``top``-row result. Returns (w1, w2, c12, pmi_q, rank)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    cnt = (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    c1 = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = cnt.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    t = cnt.agg(F.sum("c12").alias("T"))
+    scored = (
+        cnt.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.lit(float(scale))
+                * F.log(
+                    (F.col("c12").cast("double") * F.col("T"))
+                    / (F.col("c1") * F.col("c2"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    topk = scored.orderBy(
+        F.desc("pmi_q"), F.asc("w1"), F.asc("w2")
+    ).limit(top)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+        ),
     )

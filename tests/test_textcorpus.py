@@ -687,3 +687,27 @@ def test_compression_ratio_orders_repetitiveness(spark):
     # deterministic across runs
     again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
     assert again == {k: v.compression_ratio for k, v in got.items()}
+
+
+def test_collocations_pmi_ordering(spark):
+    import math
+
+    from energy_pandas_spark.operators.text import collocations
+
+    # "san francisco" always adjacent (strong collocation); "the" pairs
+    # with everything (weak PMI despite high count)
+    rows = [(i, "the visit to san francisco was the best trip in the city") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(df, top=10, min_count=2).collect()
+    pairs = {(r.w1, r.w2): r for r in got}
+    assert ("san", "francisco") in pairs
+    sf = pairs[("san", "francisco")]
+    # hand-compute: every bigram count is 6x its per-doc count; PMI of
+    # a deterministic pair: c12=6, c1(left 'san')=6, c2(right 'francisco')=6, T=66
+    assert sf.c12 == 6
+    assert sf.pmi_q == round(1024 * math.log(6 * 66 / (6 * 6)))
+    # 'the'-led pairs score lower than the exclusive pair
+    the_pairs = [r for r in got if r.w1 == "the"]
+    assert all(sf.pmi_q > r.pmi_q for r in the_pairs)
+    # ranks contiguous from 1
+    assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))
