@@ -36,7 +36,11 @@ from energy_pandas_spark.operators.dedup import (
     simhash64,
     simhash_neardup_pairs,
 )
-from energy_pandas_spark.operators.graph import connected_components, dedup_clusters
+from energy_pandas_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    pagerank,
+)
 from energy_pandas_spark.operators.joins import (
     asof_join,
     asof_join_broadcast,
@@ -80,6 +84,7 @@ from energy_pandas_spark.operators.text import (
     repetition_stats,
     term_frequencies,
     tfidf_top_terms,
+    textrank_keywords,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -129,6 +134,7 @@ __all__ = [
     # graph
     "connected_components",
     "dedup_clusters",
+    "pagerank",
     # joins
     "asof_join",
     "asof_join_broadcast",
@@ -163,6 +169,7 @@ __all__ = [
     "term_frequencies",
     "vocabulary",
     "tfidf_top_terms",
+    "textrank_keywords",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

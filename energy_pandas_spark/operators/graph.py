@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "connected_components_star", "dedup_clusters"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_clusters",
+    "pagerank",
+]
 
 
 def connected_components(
@@ -209,3 +214,100 @@ def connected_components_star(
     return all_nodes.join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer arithmetic — cross-engine bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 10,
+    alpha_num: int = 17,
+    alpha_den: int = 20,
+    scale: int = 1 << 40,
+) -> DataFrame:
+    """PageRank over a directed edge DataFrame in PURE INTEGER
+    arithmetic: ranks are longs scaled by ``scale`` (default 2^40) and
+    the damping factor is the rational ``alpha_num/alpha_den`` (default
+    17/20 = 0.85), so every operation on the path is an integer
+    multiply / floor-divide / sum — all order-independent, which makes
+    the result bit-identical across engines, partitionings, and
+    re-runs (a float PageRank is NOT: float sums reorder under
+    shuffle). A SQL engine can replay the exact iteration, so the
+    operator is oracle-checkable, and a fixed ``n_iter`` replaces the
+    usual convergence collect.
+
+    Per iteration (the Spark shape, one shuffle per round):
+
+    - contribution of edge (u, v): ``r(u) * w(u,v) div W(u)`` where
+      ``W(u)`` is u's out-weight (out-degree when unweighted) —
+      computed by a co-partitioned join of ranks with the
+      degree-annotated edge list (both hash-partitioned on ``u`` once,
+      up front, and pinned by ``localCheckpoint``; no per-round
+      exchange on the join),
+    - ``s(v) = sum(contributions)`` — the round's ONE exchange (keyed
+      on ``v``),
+    - ``r'(v) = ((alpha_den - alpha_num) * (scale div N)
+      + alpha_num * s(v)) div alpha_den`` — a map-side projection over
+      the node table left-joined with ``s`` (nodes with no in-links
+      keep the teleport term).
+
+    Rank mass that reaches a dangling node (out-degree 0) is dropped
+    rather than redistributed — redistribution would add a global
+    1-row aggregate + broadcast per round; callers that need strict
+    mass conservation can add a self-loop per dangling node. On a
+    symmetric edge set (e.g. TextRank's co-occurrence graph) every
+    node has out-degree >= 1 and the question never arises.
+
+    Node ids may be any equi-joinable type (longs, strings). Returns
+    ``(id, rank_q)`` with ``rank_q`` the integer rank (true rank is
+    ``rank_q / scale``); sum(rank_q) <= scale by construction.
+    """
+    w_expr = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("__w")
+    )
+    outw = e.groupBy("u").agg(F.sum("__w").alias("__ow"))
+    # degree-annotated edges, hash-partitioned on u once; every round's
+    # ranks-side join reuses this layout (localCheckpoint preserves
+    # outputPartitioning, same trick as connected_components)
+    ew = (
+        e.join(outw, "u")
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select("u")
+        .union(e.select(F.col("v").alias("u")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col("u").alias("id"), F.lit(0).cast("long").alias("rank_q"))
+    base = (alpha_den - alpha_num) * (scale // n)
+    ranks = nodes.select("u", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = ranks.join(ew, "u").select(
+            F.col("v"), F.expr("(r * __w) div __ow").alias("__c")
+        )
+        sums = contrib.groupBy("v").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(sums, nodes["u"] == sums["v"], "left")
+            .select(
+                nodes["u"],
+                F.expr(
+                    f"({base}L + {alpha_num}L * coalesce(__s, 0L)) div {alpha_den}L"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("id"), F.col("r").alias("rank_q"))

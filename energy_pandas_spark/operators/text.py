@@ -2780,3 +2780,54 @@ def collocations(
             Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
         ),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are tokens, with an
+    undirected unweighted edge between words that appear adjacent
+    anywhere in the corpus (window=2, the paper's default for keyword
+    extraction). High-rank words are the corpus's structural hubs —
+    the terms a tokenizer/vocabulary must cover and a useful contrast
+    to raw frequency (a word adjacent to MANY DIFFERENT words outranks
+    an equally frequent word locked in one phrase).
+
+    The ranking runs on :func:`~energy_pandas_spark.operators.graph.
+    pagerank`'s pure-integer iteration, so the scores are bit-exact
+    across engines and partitionings — a DuckDB oracle replays the
+    identical fixed-point arithmetic. Scale shape: one bigram
+    aggregate builds the edge set (vocabulary-squared sized at worst,
+    tiny in practice), then ``n_iter`` keyed joins+aggregates over the
+    vocabulary-sized node table; the corpus is scanned once.
+
+    Returns (term, rank_q, rank), ``top`` rows, ties broken by term.
+    """
+    from pyspark.sql import Window
+
+    from energy_pandas_spark.operators.graph import pagerank
+
+    und = (
+        _doc_bigrams(df, text_col, id_col)
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(sym, src="u", dst="v", n_iter=n_iter)
+    topk = (
+        ranks.select(F.col("id").alias("term"), "rank_q")
+        .orderBy(F.desc("rank_q"), F.asc("term"))
+        .limit(top)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("rank_q"), F.asc("term"))),
+    )
