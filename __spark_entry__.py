@@ -1642,6 +1642,78 @@ FROM ranked WHERE rank <= 50 ORDER BY rank
 """
 
 
+def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TextRank keywords (operators/text.py:textrank_keywords):
+    PageRank over the window=2 word co-occurrence graph, run in PURE
+    INTEGER arithmetic (ranks are 2^40-scaled longs, damping = the
+    rational 17/20), so the distributed fixed-iteration result is
+    bit-identical to the oracle's SQL replay of the same iteration —
+    no float-sum ordering caveat anywhere."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, top=20, n_iter=10).orderBy("rank")
+
+
+def _textrank_sql(top: int = 20, n_iter: int = 10) -> str:
+    """Generate the oracle: the SAME integer PageRank iteration as
+    operators/graph.py:pagerank, unrolled into one CTE per round
+    (scale 2^40, damping 17/20, teleport term 3*(scale//n)).
+    Every op is an integer multiply / floor-divide / sum, so the replay
+    is exact, not approximate."""
+    scale = 1 << 40
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT d.u,
+         ((3 * ({scale} // nstat.n) + 17 * coalesce(s.s, 0)) // 20)::BIGINT AS r
+  FROM deg d CROSS JOIN nstat
+  LEFT JOIN (
+    SELECT e.v AS u, sum(rp.r // dd.d)::BIGINT AS s
+    FROM edges e
+    JOIN {prev} rp ON rp.u = e.u
+    JOIN deg dd ON dd.u = e.u
+    GROUP BY e.v
+  ) s ON s.u = d.u
+)"""
+        )
+        prev = f"r{k}"
+    iter_ctes = ",\n".join(its)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+), und AS (
+  SELECT least(w1, w2) AS u, greatest(w1, w2) AS v
+  FROM bg WHERE w1 <> w2 GROUP BY 1, 2
+), edges AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), deg AS (
+  SELECT u, count(*)::BIGINT AS d FROM edges GROUP BY 1
+), nstat AS (
+  SELECT count(*)::BIGINT AS n FROM deg
+), r0 AS (
+  SELECT u, ({scale} // nstat.n)::BIGINT AS r FROM deg CROSS JOIN nstat
+),
+{iter_ctes},
+ranked AS (
+  SELECT u AS term, r AS rank_q,
+         row_number() OVER (ORDER BY r DESC, u) AS rank
+  FROM {prev}
+)
+SELECT term, rank_q, rank::INT AS rank
+FROM ranked WHERE rank <= {top} ORDER BY rank
+"""
+
+
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/text.py:
     compression_ratio) — rows-only by nature (no SQL engine ships
@@ -6813,6 +6885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bursts_events": dedup_bursts_events,
         "mixed_language_docs": mixed_language_docs,
         "collocations_docs": collocations_docs,
+        "textrank_docs": textrank_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -6983,6 +7056,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bursts_events": _DEDUP_BURSTS_SQL,
         "mixed_language_docs": _mixed_language_sql(),
         "collocations_docs": _COLLOCATIONS_SQL,
+        "textrank_docs": _textrank_sql(),
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

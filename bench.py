@@ -105,6 +105,7 @@ HEADLINE = [
     "mixed_language_docs",
     "compression_ratio_docs",
     "collocations_docs",
+    "textrank_docs",
 ]
 
 
