@@ -1656,6 +1656,37 @@ def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(docs, top=20, n_iter=10).orderBy("rank")
 
 
+def epoch_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-epoch training-order manifest (operators/
+    sampling.py:epoch_order): per-epoch md5(seed:epoch:id)-keyed
+    permutations with contiguous positions, assigned by the
+    distributed-rank machinery (range partition + per-partition
+    monotonic ids + broadcast cumulative offsets) — no
+    single-partition window anywhere."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import epoch_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_order(docs, epochs=2, seed="s0").orderBy(
+        "epoch", "position"
+    )
+
+
+_EPOCH_ORDER_SQL = r"""
+WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (
+  SELECT e.epoch, d.doc_id,
+         md5('s0:' || e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR) AS key
+  FROM documents d CROSS JOIN e
+)
+SELECT epoch::INT AS epoch,
+       (row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1)::BIGINT
+         AS position,
+       doc_id
+FROM k ORDER BY epoch, position
+"""
+
+
 def _textrank_sql(top: int = 20, n_iter: int = 10) -> str:
     """Generate the oracle: the SAME integer PageRank iteration as
     operators/graph.py:pagerank, unrolled into one CTE per round
@@ -6886,6 +6917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_language_docs": mixed_language_docs,
         "collocations_docs": collocations_docs,
         "textrank_docs": textrank_docs,
+        "epoch_order_docs": epoch_order_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -7057,6 +7089,7 @@ def oracle_sql() -> dict[str, str]:
         "mixed_language_docs": _mixed_language_sql(),
         "collocations_docs": _COLLOCATIONS_SQL,
         "textrank_docs": _textrank_sql(),
+        "epoch_order_docs": _EPOCH_ORDER_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -106,6 +106,7 @@ HEADLINE = [
     "compression_ratio_docs",
     "collocations_docs",
     "textrank_docs",
+    "epoch_order_docs",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "temperature_mixture",
     "select_token_budget",
     "split_leakage_stats",
+    "epoch_order",
 ]
 
 
@@ -520,3 +521,100 @@ def weighted_mixture(
     if out is None:
         raise ValueError("weighted_mixture needs at least one source")
     return out
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    seed: str = "seed",
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic multi-epoch training-order manifest: (epoch,
+    position, id) where ``position`` is a contiguous 0..n-1 per-epoch
+    rank in a seed-keyed pseudo-random order — the reproducible
+    "global shuffle" a training run needs (resume after preemption,
+    replay a run bit-for-bit, audit which examples a checkpoint saw)
+    without ever calling ``rand()``. Each epoch gets an independent
+    permutation (the sort key is ``md5(seed:epoch:id)``), and the
+    whole manifest is a pure function of (corpus, seed, epochs) on any
+    engine — same md5-keyed scheme as :func:`hash_bucket`.
+
+    Scale shape: NO single-partition window. Rows range-partition on
+    (epoch, key), sort within partitions, and take global contiguous
+    indexes from per-partition ``monotonically_increasing_id`` offset
+    by broadcast cumulative partition counts (the :func:`~energy_
+    pandas_spark.operators.analytics.ldc` machinery); per-epoch
+    positions subtract broadcast epoch offsets. The projection is
+    persisted spill-safe because ``repartitionByRange`` samples its
+    boundaries — both consumers must see one layout.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+        F.col(id_col),
+    ).withColumn(
+        "__k",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(seed),
+                F.col("epoch").cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )
+    part = (
+        keyed.repartitionByRange("epoch", "__k", id_col)
+        .sortWithinPartitions("epoch", "__k", id_col)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn("__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .select("epoch", id_col, "__pid", "__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .count()
+        .select(
+            "__pid",
+            F.sum("count")
+            .over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("__off"),
+        )
+        .fillna({"__off": 0})
+    )
+    gidx = part.join(F.broadcast(offsets), "__pid").select(
+        "epoch", F.col(id_col), (F.col("__off") + F.col("__rn")).alias("__g")
+    )
+    # epoch starts: the range partitioning leads with epoch, so every
+    # epoch-e row indexes before every epoch-(e+1) row; the per-epoch
+    # start is the cumulative count of earlier epochs (epochs-sized agg)
+    estarts = (
+        part.groupBy("epoch")
+        .count()
+        .select(
+            "epoch",
+            F.sum("count")
+            .over(
+                Window.orderBy("epoch").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("__es"),
+        )
+        .fillna({"__es": 0})
+    )
+    return gidx.join(F.broadcast(estarts), "epoch").select(
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("__g") - F.col("__es")).alias(position_col),
+        F.col(id_col),
+    )

@@ -317,3 +317,77 @@ def test_group_quantile_gate_exact(spark):
         r.doc_id
         for r in drop_below_group_quantile(withnull, "score", "src", permille=300).collect()
     }
+
+
+class TestEpochOrder:
+    def _py_ref(self, ids, epochs, seed):
+        import hashlib
+
+        out = []
+        for ep in range(epochs):
+            keyed = sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(f"{seed}:{ep}:{i}".encode()).hexdigest(),
+                    i,
+                ),
+            )
+            out += [(ep, pos, i) for pos, i in enumerate(keyed)]
+        return sorted(out)
+
+    def test_matches_python_md5_replay(self, spark):
+        from energy_pandas_spark.operators.sampling import epoch_order
+
+        ids = list(range(200))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = sorted(
+            (r["epoch"], r["position"], r["doc_id"])
+            for r in epoch_order(df, epochs=3, seed="s7").collect()
+        )
+        assert got == self._py_ref(ids, 3, "s7")
+
+    def test_positions_contiguous_per_epoch_and_permutation(self, spark):
+        from energy_pandas_spark.operators.sampling import epoch_order
+
+        df = spark.range(0, 137).withColumnRenamed("id", "doc_id")
+        rows = epoch_order(df, epochs=2, seed="a").collect()
+        for ep in (0, 1):
+            pos = sorted(r["position"] for r in rows if r["epoch"] == ep)
+            assert pos == list(range(137))
+            ids = {r["doc_id"] for r in rows if r["epoch"] == ep}
+            assert ids == set(range(137))
+
+    def test_epochs_are_different_permutations(self, spark):
+        from energy_pandas_spark.operators.sampling import epoch_order
+
+        df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+        rows = epoch_order(df, epochs=2, seed="a").collect()
+        order = {
+            ep: [
+                r["doc_id"]
+                for r in sorted(
+                    (x for x in rows if x["epoch"] == ep),
+                    key=lambda x: x["position"],
+                )
+            ]
+            for ep in (0, 1)
+        }
+        assert order[0] != order[1]
+
+    def test_partitioning_invariance(self, spark):
+        from energy_pandas_spark.operators.sampling import epoch_order
+
+        ids = [(i,) for i in range(300)]
+        a = spark.createDataFrame(ids, "doc_id long").coalesce(1)
+        b = spark.createDataFrame(ids, "doc_id long").repartition(17)
+        ra = sorted(map(tuple, epoch_order(a, epochs=2, seed="x").collect()))
+        rb = sorted(map(tuple, epoch_order(b, epochs=2, seed="x").collect()))
+        assert ra == rb
+
+    def test_seed_changes_order(self, spark):
+        from energy_pandas_spark.operators.sampling import epoch_order
+
+        df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+        a = sorted(map(tuple, epoch_order(df, epochs=1, seed="s1").collect()))
+        b = sorted(map(tuple, epoch_order(df, epochs=1, seed="s2").collect()))
+        assert a != b
