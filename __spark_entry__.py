@@ -1745,6 +1745,88 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def related_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion by personalized PageRank (operators/text.py:
+    related_terms): teleport pinned to the seed terms on the same
+    co-occurrence graph and integer iteration as textrank_docs, seeds
+    excluded from the board. Bit-exact vs the oracle's unrolled
+    replay."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import related_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return related_terms(
+        docs, ["customer", "query"], top=20, n_iter=10
+    ).orderBy("rank")
+
+
+def _related_terms_sql(
+    seeds: tuple = ("customer", "query"), top: int = 20, n_iter: int = 10
+) -> str:
+    """Oracle: the personalized variant of _textrank_sql — teleport
+    mass only to the seed rows (scale // |S∩nodes| each), same
+    unrolled integer iteration, seeds dropped before ranking."""
+    scale = 1 << 40
+    inlist = ", ".join(f"'{s}'" for s in seeds)
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT nd.u,
+         ((CASE WHEN nd.is_seed THEN 3 * ({scale} // sstat.n) ELSE 0 END)
+          + 17 * coalesce(s.s, 0)) // 20 AS r
+  FROM nodes nd CROSS JOIN sstat
+  LEFT JOIN (
+    SELECT e.v AS u, sum(rp.r // dd.d)::BIGINT AS s
+    FROM edges e
+    JOIN {prev} rp ON rp.u = e.u
+    JOIN deg dd ON dd.u = e.u
+    GROUP BY e.v
+  ) s ON s.u = nd.u
+)"""
+        )
+        prev = f"r{k}"
+    iter_ctes = ",\n".join(its)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+), und AS (
+  SELECT least(w1, w2) AS u, greatest(w1, w2) AS v
+  FROM bg WHERE w1 <> w2 GROUP BY 1, 2
+), edges AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), deg AS (
+  SELECT u, count(*)::BIGINT AS d FROM edges GROUP BY 1
+), seeds AS (
+  SELECT u FROM deg WHERE u IN ({inlist})
+), sstat AS (
+  SELECT count(*)::BIGINT AS n FROM seeds
+), nodes AS (
+  SELECT d.u, (s.u IS NOT NULL) AS is_seed
+  FROM deg d LEFT JOIN seeds s ON s.u = d.u
+), r0 AS (
+  SELECT u,
+         (CASE WHEN is_seed THEN ({scale} // sstat.n) ELSE 0 END)::BIGINT AS r
+  FROM nodes CROSS JOIN sstat
+),
+{iter_ctes},
+ranked AS (
+  SELECT u AS term, r::BIGINT AS rank_q,
+         row_number() OVER (ORDER BY r DESC, u) AS rank
+  FROM {prev} WHERE u NOT IN ({inlist})
+)
+SELECT term, rank_q, rank::INT AS rank
+FROM ranked WHERE rank <= {top} ORDER BY rank
+"""
+
+
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/text.py:
     compression_ratio) — rows-only by nature (no SQL engine ships
@@ -6918,6 +7000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": collocations_docs,
         "textrank_docs": textrank_docs,
         "epoch_order_docs": epoch_order_docs,
+        "related_terms_docs": related_terms_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -7090,6 +7173,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": _COLLOCATIONS_SQL,
         "textrank_docs": _textrank_sql(),
         "epoch_order_docs": _EPOCH_ORDER_SQL,
+        "related_terms_docs": _related_terms_sql(),
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -107,6 +107,7 @@ HEADLINE = [
     "collocations_docs",
     "textrank_docs",
     "epoch_order_docs",
+    "related_terms_docs",
 ]
 
 

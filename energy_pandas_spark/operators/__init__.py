@@ -85,6 +85,7 @@ from energy_pandas_spark.operators.text import (
     term_frequencies,
     tfidf_top_terms,
     textrank_keywords,
+    related_terms,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -170,6 +171,7 @@ __all__ = [
     "vocabulary",
     "tfidf_top_terms",
     "textrank_keywords",
+    "related_terms",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

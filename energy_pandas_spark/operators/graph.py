@@ -230,6 +230,7 @@ def pagerank(
     alpha_num: int = 17,
     alpha_den: int = 20,
     scale: int = 1 << 40,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame in PURE INTEGER
     arithmetic: ranks are longs scaled by ``scale`` (default 2^40) and
@@ -267,6 +268,13 @@ def pagerank(
     Node ids may be any equi-joinable type (longs, strings). Returns
     ``(id, rank_q)`` with ``rank_q`` the integer rank (true rank is
     ``rank_q / scale``); sum(rank_q) <= scale by construction.
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: teleport mass goes only to the seed set
+    (``scale div |S ∩ nodes|`` each, both at init and in the per-round
+    teleport term), so ranks measure proximity to the seeds — the
+    standard related-node / trust-propagation primitive. Seed ids not
+    present in the graph are ignored; an empty intersection raises.
     """
     w_expr = (
         F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
@@ -288,13 +296,28 @@ def pagerank(
         .union(e.select(F.col("v").alias("u")))
         .distinct()
         .repartition("u")
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    if seeds is not None:
+        scol = seeds.columns[0]
+        sd = seeds.select(F.col(scol).alias("u")).distinct()
+        # seed sets are query-sized; broadcast the membership flag so
+        # the node table never re-shuffles for it
+        nodes = nodes.join(
+            F.broadcast(sd.withColumn("__in", F.lit(True))), "u", "left"
+        ).select("u", F.coalesce("__in", F.lit(False)).alias("__seed"))
+    else:
+        nodes = nodes.select("u", F.lit(True).alias("__seed"))
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.filter("__seed").count()
     if n == 0:
-        return nodes.select(F.col("u").alias("id"), F.lit(0).cast("long").alias("rank_q"))
+        if seeds is not None:
+            raise ValueError("no seed id appears in the edge set")
+        return nodes.select(
+            F.col("u").alias("id"), F.lit(0).cast("long").alias("rank_q")
+        )
     base = (alpha_den - alpha_num) * (scale // n)
-    ranks = nodes.select("u", F.lit(scale // n).cast("long").alias("r"))
+    init = F.when(F.col("__seed"), F.lit(scale // n)).otherwise(F.lit(0))
+    ranks = nodes.select("u", init.cast("long").alias("r"))
     for _ in range(n_iter):
         contrib = ranks.join(ew, "u").select(
             F.col("v"), F.expr("(r * __w) div __ow").alias("__c")
@@ -305,7 +328,8 @@ def pagerank(
             .select(
                 nodes["u"],
                 F.expr(
-                    f"({base}L + {alpha_num}L * coalesce(__s, 0L)) div {alpha_den}L"
+                    f"((case when __seed then {base}L else 0L end)"
+                    f" + {alpha_num}L * coalesce(__s, 0L)) div {alpha_den}L"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

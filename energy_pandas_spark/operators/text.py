@@ -2831,3 +2831,50 @@ def textrank_keywords(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("rank_q"), F.asc("term"))),
     )
+
+
+def related_terms(
+    df: DataFrame,
+    seed_terms: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+    n_iter: int = 10,
+    include_seeds: bool = False,
+) -> DataFrame:
+    """Query expansion over the corpus: personalized PageRank on the
+    window=2 co-occurrence graph with teleport pinned to
+    ``seed_terms`` — the classic related-term primitive (expand a
+    retrieval query, build a topic lexicon from a few seed words,
+    audit what vocabulary a concept drags in). Same pure-integer
+    iteration as :func:`textrank_keywords`, so the result is bit-exact
+    and oracle-replayable; seeds absent from the corpus are ignored
+    (all of them missing raises).
+
+    Returns (term, rank_q, rank) for the ``top`` non-seed terms
+    (``include_seeds=True`` keeps seeds in the board).
+    """
+    from pyspark.sql import Window
+
+    from energy_pandas_spark.operators.graph import pagerank
+
+    und = (
+        _doc_bigrams(df, text_col, id_col)
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    spark = df.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in seed_terms], "term string")
+    ranks = pagerank(sym, src="u", dst="v", n_iter=n_iter, seeds=seeds)
+    out = ranks.select(F.col("id").alias("term"), "rank_q")
+    if not include_seeds:
+        out = out.join(F.broadcast(seeds), "term", "left_anti")
+    topk = out.orderBy(F.desc("rank_q"), F.asc("term")).limit(top)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("rank_q"), F.asc("term"))),
+    )

@@ -176,3 +176,86 @@ def test_textrank_plan_single_corpus_scan(spark):
     )
     out = textrank_keywords(df, top=5, n_iter=2)
     assert out.count() == 5
+
+
+def ref_ppr(edges, seeds, n_iter=10, anum=17, aden=20, scale=Q):
+    """Single-threaded integer personalized PageRank."""
+    outw: dict = defaultdict(int)
+    for u, v, w in edges:
+        outw[u] += w
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    sset = set(seeds) & set(nodes)
+    ns = len(sset)
+    r = {x: (scale // ns if x in sset else 0) for x in nodes}
+    base = (aden - anum) * (scale // ns)
+    for _ in range(n_iter):
+        s: dict = defaultdict(int)
+        for u, v, w in edges:
+            s[v] += (r[u] * w) // outw[u]
+        r = {
+            x: ((base if x in sset else 0) + anum * s[x]) // aden
+            for x in nodes
+        }
+    return r
+
+
+class TestPersonalizedPagerank:
+    def test_random_graph_exact_vs_reference(self, spark):
+        import random
+
+        rng = random.Random(23)
+        raw = {(rng.randrange(30), rng.randrange(30)) for _ in range(200)}
+        edges = [(u, v, 1) for u, v in raw if u != v]
+        df = spark.createDataFrame(
+            [(u, v) for u, v, _ in edges], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,), (1,)], "id long")
+        got = {
+            r["id"]: r["rank_q"]
+            for r in pagerank(df, seeds=seeds).collect()
+        }
+        assert got == ref_ppr(edges, [0, 1])
+
+    def test_proximity_to_seed_dominates(self, spark):
+        # two disconnected 3-cycles; seeding in one leaves the other at 0
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        got = {r["id"]: r["rank_q"] for r in pagerank(df, seeds=seeds).collect()}
+        assert got[10] == got[11] == got[12] == 0
+        assert got[1] > 0 and got[2] > 0
+
+    def test_missing_seeds_ignored_all_missing_raises(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        some = spark.createDataFrame([(1,), (99,)], "id long")
+        got = {r["id"]: r["rank_q"] for r in pagerank(df, seeds=some).collect()}
+        assert got == ref_ppr([(1, 2, 1), (2, 1, 1)], [1])
+        none = spark.createDataFrame([(99,)], "id long")
+        with pytest.raises(ValueError, match="no seed id"):
+            pagerank(df, seeds=none)
+
+
+def test_related_terms_expand_seed_topic(spark):
+    from energy_pandas_spark.operators.text import related_terms
+
+    texts = [
+        "solar panel energy grid",
+        "solar energy storage battery",
+        "battery storage grid",
+        "cat dog pet food",
+        "dog food bowl",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = related_terms(df, ["solar"], top=5).orderBy("rank").collect()
+    terms = [r["term"] for r in got]
+    assert "solar" not in terms  # seeds excluded by default
+    # everything reachable from 'solar' outranks the pet cluster
+    energy_terms = {"panel", "energy", "grid", "storage", "battery"}
+    assert set(terms[:3]) <= energy_terms
+    pet = {"cat", "dog", "pet", "food", "bowl"}
+    ranked_pet = [t for t in terms if t in pet]
+    assert not ranked_pet or all(
+        got[i]["rank_q"] == 0 for i, t in enumerate(terms) if t in pet
+    )
