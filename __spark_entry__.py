@@ -1745,6 +1745,53 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fingerprint of the corpus (operators/text.py:
+    zipf_fit): integer-quantized log-log regression over the full term
+    frequency table — exact DECIMAL(38,0) sums, distributed term
+    ranking (no single-partition window), one correctly-rounded double
+    division per coefficient."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs)
+
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tf AS (
+  SELECT unnest(t) AS term FROM toks
+), cnt AS (
+  SELECT term, count(*)::BIGINT AS c FROM tf GROUP BY 1
+), ranked AS (
+  SELECT c, term, row_number() OVER (ORDER BY c DESC, term) AS r FROM cnt
+), q AS (
+  SELECT round(1024.0 * ln(r))::BIGINT AS xq,
+         round(1024.0 * ln(c))::BIGINT AS yq,
+         c
+  FROM ranked
+), s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(xq)::HUGEINT AS sx,
+         sum(yq)::HUGEINT AS sy,
+         sum(xq * yq)::HUGEINT AS sxy,
+         sum(xq * xq)::HUGEINT AS sxx,
+         sum(c)::BIGINT AS total_tokens
+  FROM q
+)
+SELECT n::BIGINT AS n_terms,
+       total_tokens,
+       ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) AS slope,
+       ((sy * sxx - sx * sxy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE / 1024.0)
+         AS intercept
+FROM s
+"""
+
+
 def related_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query expansion by personalized PageRank (operators/text.py:
     related_terms): teleport pinned to the seed terms on the same
@@ -7001,6 +7048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": textrank_docs,
         "epoch_order_docs": epoch_order_docs,
         "related_terms_docs": related_terms_docs,
+        "zipf_docs": zipf_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -7174,6 +7222,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_docs": _textrank_sql(),
         "epoch_order_docs": _EPOCH_ORDER_SQL,
         "related_terms_docs": _related_terms_sql(),
+        "zipf_docs": _ZIPF_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -108,6 +108,7 @@ HEADLINE = [
     "textrank_docs",
     "epoch_order_docs",
     "related_terms_docs",
+    "zipf_docs",
 ]
 
 

@@ -86,6 +86,7 @@ from energy_pandas_spark.operators.text import (
     tfidf_top_terms,
     textrank_keywords,
     related_terms,
+    zipf_fit,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -172,6 +173,7 @@ __all__ = [
     "tfidf_top_terms",
     "textrank_keywords",
     "related_terms",
+    "zipf_fit",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

@@ -2878,3 +2878,73 @@ def related_terms(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("rank_q"), F.asc("term"))),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1024,
+) -> DataFrame:
+    """Zipf-law diagnostics for the corpus: least-squares slope and
+    intercept of ``ln(freq)`` vs ``ln(rank)`` over the full term
+    frequency table — the standard "is this corpus natural language,
+    boilerplate, or spam?" fingerprint (natural text slopes ≈ −1;
+    templated corpora flatten, noisy ones steepen) and a cheap drift
+    alarm between corpus snapshots.
+
+    Exactness design: both logs are quantized to integer
+    1/``quant``-nat units (the PMI/DSIR pattern, one ``ln`` per value
+    is the only float op), the five regression sums run as exact
+    integer aggregates in DECIMAL(38,0) (order-free — a float
+    Σxy would reorder under shuffle), and slope/intercept come out of
+    ONE final correctly-rounded double division each, so the result is
+    bit-identical across engines and partitionings. Term ranks come
+    from :func:`~energy_pandas_spark.operators.analytics.
+    global_order_index` — no single-partition window even at a
+    100M-term vocabulary.
+
+    Returns one row: (n_terms, total_tokens, slope, intercept) with
+    the intercept in nats.
+    """
+    from energy_pandas_spark.operators.analytics import global_order_index
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(F.col(text_col)))
+    cnt = (
+        src.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = global_order_index(
+        cnt, [F.desc("c"), F.asc("term")], index_name="__i"
+    )
+    q = ranked.select(
+        F.round(F.lit(float(quant)) * F.log(F.col("__i") + 1))
+        .cast("long")
+        .alias("xq"),
+        F.round(F.lit(float(quant)) * F.log("c")).cast("long").alias("yq"),
+        F.col("c"),
+    )
+    d = "decimal(38,0)"
+    s = q.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("xq").cast(d).alias("sx"),
+        F.sum("yq").cast(d).alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast(d).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast(d).alias("sxx"),
+        F.sum("c").cast("long").alias("total_tokens"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("total_tokens"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / F.lit(float(quant))
+        ).alias("intercept"),
+    )

@@ -394,3 +394,56 @@ def test_vocab_index_and_encode_docs(spark):
     # (unless a tie pulled one in; ensure consistency with the vocab)
     for t, tok in zip(enc[3], "zebra unknown words only".split()):
         assert t == vmap.get(tok, 0)
+
+
+class TestZipfFit:
+    def _py_ref(self, texts, quant=1024):
+        import math
+        from collections import Counter
+
+        cnt = Counter(
+            w for t in texts for w in (t or "").lower().split() if w
+        )
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(ranked)
+        xs = [round(quant * math.log(i + 1)) for i in range(n)]
+        ys = [round(quant * math.log(c)) for _, c in ranked]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy * sxx - sx * sxy) / den / quant
+        return n, sum(cnt.values()), slope, intercept
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import zipf_fit
+
+        texts = [
+            "the the the the cat sat on the mat",
+            "the cat and the dog",
+            "a dog a cat a mat",
+            "on and on and on",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        row = zipf_fit(df).collect()[0]
+        n, tot, slope, intercept = self._py_ref(texts)
+        assert row["n_terms"] == n
+        assert row["total_tokens"] == tot
+        # quantized-integer sums are exact; the only slack is a
+        # possible 1-ulp ln() difference between JVM and libm
+        assert abs(row["slope"] - slope) < 1e-9
+        assert abs(row["intercept"] - intercept) < 1e-9
+        assert row["slope"] < 0  # frequency falls with rank
+
+    def test_partitioning_invariance_exact(self, spark):
+        from energy_pandas_spark.operators.text import zipf_fit
+
+        rows = [(i, f"w{i % 17} w{i % 5} w{i % 3} common") for i in range(300)]
+        a = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        b = spark.createDataFrame(rows, "doc_id long, text string").repartition(23)
+        ra = zipf_fit(a).collect()[0]
+        rb = zipf_fit(b).collect()[0]
+        assert tuple(ra) == tuple(rb)  # bit-exact, not approximate
