@@ -1745,6 +1745,45 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram originality (operators/text.py:
+    ngram_novelty): distinct (doc, gram) pairs persist once and feed
+    both the gram document-frequency aggregate and the join-back;
+    integer per-mille output."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs).orderBy("doc_id")
+
+
+_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + 2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS gram FROM toks WHERE len(t) < 3
+), pairs AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), dfreq AS (
+  SELECT gram, count(*)::BIGINT AS df FROM pairs GROUP BY 1
+)
+SELECT p.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel,
+       ((1000 * sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS novelty_pm
+FROM pairs p JOIN dfreq d USING (gram)
+GROUP BY p.doc_id ORDER BY doc_id
+"""
+
+
 def zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fingerprint of the corpus (operators/text.py:
     zipf_fit): integer-quantized log-log regression over the full term
@@ -7049,6 +7088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_order_docs": epoch_order_docs,
         "related_terms_docs": related_terms_docs,
         "zipf_docs": zipf_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -7223,6 +7263,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_order_docs": _EPOCH_ORDER_SQL,
         "related_terms_docs": _related_terms_sql(),
         "zipf_docs": _ZIPF_SQL,
+        "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -109,6 +109,7 @@ HEADLINE = [
     "epoch_order_docs",
     "related_terms_docs",
     "zipf_docs",
+    "ngram_novelty_docs",
 ]
 
 

@@ -87,6 +87,7 @@ from energy_pandas_spark.operators.text import (
     textrank_keywords,
     related_terms,
     zipf_fit,
+    ngram_novelty,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -174,6 +175,7 @@ __all__ = [
     "textrank_keywords",
     "related_terms",
     "zipf_fit",
+    "ngram_novelty",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

@@ -2948,3 +2948,60 @@ def zipf_fit(
             / F.lit(float(quant))
         ).alias("intercept"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document originality score: the share of the document's
+    DISTINCT word n-grams that occur in no other document — the
+    document-level "is this boilerplate or original text?" signal
+    (low novelty = template/near-dup material that inflates
+    memorization; the corpus-level mean is a diversity metric in the
+    self-BLEU family). Integer throughout: counts plus one per-mille
+    floor division, so results are engine- and partitioning-exact.
+
+    Scale shape: one scan builds distinct (doc, gram) pairs (shingles
+    via the shared projected-token helper); the pair set persists
+    spill-safe and feeds BOTH the gram document-frequency aggregate
+    and the join-back (the exchange-reuse trap — the two consumers'
+    subtrees differ after pushdown, so an explicit persist is the only
+    reliable share). Everything is keyed on the gram; no broadcast of
+    corpus-sized state.
+
+    Returns (doc_id, n_grams, novel, novelty_pm) where ``novelty_pm``
+    is ``(1000 * novel) div n_grams``.
+    """
+    from pyspark import StorageLevel
+
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    toked = src.select(id_col, tokens(text_col).alias("__toks"))
+    pairs = (
+        toked.select(
+            id_col,
+            F.explode(word_shingles_of_tokens("__toks", n)).alias("gram"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    dfreq = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    novel = F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        pairs.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "novel",
+            F.expr("(1000 * novel) div n_grams").alias("novelty_pm"),
+        )
+    )

@@ -447,3 +447,53 @@ class TestZipfFit:
         ra = zipf_fit(a).collect()[0]
         rb = zipf_fit(b).collect()[0]
         assert tuple(ra) == tuple(rb)  # bit-exact, not approximate
+
+
+class TestNgramNovelty:
+    def _py_ref(self, docs, n=3):
+        from collections import Counter
+
+        def grams(t):
+            toks = [w for w in (t or "").lower().split() if w]
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        per_doc = {i: grams(t) for i, t in docs}
+        df = Counter(g for gs in per_doc.values() for g in gs)
+        out = {}
+        for i, gs in per_doc.items():
+            novel = sum(1 for g in gs if df[g] == 1)
+            out[i] = (len(gs), novel, (1000 * novel) // len(gs))
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import ngram_novelty
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the rug"),          # shares a prefix with 0
+            (2, "completely original sentence here today"),
+            (3, "the cat sat on the mat"),          # exact dup of 0
+            (4, "short"),                            # < n tokens
+            (5, ""),                                 # empty
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_grams"], r["novel"], r["novelty_pm"])
+            for r in ngram_novelty(df).collect()
+        }
+        assert got == self._py_ref(docs)
+        # the exact dup pair has zero novelty; the original doc is full
+        assert got[0][1] == 0 and got[3][1] == 0
+        assert got[2][2] == 1000
+
+    def test_partitioning_invariance(self, spark):
+        from energy_pandas_spark.operators.text import ngram_novelty
+
+        rows = [(i, f"tok{i%7} tok{i%3} tok{i%11} tok{i%5} tail") for i in range(120)]
+        a = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        b = spark.createDataFrame(rows, "doc_id long, text string").repartition(19)
+        ra = sorted(map(tuple, ngram_novelty(a).collect()))
+        rb = sorted(map(tuple, ngram_novelty(b).collect()))
+        assert ra == rb
