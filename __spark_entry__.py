@@ -1745,6 +1745,84 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def score_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement (operators/analytics.py:spearman_corr)
+    between two document scores (n_chars vs distinct-token count):
+    permutation ranks from the distributed-rank helper, exact
+    DECIMAL(38,0) sum of squared rank differences, one double
+    division."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.analytics import spearman_corr
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokens("text"))).alias("n_vocab"),
+    )
+    return spearman_corr(scored, "n_chars", "n_vocab")
+
+
+_SCORE_AGREEMENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\s+'),
+             x -> x != ''))) AS n_vocab
+  FROM documents
+), ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS ra
+  FROM t
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_vocab DESC, doc_id) - 1 AS rb
+  FROM t
+), s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum((ra.ra - rb.rb) * (ra.ra - rb.rb))::HUGEINT AS sd2
+  FROM ra JOIN rb USING (doc_id)
+)
+SELECT n::BIGINT AS n,
+       sd2::BIGINT AS sum_d2,
+       (1.0::DOUBLE - (6 * sd2)::DOUBLE / (n * (n * n - 1))::DOUBLE) AS rho
+FROM s
+"""
+
+
+def source_concentration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of token mass across sources (operators/
+    analytics.py:gini_concentration): exact integer aggregates over
+    ascending group totals, one double division."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.analytics import gini_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("source", F.size(tokens("text")).alias("w"))
+    return gini_concentration(w, "source", "w")
+
+
+_SOURCE_CONCENTRATION_SQL = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> x != '')) AS w
+  FROM documents
+), tot AS (
+  SELECT source, sum(w)::BIGINT AS x FROM t GROUP BY 1
+), idx AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM tot
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(i * x)::HUGEINT AS six
+  FROM idx
+)
+SELECT n::BIGINT AS n_groups, sx::BIGINT AS total,
+       ((2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE) AS gini
+FROM s
+"""
+
+
 def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram originality (operators/text.py:
     ngram_novelty): distinct (doc, gram) pairs persist once and feed
@@ -7089,6 +7167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms_docs": related_terms_docs,
         "zipf_docs": zipf_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
+        "score_agreement_docs": score_agreement_docs,
+        "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -7264,6 +7344,8 @@ def oracle_sql() -> dict[str, str]:
         "related_terms_docs": _related_terms_sql(),
         "zipf_docs": _ZIPF_SQL,
         "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
+        "score_agreement_docs": _SCORE_AGREEMENT_SQL,
+        "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -110,6 +110,8 @@ HEADLINE = [
     "related_terms_docs",
     "zipf_docs",
     "ngram_novelty_docs",
+    "score_agreement_docs",
+    "source_concentration_docs",
 ]
 
 

@@ -16,6 +16,9 @@ from energy_pandas_spark.operators.analytics import (
     p_max,
     source_side,
     time_at_min,
+    spearman_corr,
+    gini_concentration,
+    global_order_index,
 )
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
@@ -113,6 +116,9 @@ __all__ = [
     "time_at_min",
     "source_side",
     "dedup_bursts",
+    "spearman_corr",
+    "gini_concentration",
+    "global_order_index",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

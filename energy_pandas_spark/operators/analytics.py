@@ -931,3 +931,91 @@ def global_order_index(
     return part.join(F.broadcast(offsets), "__pid").select(
         (F.col("__off") + F.col("__rn")).alias(index_name), *cols
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Spearman rank agreement between two per-row scores — the
+    "did the new quality scorer reorder the corpus?" audit run at full
+    scale. Rows where either score is NULL are excluded. Ranks are
+    0-based positions in (score desc, id asc) order — ties break
+    deterministically by id rather than by midrank averaging (exact,
+    engine-stable; midranks would reintroduce float averaging), so on
+    tied data this is the permutation-rank variant of Spearman. With
+    both rank vectors permutations of 0..n-1, the classic identity
+    ``rho = 1 - 6*sum(d^2) / (n*(n^2-1))`` applies: ``sum(d^2)`` is an
+    exact DECIMAL(38,0) aggregate and rho is ONE correctly-rounded
+    double division — bit-identical across engines/partitionings.
+    Ranks come from :func:`global_order_index`; no single-partition
+    window. Returns one row (n, sum_d2, rho)."""
+    base = df.select(id_col, col_a, col_b).filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    ra = global_order_index(
+        base.select(id_col, col_a), [F.desc(col_a), F.asc(id_col)], "__ra"
+    ).select(id_col, "__ra")
+    rb = global_order_index(
+        base.select(id_col, col_b), [F.desc(col_b), F.asc(id_col)], "__rb"
+    ).select(id_col, "__rb")
+    d = "decimal(38,0)"
+    s = (
+        ra.join(rb, id_col)
+        .select(((F.col("__ra") - F.col("__rb"))).alias("__d"))
+        .agg(
+            F.count(F.lit(1)).cast(d).alias("n"),
+            F.sum(F.col("__d") * F.col("__d")).cast(d).alias("sum_d2"),
+        )
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - (F.lit(6).cast(d) * F.col("sum_d2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - F.lit(1).cast(d))).cast(
+                "double"
+            )
+        ).alias("rho"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Gini coefficient of ``weight_col`` mass across ``key_col``
+    groups — the corpus-concentration audit ("is 90% of the training
+    data five domains?"). Group totals sort ascending, 1-based
+    positions come from :func:`global_order_index`, and the classic
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` evaluates with
+    exact DECIMAL(38,0) integer aggregates and ONE double division —
+    engine- and partitioning-exact. Returns one row
+    (n_groups, total, gini)."""
+    totals = df.groupBy(key_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__x")
+    )
+    idx = global_order_index(
+        totals, [F.asc("__x"), F.asc(key_col)], "__i"
+    )
+    d = "decimal(38,0)"
+    s = idx.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("__x").cast(d).alias("sx"),
+        F.sum((F.col("__i") + 1) * F.col("__x")).cast(d).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_groups"),
+        F.col("sx").cast("long").alias("total"),
+        (
+            (
+                F.lit(2).cast(d) * F.col("six")
+                - (F.col("n") + F.lit(1).cast(d)) * F.col("sx")
+            ).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )

@@ -497,3 +497,80 @@ class TestNgramNovelty:
         ra = sorted(map(tuple, ngram_novelty(a).collect()))
         rb = sorted(map(tuple, ngram_novelty(b).collect()))
         assert ra == rb
+
+
+class TestSpearmanGini:
+    def test_spearman_perfect_and_reversed(self, spark):
+        from energy_pandas_spark.operators.analytics import spearman_corr
+
+        rows = [(i, float(i), float(i * 2)) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, a double, b double")
+        r = spearman_corr(df, "a", "b").collect()[0]
+        assert (r["n"], r["sum_d2"], r["rho"]) == (50, 0, 1.0)
+        rev = spark.createDataFrame(
+            [(i, float(i), float(-i)) for i in range(50)],
+            "doc_id long, a double, b double",
+        )
+        r2 = spearman_corr(rev, "a", "b").collect()[0]
+        assert r2["rho"] == -1.0
+
+    def test_spearman_matches_python_replay(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.analytics import spearman_corr
+
+        rng = random.Random(5)
+        rows = [
+            (i, rng.random(), rng.random()) for i in range(200)
+        ] + [(200, None, 1.0), (201, 0.5, None)]  # nulls excluded
+        df = spark.createDataFrame(rows, "doc_id long, a double, b double")
+        keep = [(i, a, b) for i, a, b in rows if a is not None and b is not None]
+        ra = {
+            i: p
+            for p, (i, a, _) in enumerate(
+                sorted(keep, key=lambda t: (-t[1], t[0]))
+            )
+        }
+        rb = {
+            i: p
+            for p, (i, _, b) in enumerate(
+                sorted(keep, key=lambda t: (-t[2], t[0]))
+            )
+        }
+        n = len(keep)
+        sd2 = sum((ra[i] - rb[i]) ** 2 for i, _, _ in keep)
+        rho = 1 - 6 * sd2 / (n * (n * n - 1))
+        r = spearman_corr(df, "a", "b").collect()[0]
+        assert r["n"] == n and r["sum_d2"] == sd2
+        assert r["rho"] == rho  # exact: same integer inputs, one division
+
+    def test_gini_uniform_zero_concentrated_high(self, spark):
+        from energy_pandas_spark.operators.analytics import gini_concentration
+
+        uni = spark.createDataFrame(
+            [(f"s{i}", 100) for i in range(10)], "src string, w long"
+        )
+        g = gini_concentration(uni, "src", "w").collect()[0]
+        assert g["gini"] == 0.0 and g["total"] == 1000
+        conc = spark.createDataFrame(
+            [("big", 10_000)] + [(f"s{i}", 1) for i in range(9)],
+            "src string, w long",
+        )
+        g2 = gini_concentration(conc, "src", "w").collect()[0]
+        assert g2["gini"] > 0.85
+
+    def test_gini_matches_python_replay(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.analytics import gini_concentration
+
+        rng = random.Random(9)
+        rows = [(f"s{i}", rng.randrange(1, 500)) for i in range(40)]
+        df = spark.createDataFrame(rows, "src string, w long").repartition(7)
+        xs = [x for _, x in sorted(rows, key=lambda t: (t[1], t[0]))]
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        gini = (2 * six - (n + 1) * sx) / (n * sx)
+        r = gini_concentration(df, "src", "w").collect()[0]
+        assert (r["n_groups"], r["total"]) == (n, sx)
+        assert r["gini"] == gini
