@@ -451,3 +451,71 @@ class TestFourthWavePlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 3
         assert "SortMergeJoin LeftAnti" in plan or "BroadcastHashJoin" in plan
+
+
+class TestFifthWavePlans:
+    def test_ngram_novelty_single_scan_via_persist(self, spark, sf_dir):
+        # the distinct (doc, gram) pair set persists once and feeds both
+        # the df-aggregate and the join-back: exactly one InMemoryRelation,
+        # no second corpus scan
+        from energy_pandas_spark.operators.text import ngram_novelty
+        from energy_pandas_spark.plans.explain import simple_plan
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = ngram_novelty(docs)
+        plan = simple_plan(out)
+        # both consumers read the cache (the FileScan lines that remain
+        # are the cached relation's BUILD plan echoed inside each
+        # InMemoryTableScan, not extra executed scans)
+        assert plan.count("InMemoryTableScan") >= 2
+
+    def test_epoch_order_no_single_partition_exchange(self, spark, sf_dir):
+        from energy_pandas_spark.operators.sampling import epoch_order
+        from energy_pandas_spark.plans.explain import single_partition_exchanges
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = epoch_order(docs, epochs=2, seed="s0")
+        assert single_partition_exchanges(out) == 0
+
+    def test_zipf_and_audits_no_single_partition_exchange(self, spark, sf_dir):
+        from energy_pandas_spark.functions.textfns import tokens as _toks
+        from energy_pandas_spark.operators.analytics import (
+            gini_concentration,
+            spearman_corr,
+        )
+        from energy_pandas_spark.operators.text import zipf_fit
+        from energy_pandas_spark.plans.explain import single_partition_exchanges
+        from energy_pandas_spark.sources.readers import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert single_partition_exchanges(zipf_fit(docs)) == 0
+        scored = docs.select(
+            "doc_id", "n_chars", F.size(_toks("text")).alias("nv")
+        )
+        assert single_partition_exchanges(
+            spearman_corr(scored, "n_chars", "nv")
+        ) == 0
+        w = docs.select("source", F.size(_toks("text")).alias("w"))
+        assert single_partition_exchanges(
+            gini_concentration(w, "source", "w")
+        ) == 0
+
+    def test_pagerank_per_round_exchange_budget(self, spark):
+        # one aggregate exchange per compiled round batch; the
+        # ranks-edges join rides the pinned hash partitioning
+        from energy_pandas_spark.operators.graph import pagerank
+        from energy_pandas_spark.plans import exchange_count
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+        )
+        out = pagerank(edges, n_iter=5, checkpoint_every=5)
+        # final plan holds the last (up to 5) rounds at ~3 exchanges
+        # per round (contribution aggregate + join plumbing); lock the
+        # ceiling so a regression to per-round edge-table re-exchanges
+        # (5+/round) is caught
+        assert exchange_count(out) <= 18
