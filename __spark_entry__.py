@@ -1745,6 +1745,53 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def winnow_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints (operators/dedup.py:
+    winnow_fingerprints, k=3 w=4): per-window rightmost-minimum
+    selection over packed hash*2^20+(2^20-1-pos) keys — zero-shuffle
+    codegen'd array expressions; oracle replays the window minimum in
+    SQL."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).orderBy("doc_id", "pos")
+
+
+_WINNOW_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS j, array_to_string(t[i:i + 2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS j, array_to_string(t, ' ') AS gram
+  FROM toks WHERE len(t) < 3
+), keys AS (
+  SELECT doc_id, j,
+         ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576
+           + (1048575 - j) AS key
+  FROM g
+), m AS (
+  SELECT doc_id, count(*)::BIGINT AS m FROM keys GROUP BY 1
+), win AS (
+  SELECT keys.doc_id, keys.j, m.m,
+         min(keys.key) OVER (PARTITION BY keys.doc_id ORDER BY keys.j
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM keys JOIN m ON m.doc_id = keys.doc_id
+), sel AS (
+  SELECT DISTINCT doc_id, wmin AS key
+  FROM win WHERE j <= m - 4 OR (m < 4 AND j = 0)
+)
+SELECT doc_id, key // 1048576 AS fp_hash, 1048575 - (key % 1048576) AS pos
+FROM sel ORDER BY doc_id, pos
+"""
+
+
 def score_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank agreement (operators/analytics.py:spearman_corr)
     between two document scores (n_chars vs distinct-token count):
@@ -7167,6 +7214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms_docs": related_terms_docs,
         "zipf_docs": zipf_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
+        "winnow_fp_docs": winnow_fp_docs,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -7344,6 +7392,7 @@ def oracle_sql() -> dict[str, str]:
         "related_terms_docs": _related_terms_sql(),
         "zipf_docs": _ZIPF_SQL,
         "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
+        "winnow_fp_docs": _WINNOW_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,

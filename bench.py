@@ -112,6 +112,7 @@ HEADLINE = [
     "ngram_novelty_docs",
     "score_agreement_docs",
     "source_concentration_docs",
+    "winnow_fp_docs",
 ]
 
 

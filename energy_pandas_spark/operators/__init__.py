@@ -37,6 +37,8 @@ from energy_pandas_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash64,
+    winnow_fingerprints,
+    winnow_pairs,
     simhash_neardup_pairs,
 )
 from energy_pandas_spark.operators.graph import (
@@ -137,6 +139,8 @@ __all__ = [
     "minhash_dedup",
     "minhash_cluster_stats",
     "simhash64",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

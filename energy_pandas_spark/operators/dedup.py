@@ -1290,3 +1290,126 @@ def containment_dedup(
         .alias(id_col)
     )
     return dropped.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+_WPOS = 1 << 20  # position capacity per doc (grams); 40-bit hash + 20-bit pos
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    minimum (rightmost on ties — the paper's robust-winnowing rule).
+    The selected (hash, position) set is a ~1/w-density sketch with
+    the guarantee that any two documents sharing a run of at least
+    ``w + k - 1`` tokens share at least one fingerprint — positional,
+    sub-document dup detection that survives reordering of the
+    surrounding text (complementary to minhash, which sketches GLOBAL
+    similarity).
+
+    Zero shuffle: every step is a per-row array computation in
+    codegen'd JVM expressions. The tie rule costs nothing — each hash
+    packs into ``hash * 2^20 + (2^20 - 1 - pos)`` so a plain
+    ``array_min`` picks the smallest hash with the LARGEST position,
+    and the key unpacks after selection. Hashes are 40-bit md5 prefixes
+    (cross-engine: the oracle replays them in SQL); positions must fit
+    2^20 grams per document (raise at ingest if you chunk bigger).
+
+    Returns (id, fp_hash, pos), distinct per document.
+    """
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    toked = src.select(id_col, tokens(text_col).alias("__toks"))
+    grams = toked.select(
+        id_col, word_shingles_of_tokens("__toks", k).alias("__g")
+    )
+    keys = grams.select(
+        id_col,
+        F.transform(
+            "__g",
+            lambda g, j: F.conv(F.substring(F.md5(g), 1, 10), 16, 10).cast(
+                "long"
+            )
+            * F.lit(_WPOS)
+            + (F.lit(_WPOS - 1) - j),
+        ).alias("__keys"),
+    )
+    m = F.size("__keys")
+    nwin = F.greatest(m - F.lit(w - 1), F.lit(1))
+    wsize = F.least(F.lit(w), m)
+    sel = keys.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), nwin - 1),
+                    lambda i: F.array_min(F.slice("__keys", i + 1, wsize)),
+                )
+            )
+        ).alias("__key"),
+    )
+    return sel.select(
+        id_col,
+        F.expr(f"__key div {_WPOS}").alias("fp_hash"),
+        (F.lit(_WPOS - 1) - F.col("__key") % F.lit(_WPOS)).alias("pos"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the local/plagiarism dup detector over :func:`winnow_
+    fingerprints`. Same bucket-grouped pair expansion as every LSH
+    path here: fingerprints group by hash, degenerate buckets are
+    capped at ``max_bucket`` (a boilerplate gram shared by a million
+    docs must not go quadratic), ordered pairs count shared hashes.
+    Returns (id_a, id_b, shared) with id_a < id_b."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("__id"), "fp_hash"
+    ).distinct()
+    buckets = (
+        fps.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids",
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("__p")
+    ).select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -188,3 +188,74 @@ def test_line_dedup_min_count_threshold(spark):
     # default (2) dedups both
     out2 = {r.doc_id: r.text for r in line_dedup(df).collect()}
     assert out2[1] == "" and out2[2] == ""
+
+
+class TestWinnowing:
+    @staticmethod
+    def _py_fps(text, k=3, w=4):
+        import hashlib
+
+        toks = [t for t in (text or "").lower().split() if t]
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+        ]
+        m = len(hs)
+        ws = min(w, m)
+        sel = set()
+        for i in range(max(m - w + 1, 1)):
+            win = hs[i : i + ws]
+            mn = min(win)
+            # rightmost minimum (robust winnowing)
+            j = max(jj for jj, h in enumerate(win) if h == mn)
+            sel.add((mn, i + j))
+        return sel
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.dedup import winnow_fingerprints
+
+        texts = [
+            (0, "a b c d e f g h i j"),
+            (1, "x y a b c d e f q r"),   # shares the run 'a b c d e f'
+            (2, "one two"),                # fewer tokens than k
+            (3, ""),                       # empty
+            (4, "z z z z z z"),            # all-equal hashes exercise ties
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["pos"]))
+        for i, t in texts:
+            assert got.get(i, set()) == self._py_fps(t), f"doc {i}"
+
+    def test_shared_run_guarantee(self, spark):
+        # any shared run of >= w + k - 1 tokens must share a fingerprint
+        from energy_pandas_spark.operators.dedup import winnow_pairs
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1
+        df = spark.createDataFrame(
+            [
+                (0, f"pre1 pre2 {shared} post1 post2"),
+                (1, f"other words {shared} trailing stuff here"),
+                (2, "completely unrelated text with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = winnow_pairs(df, min_shared=1).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got
+        assert all(2 not in p for p in got)
+
+    def test_bucket_cap_drops_degenerate_gram(self, spark):
+        from energy_pandas_spark.operators.dedup import winnow_pairs
+
+        # 30 docs all sharing one boilerplate line: with max_bucket=10
+        # the degenerate bucket is dropped and no pairs emerge
+        df = spark.createDataFrame(
+            [(i, "the same boilerplate line here") for i in range(30)],
+            "doc_id long, text string",
+        )
+        assert winnow_pairs(df, min_shared=1, max_bucket=10).count() == 0
