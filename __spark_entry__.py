@@ -1745,6 +1745,47 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth at 10 checkpoints (operators/
+    text.py:vocab_growth): term-first-seen aggregate + exact
+    integer-rank boundary selection + one broadcast join."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs, checkpoints=10)
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH dids AS (
+  SELECT DISTINCT doc_id FROM documents
+), ids AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM dids
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM dids
+), rk AS (
+  SELECT DISTINCT greatest((n.n * d) // 10, 1) AS r
+  FROM (SELECT unnest(range(1, 11)) AS d) CROSS JOIN n
+), cps AS (
+  SELECT row_number() OVER (ORDER BY rk.r)::INT AS checkpoint,
+         rk.r::BIGINT AS n_docs, ids.doc_id AS up_to_id
+  FROM rk JOIN ids ON ids.r = rk.r
+), tm AS (
+  SELECT term, min(doc_id) AS first
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\s+'), x -> x != '')) AS term
+    FROM documents
+  )
+  GROUP BY term
+)
+SELECT checkpoint, n_docs, up_to_id, count(*)::BIGINT AS vocab
+FROM cps JOIN tm ON tm.first <= cps.up_to_id
+GROUP BY 1, 2, 3 ORDER BY checkpoint
+"""
+
+
 def winnow_fp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints (operators/dedup.py:
     winnow_fingerprints, k=3 w=4): per-window rightmost-minimum
@@ -7215,6 +7256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_docs": zipf_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
         "winnow_fp_docs": winnow_fp_docs,
+        "vocab_growth_docs": vocab_growth_docs,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -7393,6 +7435,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_docs": _ZIPF_SQL,
         "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
         "winnow_fp_docs": _WINNOW_SQL,
+        "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,

@@ -113,6 +113,7 @@ HEADLINE = [
     "score_agreement_docs",
     "source_concentration_docs",
     "winnow_fp_docs",
+    "vocab_growth_docs",
 ]
 
 

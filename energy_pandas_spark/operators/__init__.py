@@ -93,6 +93,7 @@ from energy_pandas_spark.operators.text import (
     related_terms,
     zipf_fit,
     ngram_novelty,
+    vocab_growth,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -186,6 +187,7 @@ __all__ = [
     "related_terms",
     "zipf_fit",
     "ngram_novelty",
+    "vocab_growth",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

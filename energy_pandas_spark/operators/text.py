@@ -3005,3 +3005,65 @@ def ngram_novelty(
             F.expr("(1000 * novel) div n_grams").alias("novelty_pm"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-term count after
+    each prefix of the corpus in ``id_col`` order, at ``checkpoints``
+    evenly-spaced document counts — the "is the vocabulary still
+    growing or has the corpus gone stale/templated?" diagnostic
+    (natural corpora grow ~ n^beta with beta ≈ 0.5; a flat curve means
+    new documents add no new language). Pure integer counting:
+
+    - each term reduces to its FIRST document (``min(id)`` — one
+      vocabulary-sized aggregate),
+    - checkpoint boundary ids are exact integer-rank selections from
+      the distributed-rank helper (rank ``(n*d) div k``, no
+      single-partition window, a ``checkpoints``-row bounded collect),
+    - the curve is one broadcast join of the term-first-seen table
+      against the boundary list.
+
+    Returns (checkpoint, n_docs, up_to_id, vocab) ordered by
+    checkpoint, where ``vocab`` counts terms first seen at or before
+    ``up_to_id``.
+    """
+    from energy_pandas_spark.operators.analytics import global_order_index
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    first_seen = (
+        src.select(F.explode(tokens(text_col)).alias("term"), F.col(id_col))
+        .groupBy("term")
+        .agg(F.min(id_col).alias("__first"))
+    )
+    ids = df.select(id_col).distinct()
+    n = ids.count()
+    ranks = [max((n * d) // checkpoints, 1) for d in range(1, checkpoints + 1)]
+    idx = global_order_index(ids, [F.asc(id_col)], "__r")
+    bounds = (
+        idx.filter((F.col("__r") + 1).isin(ranks))
+        .select((F.col("__r") + 1).alias("n_docs"), F.col(id_col).alias("up_to_id"))
+        .collect()
+    )
+    # dedup rank collisions at tiny n (several checkpoints hit one rank)
+    spark = df.sparkSession
+    rows = sorted({(int(r["n_docs"]), r["up_to_id"]) for r in bounds})
+    cps = spark.createDataFrame(
+        [
+            (d + 1, nd, uid)
+            for d, (nd, uid) in enumerate(rows)
+        ],
+        "checkpoint int, n_docs long, up_to_id long",
+    )
+    return (
+        first_seen.crossJoin(F.broadcast(cps))
+        .filter(F.col("__first") <= F.col("up_to_id"))
+        .groupBy("checkpoint", "n_docs", "up_to_id")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+        .orderBy("checkpoint")
+    )

@@ -574,3 +574,39 @@ class TestSpearmanGini:
         r = gini_concentration(df, "src", "w").collect()[0]
         assert (r["n_groups"], r["total"]) == (n, sx)
         assert r["gini"] == gini
+
+
+class TestVocabGrowth:
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import vocab_growth
+
+        texts = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(40)]
+        df = spark.createDataFrame(texts, "doc_id long, text string").repartition(7)
+        got = [
+            (r["checkpoint"], r["n_docs"], r["up_to_id"], r["vocab"])
+            for r in vocab_growth(df, checkpoints=4).collect()
+        ]
+        # python replay
+        n = 40
+        ranks = sorted({max((n * d) // 4, 1) for d in range(1, 5)})
+        ids = sorted(i for i, _ in texts)
+        first = {}
+        for i, t in texts:
+            for w in t.split():
+                first.setdefault(w, i)
+        want = []
+        for c, r in enumerate(ranks, start=1):
+            up = ids[r - 1]
+            want.append((c, r, up, sum(1 for v in first.values() if v <= up)))
+        assert got == want
+        # doc i introduces exactly term w{i}: growth is linear here
+        assert [v for _, _, _, v in got] == [10, 20, 30, 40]
+
+    def test_growth_flattens_on_stale_corpus(self, spark):
+        from energy_pandas_spark.operators.text import vocab_growth
+
+        rows = [(i, "same words every time") for i in range(30)]
+        rows[0] = (0, "unique opening vocabulary right here")
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [r["vocab"] for r in vocab_growth(df, checkpoints=3).collect()]
+        assert got[0] == got[-1]  # no growth after the first slice
