@@ -1745,6 +1745,84 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def corpus_health_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health card (operators/pipeline.py:
+    corpus_health): Zipf slope + source Gini + mean 3-gram novelty,
+    composed from the session's exact-arithmetic diagnostics; three
+    1-row branches broadcast-cross-joined."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import corpus_health
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_health(docs)
+
+
+_CORPUS_HEALTH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tf AS (
+  SELECT unnest(t) AS term FROM toks
+), cnt AS (
+  SELECT term, count(*)::BIGINT AS c FROM tf GROUP BY 1
+), rankedz AS (
+  SELECT c, term, row_number() OVER (ORDER BY c DESC, term) AS r FROM cnt
+), qz AS (
+  SELECT round(1024.0 * ln(r))::BIGINT AS xq,
+         round(1024.0 * ln(c))::BIGINT AS yq, c
+  FROM rankedz
+), sz AS (
+  SELECT count(*)::HUGEINT AS n, sum(xq)::HUGEINT AS sx,
+         sum(yq)::HUGEINT AS sy, sum(xq * yq)::HUGEINT AS sxy,
+         sum(xq * xq)::HUGEINT AS sxx, sum(c)::BIGINT AS total_tokens
+  FROM qz
+), z AS (
+  SELECT n::BIGINT AS n_terms, total_tokens,
+         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+           AS zipf_slope
+  FROM sz
+), tot AS (
+  SELECT source, sum(len(t))::BIGINT AS x FROM toks GROUP BY 1
+), idxg AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM tot
+), sg AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(i * x)::HUGEINT AS six
+  FROM idxg
+), g AS (
+  SELECT n::BIGINT AS n_sources,
+         ((2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE) AS source_gini
+  FROM sg
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + 2], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS gram FROM toks WHERE len(t) < 3
+), pairs AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), dfreq AS (
+  SELECT gram, count(*)::BIGINT AS df FROM pairs GROUP BY 1
+), nov AS (
+  SELECT p.doc_id,
+         ((1000 * sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)) // count(*))
+           AS pm
+  FROM pairs p JOIN dfreq d USING (gram)
+  GROUP BY p.doc_id
+), nv AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(pm) // count(*))::BIGINT AS mean_novelty_pm
+  FROM nov
+)
+SELECT z.n_terms, z.total_tokens, z.zipf_slope,
+       g.n_sources, g.source_gini,
+       nv.n_docs, nv.mean_novelty_pm
+FROM z CROSS JOIN g CROSS JOIN nv
+"""
+
+
 def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth at 10 checkpoints (operators/
     text.py:vocab_growth): term-first-seen aggregate + exact
@@ -7257,6 +7335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_docs": ngram_novelty_docs,
         "winnow_fp_docs": winnow_fp_docs,
         "vocab_growth_docs": vocab_growth_docs,
+        "corpus_health_docs": corpus_health_docs,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -7436,6 +7515,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty_docs": _NGRAM_NOVELTY_SQL,
         "winnow_fp_docs": _WINNOW_SQL,
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
+        "corpus_health_docs": _CORPUS_HEALTH_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,

@@ -114,6 +114,7 @@ HEADLINE = [
     "source_concentration_docs",
     "winnow_fp_docs",
     "vocab_growth_docs",
+    "corpus_health_docs",
 ]
 
 

@@ -56,6 +56,7 @@ from energy_pandas_spark.operators.joins import (
 from energy_pandas_spark.operators.pipeline import (
     clean_corpus,
     corpus_diff,
+    corpus_health,
     corpus_diff_stats,
     distribution_shift,
 )
@@ -164,6 +165,7 @@ __all__ = [
     "sample_k_per_group",
     "drop_below_group_quantile",
     "clean_corpus",
+    "corpus_health",
     "corpus_diff",
     "corpus_diff_stats",
     "distribution_shift",

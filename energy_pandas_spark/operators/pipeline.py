@@ -292,3 +292,52 @@ def distribution_shift(
             "n_new",
         )
     )
+
+
+def corpus_health(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus HEALTH card — the statistical companion to
+    :func:`corpus_report`'s volume card: Zipf slope (is the language
+    natural or templated?), source-concentration Gini (is the mass a
+    few domains?), and mean per-document 3-gram novelty (how much of
+    the corpus is boilerplate?). Composes :func:`~energy_pandas_spark.
+    operators.text.zipf_fit`, :func:`~energy_pandas_spark.operators.
+    analytics.gini_concentration` and :func:`~energy_pandas_spark.
+    operators.text.ngram_novelty`; the three 1-row branches broadcast-
+    cross-join into one row, and every figure is engine-exact by the
+    component guarantees (integer aggregates, one final division
+    each; the novelty mean is an integer floor division in per-mille).
+
+    Returns (n_terms, total_tokens, zipf_slope, n_sources,
+    source_gini, n_docs, mean_novelty_pm).
+    """
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.analytics import gini_concentration
+    from energy_pandas_spark.operators.text import ngram_novelty, zipf_fit
+
+    z = zipf_fit(df, text_col, id_col).select(
+        "n_terms", "total_tokens", F.col("slope").alias("zipf_slope")
+    )
+    g = gini_concentration(
+        df.select(source_col, F.size(tokens(text_col)).alias("__w")),
+        source_col,
+        "__w",
+    ).select(
+        F.col("n_groups").alias("n_sources"), F.col("gini").alias("source_gini")
+    )
+    nv = (
+        ngram_novelty(df, text_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("novelty_pm").alias("__s"),
+        )
+        .select(
+            "n_docs",
+            F.expr("__s div n_docs").alias("mean_novelty_pm"),
+        )
+    )
+    return z.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(nv))
