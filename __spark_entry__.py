@@ -1745,6 +1745,36 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label centroid pooling (operators/similarity.py:
+    pool_embeddings): posexplode to (label, dim) integer-quantized
+    sums, one correctly-rounded division per component, array
+    reassembly from the d-bounded dim set."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb, "label").orderBy("label")
+
+
+_POOL_EMBEDDINGS_SQL = r"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), agg AS (
+  SELECT label, dim,
+         sum(round(1048576.0 * v::DOUBLE))::BIGINT AS sq,
+         count(*)::BIGINT AS c
+  FROM ex GROUP BY 1, 2
+)
+SELECT label,
+       array_agg(sq::DOUBLE / (1048576 * c)::DOUBLE ORDER BY dim) AS pooled,
+       max(c)::BIGINT AS n_vectors
+FROM agg GROUP BY label ORDER BY label
+"""
+
+
 def corpus_health_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health card (operators/pipeline.py:
     corpus_health): Zipf slope + source Gini + mean 3-gram novelty,
@@ -7336,6 +7366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp_docs": winnow_fp_docs,
         "vocab_growth_docs": vocab_growth_docs,
         "corpus_health_docs": corpus_health_docs,
+        "pool_embeddings_label": pool_embeddings_label,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -7516,6 +7547,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp_docs": _WINNOW_SQL,
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "corpus_health_docs": _CORPUS_HEALTH_SQL,
+        "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,

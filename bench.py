@@ -115,6 +115,7 @@ HEADLINE = [
     "winnow_fp_docs",
     "vocab_growth_docs",
     "corpus_health_docs",
+    "pool_embeddings_label",
 ]
 
 

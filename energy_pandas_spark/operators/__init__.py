@@ -102,6 +102,7 @@ from energy_pandas_spark.operators.similarity import (
     cosine_topk,
     hard_negative_topk,
     ivf_topk,
+    pool_embeddings,
 )
 from energy_pandas_spark.operators.dedup import minhash_cluster_stats
 from energy_pandas_spark.operators.windows import (
@@ -199,6 +200,7 @@ __all__ = [
     "cosine_topk",
     "hard_negative_topk",
     "ivf_topk",
+    "pool_embeddings",
     # windows
     "rolling_aggregate",
     "cumulative_aggregate",

@@ -961,3 +961,66 @@ def whiten_embeddings(
     return df.withColumn(
         out, F.zip_with(centered, scales, lambda x, s: x * s)
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Exact distributed embedding pooling: one vector per group —
+    chunk-to-document pooling, class centroids, per-cluster prototype
+    vectors. ``mode='mean'`` quantizes each component to integer
+    1/``quant`` units (round half-away, the house pattern) so the
+    per-(group, dim) sums are order-free integer aggregates and each
+    output component is ONE correctly-rounded double division —
+    bit-identical across engines and partitionings (a float mean
+    would reorder under shuffle). ``mode='max'`` needs no
+    quantization: max is order-free on floats.
+
+    Scale shape: ``posexplode`` to (group, dim) keyed rows — the
+    shuffle carries n*d skinny rows with map-side partial aggregation,
+    never a per-group vector list; the final array assembles from the
+    d-bounded per-group dim set. Vectors missing dimensions average
+    over the vectors that HAVE each dimension (ragged inputs are the
+    caller's contract to avoid).
+
+    Returns (group_col, pooled array<double>, n_vectors).
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    ex = df.select(
+        group_col, F.posexplode(vec_col).alias("dim", "__v")
+    )
+    if mode == "max":
+        agg = ex.groupBy(group_col, "dim").agg(
+            F.max(F.col("__v").cast("double")).alias("__val"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    else:
+        q = F.round(F.lit(float(quant)) * F.col("__v").cast("double")).cast(
+            "long"
+        )
+        agg = (
+            ex.select(group_col, "dim", q.alias("__q"))
+            .groupBy(group_col, "dim")
+            .agg(F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("c"))
+            .select(
+                group_col,
+                "dim",
+                (
+                    F.col("__sq").cast("double")
+                    / (F.lit(quant) * F.col("c")).cast("double")
+                ).alias("__val"),
+                "c",
+            )
+        )
+    return agg.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "__val"))),
+            lambda s: s["__val"],
+        ).alias("pooled"),
+        F.max("c").alias("n_vectors"),
+    )

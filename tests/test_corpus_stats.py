@@ -610,3 +610,89 @@ class TestVocabGrowth:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = [r["vocab"] for r in vocab_growth(df, checkpoints=3).collect()]
         assert got[0] == got[-1]  # no growth after the first slice
+
+
+class TestPoolEmbeddings:
+    def test_mean_matches_python_replay_exactly(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.similarity import pool_embeddings
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(11)
+        got = {
+            r["label"]: (r["pooled"], r["n_vectors"])
+            for r in pool_embeddings(df, "label").collect()
+        }
+        import struct as _s
+
+        q = 1 << 20
+        for lab in (0, 1, 2):
+            vecs = [
+                [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+                for i, v, l in rows
+                if l == lab
+            ]  # replay float32 storage
+            n = len(vecs)
+            want = []
+            for d in range(8):
+                sq = sum(int(_round_half_away(q * v[d])) for v in vecs)
+                want.append(sq / (q * n))
+            assert got[lab][1] == n
+            assert got[lab][0] == want, f"label {lab}"
+
+    def test_max_mode_exact(self, spark):
+        from energy_pandas_spark.operators.similarity import pool_embeddings
+
+        rows = [
+            (0, [1.0, -2.0, 3.0], 0),
+            (1, [2.0, -5.0, 1.0], 0),
+            (2, [0.0, 0.0, 0.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            r["label"]: r["pooled"]
+            for r in pool_embeddings(df, "label", mode="max").collect()
+        }
+        assert got[0] == [2.0, -2.0, 3.0]
+        assert got[1] == [0.0, 0.0, 0.0]
+
+    def test_partitioning_invariance(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.similarity import pool_embeddings
+
+        rng = random.Random(8)
+        rows = [
+            (i, [rng.uniform(-5, 5) for _ in range(16)], i % 4)
+            for i in range(200)
+        ]
+        a = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1)
+        b = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(23)
+        ra = sorted(
+            (r["label"], tuple(r["pooled"]))
+            for r in pool_embeddings(a, "label").collect()
+        )
+        rb = sorted(
+            (r["label"], tuple(r["pooled"]))
+            for r in pool_embeddings(b, "label").collect()
+        )
+        assert ra == rb  # bit-exact
+
+
+def _round_half_away(x: float) -> float:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
