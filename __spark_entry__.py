@@ -1775,6 +1775,59 @@ FROM agg GROUP BY label ORDER BY label
 """
 
 
+def centroid_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix (operators/similarity.py:
+    nearest_centroid_eval): exact integer-quantized distances against
+    broadcast per-label centroids, deterministic smallest-label
+    tie-break."""
+    _prep(spark)
+    from energy_pandas_spark.operators.similarity import nearest_centroid_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return nearest_centroid_eval(emb, id_col="vec_id").orderBy(
+        "label", "assigned"
+    )
+
+
+_CENTROID_EVAL_SQL = r"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), agg AS (
+  SELECT label, dim,
+         sum(round(1048576.0 * v::DOUBLE))::BIGINT AS sq,
+         count(*)::BIGINT AS c
+  FROM ex GROUP BY 1, 2
+), cent AS (
+  SELECT label AS clabel,
+         array_agg(sq::DOUBLE / (1048576 * c)::DOUBLE ORDER BY dim) AS pooled
+  FROM agg GROUP BY label
+), cq AS (
+  SELECT clabel,
+         list_transform(pooled, x -> round(1048576.0 * x)::BIGINT) AS cqv
+  FROM cent
+), vq AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> round(1048576.0 * x::DOUBLE)::BIGINT) AS vqv
+  FROM embeddings
+), pairs AS (
+  SELECT vec_id, label, clabel, unnest(vqv) AS a, unnest(cqv) AS b
+  FROM vq CROSS JOIN cq
+), d AS (
+  SELECT vec_id, label, clabel, sum((a - b) * (a - b))::BIGINT AS dist
+  FROM pairs GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+  FROM d
+)
+SELECT label, clabel AS assigned, count(*)::BIGINT AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, assigned
+"""
+
+
 def corpus_health_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health card (operators/pipeline.py:
     corpus_health): Zipf slope + source Gini + mean 3-gram novelty,
@@ -7367,6 +7420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_docs": vocab_growth_docs,
         "corpus_health_docs": corpus_health_docs,
         "pool_embeddings_label": pool_embeddings_label,
+        "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         # -- driver-green in round 1 only ------------------------------
@@ -7548,6 +7602,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "corpus_health_docs": _CORPUS_HEALTH_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
+        "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,

@@ -116,6 +116,7 @@ HEADLINE = [
     "vocab_growth_docs",
     "corpus_health_docs",
     "pool_embeddings_label",
+    "centroid_eval_embeddings",
 ]
 
 

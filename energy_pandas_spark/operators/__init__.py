@@ -103,6 +103,7 @@ from energy_pandas_spark.operators.similarity import (
     hard_negative_topk,
     ivf_topk,
     pool_embeddings,
+    nearest_centroid_eval,
 )
 from energy_pandas_spark.operators.dedup import minhash_cluster_stats
 from energy_pandas_spark.operators.windows import (
@@ -201,6 +202,7 @@ __all__ = [
     "hard_negative_topk",
     "ivf_topk",
     "pool_embeddings",
+    "nearest_centroid_eval",
     # windows
     "rolling_aggregate",
     "cumulative_aggregate",

@@ -1024,3 +1024,65 @@ def pool_embeddings(
         ).alias("pooled"),
         F.max("c").alias("n_vectors"),
     )
+
+
+def nearest_centroid_eval(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: pool per-group centroids
+    (:func:`pool_embeddings`), assign every vector to its nearest
+    centroid, and count (true group, assigned group) pairs — the
+    "are these labels/clusters separable in embedding space?" eval
+    that gates an embedding-based classifier or a semantic-dedup
+    clustering. Distances are EXACT: both sides quantize to integer
+    1/``quant`` units and the squared-distance sums are integer
+    arithmetic, so the argmin (ties to the smallest group id) is
+    deterministic on any engine or partitioning — no float-noise
+    flapping between near-equidistant centroids.
+
+    Scale shape: the centroid table is group-count-sized and
+    BROADCAST; the per-vector work is a map-side cross join with k
+    centroids plus one (vector)-keyed min-struct aggregate and the
+    confusion count — no shuffle of the embedding table beyond the
+    pooling pass. Returns (group_col, assigned, n).
+    """
+    cent = pool_embeddings(df, group_col, vec_col, mode="mean", quant=quant)
+    qexpr = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(F.lit(float(quant)) * x.cast("double")).cast("long")
+    )
+    cq = cent.select(
+        F.col(group_col).alias("__clabel"), qexpr(F.col("pooled")).alias("__cq")
+    )
+    # prefer a real row id when the caller has one; the fallback
+    # monotonic id is only a transient grouping key inside this one
+    # plan (its values never reach the output), so split-plan
+    # dependence is harmless here
+    vid = F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    vq = df.select(
+        vid.alias("__vid"),
+        F.col(group_col),
+        qexpr(F.col(vec_col)).alias("__vq"),
+    )
+    dist = F.aggregate(
+        F.zip_with("__vq", "__cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vq.crossJoin(F.broadcast(cq)).select(
+        "__vid",
+        group_col,
+        "__clabel",
+        dist.alias("__d"),
+    )
+    best = scored.groupBy("__vid", group_col).agg(
+        F.min(F.struct("__d", "__clabel")).alias("__best")
+    )
+    return (
+        best.select(group_col, F.col("__best.__clabel").alias("assigned"))
+        .groupBy(group_col, "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

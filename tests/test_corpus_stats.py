@@ -696,3 +696,72 @@ def _round_half_away(x: float) -> float:
     import math
 
     return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+class TestNearestCentroidEval:
+    def test_separable_clusters_perfect_diagonal(self, spark):
+        from energy_pandas_spark.operators.similarity import (
+            nearest_centroid_eval,
+        )
+
+        rows = []
+        for i in range(60):
+            lab = i % 3
+            base = [0.0, 0.0, 0.0]
+            base[lab] = 10.0  # three orthogonal tight clusters
+            rows.append((i, [b + (i % 5) * 0.01 for b in base], lab))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            (r["label"], r["assigned"]): r["n"]
+            for r in nearest_centroid_eval(df).collect()
+        }
+        assert got == {(0, 0): 20, (1, 1): 20, (2, 2): 20}
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.similarity import (
+            nearest_centroid_eval,
+        )
+
+        rng = random.Random(4)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], i % 4)
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(9)
+        got = {
+            (r["label"], r["assigned"]): r["n"]
+            for r in nearest_centroid_eval(df).collect()
+        }
+
+        # python replay with float32 storage + the same quantization
+        import struct as _s
+
+        q = 1 << 20
+        f32 = lambda x: _s.unpack("f", _s.pack("f", x))[0]  # noqa: E731
+        vecs = [(i, [f32(x) for x in v], l) for i, v, l in rows]
+        cents = {}
+        for lab in range(4):
+            vs = [v for _, v, l in vecs if l == lab]
+            cents[lab] = [
+                sum(_round_half_away(q * v[d]) for v in vs) / (q * len(vs))
+                for d in range(6)
+            ]
+        cq = {
+            lab: [int(_round_half_away(q * x)) for x in c]
+            for lab, c in cents.items()
+        }
+        want: dict = {}
+        for _, v, l in vecs:
+            vq = [int(_round_half_away(q * x)) for x in v]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(vq, cq[lab])), lab)
+                for lab in range(4)
+            )[1]
+            want[(l, best)] = want.get((l, best), 0) + 1
+        assert got == want
