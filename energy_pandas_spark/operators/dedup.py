@@ -1334,6 +1334,25 @@ def winnow_fingerprints(
     grams = toked.select(
         id_col, word_shingles_of_tokens("__toks", k).alias("__g")
     )
+    # fail loudly instead of silently wrapping positions on a document
+    # bigger than the key packing allows (chunk such docs at ingest).
+    # The guard wraps the gram array itself — a side-channel assert
+    # column would be pruned away by Catalyst as unused.
+    grams = grams.select(
+        id_col,
+        F.when(F.size("__g") <= F.lit(_WPOS), F.col("__g"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints: document exceeds 2^20 grams: id="
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .alias("__g"),
+    )
     keys = grams.select(
         id_col,
         F.transform(
