@@ -1745,6 +1745,68 @@ FROM ranked WHERE rank <= {top} ORDER BY rank
 """
 
 
+def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly per-type series
+    (operators/analytics.py:seasonal_decompose): hourly means, the
+    centered 24h moving trend, hour-of-day seasonal component and
+    residual — every mean over integer-quantized values, so the
+    decomposition is bit-exact cross-engine."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.round(F.lit(1e6) * F.col("value")).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(1_000_000) * F.count(F.lit(1))).cast("double")
+        ).alias("hourly")
+    )
+    return seasonal_decompose(
+        hourly, "h", "hourly", by="event_type", period=24, trend_window=24
+    ).orderBy("event_type", "h")
+
+
+_SEASONAL_SQL = r"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(round(1000000.0 * value))::BIGINT AS sq, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), hv AS (
+  SELECT event_type, h, sq::DOUBLE / (1000000 * c)::DOUBLE AS hourly
+  FROM hourly
+), q AS (
+  SELECT *, round(1000000.0 * hourly)::BIGINT AS vq FROM hv
+), tr AS (
+  SELECT event_type, h, hourly,
+         sum(vq) OVER w AS swq, count(*) OVER w AS cw
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), t2 AS (
+  SELECT event_type, h, hourly,
+         swq::DOUBLE / (1000000 * cw)::DOUBLE AS trend
+  FROM tr
+), s1 AS (
+  SELECT *, round(1000000.0 * (hourly - trend))::BIGINT AS dq,
+         hour(h) % 24 AS phase
+  FROM t2
+), se AS (
+  SELECT event_type, phase, sum(dq)::BIGINT AS ss, count(*)::BIGINT AS cs
+  FROM s1 GROUP BY 1, 2
+)
+SELECT s1.event_type, s1.h, s1.hourly, s1.trend,
+       se.ss::DOUBLE / (1000000 * se.cs)::DOUBLE AS seasonal,
+       s1.hourly - s1.trend
+         - (se.ss::DOUBLE / (1000000 * se.cs)::DOUBLE) AS residual
+FROM s1 JOIN se ON se.event_type = s1.event_type AND se.phase = s1.phase
+ORDER BY s1.event_type, s1.h
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7419,6 +7481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp_docs": winnow_fp_docs,
         "vocab_growth_docs": vocab_growth_docs,
         "corpus_health_docs": corpus_health_docs,
+        "seasonal_profile_events": seasonal_profile_events,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7601,6 +7664,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp_docs": _WINNOW_SQL,
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "corpus_health_docs": _CORPUS_HEALTH_SQL,
+        "seasonal_profile_events": _SEASONAL_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

@@ -117,6 +117,7 @@ HEADLINE = [
     "corpus_health_docs",
     "pool_embeddings_label",
     "centroid_eval_embeddings",
+    "seasonal_profile_events",
 ]
 
 

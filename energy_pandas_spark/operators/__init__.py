@@ -19,6 +19,7 @@ from energy_pandas_spark.operators.analytics import (
     spearman_corr,
     gini_concentration,
     global_order_index,
+    seasonal_decompose,
 )
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
@@ -125,6 +126,7 @@ __all__ = [
     "spearman_corr",
     "gini_concentration",
     "global_order_index",
+    "seasonal_decompose",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

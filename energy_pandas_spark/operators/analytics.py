@@ -1019,3 +1019,84 @@ def gini_concentration(
             / (F.col("n") * F.col("sx")).cast("double")
         ).alias("gini"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str | None = None,
+    period: int = 24,
+    trend_window: int = 24,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular (e.g.
+    hourly) series: ``value = trend + seasonal + residual`` — the
+    energy-analytics staple behind load forecasting and anomaly
+    baselines (a seasonal-naive twin of :func:`~energy_pandas_spark.
+    operators.analytics.monthly` / ``daily_profile``). ``trend`` is a
+    centered ``trend_window``-row moving mean, ``seasonal`` the mean
+    of the detrended series per phase (``hour(ts) mod period`` for
+    hourly data), ``residual`` the remainder.
+
+    Exactness: moving and per-phase means are computed over
+    integer-quantized values (round half-away to 1/``quant`` units),
+    so every sum is order-free integer arithmetic and each mean is one
+    correctly-rounded double division — engine- and partitioning-
+    exact, immune to window-aggregation association order (engines
+    disagree on segment-tree vs running float sums).
+
+    Scale shape: the trend window partitions by ``by`` (decompose many
+    keys in parallel); a GLOBAL series runs its window in one
+    partition, which is fine for the aggregated series this operator
+    expects (hourly rows are tiny) but is the caller's contract to
+    respect. The seasonal table is (keys x period)-sized and
+    broadcast back.
+
+    Returns the input keys + (ts, value, trend, seasonal, residual).
+    """
+    keys = [by] if by else []
+    q = F.round(F.lit(float(quant)) * F.col(value_col)).cast("long")
+    base = df.select(*keys, ts_col, F.col(value_col), q.alias("__q"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(trend_window // 2), trend_window - trend_window // 2 - 1)
+    )
+    trended = base.select(
+        *keys,
+        ts_col,
+        value_col,
+        (
+            F.sum("__q").over(w).cast("double")
+            / (F.lit(quant) * F.count(F.lit(1)).over(w)).cast("double")
+        ).alias("trend"),
+    )
+    phased = trended.withColumn(
+        "__phase", F.hour(ts_col) % F.lit(period)
+    ).withColumn(
+        "__dq",
+        F.round(
+            F.lit(float(quant)) * (F.col(value_col) - F.col("trend"))
+        ).cast("long"),
+    )
+    seasonal = phased.groupBy(*keys, "__phase").agg(
+        F.sum("__dq").alias("__ss"), F.count(F.lit(1)).alias("__cs")
+    )
+    return (
+        phased.join(F.broadcast(seasonal), [*keys, "__phase"])
+        .select(
+            *keys,
+            ts_col,
+            value_col,
+            "trend",
+            (
+                F.col("__ss").cast("double")
+                / (F.lit(quant) * F.col("__cs")).cast("double")
+            ).alias("seasonal"),
+        )
+        .withColumn(
+            "residual",
+            F.col(value_col) - F.col("trend") - F.col("seasonal"),
+        )
+    )

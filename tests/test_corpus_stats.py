@@ -765,3 +765,70 @@ class TestNearestCentroidEval:
             )[1]
             want[(l, best)] = want.get((l, best), 0) + 1
         assert got == want
+
+
+class TestSeasonalDecompose:
+    def _series(self, spark):
+        # 10 days of hourly data: trend ramp + daily sine-ish pattern
+        import datetime as dt
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        for h in range(240):
+            season = [0, -1, -2, -1, 0, 1, 2, 3, 4, 3, 2, 1] [h % 12]
+            rows.append(
+                ("m1", t0 + dt.timedelta(hours=h), 10.0 + 0.01 * h + season)
+            )
+        return spark.createDataFrame(rows, "key string, ts timestamp, v double")
+
+    def test_components_reconstruct_and_match_python(self, spark):
+        from energy_pandas_spark.operators.analytics import seasonal_decompose
+
+        df = self._series(spark)
+        out = seasonal_decompose(
+            df, "ts", "v", by="key", period=12, trend_window=12
+        ).orderBy("ts")
+        rows = out.collect()
+        assert len(rows) == 240
+        # exact reconstruction by construction
+        for r in rows:
+            assert r["v"] - r["trend"] - r["seasonal"] == r["residual"]
+
+        # python replay (same quantization)
+        data = sorted((r["ts"], r["v"]) for r in df.collect())
+        q = 1_000_000
+        qs = [int(_round_half_away(q * v)) for _, v in data]
+        n = len(qs)
+        trends = []
+        for i in range(n):
+            lo, hi = max(0, i - 6), min(n, i + 6)
+            w = qs[lo:hi]
+            trends.append(sum(w) / (q * len(w)))
+        phases = [ts.hour % 12 for ts, _ in data]
+        dq = [
+            int(_round_half_away(q * (v - t)))
+            for (_, v), t in zip(data, trends)
+        ]
+        ssum: dict = {}
+        scnt: dict = {}
+        for p, d in zip(phases, dq):
+            ssum[p] = ssum.get(p, 0) + d
+            scnt[p] = scnt.get(p, 0) + 1
+        for r, t in zip(rows, trends):
+            assert r["trend"] == t
+            p = r["ts"].hour % 12
+            assert r["seasonal"] == ssum[p] / (q * scnt[p])
+
+    def test_partitioning_invariance(self, spark):
+        from energy_pandas_spark.operators.analytics import seasonal_decompose
+
+        df = self._series(spark)
+        a = seasonal_decompose(
+            df.coalesce(1), "ts", "v", by="key", period=12
+        )
+        b = seasonal_decompose(
+            df.repartition(13), "ts", "v", by="key", period=12
+        )
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
