@@ -1807,6 +1807,58 @@ ORDER BY s1.event_type, s1.h
 """
 
 
+def seasonal_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the hourly per-type
+    series (operators/analytics.py:seasonal_naive_backtest): lag-24
+    prediction, integer-quantized MAE / per-mille MAPE — the baseline
+    every forecaster must beat."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.round(F.lit(1e6) * F.col("value")).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(1_000_000) * F.count(F.lit(1))).cast("double")
+        ).alias("hourly")
+    )
+    return seasonal_naive_backtest(
+        hourly, "h", "hourly", by="event_type", period=24
+    ).orderBy("event_type")
+
+
+_SEASONAL_BACKTEST_SQL = r"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(round(1000000.0 * value))::BIGINT AS sq, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), hv AS (
+  SELECT event_type, h, sq::DOUBLE / (1000000 * c)::DOUBLE AS v FROM hourly
+), lagged AS (
+  SELECT event_type, v,
+         lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS p
+  FROM hv
+), scored AS (
+  SELECT event_type, v, p,
+         round(1000000.0 * abs(v - p))::BIGINT AS aerr,
+         CASE WHEN v != 0
+              THEN round(1000000.0 * abs((v - p) / v))::BIGINT END AS ape
+  FROM lagged WHERE p IS NOT NULL
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(aerr)::DOUBLE / (1000000 * count(*))::DOUBLE AS mae,
+       (1000 * sum(ape))::DOUBLE / (1000000 * count(ape))::DOUBLE AS mape_pm
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7482,6 +7534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_docs": vocab_growth_docs,
         "corpus_health_docs": corpus_health_docs,
         "seasonal_profile_events": seasonal_profile_events,
+        "seasonal_backtest_events": seasonal_backtest_events,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7665,6 +7718,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_docs": _VOCAB_GROWTH_SQL,
         "corpus_health_docs": _CORPUS_HEALTH_SQL,
         "seasonal_profile_events": _SEASONAL_SQL,
+        "seasonal_backtest_events": _SEASONAL_BACKTEST_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

@@ -118,6 +118,7 @@ HEADLINE = [
     "pool_embeddings_label",
     "centroid_eval_embeddings",
     "seasonal_profile_events",
+    "seasonal_backtest_events",
 ]
 
 

@@ -20,6 +20,7 @@ from energy_pandas_spark.operators.analytics import (
     gini_concentration,
     global_order_index,
     seasonal_decompose,
+    seasonal_naive_backtest,
 )
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
@@ -127,6 +128,7 @@ __all__ = [
     "gini_concentration",
     "global_order_index",
     "seasonal_decompose",
+    "seasonal_naive_backtest",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

@@ -1100,3 +1100,56 @@ def seasonal_decompose(
             F.col(value_col) - F.col("trend") - F.col("seasonal"),
         )
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str | None = None,
+    period: int = 24,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict = the value
+    one ``period`` earlier in the series): per-key row count, MAE and
+    per-mille MAPE — the baseline every fancier forecaster must beat,
+    and the standard data-drift tripwire for metric series. The lag is
+    a per-key ordered window (``lag(period)``); error sums run over
+    integer-quantized absolute errors so the aggregates are order-free
+    and each metric is one correctly-rounded double division.
+    MAPE skips rows with value = 0 (undefined); MAE covers all rows
+    with a prediction. Returns (keys, n, mae, mape_pm)."""
+    keys = [by] if by else []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    pred = F.lag(value_col, period).over(w)
+    scored = df.select(
+        *keys, F.col(value_col).alias("__v"), pred.alias("__p")
+    ).filter(F.col("__p").isNotNull())
+    aerr_q = F.round(
+        F.lit(float(quant)) * F.abs(F.col("__v") - F.col("__p"))
+    ).cast("long")
+    ape_q = F.when(
+        F.col("__v") != 0,
+        F.round(
+            F.lit(float(quant))
+            * F.abs((F.col("__v") - F.col("__p")) / F.col("__v"))
+        ).cast("long"),
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(aerr_q).alias("__sae"),
+        F.sum(ape_q).alias("__sape"),
+        F.count(ape_q).alias("__nape"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        (
+            F.col("__sae").cast("double")
+            / (F.lit(quant) * F.col("n")).cast("double")
+        ).alias("mae"),
+        (
+            (F.lit(1000) * F.col("__sape")).cast("double")
+            / (F.lit(quant) * F.col("__nape")).cast("double")
+        ).alias("mape_pm"),
+    )

@@ -832,3 +832,62 @@ class TestSeasonalDecompose:
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb
+
+
+class TestSeasonalNaiveBacktest:
+    def test_matches_python_replay(self, spark):
+        import datetime as dt
+        import random
+
+        from energy_pandas_spark.operators.analytics import (
+            seasonal_naive_backtest,
+        )
+
+        rng = random.Random(2)
+        t0 = dt.datetime(2024, 3, 1)
+        rows = []
+        for key in ("a", "b"):
+            for h in range(100):
+                rows.append(
+                    (key, t0 + dt.timedelta(hours=h), round(rng.uniform(-5, 20), 2))
+                )
+        df = spark.createDataFrame(
+            rows, "key string, ts timestamp, v double"
+        ).repartition(7)
+        got = {
+            r["key"]: (r["n"], r["mae"], r["mape_pm"])
+            for r in seasonal_naive_backtest(
+                df, "ts", "v", by="key", period=24
+            ).collect()
+        }
+        q = 1_000_000
+        for key in ("a", "b"):
+            series = [v for k, _, v in rows if k == key]
+            pairs = [
+                (series[i], series[i - 24]) for i in range(24, len(series))
+            ]
+            n = len(pairs)
+            sae = sum(int(_round_half_away(q * abs(v - p))) for v, p in pairs)
+            apes = [
+                int(_round_half_away(q * abs((v - p) / v)))
+                for v, p in pairs
+                if v != 0
+            ]
+            want = (n, sae / (q * n), 1000 * sum(apes) / (q * len(apes)))
+            assert got[key] == want
+
+    def test_perfect_seasonality_zero_error(self, spark):
+        import datetime as dt
+
+        from energy_pandas_spark.operators.analytics import (
+            seasonal_naive_backtest,
+        )
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(hours=h), float(1 + h % 24))
+            for h in range(96)
+        ]
+        df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+        r = seasonal_naive_backtest(df, "ts", "v", by="key").collect()[0]
+        assert (r["n"], r["mae"], r["mape_pm"]) == (72, 0.0, 0.0)
