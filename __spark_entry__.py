@@ -1859,6 +1859,58 @@ FROM scored GROUP BY event_type ORDER BY event_type
 """
 
 
+def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift alarms over the hourly per-type series
+    (operators/analytics.py:cusum_alarms): the sequential recurrence
+    via its prefix-sum closed form — two exact integer ordered
+    windows, no recursion."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.round(F.lit(1e6) * F.col("value")).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(1_000_000) * F.count(F.lit(1))).cast("double")
+        ).alias("hourly")
+    )
+    return cusum_alarms(
+        hourly, "h", "hourly", by="event_type", target=50.0, threshold=100.0
+    ).orderBy("event_type", "h")
+
+
+_CUSUM_SQL = r"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(round(1000000.0 * value))::BIGINT AS sq, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), hv AS (
+  SELECT event_type, h, sq::DOUBLE / (1000000 * c)::DOUBLE AS v FROM hourly
+), d AS (
+  SELECT event_type, h, v,
+         round(1000000.0 * v)::BIGINT - 50000000 AS dq
+  FROM hv
+), p1 AS (
+  SELECT event_type, h, v,
+         sum(dq) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS UNBOUNDED PRECEDING) AS P
+  FROM d
+), p2 AS (
+  SELECT *, min(P) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS UNBOUNDED PRECEDING) AS M
+  FROM p1
+)
+SELECT event_type, h, v AS hourly,
+       (P - least(M, 0))::DOUBLE / 1000000.0 AS cusum,
+       (P - least(M, 0)) >= 100000000 AS alarm
+FROM p2 ORDER BY event_type, h
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7535,6 +7587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health_docs": corpus_health_docs,
         "seasonal_profile_events": seasonal_profile_events,
         "seasonal_backtest_events": seasonal_backtest_events,
+        "cusum_events": cusum_events,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7719,6 +7772,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_health_docs": _CORPUS_HEALTH_SQL,
         "seasonal_profile_events": _SEASONAL_SQL,
         "seasonal_backtest_events": _SEASONAL_BACKTEST_SQL,
+        "cusum_events": _CUSUM_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

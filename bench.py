@@ -119,6 +119,7 @@ HEADLINE = [
     "centroid_eval_embeddings",
     "seasonal_profile_events",
     "seasonal_backtest_events",
+    "cusum_events",
 ]
 
 

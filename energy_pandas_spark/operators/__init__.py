@@ -21,6 +21,7 @@ from energy_pandas_spark.operators.analytics import (
     global_order_index,
     seasonal_decompose,
     seasonal_naive_backtest,
+    cusum_alarms,
 )
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
@@ -129,6 +130,7 @@ __all__ = [
     "global_order_index",
     "seasonal_decompose",
     "seasonal_naive_backtest",
+    "cusum_alarms",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

@@ -1153,3 +1153,60 @@ def seasonal_naive_backtest(
             / (F.lit(quant) * F.col("__nape")).cast("double")
         ).alias("mape_pm"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str | None = None,
+    target: float = 0.0,
+    drift: float = 0.0,
+    threshold: float = 1.0,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One-sided (upper) CUSUM changepoint detector (Page 1954) over
+    per-key ordered series: the classic "has the level shifted up?"
+    alarm for metric drift, rate spikes, and data-quality regressions.
+
+    The textbook recurrence ``s_i = max(0, s_{i-1} + x_i - target -
+    drift)`` looks inherently sequential, but it has the prefix-sum
+    closed form ``s_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the
+    running sum of the compensated deviations — so it distributes as
+    two ordinary ordered-window aggregates (running sum + running
+    min), no recursion, no UDF. Deviations quantize to integer
+    1/``quant`` units first, making both windows exact integer
+    arithmetic — engine- and partitioning-identical, immune to
+    float-window association order. ``alarm`` fires where ``s_i >=
+    threshold``.
+
+    Returns keys + (ts, value, cusum, alarm). The window orders
+    within each key; a single global series runs one partition —
+    fine for aggregated series, the caller's contract.
+    """
+    keys = [by] if by else []
+    kq = round(quant * (target + drift))
+    hq = round(quant * threshold)
+    dq = F.round(F.lit(float(quant)) * F.col(value_col)).cast("long") - F.lit(
+        kq
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(*keys, ts_col, value_col, dq.alias("__d"))
+    run = base.select(
+        *keys,
+        ts_col,
+        value_col,
+        F.sum("__d").over(w).alias("__P"),
+    ).withColumn("__M", F.min("__P").over(w))
+    sq = F.col("__P") - F.least(F.col("__M"), F.lit(0).cast("long"))
+    return run.select(
+        *keys,
+        ts_col,
+        value_col,
+        (sq.cast("double") / F.lit(float(quant))).alias("cusum"),
+        (sq >= F.lit(hq)).alias("alarm"),
+    )

@@ -891,3 +891,66 @@ class TestSeasonalNaiveBacktest:
         df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
         r = seasonal_naive_backtest(df, "ts", "v", by="key").collect()[0]
         assert (r["n"], r["mae"], r["mape_pm"]) == (72, 0.0, 0.0)
+
+
+class TestCusum:
+    def test_matches_sequential_recurrence(self, spark):
+        import datetime as dt
+        import random
+
+        from energy_pandas_spark.operators.analytics import cusum_alarms
+
+        rng = random.Random(6)
+        t0 = dt.datetime(2024, 5, 1)
+        rows = []
+        for key in ("a", "b"):
+            level = 0.0
+            for h in range(150):
+                if h == 90 and key == "a":
+                    level = 3.0  # level shift for key a only
+                rows.append(
+                    (
+                        key,
+                        t0 + dt.timedelta(hours=h),
+                        round(level + rng.uniform(-1, 1), 3),
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "key string, ts timestamp, v double"
+        ).repartition(9)
+        got = {
+            (r["key"], r["ts"]): (r["cusum"], r["alarm"])
+            for r in cusum_alarms(
+                df, "ts", "v", by="key", target=0.0, drift=0.5, threshold=8.0
+            ).collect()
+        }
+        # sequential replay with the same quantization
+        q = 1_000_000
+        kq = round(q * 0.5)
+        for key in ("a", "b"):
+            s = 0
+            for k2, ts, v in rows:
+                if k2 != key:
+                    continue
+                d = int(_round_half_away(q * v)) - kq
+                s = max(0, s + d)
+                assert got[(key, ts)] == (s / q, s >= 8.0 * q), (key, ts)
+        # the shifted key alarms, the stable key never does
+        assert any(a for (k, _), (_, a) in got.items() if k == "a")
+        assert not any(a for (k, _), (_, a) in got.items() if k == "b")
+
+    def test_partitioning_invariance(self, spark):
+        import datetime as dt
+
+        from energy_pandas_spark.operators.analytics import cusum_alarms
+
+        t0 = dt.datetime(2024, 5, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(hours=h), float((h * 7) % 5 - 2))
+            for h in range(200)
+        ]
+        a = spark.createDataFrame(rows, "key string, ts timestamp, v double").coalesce(1)
+        b = spark.createDataFrame(rows, "key string, ts timestamp, v double").repartition(17)
+        ra = sorted(map(tuple, cusum_alarms(a, "ts", "v", by="key").collect()))
+        rb = sorted(map(tuple, cusum_alarms(b, "ts", "v", by="key").collect()))
+        assert ra == rb
