@@ -1911,6 +1911,59 @@ FROM p2 ORDER BY event_type, h
 """
 
 
+def rfm_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (operators/behavior.py:rfm_segments):
+    integer-quantized monetary sums, deterministic rank quintiles
+    (5 - (5*rank0) div n) from the distributed-rank helper — no ntile
+    window, no float boundaries."""
+    _prep(spark)
+    from energy_pandas_spark.operators.behavior import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev).orderBy("user_id")
+
+
+_RFM_SQL = r"""
+WITH per AS (
+  SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS frequency,
+         sum(round(100.0 * value))::BIGINT AS monetary_q
+  FROM events GROUP BY 1
+), ref AS (
+  SELECT max(ts) AS ref_ts FROM events
+), n AS (
+  SELECT count(*)::BIGINT AS n FROM per
+), base AS (
+  SELECT user_id,
+         date_diff('day', last_ts::DATE, ref.ref_ts::DATE)::INT
+           AS recency_days,
+         frequency, monetary_q, last_ts
+  FROM per CROSS JOIN ref
+), rr AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY last_ts DESC, user_id) - 1 AS r0
+  FROM base
+), fr AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY frequency DESC, user_id) - 1 AS f0
+  FROM base
+), mr AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY monetary_q DESC, user_id) - 1 AS m0
+  FROM base
+)
+SELECT b.user_id, b.recency_days, b.frequency, b.monetary_q,
+       (5 - (5 * r0) // n.n)::INT AS r,
+       (5 - (5 * f0) // n.n)::INT AS f,
+       (5 - (5 * m0) // n.n)::INT AS m,
+       ((5 - (5 * r0) // n.n) * 100 + (5 - (5 * f0) // n.n) * 10
+         + (5 - (5 * m0) // n.n))::INT AS segment
+FROM base b
+JOIN rr USING (user_id) JOIN fr USING (user_id) JOIN mr USING (user_id)
+CROSS JOIN n
+ORDER BY user_id
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7588,6 +7641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": seasonal_profile_events,
         "seasonal_backtest_events": seasonal_backtest_events,
         "cusum_events": cusum_events,
+        "rfm_users_events": rfm_users_events,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7773,6 +7827,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_profile_events": _SEASONAL_SQL,
         "seasonal_backtest_events": _SEASONAL_BACKTEST_SQL,
         "cusum_events": _CUSUM_SQL,
+        "rfm_users_events": _RFM_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

@@ -120,6 +120,7 @@ HEADLINE = [
     "seasonal_profile_events",
     "seasonal_backtest_events",
     "cusum_events",
+    "rfm_users_events",
 ]
 
 

@@ -23,6 +23,7 @@ from energy_pandas_spark.operators.analytics import (
     seasonal_naive_backtest,
     cusum_alarms,
 )
+from energy_pandas_spark.operators.behavior import rfm_segments
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
     bpe_vocabulary,
@@ -131,6 +132,7 @@ __all__ = [
     "seasonal_decompose",
     "seasonal_naive_backtest",
     "cusum_alarms",
+    "rfm_segments",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

@@ -12,7 +12,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "funnel_users", "cohort_retention"]
+__all__ = ["funnel", "funnel_users", "cohort_retention", "rfm_segments"]
 
 
 def funnel_users(
@@ -143,4 +143,79 @@ def cohort_retention(
         )
         .groupBy("cohort", "period_offset")
         .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    quant: int = 100,
+) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    user scoring: each user gets three 1..5 quintile scores (5 = most
+    recent / most frequent / highest spend) and a composite segment
+    code ``r*100 + f*10 + m``. Reference point for recency is the
+    dataset's max timestamp (deterministic, no wall clock).
+
+    Exactness: monetary sums quantize to integer 1/``quant`` units
+    (order-free), and the quintiles are pure integer rank arithmetic
+    — ``5 - (5 * rank0) div n`` over a deterministic (metric desc,
+    user asc) order from :func:`~energy_pandas_spark.operators.
+    analytics.global_order_index` — no ``ntile`` single-partition
+    window, no float percentile boundaries, identical on any engine.
+
+    Scale shape: one per-user aggregate, one 1-row broadcast (the
+    global max timestamp), three distributed rank passes over the
+    user-count-sized table. Returns (user, recency_days, frequency,
+    monetary_q, r, f, m, segment).
+    """
+    from energy_pandas_spark.operators.analytics import global_order_index
+
+    per_user = df.groupBy(user_col).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.lit(float(quant)) * F.col(value_col)).cast("long")
+        ).alias("monetary_q"),
+    )
+    ref = df.agg(F.max(ts_col).alias("__ref"))
+    base = per_user.crossJoin(F.broadcast(ref)).select(
+        user_col,
+        F.datediff("__ref", "__last").alias("recency_days"),
+        "frequency",
+        "monetary_q",
+        "__last",
+    )
+    n = base.count()
+
+    def quintile(rank_col: str) -> F.Column:
+        return (
+            F.lit(5)
+            - F.expr(f"(5 * {rank_col}) div {n}")
+        ).cast("int")
+
+    r_rank = global_order_index(
+        base, [F.desc("__last"), F.asc(user_col)], "__rr"
+    ).select(user_col, quintile("__rr").alias("r"))
+    f_rank = global_order_index(
+        base.select(user_col, "frequency"),
+        [F.desc("frequency"), F.asc(user_col)],
+        "__fr",
+    ).select(user_col, quintile("__fr").alias("f"))
+    m_rank = global_order_index(
+        base.select(user_col, "monetary_q"),
+        [F.desc("monetary_q"), F.asc(user_col)],
+        "__mr",
+    ).select(user_col, quintile("__mr").alias("m"))
+    return (
+        base.select(user_col, "recency_days", "frequency", "monetary_q")
+        .join(r_rank, user_col)
+        .join(f_rank, user_col)
+        .join(m_rank, user_col)
+        .withColumn(
+            "segment",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
+        )
     )

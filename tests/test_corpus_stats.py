@@ -954,3 +954,83 @@ class TestCusum:
         ra = sorted(map(tuple, cusum_alarms(a, "ts", "v", by="key").collect()))
         rb = sorted(map(tuple, cusum_alarms(b, "ts", "v", by="key").collect()))
         assert ra == rb
+
+
+class TestRfmSegments:
+    def test_matches_python_replay(self, spark):
+        import datetime as dt
+        import random
+
+        from energy_pandas_spark.operators.behavior import rfm_segments
+
+        rng = random.Random(12)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(23):
+            for _ in range(1 + (u % 7)):
+                rows.append(
+                    (
+                        u,
+                        t0 + dt.timedelta(hours=rng.randrange(0, 24 * 60)),
+                        round(rng.uniform(0, 30), 2),
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).repartition(5)
+        got = {
+            r["user_id"]: (
+                r["recency_days"],
+                r["frequency"],
+                r["monetary_q"],
+                r["r"],
+                r["f"],
+                r["m"],
+                r["segment"],
+            )
+            for r in rfm_segments(df).collect()
+        }
+
+        # python replay
+        q = 100
+        ref = max(ts for _, ts, _ in rows)
+        per = {}
+        for u, ts, v in rows:
+            last, cnt, mon = per.get(u, (None, 0, 0))
+            last = ts if last is None or ts > last else last
+            per[u] = (last, cnt + 1, mon + int(_round_half_away(q * v)))
+        n = len(per)
+        days = lambda a, b: (a.date() - b.date()).days  # noqa: E731
+        quint = lambda rank0: 5 - (5 * rank0) // n  # noqa: E731
+        r_order = sorted(per, key=lambda u: (per[u][0], -u), reverse=True)
+        f_order = sorted(per, key=lambda u: (per[u][1], -u), reverse=True)
+        m_order = sorted(per, key=lambda u: (per[u][2], -u), reverse=True)
+        for u, (last, cnt, mon) in per.items():
+            r = quint(r_order.index(u))
+            f = quint(f_order.index(u))
+            m = quint(m_order.index(u))
+            assert got[u] == (
+                days(ref, last),
+                cnt,
+                mon,
+                r,
+                f,
+                m,
+                r * 100 + f * 10 + m,
+            ), u
+
+    def test_quintiles_cover_1_to_5(self, spark):
+        import datetime as dt
+
+        from energy_pandas_spark.operators.behavior import rfm_segments
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, t0 + dt.timedelta(days=u), float(u * 10)) for u in range(25)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = rfm_segments(df).collect()
+        assert {r["r"] for r in got} == {1, 2, 3, 4, 5}
+        assert {r["m"] for r in got} == {1, 2, 3, 4, 5}
