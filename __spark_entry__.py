@@ -1964,6 +1964,79 @@ ORDER BY user_id
 """
 
 
+def event_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-graph PageRank (operators/graph.py:pagerank, WEIGHTED
+    path): per-user event-type transition counts form a directed
+    weighted graph; the integer iteration ranks event types by
+    transition structure (which states do user journeys funnel into?).
+    Types never appearing as a predecessor are dangling — their mass
+    damps away, identically in the oracle replay."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from energy_pandas_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = ev.select(
+        F.col("event_type").alias("v"),
+        F.lag("event_type").over(w).alias("u"),
+    ).filter(F.col("u").isNotNull())
+    edges = seqs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    ranks = pagerank(edges, src="u", dst="v", weight="w", n_iter=10)
+    return ranks.select(
+        F.col("id").alias("event_type"), "rank_q"
+    ).orderBy(F.desc("rank_q"), "event_type")
+
+
+def _event_graph_rank_sql(n_iter: int = 10) -> str:
+    """Oracle: weighted variant of _textrank_sql — contributions are
+    (r * w) // out_weight, same unrolled integer iteration."""
+    scale = 1 << 40
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT nd.u,
+         ((3 * ({scale} // nstat.n) + 17 * coalesce(s.s, 0)) // 20)::BIGINT
+           AS r
+  FROM nodes nd CROSS JOIN nstat
+  LEFT JOIN (
+    SELECT e.v AS u, sum((rp.r * e.w) // ow.ow)::BIGINT AS s
+    FROM e
+    JOIN {prev} rp ON rp.u = e.u
+    JOIN outw ow ON ow.u = e.u
+    GROUP BY e.v
+  ) s ON s.u = nd.u
+)"""
+        )
+        prev = f"r{k}"
+    iter_ctes = ",\n".join(its)
+    return rf"""
+WITH seqs AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), e AS (
+  SELECT prev AS u, event_type AS v, count(*)::BIGINT AS w
+  FROM seqs WHERE prev IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT u, sum(w)::BIGINT AS ow FROM e GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v AS u FROM e)
+), nstat AS (
+  SELECT count(*)::BIGINT AS n FROM nodes
+), r0 AS (
+  SELECT u, ({scale} // nstat.n)::BIGINT AS r FROM nodes CROSS JOIN nstat
+),
+{iter_ctes}
+SELECT u AS event_type, r AS rank_q
+FROM {prev} ORDER BY rank_q DESC, event_type
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7642,6 +7715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_backtest_events": seasonal_backtest_events,
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
+        "event_graph_rank": event_graph_rank,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7828,6 +7902,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_backtest_events": _SEASONAL_BACKTEST_SQL,
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
+        "event_graph_rank": _event_graph_rank_sql(),
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

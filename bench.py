@@ -121,6 +121,7 @@ HEADLINE = [
     "seasonal_backtest_events",
     "cusum_events",
     "rfm_users_events",
+    "event_graph_rank",
 ]
 
 
