@@ -2037,6 +2037,42 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy in integer 1/1024-nat
+    units (operators/text.py:token_entropy): exact weighted integer
+    sums, one floor division, empty docs at 0."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("doc_id")
+
+
+_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         sum(c * round(1024.0 * ln(c))::BIGINT)::BIGINT AS s
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(round(1024.0 * ln(per.n_tokens))::BIGINT - per.s // per.n_tokens,
+                0)::BIGINT AS entropy_q
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
@@ -7716,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "token_entropy_docs": token_entropy_docs,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
@@ -7903,6 +7940,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,

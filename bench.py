@@ -122,6 +122,7 @@ HEADLINE = [
     "cusum_events",
     "rfm_users_events",
     "event_graph_rank",
+    "token_entropy_docs",
 ]
 
 

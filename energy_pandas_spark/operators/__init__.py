@@ -99,6 +99,7 @@ from energy_pandas_spark.operators.text import (
     zipf_fit,
     ngram_novelty,
     vocab_growth,
+    token_entropy,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -200,6 +201,7 @@ __all__ = [
     "zipf_fit",
     "ngram_novelty",
     "vocab_growth",
+    "token_entropy",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

@@ -3067,3 +3067,56 @@ def vocab_growth(
         .agg(F.count(F.lit(1)).alias("vocab"))
         .orderBy("checkpoint")
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1024,
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in integer
+    1/``quant``-nat units — the gibberish/keyword-stuffing signal
+    cleaning pipelines gate on (natural prose sits in a band; repeated
+    spam collapses toward 0, random noise pushes toward ln(n_tokens)).
+
+    ``H = ln(n) - (sum_t c_t * ln(c_t)) / n`` over the document's
+    token counts; both logs quantize to integers (the PMI/DSIR
+    pattern) so the weighted sum is exact integer arithmetic and the
+    division is a single integer floor div — engine- and
+    partitioning-exact. Shape: one (doc, term) count aggregate + one
+    per-doc aggregate, both map-side combined; empty docs get entropy
+    0 at n = 0 via an outer join back to the id set.
+
+    Returns (id, n_tokens, entropy_q) with
+    ``entropy_q = round(quant*ln(n)) - (sum c*round(quant*ln(c))) div n``
+    (0 for empty documents).
+    """
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(id_col, F.col(text_col)))
+    cnt = (
+        src.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lnq = lambda c: F.round(  # noqa: E731
+        F.lit(float(quant)) * F.log(c)
+    ).cast("long")
+    per_doc = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * lnq(F.col("c"))).alias("__s"),
+    )
+    scored = per_doc.select(
+        id_col,
+        "n_tokens",
+        (lnq(F.col("n_tokens")) - F.expr("__s div n_tokens")).alias(
+            "entropy_q"
+        ),
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("entropy_q", F.lit(0)).alias("entropy_q"),
+    )

@@ -1034,3 +1034,46 @@ class TestRfmSegments:
         got = rfm_segments(df).collect()
         assert {r["r"] for r in got} == {1, 2, 3, 4, 5}
         assert {r["m"] for r in got} == {1, 2, 3, 4, 5}
+
+
+class TestTokenEntropy:
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import token_entropy
+
+        texts = [
+            (0, "a a a a a a"),                        # zero entropy
+            (1, "one two three four five six"),       # max entropy
+            (2, "spam spam spam buy now buy now"),
+            (3, ""),                                   # empty -> 0
+            (4, None),                                 # null -> 0
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["entropy_q"])
+            for r in token_entropy(df).collect()
+        }
+        import math
+        from collections import Counter
+
+        q = 1024
+        for i, t in texts:
+            cnt = Counter(w for w in (t or "").lower().split() if w)
+            n = sum(cnt.values())
+            if n == 0:
+                assert got[i] == (0, 0)
+                continue
+            s = sum(c * int(_round_half_away(q * math.log(c))) for c in cnt.values())
+            eq = int(_round_half_away(q * math.log(n))) - s // n
+            assert got[i] == (n, eq), i
+        assert got[0][1] == 0
+        assert got[1][1] > got[2][1] > got[0][1]
+
+    def test_partitioning_invariance(self, spark):
+        from energy_pandas_spark.operators.text import token_entropy
+
+        rows = [(i, f"w{i%5} w{i%3} w{i%5} filler text here") for i in range(150)]
+        a = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        b = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+        assert sorted(map(tuple, token_entropy(a).collect())) == sorted(
+            map(tuple, token_entropy(b).collect())
+        )
