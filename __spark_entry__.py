@@ -2037,6 +2037,37 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def frequent_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type pair mining over user baskets (operators/
+    behavior.py:frequent_pairs): distinct (basket, item) reduction,
+    basket-keyed self-join, integer supports for exact
+    confidence/lift."""
+    _prep(spark)
+    from energy_pandas_spark.operators.behavior import frequent_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_pairs(ev, min_support=5).orderBy("item_a", "item_b")
+
+
+_FREQUENT_PAIRS_SQL = r"""
+WITH base AS (
+  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+), sup AS (
+  SELECT i, count(*)::BIGINT AS s FROM base GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, count(*)::BIGINT AS support
+  FROM base a JOIN base b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.item_a, p.item_b, p.support,
+       sa.s AS support_a, sb.s AS support_b
+FROM pairs p
+JOIN sup sa ON sa.i = p.item_a
+JOIN sup sb ON sb.i = p.item_b
+ORDER BY p.item_a, p.item_b
+"""
+
+
 def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram Shannon entropy in integer 1/1024-nat
     units (operators/text.py:token_entropy): exact weighted integer
@@ -7752,6 +7783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "frequent_pairs_events": frequent_pairs_events,
         "token_entropy_docs": token_entropy_docs,
         "pool_embeddings_label": pool_embeddings_label,
         "centroid_eval_embeddings": centroid_eval_embeddings,
@@ -7940,6 +7972,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "frequent_pairs_events": _FREQUENT_PAIRS_SQL,
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,

@@ -123,6 +123,7 @@ HEADLINE = [
     "rfm_users_events",
     "event_graph_rank",
     "token_entropy_docs",
+    "frequent_pairs_events",
 ]
 
 

@@ -23,7 +23,7 @@ from energy_pandas_spark.operators.analytics import (
     seasonal_naive_backtest,
     cusum_alarms,
 )
-from energy_pandas_spark.operators.behavior import rfm_segments
+from energy_pandas_spark.operators.behavior import frequent_pairs, rfm_segments
 from energy_pandas_spark.operators.bpe import (
     bpe_encode,
     bpe_vocabulary,
@@ -134,6 +134,7 @@ __all__ = [
     "seasonal_naive_backtest",
     "cusum_alarms",
     "rfm_segments",
+    "frequent_pairs",
     # reshape
     "unstack_to_periods",
     "with_ordinal",

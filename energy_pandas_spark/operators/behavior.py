@@ -12,7 +12,13 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "funnel_users", "cohort_retention", "rfm_segments"]
+__all__ = [
+    "funnel",
+    "funnel_users",
+    "cohort_retention",
+    "rfm_segments",
+    "frequent_pairs",
+]
 
 
 def funnel_users(
@@ -218,4 +224,56 @@ def rfm_segments(
             "segment",
             (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int"),
         )
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item-PAIR mining over baskets (the size-2 core of
+    market-basket / association analysis): which items co-occur in at
+    least ``min_support`` baskets, with per-item support counts so
+    callers can derive confidence/lift exactly. Pure integer counts —
+    engine-exact by construction.
+
+    Scale shape: baskets reduce to distinct (basket, item) pairs
+    first (one aggregate), then the pair enumeration is a self-join
+    keyed on the basket — co-partitioned, no broadcast of item
+    vocabularies, and skew-bounded by the basket with the most
+    distinct items (cap upstream if a basket can hold thousands of
+    items). Returns (item_a, item_b, support, support_a, support_b)
+    with item_a < item_b.
+    """
+    base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_support = base.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__sup")
+    )
+    a = base.select("__b", F.col("__i").alias("item_a"))
+    b = base.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        pairs.join(
+            item_support.select(
+                F.col("__i").alias("item_a"), F.col("__sup").alias("support_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_support.select(
+                F.col("__i").alias("item_b"), F.col("__sup").alias("support_b")
+            ),
+            "item_b",
+        )
+        .select("item_a", "item_b", "support", "support_a", "support_b")
     )

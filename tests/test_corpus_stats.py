@@ -1077,3 +1077,51 @@ class TestTokenEntropy:
         assert sorted(map(tuple, token_entropy(a).collect())) == sorted(
             map(tuple, token_entropy(b).collect())
         )
+
+
+class TestFrequentPairs:
+    def test_matches_python_replay(self, spark):
+        import itertools
+        import random
+        from collections import Counter
+
+        from energy_pandas_spark.operators.behavior import frequent_pairs
+
+        rng = random.Random(17)
+        rows = []
+        for b in range(40):
+            items = rng.sample("abcdefg", rng.randrange(1, 5))
+            rows += [(b, i) for i in items]
+            rows += [(b, items[0])]  # duplicate delivery, must dedup
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["support"],
+                r["support_a"],
+                r["support_b"],
+            )
+            for r in frequent_pairs(df, min_support=3).collect()
+        }
+        baskets: dict = {}
+        for b, i in rows:
+            baskets.setdefault(b, set()).add(i)
+        sup = Counter(i for s in baskets.values() for i in s)
+        pc: Counter = Counter()
+        for s in baskets.values():
+            for x, y in itertools.combinations(sorted(s), 2):
+                pc[(x, y)] += 1
+        want = {
+            p: (c, sup[p[0]], sup[p[1]]) for p, c in pc.items() if c >= 3
+        }
+        assert got == want
+
+    def test_confidence_lift_derivable(self, spark):
+        from energy_pandas_spark.operators.behavior import frequent_pairs
+
+        rows = [(b, i) for b in range(10) for i in ("x", "y")] + [
+            (100 + b, "x") for b in range(10)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        r = frequent_pairs(df, min_support=1).collect()[0]
+        # x in 20 baskets, y in 10, together in 10
+        assert (r["support"], r["support_a"], r["support_b"]) == (10, 20, 10)
