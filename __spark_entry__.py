@@ -2037,6 +2037,54 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def chi2_type_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type vs hour-of-day
+    (operators/analytics.py:chi_square_independence): full marginal
+    grid including zero-observed cells, quantized per-cell terms,
+    order-free integer sum."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import (
+        chi_square_independence,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("string").alias("hod")
+    )
+    return chi_square_independence(ev, "event_type", "hod")
+
+
+_CHI2_SQL = r"""
+WITH src AS (
+  SELECT event_type AS a, hour(ts)::VARCHAR AS b FROM events
+), cells AS (
+  SELECT a, b, count(*)::BIGINT AS o FROM src GROUP BY 1, 2
+), ra AS (
+  SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1
+), cb AS (
+  SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1
+), tot AS (
+  SELECT sum(o)::BIGINT AS n FROM cells
+), grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(cells.o, 0)::BIGINT AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+), contrib AS (
+  SELECT round(1000000.0
+               * ((o::DOUBLE - (ra * cb)::DOUBLE / tot.n::DOUBLE)
+                  * (o::DOUBLE - (ra * cb)::DOUBLE / tot.n::DOUBLE))
+               / ((ra * cb)::DOUBLE / tot.n::DOUBLE))::BIGINT AS cq
+  FROM grid CROSS JOIN tot
+)
+SELECT (SELECT count(*) FROM src)::BIGINT AS n,
+       (SELECT count(*) FROM ra)::BIGINT AS n_a,
+       (SELECT count(*) FROM cb)::BIGINT AS n_b,
+       ((SELECT count(*) FROM ra) - 1)::BIGINT
+         * ((SELECT count(*) FROM cb) - 1)::BIGINT AS dof,
+       sum(cq)::DOUBLE / 1000000.0 AS chi2
+FROM contrib
+"""
+
+
 def frequent_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent event-type pair mining over user baskets (operators/
     behavior.py:frequent_pairs): distinct (basket, item) reduction,
@@ -7783,6 +7831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "chi2_type_hour_events": chi2_type_hour_events,
         "frequent_pairs_events": frequent_pairs_events,
         "token_entropy_docs": token_entropy_docs,
         "pool_embeddings_label": pool_embeddings_label,
@@ -7972,6 +8021,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "chi2_type_hour_events": _CHI2_SQL,
         "frequent_pairs_events": _FREQUENT_PAIRS_SQL,
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,
         "pool_embeddings_label": _POOL_EMBEDDINGS_SQL,

@@ -124,6 +124,7 @@ HEADLINE = [
     "event_graph_rank",
     "token_entropy_docs",
     "frequent_pairs_events",
+    "chi2_type_hour_events",
 ]
 
 

@@ -22,6 +22,7 @@ from energy_pandas_spark.operators.analytics import (
     seasonal_decompose,
     seasonal_naive_backtest,
     cusum_alarms,
+    chi_square_independence,
 )
 from energy_pandas_spark.operators.behavior import frequent_pairs, rfm_segments
 from energy_pandas_spark.operators.bpe import (
@@ -133,6 +134,7 @@ __all__ = [
     "seasonal_decompose",
     "seasonal_naive_backtest",
     "cusum_alarms",
+    "chi_square_independence",
     "rfm_segments",
     "frequent_pairs",
     # reshape

@@ -1210,3 +1210,74 @@ def cusum_alarms(
         (sq.cast("double") / F.lit(float(quant))).alias("cusum"),
         (sq >= F.lit(hq)).alias("alarm"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the significance companion to the KS drift statistic
+    ("does event mix depend on hour-of-day / does language depend on
+    source?"). Observed counts are exact integers; each cell's
+    ``(O - E)^2 / E`` term evaluates in correctly-rounded double
+    arithmetic from exact integer inputs (E = row*col/N is ONE
+    division) and quantizes to integer 1/``quant`` units before the
+    final sum — so the statistic is engine- and partitioning-exact,
+    not a float-sum lottery over cell order.
+
+    Scale shape: one (a, b) count aggregate; marginals derive from the
+    cell table (category-count-sized) and broadcast back. Returns one
+    row (n, n_a, n_b, dof, chi2) with ``chi2`` in original units.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count(F.lit(1)).alias("__ncells"),
+    )
+    # the FULL r x c grid, not just observed cells: a zero-observed
+    # cell still contributes (0 - E)^2 / E = E. The grid is the cross
+    # join of the (category-sized) marginal tables.
+    # d*d, never pow(): +,-,*,/ are correctly rounded (engine-identical
+    # on the same expression tree); pow carries a 1-ulp caveat
+    e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    grid = ra.crossJoin(cb).join(cells, [col_a, col_b], "left").select(
+        col_a, col_b, "__ra", "__cb", F.coalesce("__o", F.lit(0)).alias("__o")
+    )
+    contrib = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(e.alias("__e"), F.col("__o").cast("double").alias("__od"))
+        .select(
+            F.round(
+                F.lit(float(quant))
+                * (
+                    (F.col("__od") - F.col("__e"))
+                    * (F.col("__od") - F.col("__e"))
+                )
+                / F.col("__e")
+            )
+            .cast("long")
+            .alias("__cq"),
+        )
+    )
+    counts = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(col_a)).alias("n_a"),
+            F.count_distinct(F.col(col_b)).alias("n_b"),
+        )
+    )
+    s = contrib.agg(F.sum("__cq").alias("__s"))
+    return counts.crossJoin(F.broadcast(s)).select(
+        "n",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).alias("dof"),
+        (F.col("__s").cast("double") / F.lit(float(quant))).alias("chi2"),
+    )

@@ -1125,3 +1125,47 @@ class TestFrequentPairs:
         r = frequent_pairs(df, min_support=1).collect()[0]
         # x in 20 baskets, y in 10, together in 10
         assert (r["support"], r["support_a"], r["support_b"]) == (10, 20, 10)
+
+
+class TestChiSquare:
+    def test_matches_python_replay(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.analytics import (
+            chi_square_independence,
+        )
+
+        rng = random.Random(21)
+        rows = [
+            (rng.choice("abc"), rng.choice(["x", "y", "z", "w"]))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "a string, b string").repartition(7)
+        r = chi_square_independence(df, "a", "b").collect()[0]
+
+        from collections import Counter
+
+        q = 1_000_000
+        cells = Counter(rows)
+        ra = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        n = len(rows)
+        s = 0
+        for a in ra:                      # FULL grid: zero cells count
+            for b in cb:
+                o = cells.get((a, b), 0)
+                e = (ra[a] * cb[b]) / n
+                s += int(_round_half_away(q * ((o - e) * (o - e)) / e))
+        assert (r["n"], r["n_a"], r["n_b"], r["dof"]) == (500, 3, 4, 6)
+        assert r["chi2"] == s / q
+
+    def test_independent_vs_dependent(self, spark):
+        from energy_pandas_spark.operators.analytics import (
+            chi_square_independence,
+        )
+
+        dep = [(c, c.upper()) for c in "abcd" * 100]  # perfectly dependent
+        df = spark.createDataFrame(dep, "a string, b string")
+        r = chi_square_independence(df, "a", "b").collect()[0]
+        # chi2 = n * (k-1) for a perfect k x k diagonal
+        assert r["chi2"] == 400 * 3.0
