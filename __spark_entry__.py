@@ -2037,6 +2037,40 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 5%-trimmed mean of event values (operators/
+    analytics.py:trimmed_mean): deterministic count-based trim,
+    quantized kept-value sums, one division."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean(ev, "value", by="event_type", trim_permille=50).orderBy(
+        "event_type"
+    )
+
+
+_TRIMMED_MEAN_SQL = r"""
+WITH base AS (
+  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+), kept AS (
+  SELECT * FROM ranked
+  WHERE r >= (n * 50) // 1000 AND r < n - (n * 50) // 1000
+)
+SELECT event_type,
+       max(n)::BIGINT AS n,
+       count(*)::BIGINT AS n_kept,
+       sum(round(1000000.0 * v)::BIGINT)::DOUBLE
+         / (1000000 * count(*))::DOUBLE AS trimmed_mean
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
 def chi2_type_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence of event_type vs hour-of-day
     (operators/analytics.py:chi_square_independence): full marginal
@@ -7831,6 +7865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "trimmed_mean_events": trimmed_mean_events,
         "chi2_type_hour_events": chi2_type_hour_events,
         "frequent_pairs_events": frequent_pairs_events,
         "token_entropy_docs": token_entropy_docs,
@@ -8021,6 +8056,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "trimmed_mean_events": _TRIMMED_MEAN_SQL,
         "chi2_type_hour_events": _CHI2_SQL,
         "frequent_pairs_events": _FREQUENT_PAIRS_SQL,
         "token_entropy_docs": _TOKEN_ENTROPY_SQL,

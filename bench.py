@@ -125,6 +125,7 @@ HEADLINE = [
     "token_entropy_docs",
     "frequent_pairs_events",
     "chi2_type_hour_events",
+    "trimmed_mean_events",
 ]
 
 

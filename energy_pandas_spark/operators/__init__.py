@@ -23,6 +23,7 @@ from energy_pandas_spark.operators.analytics import (
     seasonal_naive_backtest,
     cusum_alarms,
     chi_square_independence,
+    trimmed_mean,
 )
 from energy_pandas_spark.operators.behavior import frequent_pairs, rfm_segments
 from energy_pandas_spark.operators.bpe import (
@@ -135,6 +136,7 @@ __all__ = [
     "seasonal_naive_backtest",
     "cusum_alarms",
     "chi_square_independence",
+    "trimmed_mean",
     "rfm_segments",
     "frequent_pairs",
     # reshape

@@ -48,6 +48,14 @@ __all__ = [
     "topk_per_group",
     "skew_stats",
     "rolling_fit",
+    "global_order_index",
+    "spearman_corr",
+    "gini_concentration",
+    "seasonal_decompose",
+    "seasonal_naive_backtest",
+    "cusum_alarms",
+    "chi_square_independence",
+    "trimmed_mean",
 ]
 
 
@@ -1280,4 +1288,49 @@ def chi_square_independence(
         "n_b",
         ((F.col("n_a") - 1) * (F.col("n_b") - 1)).alias("dof"),
         (F.col("__s").cast("double") / F.lit(float(quant))).alias("chi2"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    trim_permille: int = 50,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    ``trim_permille``/1000 of rows BY COUNT (k = (n * pm) div 1000 off
+    each end — integer, deterministic) and average the rest — the
+    robust central-tendency the raw mean isn't when sensors glitch or
+    a spam burst lands. Tie values straddling the cut are
+    interchangeable for the mean (exactly k rows drop per end, so the
+    kept multiset is tie-break-agnostic); kept values sum as
+    quantized integers, one division at the end — engine- and
+    partitioning-exact.
+
+    The rank window partitions by ``by`` (group-sized, the house
+    pattern for per-group order statistics); NULL values are excluded
+    up front. Returns (keys, n, n_kept, trimmed_mean).
+    """
+    keys = [by] if by else []
+    base = df.select(*keys, F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    w = Window.partitionBy(*keys).orderBy("__v")
+    ranked = base.select(
+        *keys,
+        "__v",
+        (F.row_number().over(w) - 1).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    k = F.expr(f"(__n * {trim_permille}) div 1000")
+    kept = ranked.filter((F.col("__r") >= k) & (F.col("__r") < F.col("__n") - k))
+    q = F.round(F.lit(float(quant)) * F.col("__v")).cast("long")
+    return kept.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(q).cast("double")
+            / (F.lit(quant) * F.count(F.lit(1))).cast("double")
+        ).alias("trimmed_mean"),
     )

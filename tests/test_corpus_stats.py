@@ -1169,3 +1169,43 @@ class TestChiSquare:
         r = chi_square_independence(df, "a", "b").collect()[0]
         # chi2 = n * (k-1) for a perfect k x k diagonal
         assert r["chi2"] == 400 * 3.0
+
+
+class TestTrimmedMean:
+    def test_matches_python_replay_and_rejects_outliers(self, spark):
+        import random
+
+        from energy_pandas_spark.operators.analytics import trimmed_mean
+
+        rng = random.Random(31)
+        rows = []
+        for g in ("a", "b"):
+            for _ in range(97):
+                rows.append((g, round(rng.uniform(10, 20), 3)))
+            rows.append((g, 1e6))   # outliers the trim must reject
+            rows.append((g, -1e6))
+        df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+        got = {
+            r["g"]: (r["n"], r["n_kept"], r["trimmed_mean"])
+            for r in trimmed_mean(df, "v", by="g", trim_permille=50).collect()
+        }
+        q = 1_000_000
+        for g in ("a", "b"):
+            vals = sorted(v for k2, v in rows if k2 == g)
+            n = len(vals)
+            k = (n * 50) // 1000
+            kept = vals[k : n - k]
+            s = sum(int(_round_half_away(q * v)) for v in kept)
+            want = (n, len(kept), s / (q * len(kept)))
+            assert got[g] == want
+            assert 10 <= got[g][2] <= 20  # outliers gone
+
+    def test_partitioning_invariance(self, spark):
+        from energy_pandas_spark.operators.analytics import trimmed_mean
+
+        rows = [("k", float((i * 13) % 101)) for i in range(500)]
+        a = spark.createDataFrame(rows, "g string, v double").coalesce(1)
+        b = spark.createDataFrame(rows, "g string, v double").repartition(19)
+        ra = sorted(map(tuple, trimmed_mean(a, "v", by="g").collect()))
+        rb = sorted(map(tuple, trimmed_mean(b, "v", by="g").collect()))
+        assert ra == rb
