@@ -2037,6 +2037,87 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def ccf_click_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of hourly click vs error value means
+    (operators/analytics.py:cross_correlation): exact quantized sums
+    per lag, correctly-rounded sqrt/divisions — the lead/lag
+    diagnostic."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    q = F.round(F.lit(1e6) * F.col("value")).cast("long")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "click", q)).cast("double")
+                / (
+                    F.lit(1_000_000)
+                    * F.count(F.when(F.col("event_type") == "click", 1))
+                ).cast("double")
+            ).alias("a"),
+            (
+                F.sum(F.when(F.col("event_type") == "error", q)).cast("double")
+                / (
+                    F.lit(1_000_000)
+                    * F.count(F.when(F.col("event_type") == "error", 1))
+                ).cast("double")
+            ).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    return cross_correlation(hourly, "h", "a", "b", max_lag=6).orderBy("lag")
+
+
+def _ccf_sql(max_lag: int = 6) -> str:
+    """Oracle: per-lag shifted selects unioned, HUGEINT sums, the same
+    correctly-rounded r formula."""
+    parts = []
+    for k in range(-max_lag, max_lag + 1):
+        shift = f"lead(bq, {k})" if k >= 0 else f"lag(bq, {-k})"
+        parts.append(
+            f"SELECT aq, {shift} OVER (ORDER BY h) AS bv, {k} AS lag FROM base"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return rf"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         sum(CASE WHEN event_type = 'click'
+                  THEN round(1000000.0 * value)::BIGINT END)::DOUBLE
+           / (1000000 * count(CASE WHEN event_type = 'click' THEN 1 END))::DOUBLE
+           AS a,
+         sum(CASE WHEN event_type = 'error'
+                  THEN round(1000000.0 * value)::BIGINT END)::DOUBLE
+           / (1000000 * count(CASE WHEN event_type = 'error' THEN 1 END))::DOUBLE
+           AS b
+  FROM events GROUP BY 1
+), base AS (
+  SELECT h,
+         round(1048576.0 * a)::BIGINT AS aq,
+         round(1048576.0 * b)::BIGINT AS bq
+  FROM hourly WHERE a IS NOT NULL AND b IS NOT NULL
+), long AS (
+{union}
+), agg AS (
+  SELECT lag, count(*)::HUGEINT AS n,
+         sum(aq)::HUGEINT AS sa, sum(bv)::HUGEINT AS sb,
+         sum(aq::HUGEINT * bv::HUGEINT) AS sab,
+         sum(aq::HUGEINT * aq::HUGEINT) AS saa,
+         sum(bv::HUGEINT * bv::HUGEINT) AS sbb
+  FROM long WHERE bv IS NOT NULL GROUP BY lag
+)
+SELECT lag::INT AS lag, n::BIGINT AS n,
+       CASE WHEN (sqrt((n * saa - sa * sa)::DOUBLE)
+                  * sqrt((n * sbb - sb * sb)::DOUBLE)) != 0
+            THEN (n * sab - sa * sb)::DOUBLE
+                 / (sqrt((n * saa - sa * sa)::DOUBLE)
+                    * sqrt((n * sbb - sb * sb)::DOUBLE))
+       END AS r
+FROM agg ORDER BY lag
+"""
+
+
 def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type 5%-trimmed mean of event values (operators/
     analytics.py:trimmed_mean): deterministic count-based trim,
@@ -7865,6 +7946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "ccf_click_error_events": ccf_click_error_events,
         "trimmed_mean_events": trimmed_mean_events,
         "chi2_type_hour_events": chi2_type_hour_events,
         "frequent_pairs_events": frequent_pairs_events,
@@ -8056,6 +8138,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "ccf_click_error_events": _ccf_sql(),
         "trimmed_mean_events": _TRIMMED_MEAN_SQL,
         "chi2_type_hour_events": _CHI2_SQL,
         "frequent_pairs_events": _FREQUENT_PAIRS_SQL,

@@ -126,6 +126,7 @@ HEADLINE = [
     "frequent_pairs_events",
     "chi2_type_hour_events",
     "trimmed_mean_events",
+    "ccf_click_error_events",
 ]
 
 

@@ -24,6 +24,7 @@ from energy_pandas_spark.operators.analytics import (
     cusum_alarms,
     chi_square_independence,
     trimmed_mean,
+    cross_correlation,
 )
 from energy_pandas_spark.operators.behavior import frequent_pairs, rfm_segments
 from energy_pandas_spark.operators.bpe import (
@@ -137,6 +138,7 @@ __all__ = [
     "cusum_alarms",
     "chi_square_independence",
     "trimmed_mean",
+    "cross_correlation",
     "rfm_segments",
     "frequent_pairs",
     # reshape

@@ -56,6 +56,7 @@ __all__ = [
     "cusum_alarms",
     "chi_square_independence",
     "trimmed_mean",
+    "cross_correlation",
 ]
 
 
@@ -1333,4 +1334,84 @@ def trimmed_mean(
             F.sum(q).cast("double")
             / (F.lit(quant) * F.count(F.lit(1))).cast("double")
         ).alias("trimmed_mean"),
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    max_lag: int = 6,
+    by: str | None = None,
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Cross-correlation function between two aligned regular series:
+    Pearson r of ``a_t`` against ``b_{t+lag}`` for every lag in
+    [-max_lag, max_lag] — the "does errors lead clicks by two hours?"
+    lead/lag diagnostic. Exact: both series quantize to integers, the
+    five regression sums per lag run in DECIMAL(38,0) (order-free),
+    and each r is (n*sab - sa*sb) / (sqrt(n*saa - sa^2) *
+    sqrt(n*sbb - sb^2)) — sqrt and the arithmetic ops are correctly
+    rounded, so r is bit-identical cross-engine.
+
+    One pass: per-lag shifted columns come from ordered lead/lag
+    windows (partitioned by ``by``), unpivoted with ``stack`` into
+    (lag, pair) rows, then one grouped aggregate. Lags with fewer
+    than 2 overlapping points return NULL r. Returns
+    (keys, lag, n, r).
+    """
+    keys = [by] if by else []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    base = df.select(
+        *keys,
+        ts_col,
+        F.round(F.lit(float(quant)) * F.col(col_a)).cast("long").alias("__a"),
+        F.round(F.lit(float(quant)) * F.col(col_b)).cast("long").alias("__b"),
+    )
+    shifted = base.select(
+        *keys,
+        "__a",
+        *[
+            (
+                F.lead("__b", k).over(w) if k >= 0 else F.lag("__b", -k).over(w)
+            ).alias(f"__b_{k + max_lag}")
+            for k in range(-max_lag, max_lag + 1)
+        ],
+    )
+    n_lags = 2 * max_lag + 1
+    stack_args = ", ".join(
+        f"{k - max_lag}, __b_{k}" for k in range(n_lags)
+    )
+    long = shifted.select(
+        *keys,
+        "__a",
+        F.expr(f"stack({n_lags}, {stack_args}) as (lag, __bv)"),
+    ).filter(F.col("__bv").isNotNull())
+    d = "decimal(38,0)"
+    agg = long.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast(d).alias("__n"),
+        F.sum("__a").cast(d).alias("__sa"),
+        F.sum("__bv").cast(d).alias("__sb"),
+        F.sum(F.col("__a").cast(d) * F.col("__bv").cast(d)).alias("__sab"),
+        F.sum(F.col("__a").cast(d) * F.col("__a").cast(d)).alias("__saa"),
+        F.sum(F.col("__bv").cast(d) * F.col("__bv").cast(d)).alias("__sbb"),
+    )
+    num = (F.col("__n") * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("__n") * F.col("__saa") - F.col("__sa") * F.col("__sa")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("__n") * F.col("__sbb") - F.col("__sb") * F.col("__sb")).cast(
+            "double"
+        )
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(den != 0, num / den).alias("r"),
     )

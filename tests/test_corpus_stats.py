@@ -1209,3 +1209,74 @@ class TestTrimmedMean:
         ra = sorted(map(tuple, trimmed_mean(a, "v", by="g").collect()))
         rb = sorted(map(tuple, trimmed_mean(b, "v", by="g").collect()))
         assert ra == rb
+
+
+class TestCrossCorrelation:
+    def test_shifted_copy_peaks_at_its_lag(self, spark):
+        import datetime as dt
+        import random
+
+        from energy_pandas_spark.operators.analytics import cross_correlation
+
+        rng = random.Random(13)
+        t0 = dt.datetime(2024, 6, 1)
+        a = [rng.uniform(0, 10) for _ in range(120)]
+        rows = [
+            # b is a copy of a shifted 3 steps later: b[t] = a[t-3]
+            (t0 + dt.timedelta(hours=h), a[h], a[h - 3] if h >= 3 else 0.0)
+            for h in range(120)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+        got = {
+            r["lag"]: (r["n"], r["r"])
+            for r in cross_correlation(df, "ts", "a", "b", max_lag=5).collect()
+        }
+        assert set(got) == set(range(-5, 6))
+        best = max(got, key=lambda k: got[k][1])
+        assert best == 3  # a leads b by 3
+        assert got[3][1] > 0.99
+
+    def test_matches_python_replay(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from energy_pandas_spark.operators.analytics import cross_correlation
+
+        rng = random.Random(14)
+        t0 = dt.datetime(2024, 6, 1)
+        rows = [
+            (
+                t0 + dt.timedelta(hours=h),
+                round(rng.uniform(-5, 5), 3),
+                round(rng.uniform(-5, 5), 3),
+            )
+            for h in range(80)
+        ]
+        df = spark.createDataFrame(
+            rows, "ts timestamp, a double, b double"
+        ).repartition(7)
+        got = {
+            r["lag"]: (r["n"], r["r"])
+            for r in cross_correlation(df, "ts", "a", "b", max_lag=4).collect()
+        }
+        q = 1 << 20
+        aq = [int(_round_half_away(q * a)) for _, a, _ in rows]
+        bq = [int(_round_half_away(q * b)) for _, _, b in rows]
+        m = len(rows)
+        for lag in range(-4, 5):
+            pairs = [
+                (aq[i], bq[i + lag])
+                for i in range(m)
+                if 0 <= i + lag < m
+            ]
+            n = len(pairs)
+            sa = sum(x for x, _ in pairs)
+            sb = sum(y for _, y in pairs)
+            sab = sum(x * y for x, y in pairs)
+            saa = sum(x * x for x, _ in pairs)
+            sbb = sum(y * y for _, y in pairs)
+            den = math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+            want = (n * sab - sa * sb) / den
+            assert got[lag][0] == n
+            assert abs(got[lag][1] - want) < 1e-12, lag
