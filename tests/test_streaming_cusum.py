@@ -1,0 +1,76 @@
+"""Streaming CUSUM: keyed integer state across micro-batches; a
+drained stream equals the batch operator bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_pandas_spark.operators.analytics import cusum_alarms
+from energy_pandas_spark.streaming.cusum import streaming_cusum
+
+
+def _write(spark, rows, dest):
+    (
+        spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+        .select("event_type", F.to_timestamp("ts_s").alias("ts"), "value")
+        .coalesce(1)
+        .write.parquet(dest)
+    )
+
+
+def test_drained_stream_equals_batch_exactly(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    rows1 = [
+        ("a", f"2024-01-01 10:{i:02d}:00", 1.0 + (i % 3) * 0.5)
+        for i in range(10)
+    ]
+    # batch 2: key a shifts level (alarms should fire); key b stays calm
+    rows2 = [
+        ("a", f"2024-01-01 11:{i:02d}:00", 6.0 + (i % 2) * 0.25)
+        for i in range(10)
+    ] + [("b", f"2024-01-01 11:{i:02d}:00", 0.5) for i in range(10)]
+    _write(spark, rows1, src + "/b1")
+    _write(spark, rows2, src + "/b2")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            streaming_cusum(
+                stream, target=1.5, drift=0.5, threshold=10.0
+            )
+            .writeStream.format("memory")
+            .queryName("cusums")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    streamed = {
+        (r["key"], r["ts"]): (r["value"], r["cusum"], r["alarm"])
+        for r in spark.sql("select * from cusums").collect()
+    }
+
+    batch_df = spark.read.parquet(src + "/*")
+    batch = {
+        (r["event_type"], r["ts"]): (r["value"], r["cusum"], r["alarm"])
+        for r in cusum_alarms(
+            batch_df, "ts", "value", by="event_type",
+            target=1.5, drift=0.5, threshold=10.0,
+        ).collect()
+    }
+    assert streamed == batch  # bit-for-bit, state carried across batches
+
+    # the shifted key alarms eventually; the calm key never does
+    assert any(a for (k, _), (_, _, a) in streamed.items() if k == "a")
+    assert not any(a for (k, _), (_, _, a) in streamed.items() if k == "b")
