@@ -2037,6 +2037,57 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series (operators/
+    analytics.py:autocorrelation): the seasonality fingerprint — a
+    daily cycle peaks at lag 24."""
+    _prep(spark)
+    from energy_pandas_spark.operators.analytics import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    return autocorrelation(hourly, "h", "v", max_lag=30).orderBy("lag")
+
+
+def _acf_sql(max_lag: int = 30) -> str:
+    """Oracle: the a==b specialization of _ccf_sql over hourly counts,
+    non-negative lags only."""
+    parts = []
+    for k in range(0, max_lag + 1):
+        parts.append(
+            f"SELECT aq, lead(aq, {k}) OVER (ORDER BY h) AS bv, {k} AS lag"
+            " FROM base"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return rf"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+), base AS (
+  SELECT h, round(1048576.0 * c::DOUBLE)::BIGINT AS aq FROM hourly
+), long AS (
+{union}
+), agg AS (
+  SELECT lag, count(*)::HUGEINT AS n,
+         sum(aq)::HUGEINT AS sa, sum(bv)::HUGEINT AS sb,
+         sum(aq::HUGEINT * bv::HUGEINT) AS sab,
+         sum(aq::HUGEINT * aq::HUGEINT) AS saa,
+         sum(bv::HUGEINT * bv::HUGEINT) AS sbb
+  FROM long WHERE bv IS NOT NULL GROUP BY lag
+)
+SELECT lag::INT AS lag, n::BIGINT AS n,
+       CASE WHEN (sqrt((n * saa - sa * sa)::DOUBLE)
+                  * sqrt((n * sbb - sb * sb)::DOUBLE)) != 0
+            THEN (n * sab - sa * sb)::DOUBLE
+                 / (sqrt((n * saa - sa * sa)::DOUBLE)
+                    * sqrt((n * sbb - sb * sb)::DOUBLE))
+       END AS r
+FROM agg ORDER BY lag
+"""
+
+
 def ccf_click_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation of hourly click vs error value means
     (operators/analytics.py:cross_correlation): exact quantized sums
@@ -7946,6 +7997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "acf_hourly_events": acf_hourly_events,
         "ccf_click_error_events": ccf_click_error_events,
         "trimmed_mean_events": trimmed_mean_events,
         "chi2_type_hour_events": chi2_type_hour_events,
@@ -8138,6 +8190,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "acf_hourly_events": _acf_sql(),
         "ccf_click_error_events": _ccf_sql(),
         "trimmed_mean_events": _TRIMMED_MEAN_SQL,
         "chi2_type_hour_events": _CHI2_SQL,

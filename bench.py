@@ -127,6 +127,7 @@ HEADLINE = [
     "chi2_type_hour_events",
     "trimmed_mean_events",
     "ccf_click_error_events",
+    "acf_hourly_events",
 ]
 
 

@@ -25,6 +25,7 @@ from energy_pandas_spark.operators.analytics import (
     chi_square_independence,
     trimmed_mean,
     cross_correlation,
+    autocorrelation,
 )
 from energy_pandas_spark.operators.behavior import frequent_pairs, rfm_segments
 from energy_pandas_spark.operators.bpe import (
@@ -139,6 +140,7 @@ __all__ = [
     "chi_square_independence",
     "trimmed_mean",
     "cross_correlation",
+    "autocorrelation",
     "rfm_segments",
     "frequent_pairs",
     # reshape

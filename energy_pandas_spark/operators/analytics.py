@@ -57,6 +57,7 @@ __all__ = [
     "chi_square_independence",
     "trimmed_mean",
     "cross_correlation",
+    "autocorrelation",
 ]
 
 
@@ -1415,3 +1416,23 @@ def cross_correlation(
         F.col("__n").cast("long").alias("n"),
         F.when(den != 0, num / den).alias("r"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 30,
+    by: str | None = None,
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Autocorrelation function: :func:`cross_correlation` of a series
+    against itself for lags 0..``max_lag`` — the seasonality
+    fingerprint (hourly series with a daily cycle peak at lag 24) and
+    the sample-independence check before any i.i.d.-assuming
+    statistic. Same exact integer arithmetic; returns (keys, lag, n,
+    r) with lag >= 0 (ACF is symmetric)."""
+    out = cross_correlation(
+        df, ts_col, value_col, value_col, max_lag=max_lag, by=by, quant=quant
+    )
+    return out.filter(F.col("lag") >= 0)

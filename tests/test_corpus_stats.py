@@ -1280,3 +1280,27 @@ class TestCrossCorrelation:
             want = (n * sab - sa * sb) / den
             assert got[lag][0] == n
             assert abs(got[lag][1] - want) < 1e-12, lag
+
+
+def test_autocorrelation_finds_period(spark):
+    import datetime as dt
+    import random
+
+    from energy_pandas_spark.operators.analytics import autocorrelation
+
+    rng = random.Random(19)
+    t0 = dt.datetime(2024, 7, 1)
+    rows = [
+        (
+            t0 + dt.timedelta(hours=h),
+            [0, 3, 6, 3, 0, -3, -6, -3][h % 8] + rng.uniform(-0.5, 0.5),
+        )
+        for h in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    got = {r["lag"]: r["r"] for r in autocorrelation(df, "ts", "v", max_lag=12).collect()}
+    assert set(got) == set(range(13))
+    # x/(sqrt(x)*sqrt(x)) is deterministic but not exactly 1.0
+    assert abs(got[0] - 1.0) < 1e-12
+    assert got[8] > 0.9           # the planted period
+    assert got[4] < -0.9          # anti-phase
