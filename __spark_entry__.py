@@ -2037,6 +2037,69 @@ FROM {prev} ORDER BY rank_q DESC, event_type
 """
 
 
+def js_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/text.py:js_divergence_matrix): per-term
+    quantized entropy contributions, union-aggregate pair expansion,
+    pure integer js_q."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import js_divergence_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs).orderBy("src_a", "src_b")
+
+
+_JS_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), counts AS (
+  SELECT source AS g, term, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT g, sum(c)::BIGINT AS t FROM counts GROUP BY 1
+), ct AS (
+  SELECT counts.g, term, c, t FROM counts JOIN totals USING (g)
+), hq AS (
+  SELECT g,
+         (-sum(round(1024.0 * (c::DOUBLE / t::DOUBLE)
+                     * ln(c::DOUBLE / t::DOUBLE))::BIGINT))::BIGINT AS h
+  FROM ct GROUP BY 1
+), pairs AS (
+  SELECT a.g AS sa, a.t AS ta, b.g AS sb, b.t AS tb
+  FROM totals a CROSS JOIN totals b WHERE a.g < b.g
+), side AS (
+  SELECT p.sa, p.sb, ct.term, ct.c AS ca, 0::BIGINT AS cb, p.ta, p.tb
+  FROM pairs p JOIN ct ON ct.g = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, ct.term, 0::BIGINT AS ca, ct.c AS cb, p.ta, p.tb
+  FROM pairs p JOIN ct ON ct.g = p.sb
+), merged AS (
+  SELECT sa, sb, term, sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb,
+         max(ta) AS ta, max(tb) AS tb
+  FROM side GROUP BY 1, 2, 3
+), hm AS (
+  SELECT sa, sb,
+         (-sum(round(1024.0 * pm * ln(pm))::BIGINT))::BIGINT AS hm
+  FROM (
+    SELECT sa, sb,
+           ca::DOUBLE / (2 * ta)::DOUBLE + cb::DOUBLE / (2 * tb)::DOUBLE AS pm
+    FROM merged
+  ) GROUP BY 1, 2
+)
+SELECT hm.sa AS src_a, hm.sb AS src_b,
+       (hm.hm - (ha.h + hb.h) // 2)::BIGINT AS js_q,
+       ((hm.hm - (ha.h + hb.h) // 2)::DOUBLE / 1024.0) AS js
+FROM hm
+JOIN hq ha ON ha.g = hm.sa
+JOIN hq hb ON hb.g = hm.sb
+ORDER BY src_a, src_b
+"""
+
+
 def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the hourly event-count series (operators/
     analytics.py:autocorrelation): the seasonality fingerprint — a
@@ -7997,6 +8060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "rfm_users_events": rfm_users_events,
         "event_graph_rank": event_graph_rank,
+        "js_divergence_docs": js_divergence_docs,
         "acf_hourly_events": acf_hourly_events,
         "ccf_click_error_events": ccf_click_error_events,
         "trimmed_mean_events": trimmed_mean_events,
@@ -8190,6 +8254,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _CUSUM_SQL,
         "rfm_users_events": _RFM_SQL,
         "event_graph_rank": _event_graph_rank_sql(),
+        "js_divergence_docs": _JS_DIVERGENCE_SQL,
         "acf_hourly_events": _acf_sql(),
         "ccf_click_error_events": _ccf_sql(),
         "trimmed_mean_events": _TRIMMED_MEAN_SQL,

@@ -128,6 +128,7 @@ HEADLINE = [
     "trimmed_mean_events",
     "ccf_click_error_events",
     "acf_hourly_events",
+    "js_divergence_docs",
 ]
 
 

@@ -104,6 +104,7 @@ from energy_pandas_spark.operators.text import (
     ngram_novelty,
     vocab_growth,
     token_entropy,
+    js_divergence_matrix,
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
@@ -211,6 +212,7 @@ __all__ = [
     "ngram_novelty",
     "vocab_growth",
     "token_entropy",
+    "js_divergence_matrix",
     "ngram_counts",
     "redact_pii",
     "contamination_overlap",

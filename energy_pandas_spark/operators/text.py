@@ -3120,3 +3120,121 @@ def token_entropy(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("entropy_q", F.lit(0)).alias("entropy_q"),
     )
+
+
+def js_divergence_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    quant: int = 1024,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every two groups (sources, languages, snapshots)
+    — the symmetric, bounded [0, ln 2] "how differently do these
+    slices speak?" matrix that complements vocabulary OVERLAP
+    (source_overlap) with distributional distance, and drives mixture
+    design (near-zero JS = redundant sources).
+
+    JS(P,Q) = H(M) - (H(P) + H(Q))/2 with M the even mixture. Every
+    entropy term quantizes per TERM to integer 1/``quant``-nat units
+    (round(quant * p * ln p) from exact integer counts — probabilities
+    are single correctly-rounded divisions), so the sums are
+    order-free and js_q is pure integer arithmetic — engine-exact.
+
+    Scale shape: one (group, term) count aggregate; per-group
+    entropies reduce from it; the pair expansion unions each side's
+    counts keyed by (pair, term) and aggregates — no vocab x pairs
+    cross join, no driver collection. Group count is assumed
+    moderate (pairs are quadratic in groups, not vocabulary).
+    Returns (src_a, src_b, js_q, js) with src_a < src_b.
+    """
+    from energy_pandas_spark.util import spread_partitions
+
+    src = spread_partitions(df.select(group_col, F.col(text_col)))
+    counts = (
+        src.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("__g", "term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.groupBy("__g").agg(F.sum("__c").alias("__t"))
+    ct = counts.join(F.broadcast(totals), "__g")
+    # per-group entropy: hq = -sum round(quant * p * ln p)
+    p = F.col("__c").cast("double") / F.col("__t").cast("double")
+    hterm = F.round(F.lit(float(quant)) * p * F.log(p)).cast("long")
+    hq = ct.groupBy("__g").agg((-F.sum(hterm)).alias("__h"))
+    # pair-term rows: each side contributes its counts under the pair
+    # key; the aggregate aligns terms without a vocab cross join
+    ga = ct.select(
+        F.col("__g").alias("src_a"),
+        "term",
+        F.col("__c").alias("__ca"),
+        F.col("__t").alias("__ta"),
+    )
+    gb = ct.select(
+        F.col("__g").alias("src_b"),
+        "term",
+        F.col("__c").alias("__cb"),
+        F.col("__t").alias("__tb"),
+    )
+    tot_pairs = (
+        totals.select(F.col("__g").alias("src_a"), F.col("__t").alias("__ta"))
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("__g").alias("src_b"), F.col("__t").alias("__tb")
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    side_a = tot_pairs.join(ga, ["src_a", "__ta"]).select(
+        "src_a", "src_b", "term", "__ca", F.lit(0).cast("long").alias("__cb"),
+        "__ta", "__tb",
+    )
+    side_b = tot_pairs.join(gb, ["src_b", "__tb"]).select(
+        "src_a", "src_b", "term", F.lit(0).cast("long").alias("__ca"),
+        "__cb", "__ta", "__tb",
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("src_a", "src_b", "term")
+        .agg(
+            F.sum("__ca").alias("__ca"),
+            F.sum("__cb").alias("__cb"),
+            F.max("__ta").alias("__ta"),
+            F.max("__tb").alias("__tb"),
+        )
+    )
+    pm = F.col("__ca").cast("double") / (F.lit(2) * F.col("__ta")).cast(
+        "double"
+    ) + F.col("__cb").cast("double") / (F.lit(2) * F.col("__tb")).cast(
+        "double"
+    )
+    mterm = F.round(F.lit(float(quant)) * pm * F.log(pm)).cast("long")
+    hm = merged.groupBy("src_a", "src_b").agg((-F.sum(mterm)).alias("__hm"))
+    out = (
+        hm.join(
+            F.broadcast(hq.select(F.col("__g").alias("src_a"), F.col("__h").alias("__ha"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(hq.select(F.col("__g").alias("src_b"), F.col("__h").alias("__hb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("__hm") - F.expr("(__ha + __hb) div 2")
+            ).alias("js_q"),
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "js_q",
+        (F.col("js_q").cast("double") / F.lit(float(quant))).alias("js"),
+    )

@@ -1304,3 +1304,66 @@ def test_autocorrelation_finds_period(spark):
     assert abs(got[0] - 1.0) < 1e-12
     assert got[8] > 0.9           # the planted period
     assert got[4] < -0.9          # anti-phase
+
+
+class TestJsDivergence:
+    def test_matches_python_replay(self, spark):
+        import math
+        import random
+        from collections import Counter
+
+        from energy_pandas_spark.operators.text import js_divergence_matrix
+
+        rng = random.Random(41)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for i in range(200):
+            srcname = f"s{i % 3}"
+            # each source has its own skew
+            words = rng.choices(
+                vocab, weights=[(j + 1) ** (1 + (i % 3)) for j in range(12)], k=20
+            )
+            rows.append((i, srcname, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["js_q"], r["js"])
+            for r in js_divergence_matrix(df).collect()
+        }
+
+        q = 1024
+        cnt: dict = {}
+        for _, s, t in rows:
+            cnt.setdefault(s, Counter()).update(t.split())
+        tot = {s: sum(c.values()) for s, c in cnt.items()}
+
+        def hq(pairs):
+            # pairs: iterable of probabilities > 0
+            return -sum(
+                int(_round_half_away(q * p * math.log(p))) for p in pairs
+            )
+
+        hps = {s: hq(c / tot[s] for c in cnt[s].values()) for s in cnt}
+        want = {}
+        for a in sorted(cnt):
+            for b in sorted(cnt):
+                if a >= b:
+                    continue
+                terms = set(cnt[a]) | set(cnt[b])
+                hm = hq(
+                    cnt[a].get(t, 0) / (2 * tot[a])
+                    + cnt[b].get(t, 0) / (2 * tot[b])
+                    for t in terms
+                )
+                jsq = hm - (hps[a] + hps[b]) // 2
+                want[(a, b)] = (jsq, jsq / q)
+        assert got == want
+        # identical distributions would give ~0; distinct skews must not
+        assert all(v[1] > 0 for v in got.values())
+
+    def test_identical_sources_near_zero(self, spark):
+        from energy_pandas_spark.operators.text import js_divergence_matrix
+
+        rows = [(i, f"s{i % 2}", "alpha beta gamma delta") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        r = js_divergence_matrix(df).collect()[0]
+        assert abs(r["js"]) < 0.01  # quantization slack only
