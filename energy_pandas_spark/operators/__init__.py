@@ -81,6 +81,7 @@ from energy_pandas_spark.operators.sampling import (
     weighted_mixture,
     sample_k_per_group,
     drop_below_group_quantile,
+    epoch_order,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
 from energy_pandas_spark.operators.text import (
@@ -180,6 +181,7 @@ __all__ = [
     # sampling / pipeline
     "hash_bucket",
     "hash_split",
+    "epoch_order",
     "hash_sample",
     "hash_sample_by",
     "weighted_mixture",

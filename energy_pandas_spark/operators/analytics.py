@@ -1039,6 +1039,7 @@ def seasonal_decompose(
     period: int = 24,
     trend_window: int = 24,
     quant: int = 1_000_000,
+    phase: Column | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of a regular (e.g.
     hourly) series: ``value = trend + seasonal + residual`` — the
@@ -1065,6 +1066,12 @@ def seasonal_decompose(
 
     Returns the input keys + (ts, value, trend, seasonal, residual).
     """
+    if phase is None and period > 24:
+        raise ValueError(
+            f"period={period} cannot derive from hour-of-day (0..23); "
+            "pass phase=<Column> (e.g. dayofweek(ts)*24 + hour(ts) for "
+            "weekly seasonality over hourly data)"
+        )
     keys = [by] if by else []
     q = F.round(F.lit(float(quant)) * F.col(value_col)).cast("long")
     base = df.select(*keys, ts_col, F.col(value_col), q.alias("__q"))
@@ -1082,9 +1089,10 @@ def seasonal_decompose(
             / (F.lit(quant) * F.count(F.lit(1)).over(w)).cast("double")
         ).alias("trend"),
     )
-    phased = trended.withColumn(
-        "__phase", F.hour(ts_col) % F.lit(period)
-    ).withColumn(
+    phase_expr = (
+        phase if phase is not None else F.hour(ts_col) % F.lit(period)
+    )
+    phased = trended.withColumn("__phase", phase_expr).withColumn(
         "__dq",
         F.round(
             F.lit(float(quant)) * (F.col(value_col) - F.col("trend"))
@@ -1194,9 +1202,17 @@ def cusum_alarms(
     within each key; a single global series runs one partition —
     fine for aggregated series, the caller's contract.
     """
+    import math
+
+    def _half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
     keys = [by] if by else []
-    kq = round(quant * (target + drift))
-    hq = round(quant * threshold)
+    # half-away-from-zero, NOT Python round() (banker's): the streaming
+    # twin and every quantized column in the engine round half-away,
+    # and the bit-for-bit batch/stream equivalence depends on it
+    kq = _half_away(quant * (target + drift))
+    hq = _half_away(quant * threshold)
     dq = F.round(F.lit(float(quant)) * F.col(value_col)).cast("long") - F.lit(
         kq
     )
@@ -1242,6 +1258,12 @@ def chi_square_independence(
     cell table (category-count-sized) and broadcast back. Returns one
     row (n, n_a, n_b, dof, chi2) with ``chi2`` in original units.
     """
+    # NULL categories are excluded up front: a NULL key never matches
+    # the grid's equi-join, which would zero the observed cell while
+    # its mass still inflated N and the marginals (wrong chi2, dof
+    # inconsistent with the grid). Excluding is the standard treatment;
+    # encode NULL as a real category upstream to include it.
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
@@ -1314,6 +1336,11 @@ def trimmed_mean(
     pattern for per-group order statistics); NULL values are excluded
     up front. Returns (keys, n, n_kept, trimmed_mean).
     """
+    if not 0 <= trim_permille < 500:
+        raise ValueError(
+            f"trim_permille must be in [0, 500), got {trim_permille} "
+            "(>= 500 trims every row of a group away)"
+        )
     keys = [by] if by else []
     base = df.select(*keys, F.col(value_col).alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -1346,6 +1373,7 @@ def cross_correlation(
     max_lag: int = 6,
     by: str | None = None,
     quant: int = 1 << 20,
+    min_lag: int | None = None,
 ) -> DataFrame:
     """Cross-correlation function between two aligned regular series:
     Pearson r of ``a_t`` against ``b_{t+lag}`` for every lag in
@@ -1362,6 +1390,7 @@ def cross_correlation(
     than 2 overlapping points return NULL r. Returns
     (keys, lag, n, r).
     """
+    lo = -max_lag if min_lag is None else min_lag
     keys = [by] if by else []
     w = Window.partitionBy(*keys).orderBy(ts_col)
     base = df.select(
@@ -1376,13 +1405,13 @@ def cross_correlation(
         *[
             (
                 F.lead("__b", k).over(w) if k >= 0 else F.lag("__b", -k).over(w)
-            ).alias(f"__b_{k + max_lag}")
-            for k in range(-max_lag, max_lag + 1)
+            ).alias(f"__b_{k - lo}")
+            for k in range(lo, max_lag + 1)
         ],
     )
-    n_lags = 2 * max_lag + 1
+    n_lags = max_lag - lo + 1
     stack_args = ", ".join(
-        f"{k - max_lag}, __b_{k}" for k in range(n_lags)
+        f"{k + lo}, __b_{k}" for k in range(n_lags)
     )
     long = shifted.select(
         *keys,
@@ -1432,7 +1461,13 @@ def autocorrelation(
     the sample-independence check before any i.i.d.-assuming
     statistic. Same exact integer arithmetic; returns (keys, lag, n,
     r) with lag >= 0 (ACF is symmetric)."""
-    out = cross_correlation(
-        df, ts_col, value_col, value_col, max_lag=max_lag, by=by, quant=quant
+    return cross_correlation(
+        df,
+        ts_col,
+        value_col,
+        value_col,
+        max_lag=max_lag,
+        by=by,
+        quant=quant,
+        min_lag=0,
     )
-    return out.filter(F.col("lag") >= 0)

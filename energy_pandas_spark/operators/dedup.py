@@ -1393,6 +1393,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int = 1000,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     — the local/plagiarism dup detector over :func:`winnow_
@@ -1400,10 +1401,13 @@ def winnow_pairs(
     path here: fingerprints group by hash, degenerate buckets are
     capped at ``max_bucket`` (a boilerplate gram shared by a million
     docs must not go quadratic), ordered pairs count shared hashes.
-    Returns (id_a, id_b, shared) with id_a < id_b."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
-        F.col(id_col).alias("__id"), "fp_hash"
-    ).distinct()
+    Returns (id_a, id_b, shared) with id_a < id_b. Pass ``fps`` (a
+    precomputed :func:`winnow_fingerprints` result) to skip the
+    fingerprinting pass — the streaming ingest computes prints once
+    per batch and reuses them here."""
+    if fps is None:
+        fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    fps = fps.select(F.col(id_col).alias("__id"), "fp_hash").distinct()
     buckets = (
         fps.groupBy("fp_hash")
         .agg(F.sort_array(F.collect_list("__id")).alias("ids"))

@@ -551,8 +551,9 @@ def epoch_order(
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from energy_pandas_spark.operators.analytics import global_order_index
 
     keyed = df.select(
         F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
@@ -568,38 +569,18 @@ def epoch_order(
             )
         ),
     )
-    part = (
-        keyed.repartitionByRange("epoch", "__k", id_col)
-        .sortWithinPartitions("epoch", "__k", id_col)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.shiftright("__mid", 33))
-        .withColumn("__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
-        .select("epoch", id_col, "__pid", "__rn")
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # the global index over (epoch, key, id) — the shared distributed-
+    # rank machinery; epoch leads the sort, so each epoch's rows form a
+    # contiguous index block
+    gidx = global_order_index(
+        keyed,
+        [F.asc("epoch"), F.asc("__k"), F.asc(id_col)],
+        "__g",
     )
-    offsets = (
-        part.groupBy("__pid")
-        .count()
-        .select(
-            "__pid",
-            F.sum("count")
-            .over(
-                Window.orderBy("__pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            )
-            .alias("__off"),
-        )
-        .fillna({"__off": 0})
-    )
-    gidx = part.join(F.broadcast(offsets), "__pid").select(
-        "epoch", F.col(id_col), (F.col("__off") + F.col("__rn")).alias("__g")
-    )
-    # epoch starts: the range partitioning leads with epoch, so every
-    # epoch-e row indexes before every epoch-(e+1) row; the per-epoch
-    # start is the cumulative count of earlier epochs (epochs-sized agg)
+    # per-epoch start = cumulative count of earlier epochs (epochs-sized
+    # agg over the same persisted projection the index came from)
     estarts = (
-        part.groupBy("epoch")
+        gidx.groupBy("epoch")
         .count()
         .select(
             "epoch",

@@ -2782,6 +2782,23 @@ def collocations(
     )
 
 
+def _cooccurrence_edges(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Symmetric distinct window=2 word co-occurrence edges (u, v) —
+    the shared graph build behind textrank_keywords and related_terms
+    (and the shape both unrolled SQL oracles replay)."""
+    und = (
+        _doc_bigrams(df, text_col, id_col)
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
+        )
+        .distinct()
+    )
+    return und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
 def textrank_keywords(
     df: DataFrame,
     text_col: str = "text",
@@ -2812,15 +2829,7 @@ def textrank_keywords(
 
     from energy_pandas_spark.operators.graph import pagerank
 
-    und = (
-        _doc_bigrams(df, text_col, id_col)
-        .filter(F.col("w1") != F.col("w2"))
-        .select(
-            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
-        )
-        .distinct()
-    )
-    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _cooccurrence_edges(df, text_col, id_col)
     ranks = pagerank(sym, src="u", dst="v", n_iter=n_iter)
     topk = (
         ranks.select(F.col("id").alias("term"), "rank_q")
@@ -2858,15 +2867,7 @@ def related_terms(
 
     from energy_pandas_spark.operators.graph import pagerank
 
-    und = (
-        _doc_bigrams(df, text_col, id_col)
-        .filter(F.col("w1") != F.col("w2"))
-        .select(
-            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
-        )
-        .distinct()
-    )
-    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _cooccurrence_edges(df, text_col, id_col)
     spark = df.sparkSession
     seeds = spark.createDataFrame([(s,) for s in seed_terms], "term string")
     ranks = pagerank(sym, src="u", dst="v", n_iter=n_iter, seeds=seeds)
@@ -3053,12 +3054,23 @@ def vocab_growth(
     # dedup rank collisions at tiny n (several checkpoints hit one rank)
     spark = df.sparkSession
     rows = sorted({(int(r["n_docs"]), r["up_to_id"]) for r in bounds})
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType  # works for string/long/... ids
     cps = spark.createDataFrame(
-        [
-            (d + 1, nd, uid)
-            for d, (nd, uid) in enumerate(rows)
-        ],
-        "checkpoint int, n_docs long, up_to_id long",
+        [(d + 1, nd, uid) for d, (nd, uid) in enumerate(rows)],
+        StructType(
+            [
+                StructField("checkpoint", IntegerType()),
+                StructField("n_docs", LongType()),
+                StructField("up_to_id", id_type),
+            ]
+        ),
     )
     return (
         first_seen.crossJoin(F.broadcast(cps))

@@ -60,11 +60,16 @@ def make_winnow_ingest_writer(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
+        # fingerprint ONCE per batch: the pair detector, the
+        # cross-store check, and the store landing all reuse this
+        # (tokenize+md5+window-min is the batch's dominant CPU cost)
+        fps_all = winnow_fingerprints(batch, text_col, id_col, k, w).persist()
         try:
             # 1. in-batch passage dedup (clusters, smallest id survives
             # — transitive: A copies B copies C collapses to one doc)
             pairs = winnow_pairs(
-                batch, text_col, id_col, k, w, min_shared, max_bucket
+                batch, text_col, id_col, k, w, min_shared, max_bucket,
+                fps=fps_all,
             )
             drops = (
                 dedup_clusters(pairs)
@@ -72,6 +77,9 @@ def make_winnow_ingest_writer(
                 .select(F.col("doc_id").alias(id_col))
             )
             fresh = batch.join(drops, id_col, "left_anti")
+            fp_fresh = fps_all.join(
+                fresh.select(id_col), id_col, "left_semi"
+            )
 
             # 2. cross-store rejection, excluding any half-written copy
             # of THIS batch (replay safety)
@@ -82,13 +90,10 @@ def make_winnow_ingest_writer(
                     .select("fp_hash")
                     .distinct()
                 )
-                fp_new = (
-                    winnow_fingerprints(fresh, text_col, id_col, k, w)
-                    .select(id_col, "fp_hash")
-                    .distinct()
-                )
                 hit = (
-                    fp_new.join(store_h, "fp_hash")
+                    fp_fresh.select(id_col, "fp_hash")
+                    .distinct()
+                    .join(store_h, "fp_hash")
                     .groupBy(id_col)
                     .agg(F.count(F.lit(1)).alias("__shared"))
                     .filter(F.col("__shared") >= min_shared)
@@ -101,24 +106,26 @@ def make_winnow_ingest_writer(
             ).persist()
 
             # 3. idempotent landing: overwrite exactly this batch's
-            # partitions in both tables
+            # partitions in both tables (the landed prints are the
+            # batch prints semi-joined to the accepted ids)
             (
                 fresh.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("__batch_id")
                 .parquet(corpus_path)
             )
-            fps = winnow_fingerprints(
-                fresh, text_col, id_col, k, w
+            fps_out = fps_all.join(
+                fresh.select(id_col), id_col, "left_semi"
             ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
             (
-                fps.write.mode("overwrite")
+                fps_out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("__batch_id")
                 .parquet(fps_path)
             )
             fresh.unpersist()
         finally:
+            fps_all.unpersist()
             batch.unpersist()
 
     return write_batch
