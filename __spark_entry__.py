@@ -2065,7 +2065,7 @@ WITH toks AS (
   SELECT counts.g, term, c, t FROM counts JOIN totals USING (g)
 ), hq AS (
   SELECT g,
-         (-sum(round(1024.0 * (c::DOUBLE / t::DOUBLE)
+         (-sum(round(1048576.0 * (c::DOUBLE / t::DOUBLE)
                      * ln(c::DOUBLE / t::DOUBLE))::BIGINT))::BIGINT AS h
   FROM ct GROUP BY 1
 ), pairs AS (
@@ -2083,7 +2083,7 @@ WITH toks AS (
   FROM side GROUP BY 1, 2, 3
 ), hm AS (
   SELECT sa, sb,
-         (-sum(round(1024.0 * pm * ln(pm))::BIGINT))::BIGINT AS hm
+         (-sum(round(1048576.0 * pm * ln(pm))::BIGINT))::BIGINT AS hm
   FROM (
     SELECT sa, sb,
            ca::DOUBLE / (2 * ta)::DOUBLE + cb::DOUBLE / (2 * tb)::DOUBLE AS pm
@@ -2092,7 +2092,7 @@ WITH toks AS (
 )
 SELECT hm.sa AS src_a, hm.sb AS src_b,
        (hm.hm - (ha.h + hb.h) // 2)::BIGINT AS js_q,
-       ((hm.hm - (ha.h + hb.h) // 2)::DOUBLE / 1024.0) AS js
+       ((hm.hm - (ha.h + hb.h) // 2)::DOUBLE / 1048576.0) AS js
 FROM hm
 JOIN hq ha ON ha.g = hm.sa
 JOIN hq hb ON hb.g = hm.sb
@@ -2705,6 +2705,70 @@ WITH t AS (
 SELECT n::BIGINT AS n_groups, sx::BIGINT AS total,
        ((2 * six - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE) AS gini
 FROM s
+"""
+
+
+def wet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WET source exercised end-to-end in one plan
+    (sources/wet.py): every document encodes into a spec-exact WARC
+    ``conversion`` record, the batch's records gzip into a shard blob,
+    and ``iter_warc_records`` parses the shard back — the oracle
+    recomputes the parsed fields (URI, char count, UTF-8 payload
+    bytes) directly from the table, so a parser/encoder drift on
+    either side breaks the hash. Distributed: each Arrow batch is its
+    own shard; no driver-side bytes."""
+    _prep(spark)
+    from energy_pandas_spark.util import spread_partitions
+
+    docs = spread_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def rt(it):
+        import gzip
+
+        import pandas as pd
+
+        from energy_pandas_spark.sources.wet import (
+            _decompress,
+            encode_warc,
+            iter_warc_records,
+        )
+
+        for pdf in it:
+            recs = [
+                (
+                    f"<urn:doc:{int(d)}>",
+                    f"http://corpus.example/{int(d)}",
+                    "2024-01-01T00:00:00Z",
+                    t if t is not None else "",
+                )
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            shard = gzip.compress(encode_warc(recs))
+            rows = [
+                (
+                    h["warc-target-uri"],
+                    p.decode("utf-8"),
+                    len(p),
+                )
+                for h, p in iter_warc_records(_decompress(shard))
+            ]
+            yield pd.DataFrame(rows, columns=["url", "text", "n_bytes"])
+
+    parsed = docs.mapInPandas(rt, "url string, text string, n_bytes long")
+    return parsed.select(
+        "url",
+        F.length("text").cast("long").alias("n_chars"),
+        "n_bytes",
+    )
+
+
+_WET_ROUNDTRIP_SQL = r"""
+SELECT 'http://corpus.example/' || doc_id AS url,
+       length(coalesce(text, '')) AS n_chars,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes
+FROM documents
 """
 
 
@@ -8071,6 +8135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_eval_embeddings": centroid_eval_embeddings,
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
+        "wet_roundtrip_docs": wet_roundtrip_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -8265,6 +8330,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_eval_embeddings": _CENTROID_EVAL_SQL,
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
+        "wet_roundtrip_docs": _WET_ROUNDTRIP_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

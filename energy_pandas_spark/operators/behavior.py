@@ -177,6 +177,8 @@ def rfm_segments(
     user-count-sized table. Returns (user, recency_days, frequency,
     monetary_q, r, f, m, segment).
     """
+    from pyspark import StorageLevel
+
     from energy_pandas_spark.operators.analytics import global_order_index
 
     per_user = df.groupBy(user_col).agg(
@@ -187,12 +189,20 @@ def rfm_segments(
         ).alias("monetary_q"),
     )
     ref = df.agg(F.max(ts_col).alias("__ref"))
-    base = per_user.crossJoin(F.broadcast(ref)).select(
-        user_col,
-        F.datediff("__ref", "__last").alias("recency_days"),
-        "frequency",
-        "monetary_q",
-        "__last",
+    # persist: base feeds the output projection plus THREE rank passes,
+    # each through its own join — the exchange-reuse trap (IsNotNull
+    # pushdown differs per consumer), so without this the events-scale
+    # per-user aggregate would run four times
+    base = (
+        per_user.crossJoin(F.broadcast(ref))
+        .select(
+            user_col,
+            F.datediff("__ref", "__last").alias("recency_days"),
+            "frequency",
+            "monetary_q",
+            "__last",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     n = base.count()
 

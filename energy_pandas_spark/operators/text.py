@@ -3138,7 +3138,7 @@ def js_divergence_matrix(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    quant: int = 1024,
+    quant: int = 1 << 20,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the unigram
     distributions of every two groups (sources, languages, snapshots)
@@ -3152,6 +3152,13 @@ def js_divergence_matrix(
     (round(quant * p * ln p) from exact integer counts — probabilities
     are single correctly-rounded divisions), so the sums are
     order-free and js_q is pure integer arithmetic — engine-exact.
+    The worst-case quantization error is half a unit PER VOCABULARY
+    TERM (error <= V/(2*quant) nat), so ``quant`` must dwarf the
+    vocabulary size for ``js`` to carry signal: the 1<<20 default
+    holds ~5e-4 nat at a thousand-term vocabulary; scale ``quant``
+    with V (long sums cannot overflow until V*quant nears 2^63 / ln V).
+    Tiny slightly-negative values are quantization artifacts of a
+    near-zero true JS.
 
     Scale shape: one (group, term) count aggregate; per-group
     entropies reduce from it; the pair expansion unions each side's
@@ -3162,7 +3169,14 @@ def js_divergence_matrix(
     """
     from energy_pandas_spark.util import spread_partitions
 
+    from pyspark import StorageLevel
+
     src = spread_partitions(df.select(group_col, F.col(text_col)))
+    # persist: the vocab x groups count table feeds totals, the
+    # per-group entropies, and BOTH sides of the pair expansion —
+    # four consumers whose join pushdowns differ, so without this the
+    # corpus-scale tokenize+count would run four times (the
+    # exchange-reuse rule)
     counts = (
         src.select(
             F.col(group_col).alias("__g"),
@@ -3170,6 +3184,7 @@ def js_divergence_matrix(
         )
         .groupBy("__g", "term")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     totals = counts.groupBy("__g").agg(F.sum("__c").alias("__t"))
     ct = counts.join(F.broadcast(totals), "__g")

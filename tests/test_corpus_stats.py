@@ -1330,7 +1330,7 @@ class TestJsDivergence:
             for r in js_divergence_matrix(df).collect()
         }
 
-        q = 1024
+        q = 1 << 20  # the operator default
         cnt: dict = {}
         for _, s, t in rows:
             cnt.setdefault(s, Counter()).update(t.split())
