@@ -129,6 +129,7 @@ HEADLINE = [
     "ccf_click_error_events",
     "acf_hourly_events",
     "js_divergence_docs",
+    "wet_roundtrip_docs",
 ]
 
 

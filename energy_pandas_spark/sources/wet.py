@@ -52,6 +52,7 @@ __all__ = [
     "iter_warc_records",
     "encode_warc",
     "read_wet_corpus",
+    "stream_wet_corpus",
 ]
 
 _CRLF = b"\r\n"
@@ -196,6 +197,57 @@ def read_wet_corpus(
     re-ingest-stable, the ``id_field`` reader tier) with a
     content-hash fallback for nonconforming records.
     """
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return _parse_and_shape(raw, record_types, min_chars)
+
+
+def stream_wet_corpus(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    min_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet_corpus`: WET shards landing
+    in ``path`` become a STREAMING documents frame — the front end of
+    a continuously-growing deduplicated corpus when composed with the
+    ingest sinks (``streaming/ingest.py:neardup_ingest``,
+    ``streaming/line_ingest.py``, ``streaming/winnow_ingest.py``),
+    which handle replay-idempotent landing per micro-batch.
+
+    ``max_files_per_trigger`` rate-limits each micro-batch (shards are
+    whole-file work units, so this IS the batch size knob); the file
+    source tracks processed shards in the checkpoint, so a crawl
+    delivering shards continuously is ingested exactly once.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length LONG, content BINARY"
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path).select("path", "content")
+    return _parse_and_shape(raw, record_types, min_chars)
+
+
+def _parse_and_shape(
+    raw: DataFrame,
+    record_types: tuple[str, ...],
+    min_chars: int,
+) -> DataFrame:
+    """Shared parse kernel + documents-shaping tail for the batch and
+    streaming readers (``raw`` = (path, content) rows, one per shard;
+    works identically on a static or streaming frame since the kernel
+    is stateless per shard)."""
     wanted = tuple(t.lower() for t in record_types)
 
     def parse(batches):
@@ -232,11 +284,6 @@ def read_wet_corpus(
                         rows, columns=_RECORD_SCHEMA.fieldNames()
                     )
 
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-    )
     parsed = raw.mapInPandas(parse, _RECORD_SCHEMA)
     out = parsed.select(
         F.coalesce(

@@ -13,6 +13,7 @@ from energy_pandas_spark.sources.wet import (
     encode_warc,
     iter_warc_records,
     read_wet_corpus,
+    stream_wet_corpus,
 )
 
 REC = [
@@ -106,6 +107,31 @@ class TestReader:
 
     def test_min_chars(self, spark, wet_dir):
         assert read_wet_corpus(spark, wet_dir, min_chars=13).count() == 1
+
+    def test_stream_equals_batch(self, spark, wet_dir, tmp_path):
+        batches = []
+        q = (
+            stream_wet_corpus(
+                spark, wet_dir + "/*.wet*", max_files_per_trigger=1
+            )
+            .writeStream.foreachBatch(
+                lambda b, bid: batches.append((bid, b.collect()))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # one shard per micro-batch (the rate-limit knob)
+        assert len([b for _, b in batches if b]) == 3
+        streamed = sorted(
+            (r["doc_id"], r["text"]) for _, b in batches for r in b
+        )
+        batch = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_wet_corpus(spark, wet_dir).collect()
+        )
+        assert streamed == batch
 
     def test_response_http_strip(self, spark, tmp_path):
         body = "<html><body>hi</body></html>"
