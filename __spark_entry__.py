@@ -4473,6 +4473,62 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def image_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level image dedup (operators/multimodal.py:
+    image_neardup_pairs): documents render into PNGs (the
+    media_features path), decode through the registered stdlib codec,
+    aHash into 64-bit perceptual signatures (zero-shuffle expression
+    fold), and banded Hamming LSH surfaces the near-identical images —
+    the planted exact-dup documents reappear as hamming-0 pixel pairs.
+    Rows-only (the PNG+luma+aHash chain has no SQL twin), but
+    deterministic end-to-end."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from energy_pandas_spark.operators.codecs import (
+        encode_png,
+        register_default_decoders,
+    )
+    from energy_pandas_spark.operators.multimodal import image_neardup_pairs
+    from energy_pandas_spark.util import spread_partitions
+
+    register_default_decoders()
+    docs = spread_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def render(it):
+        for pdf in it:
+            content = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")[:256]
+                px = np.frombuffer(raw.ljust(256, b"\0"), np.uint8)
+                content.append(encode_png(px.reshape(16, 16)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": content,
+                    "meta": [
+                        {"mime": "image/png", "width": 16, "height": 16,
+                         "duration_ms": None}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    media = docs.mapInPandas(
+        render,
+        schema=(
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+        ),
+    )
+    return image_neardup_pairs(media, max_hamming=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free hashed-BOW document embeddings (operators/text.py:
     hashed_embedding): ±1 feature hashing into 16 components,
@@ -8209,6 +8265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "ivf_topk": ivf_topk,
         "media_features": media_features,
+        "image_neardup_media": image_neardup_media,
         "video_features_media": video_features_media,
         "discretize_typical_periods": discretize_typical_periods,
         "corpus_sketch_stats": corpus_sketch_stats,

@@ -130,6 +130,7 @@ HEADLINE = [
     "acf_hourly_events",
     "js_divergence_docs",
     "wet_roundtrip_docs",
+    "image_neardup_media",
 ]
 
 

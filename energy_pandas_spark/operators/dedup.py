@@ -55,6 +55,7 @@ __all__ = [
     "edit_distance_pairs",
     "simhash64",
     "simhash_neardup_pairs",
+    "hamming_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "assign_semantic_clusters",
@@ -619,12 +620,34 @@ def simhash_neardup_pairs(
     the same bucket-grouped double-explode as MinHash (one shuffle, no
     self-join); verification runs inside the bucket before the pair
     distinct, so only true near-dups reach the final shuffle."""
+    sh = simhash64(df, text_col, id_col)
+    return hamming_neardup_pairs(
+        sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column by banded
+    Hamming LSH — the engine shared by :func:`simhash_neardup_pairs`
+    (text) and :func:`~energy_pandas_spark.operators.multimodal.
+    image_neardup_pairs` (perceptual image hashes). Pigeonhole
+    banding into ``max_hamming + 1`` near-equal-width bands gives
+    guaranteed candidate recall; verification is exact
+    ``bit_count(xor)`` inside the bucket; ``max_bucket`` drops
+    degenerate buckets. Returns (id_a, id_b, hamming)."""
     if not 0 <= max_hamming <= 31:
         raise ValueError(
-            "simhash_neardup_pairs: max_hamming must be in [0, 31] so "
+            "hamming_neardup_pairs: max_hamming must be in [0, 31] so "
             "each of the max_hamming+1 bands spans >= 2 bits"
         )
-    sh = simhash64(df, text_col, id_col)
+    sh = df.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     n_bands = max_hamming + 1
     base, extra = divmod(64, n_bands)
     widths = [base + 1 if b < extra else base for b in range(n_bands)]

@@ -44,6 +44,8 @@ __all__ = [
     "set_decoder",
     "decode_features",
     "frame_sample_plan",
+    "perceptual_hash",
+    "image_neardup_pairs",
 ]
 
 #: canonical multimodal row schema
@@ -180,4 +182,86 @@ def frame_sample_plan(
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+def perceptual_hash(
+    features: DataFrame,
+    feat_col: str = "features",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual signature from a decoded feature vector —
+    the aHash construction (bit i = component i above the vector's own
+    mean) over the codecs' luma block-mean thumbnail, so two images
+    hash close iff their coarse luminance STRUCTURE matches. Mean-
+    relative thresholding makes the signature invariant to uniform
+    brightness/contrast scaling (the most common benign re-encode
+    drift); only the first 64 components contribute (the thumbnail's
+    native size).
+
+    Pure expression work — one ``aggregate`` for the mean and one
+    ``zip_with``+``aggregate`` fold packing the bits into a BIGINT;
+    zero shuffles, zero Python. NULL / empty feature vectors hash to
+    NULL (no decode = no opinion, never a false bucket of zeros).
+    """
+    base = features.select(
+        id_col, F.slice(F.col(feat_col), 1, 64).alias("__f")
+    ).withColumn(
+        "__mean",
+        F.expr(
+            "aggregate(__f, cast(0.0 as double),"
+            " (a, x) -> a + cast(x as double)) / size(__f)"
+        ),
+    )
+    # shiftleft (not pow-of-two doubles, whose long cast clamps at bit
+    # 63) packs the bits; bit 63 lands on the sign bit by design
+    sig = F.expr(
+        "aggregate("
+        "  zip_with(__f, sequence(0, size(__f) - 1),"
+        "    (v, i) -> IF(cast(v as double) > __mean,"
+        "                 shiftleft(cast(1 as bigint), i),"
+        "                 cast(0 as bigint))),"
+        "  cast(0 as bigint), (a, x) -> a | x)"
+    )
+    return base.select(
+        id_col,
+        F.when(F.size("__f") > 0, sig).alias(out_col),
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 4,
+    max_bucket: int = 1000,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    strict: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs: decode (registered codec) →
+    perceptual hash → banded Hamming LSH — the pixel-level twin of
+    text SimHash dedup, catching re-encoded/brightness-shifted copies
+    that byte-exact dedup misses. Composition of three existing
+    engines: :func:`decode_features` (Arrow batch decode),
+    :func:`perceptual_hash` (zero-shuffle signature), and
+    :func:`~energy_pandas_spark.operators.dedup.
+    hamming_neardup_pairs` (pigeonhole banding, exact bit_count
+    verify, ``max_bucket``-capped buckets). One shuffle total on the
+    banded signature longs — the image bytes never shuffle.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from energy_pandas_spark.operators.dedup import hamming_neardup_pairs
+
+    feats = decode_features(
+        df, dim=64, id_col=id_col, content_col=content_col,
+        meta_col=meta_col, strict=strict,
+    )
+    sigs = perceptual_hash(feats, "features", id_col).filter(
+        F.col("phash").isNotNull()
+    )
+    return hamming_neardup_pairs(
+        sigs, id_col=id_col, sig_col="phash",
+        max_hamming=max_hamming, max_bucket=max_bucket,
     )

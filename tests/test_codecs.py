@@ -301,3 +301,77 @@ class TestGif:
         img = np.zeros((2, 8, 8, 3), np.uint8)
         out = fn(encode_gif(img), {})
         assert out.shape == (64,) and (out == 0).all()
+
+
+class TestImageNearDup:
+    """Perceptual-hash image dedup: decode -> aHash signature ->
+    banded Hamming pairs (operators/multimodal.py:perceptual_hash /
+    image_neardup_pairs)."""
+
+    def _media_df(self, spark, imgs):
+        rows = [
+            (i, bytearray(encode_png(img)), ("image/png", 16, 16, None))
+            for i, img in enumerate(imgs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, content binary, "
+            "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+        )
+
+    def test_phash_brightness_invariant_and_bit63(self, spark):
+        register_default_decoders()
+        rng = np.random.default_rng(11)
+        f = [float(x) for x in rng.random(64)]
+        feats = spark.createDataFrame(
+            # mean-relative bits are invariant to an exact uniform
+            # scale of the features (pixel-level uint8 halving is NOT
+            # exact — floor effects flip boundary blocks, so the
+            # invariance contract is stated at the feature level)
+            [(0, f), (1, [0.5 * x for x in f])],
+            "media_id long, features array<float>",
+        )
+        sigs = {
+            r["media_id"]: r["phash"]
+            for r in multimodal.perceptual_hash(feats).collect()
+        }
+        assert sigs[0] == sigs[1]
+        # a gradient image lights the LAST thumbnail block brightest,
+        # exercising the sign-bit (bit 63) packing path
+        grad = np.tile(
+            np.linspace(0, 255, 16, dtype=np.uint8), (16, 1)
+        )[..., None].repeat(3, axis=2)
+        df = self._media_df(spark, [grad])
+        gsig = multimodal.perceptual_hash(
+            multimodal.decode_features(df, dim=64)
+        ).collect()[0]["phash"]
+        assert gsig < 0  # bit 63 set -> negative BIGINT, no clamp
+
+    def test_neardup_pairs(self, spark):
+        register_default_decoders()
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        near = base.copy()
+        near[3, 3] = 255 - near[3, 3]  # one pixel flipped
+        exact = base.copy()
+        other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        df = self._media_df(spark, [base, near, exact, other])
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in multimodal.image_neardup_pairs(df, max_hamming=4).collect()
+        }
+        assert pairs[(0, 2)] == 0  # exact copy
+        assert (0, 1) in pairs and pairs[(0, 1)] <= 4
+        assert not any(3 in p for p in pairs)  # unrelated image clean
+
+    def test_null_and_empty_features_drop(self, spark):
+        feats = spark.createDataFrame(
+            [(0, None), (1, []), (2, [float(i) for i in range(64)])],
+            "media_id long, features array<float>",
+        )
+        sigs = {
+            r["media_id"]: r["phash"]
+            for r in multimodal.perceptual_hash(feats).collect()
+        }
+        assert sigs[0] is None and sigs[1] is None
+        assert sigs[2] is not None
