@@ -2772,6 +2772,59 @@ FROM documents
 """
 
 
+def skew_card_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew card for the events user key (operators/
+    diagnostics.py:key_skew_stats): exact integer counts, per-mille
+    floor-division ratios — the measurement that gates salted_join /
+    AQE-skew / broadcast decisions."""
+    _prep(spark)
+    from energy_pandas_spark.operators.diagnostics import key_skew_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_stats(ev, "user_id")
+
+
+_SKEW_CARD_SQL = r"""
+WITH h AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+), s AS (
+  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         max(c)::BIGINT AS max_key_rows
+  FROM h
+)
+SELECT n_rows, n_keys, max_key_rows,
+       ((1000 * max_key_rows * n_keys) // n_rows)::BIGINT AS skew_ratio_pm,
+       ((1000 * max_key_rows) // n_rows)::BIGINT AS top1_share_pm
+FROM s
+"""
+
+
+def hot_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 hottest event users with per-mille row share
+    (operators/diagnostics.py:top_keys): distinct-key aggregate +
+    bounded top-k (TakeOrderedAndProject), count-desc/key-asc
+    deterministic order."""
+    _prep(spark)
+    from energy_pandas_spark.operators.diagnostics import top_keys
+
+    ev = _t(spark, sf_dir, "events")
+    return top_keys(ev, "user_id", k=10)
+
+
+_HOT_USERS_SQL = r"""
+WITH h AS (
+  SELECT user_id, count(*)::BIGINT AS key_rows FROM events GROUP BY 1
+), t AS (
+  SELECT sum(key_rows)::BIGINT AS tt FROM h
+)
+SELECT user_id, key_rows,
+       ((1000 * key_rows) // tt)::BIGINT AS share_pm
+FROM h CROSS JOIN t
+ORDER BY key_rows DESC, user_id ASC
+LIMIT 10
+"""
+
+
 def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram originality (operators/text.py:
     ngram_novelty): distinct (doc, gram) pairs persist once and feed
@@ -8192,6 +8245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_agreement_docs": score_agreement_docs,
         "source_concentration_docs": source_concentration_docs,
         "wet_roundtrip_docs": wet_roundtrip_docs,
+        "skew_card_events": skew_card_events,
+        "hot_users_events": hot_users_events,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -8388,6 +8443,8 @@ def oracle_sql() -> dict[str, str]:
         "score_agreement_docs": _SCORE_AGREEMENT_SQL,
         "source_concentration_docs": _SOURCE_CONCENTRATION_SQL,
         "wet_roundtrip_docs": _WET_ROUNDTRIP_SQL,
+        "skew_card_events": _SKEW_CARD_SQL,
+        "hot_users_events": _HOT_USERS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

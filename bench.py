@@ -131,6 +131,7 @@ HEADLINE = [
     "js_divergence_docs",
     "wet_roundtrip_docs",
     "image_neardup_media",
+    "skew_card_events",
 ]
 
 

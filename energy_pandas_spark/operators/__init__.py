@@ -84,6 +84,11 @@ from energy_pandas_spark.operators.sampling import (
     epoch_order,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
+from energy_pandas_spark.operators.diagnostics import (
+    key_skew_stats,
+    top_keys,
+    partition_skew_stats,
+)
 from energy_pandas_spark.operators.text import (
     blocklist_filter,
     chunk_fixed,
@@ -182,6 +187,10 @@ __all__ = [
     "hash_bucket",
     "hash_split",
     "epoch_order",
+    # scale diagnostics
+    "key_skew_stats",
+    "top_keys",
+    "partition_skew_stats",
     "hash_sample",
     "hash_sample_by",
     "weighted_mixture",

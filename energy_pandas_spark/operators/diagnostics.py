@@ -1,0 +1,109 @@
+"""Scale diagnostics: key-skew and partition-skew observability.
+
+Skew is the dominant 100 TB failure mode — one hot key turns a
+32-way shuffle into a 1-straggler job, and nothing in the query's
+LOGICAL shape warns about it. These operators are the measurement
+side of the engine's mitigation toolbox (``salted_join``, AQE skew
+join, ``max_bucket`` LSH caps, broadcast thresholds): run them on the
+join/aggregate keys BEFORE picking a strategy.
+
+Everything reduces map-side: the key histogram is one hash aggregate
+(distinct-key-sized, never row-sized), the summary is one more
+aggregate over it, and the top-k ride a bounded sort. Integer counts
+end-to-end; the only divisions are final per-mille integer ratios —
+engine-exact, so ``key_skew_stats`` carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["key_skew_stats", "top_keys", "partition_skew_stats"]
+
+
+def key_skew_stats(
+    df: DataFrame,
+    *keys: str | Column,
+) -> DataFrame:
+    """One-row skew card for a prospective shuffle key: how unbalanced
+    would a hash shuffle on ``keys`` be?
+
+    Returns (n_rows, n_keys, max_key_rows, skew_ratio_pm,
+    top1_share_pm) where ``skew_ratio_pm`` = per-mille ratio of the
+    hottest key's row count to the mean rows-per-key (1000 = perfectly
+    uniform; 32000 on 32 partitions ≈ one partition does all the
+    work), and ``top1_share_pm`` = per-mille share of all rows held by
+    the hottest key (the broadcast/salt decision number). NULL keys
+    count as a real group — a NULL-heavy join key is the classic
+    accidental hot key.
+
+    Integer arithmetic: both per-milles are ``(1000 * x) div y`` floor
+    divisions of exact counts.
+    """
+    hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    return hist.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("(1000 * max_key_rows * n_keys) div n_rows").alias(
+            "skew_ratio_pm"
+        ),
+        F.expr("(1000 * max_key_rows) div n_rows").alias("top1_share_pm"),
+    )
+
+
+def top_keys(
+    df: DataFrame,
+    *keys: str | Column,
+    k: int = 10,
+) -> DataFrame:
+    """The ``k`` hottest key values with row counts and per-mille
+    share — the candidates for salting (or for an explicit skew-side
+    broadcast split). Deterministic order: count desc, then the key
+    columns asc as tiebreak. One distinct-key-sized aggregate + a
+    bounded top-k (compiles to TakeOrderedAndProject — no global
+    sort)."""
+    hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    total = hist.agg(F.sum("key_rows").alias("__t"))
+    key_cols = [c for c in hist.columns if c != "key_rows"]
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "key_rows",
+            F.expr("(1000 * key_rows) div __t").alias("share_pm"),
+        )
+        .orderBy(F.desc("key_rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+
+
+def partition_skew_stats(df: DataFrame) -> DataFrame:
+    """One-row card for the CURRENT physical layout: rows per
+    ``spark_partition_id`` → (n_partitions, n_rows, min_rows,
+    max_rows, skew_ratio_pm). Unlike :func:`key_skew_stats` this
+    measures the layout the plan actually produced (file splits,
+    AQE coalescing, a previous repartition) — run it after a suspect
+    stage to see whether stragglers are data skew or split skew.
+    Layout-dependent by nature (rows-only; no SQL twin)."""
+    per = df.select(F.spark_partition_id().alias("__p")).groupBy("__p").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("__c").alias("n_rows"),
+        F.min("__c").alias("min_rows"),
+        F.max("__c").alias("max_rows"),
+    ).select(
+        "n_partitions",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.expr("(1000 * max_rows * n_partitions) div n_rows").alias(
+            "skew_ratio_pm"
+        ),
+    )
