@@ -5476,6 +5476,21 @@ ORDER BY doc_id
 """
 
 
+def unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py:
+    train_unigram — the SentencePiece-family twin of the BPE trainer):
+    one corpus scan for word counts, then hard-EM Viterbi iterations
+    on the vocab-sized word table with integer-quantized log-probs.
+    Rows-only BY DESIGN (iterative, outside single-statement SQL);
+    correctness is pinned by tests/test_unigram.py — a full
+    pure-Python EM replay and local/distributed bit-equality."""
+    _prep(spark)
+    from energy_pandas_spark.operators.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_unigram(docs, vocab_size=200, n_iter=2)
+
+
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py:train_bpe):
     the corpus is scanned ONCE for word counts; 16 merge iterations
@@ -8200,6 +8215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_bigram_select_docs": dsir_bigram_select_docs,
         "gopher_rules_docs": gopher_rules_docs,
         "bpe_merges_docs": bpe_merges_docs,
+        "unigram_vocab_docs": unigram_vocab_docs,
         "search_topk_docs": search_topk_docs,
         "bm25_topk_docs": bm25_topk_docs,
         "sample_per_source_docs": sample_per_source_docs,

@@ -132,6 +132,7 @@ HEADLINE = [
     "wet_roundtrip_docs",
     "image_neardup_media",
     "skew_card_events",
+    "unigram_vocab_docs",
 ]
 
 

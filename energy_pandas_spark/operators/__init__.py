@@ -34,6 +34,10 @@ from energy_pandas_spark.operators.bpe import (
     train_bpe,
     word_counts,
 )
+from energy_pandas_spark.operators.unigram import (
+    train_unigram,
+    unigram_encode,
+)
 from energy_pandas_spark.operators.dedup import (
     dedup_exact,
     dedup_incremental,
@@ -155,6 +159,8 @@ __all__ = [
     "with_ordinal",
     # bpe tokenizer training
     "train_bpe",
+    "train_unigram",
+    "unigram_encode",
     "bpe_encode",
     "bpe_vocabulary",
     "word_counts",
