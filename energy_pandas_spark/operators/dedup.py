@@ -56,6 +56,7 @@ __all__ = [
     "simhash64",
     "simhash_neardup_pairs",
     "hamming_neardup_pairs",
+    "hamming_cross_hits",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "assign_semantic_clusters",
@@ -627,6 +628,79 @@ def simhash_neardup_pairs(
     )
 
 
+def _hamming_band_expr(max_hamming: int):
+    """The pigeonhole band decomposition of a 64-bit ``simhash``
+    column into ``max_hamming + 1`` near-equal-width (band, bucket)
+    structs — shared by the self-pair and cross-store Hamming paths
+    (both sides of a cross join MUST band identically)."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + 1 if b < extra else base for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), offsets[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1).cast("long"))
+                    .alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("bb")
+
+
+def hamming_cross_hits(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Ids from ``new_sigs`` whose 64-bit signature lies within
+    ``max_hamming`` of ANY signature in ``store_sigs`` — the
+    incremental-ingest form of :func:`hamming_neardup_pairs` (new
+    batch vs accepted history, no within-side work). Both sides band
+    identically (pigeonhole recall guarantee); the store groups per
+    (band, bucket) with ``max_bucket`` degenerate buckets dropped, the
+    new side equi-joins on the bucket key, and an ``exists`` over the
+    bucket's signature array verifies exact ``bit_count``. Only
+    (band, bucket, sig) longs shuffle. Returns distinct (id_col)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("hamming_cross_hits: max_hamming must be in [0, 31]")
+    bandexpr = _hamming_band_expr(max_hamming)
+    a = (
+        new_sigs.select(F.col(id_col), F.col(sig_col).alias("simhash"))
+        .select(id_col, "simhash", bandexpr)
+        .select(id_col, "simhash", "bb.band", "bb.bucket")
+    )
+    b = (
+        store_sigs.select(F.col(sig_col).alias("simhash"))
+        .select("simhash", bandexpr)
+        .select(F.col("simhash").alias("__s"), "bb.band", "bb.bucket")
+        .groupBy("band", "bucket")
+        .agg(F.collect_set("__s").alias("__ss"))
+        .filter(F.size("__ss") <= max_bucket)
+    )
+    hits = (
+        a.join(b, ["band", "bucket"])
+        .filter(
+            F.exists(
+                "__ss",
+                lambda s: F.bit_count(
+                    F.col("simhash").bitwiseXOR(s)
+                ) <= F.lit(max_hamming),
+            )
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return hits
+
+
 def hamming_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -648,23 +722,7 @@ def hamming_neardup_pairs(
             "each of the max_hamming+1 bands spans >= 2 bits"
         )
     sh = df.select(F.col(id_col), F.col(sig_col).alias("simhash"))
-    n_bands = max_hamming + 1
-    base, extra = divmod(64, n_bands)
-    widths = [base + 1 if b < extra else base for b in range(n_bands)]
-    offsets = [sum(widths[:b]) for b in range(n_bands)]
-    bandexpr = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), offsets[b])
-                    .bitwiseAND(F.lit((1 << widths[b]) - 1).cast("long"))
-                    .alias("bucket"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-    ).alias("bb")
+    bandexpr = _hamming_band_expr(max_hamming)
     banded = sh.select(id_col, "simhash", bandexpr).select(
         id_col, "simhash", "bb.band", "bb.bucket"
     )
