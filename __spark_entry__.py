@@ -2793,7 +2793,8 @@ WITH h AS (
   FROM h
 )
 SELECT n_rows, n_keys, max_key_rows,
-       ((1000 * max_key_rows * n_keys) // n_rows)::BIGINT AS skew_ratio_pm,
+       ((1000 * max_key_rows) // greatest(n_rows // n_keys, 1))::BIGINT
+         AS skew_ratio_pm,
        ((1000 * max_key_rows) // n_rows)::BIGINT AS top1_share_pm
 FROM s
 """

@@ -1202,17 +1202,14 @@ def cusum_alarms(
     within each key; a single global series runs one partition —
     fine for aggregated series, the caller's contract.
     """
-    import math
-
-    def _half_away(x: float) -> int:
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    from energy_pandas_spark.util import round_half_away
 
     keys = [by] if by else []
     # half-away-from-zero, NOT Python round() (banker's): the streaming
     # twin and every quantized column in the engine round half-away,
     # and the bit-for-bit batch/stream equivalence depends on it
-    kq = _half_away(quant * (target + drift))
-    hq = _half_away(quant * threshold)
+    kq = round_half_away(quant * (target + drift))
+    hq = round_half_away(quant * threshold)
     dq = F.round(F.lit(float(quant)) * F.col(value_col)).cast("long") - F.lit(
         kq
     )
@@ -1391,6 +1388,11 @@ def cross_correlation(
     (keys, lag, n, r).
     """
     lo = -max_lag if min_lag is None else min_lag
+    if not -max_lag <= lo <= max_lag:
+        raise ValueError(
+            f"min_lag must be in [-max_lag, max_lag], got {lo} "
+            f"(max_lag={max_lag})"
+        )
     keys = [by] if by else []
     w = Window.partitionBy(*keys).orderBy(ts_col)
     base = df.select(

@@ -38,7 +38,11 @@ def key_skew_stats(
     accidental hot key.
 
     Integer arithmetic: both per-milles are ``(1000 * x) div y`` floor
-    divisions of exact counts.
+    divisions of exact counts; the ratio divides by the FLOORED mean
+    rows-per-key (``n_rows div n_keys``) rather than multiplying
+    ``max * n_keys * 1000`` — the triple product would silently wrap
+    past 2^63 at ~1e9 keys with a 1e7-row hot key, exactly the scale
+    this card exists for.
     """
     hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
     return hist.agg(
@@ -49,9 +53,9 @@ def key_skew_stats(
         "n_rows",
         "n_keys",
         "max_key_rows",
-        F.expr("(1000 * max_key_rows * n_keys) div n_rows").alias(
-            "skew_ratio_pm"
-        ),
+        F.expr(
+            "(1000 * max_key_rows) div greatest(n_rows div n_keys, 1)"
+        ).alias("skew_ratio_pm"),
         F.expr("(1000 * max_key_rows) div n_rows").alias("top1_share_pm"),
     )
 
@@ -103,7 +107,8 @@ def partition_skew_stats(df: DataFrame) -> DataFrame:
         "n_rows",
         "min_rows",
         "max_rows",
-        F.expr("(1000 * max_rows * n_partitions) div n_rows").alias(
-            "skew_ratio_pm"
-        ),
+        # floored-mean divisor, same overflow-safe shape as the key card
+        F.expr(
+            "(1000 * max_rows) div greatest(n_rows div n_partitions, 1)"
+        ).alias("skew_ratio_pm"),
     )

@@ -209,9 +209,14 @@ def perceptual_hash(
         id_col, F.slice(F.col(feat_col), 1, 64).alias("__f")
     ).withColumn(
         "__mean",
+        # greatest(size, 1): the empty-array row would otherwise hit
+        # ANSI DIVIDE_BY_ZERO eagerly — this projection has two
+        # consumers (sig + flat fallback) so Catalyst keeps it
+        # materialized instead of inlining it under their whens
         F.expr(
             "aggregate(__f, cast(0.0 as double),"
-            " (a, x) -> a + cast(x as double)) / size(__f)"
+            " (a, x) -> a + cast(x as double))"
+            " / cast(greatest(size(__f), 1) as double)"
         ),
     )
     # shiftleft (not pow-of-two doubles, whose long cast clamps at bit
@@ -224,9 +229,23 @@ def perceptual_hash(
         "                 cast(0 as bigint))),"
         "  cast(0 as bigint), (a, x) -> a | x)"
     )
+    # sig = 0 iff NO component exceeds the mean, which (for non-empty
+    # vectors) happens exactly when the vector is CONSTANT — a flat
+    # image. Without a fallback every flat image (pure black, pure
+    # white, any solid color) would hash to 0 and verify as a
+    # hamming-0 dup of every other flat image. Flat images instead
+    # hash their brightness bucket through xxhash64, so equal solids
+    # still dedup while different solids land far apart in Hamming
+    # space.
+    flat = F.xxhash64(
+        F.round(F.col("__mean") * F.lit(1024.0)).cast("long")
+    )
     return base.select(
         id_col,
-        F.when(F.size("__f") > 0, sig).alias(out_col),
+        F.when(
+            F.size("__f") > 0,
+            F.when(sig == 0, flat).otherwise(sig),
+        ).alias(out_col),
     )
 
 

@@ -124,6 +124,9 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", "0"))
         except ValueError:
             length = 0
+        if length < 0:
+            return  # malformed length: moving the cursor backward
+            # would re-yield earlier records forever — treat as torn
         if i + length > n:
             return  # torn payload
         yield headers, data[i : i + length]
@@ -150,9 +153,11 @@ def encode_warc(records: list[tuple[str, str, str, str]]) -> bytes:
         payload = text.encode("utf-8")
         out += b"WARC/1.0\r\n"
         out += b"WARC-Type: conversion\r\n"
-        out += f"WARC-Record-ID: {record_id}\r\n".encode("ascii")
-        out += f"WARC-Target-URI: {url}\r\n".encode("ascii")
-        out += f"WARC-Date: {date}\r\n".encode("ascii")
+        # UTF-8, not ascii: IRIs with non-ASCII characters are routine
+        # in crawl data, and the parser decodes headers as UTF-8
+        out += f"WARC-Record-ID: {record_id}\r\n".encode("utf-8")
+        out += f"WARC-Target-URI: {url}\r\n".encode("utf-8")
+        out += f"WARC-Date: {date}\r\n".encode("utf-8")
         out += f"Content-Length: {len(payload)}\r\n".encode("ascii")
         out += b"\r\n"
         out += payload
@@ -285,11 +290,15 @@ def _parse_and_shape(
                     )
 
     parsed = raw.mapInPandas(parse, _RECORD_SCHEMA)
+    # NOT coalesce(xxhash64(record_id), ...): Spark's xxhash64 maps
+    # NULL to the seed (42), never to NULL, so a coalesce would give
+    # every id-less record the same doc_id
     out = parsed.select(
-        F.coalesce(
-            F.xxhash64("record_id"),
-            F.xxhash64("source", "url", "text"),
-        ).alias("doc_id"),
+        F.when(
+            F.col("record_id").isNotNull(), F.xxhash64("record_id")
+        )
+        .otherwise(F.xxhash64("source", "url", "text"))
+        .alias("doc_id"),
         "text",
         F.length("text").cast("long").alias("n_chars"),
         "url",

@@ -53,10 +53,7 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _round_half_away(x: float) -> int:
-    import math
-
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+from energy_pandas_spark.util import round_half_away as _round_half_away
 
 
 def _make_cusum_fn(kq: int, hq: int, quant: int):

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["spread_partitions", "epoch_micros"]
+__all__ = ["spread_partitions", "epoch_micros", "round_half_away"]
 
 def epoch_micros(df: DataFrame, ts_col: str, col: Column | None = None) -> Column:
     """Microseconds since epoch, type-tolerant: ``unix_micros`` rejects
@@ -36,3 +36,14 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def round_half_away(x: float) -> int:
+    """Driver-side half-away-from-zero rounding — the engine's house
+    rounding rule (matches Spark/DuckDB ``round`` on doubles), shared
+    by the batch and streaming CUSUM so their integer thresholds stay
+    bit-identical. Python's builtin ``round`` is banker's rounding and
+    MUST NOT be substituted."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))

@@ -364,6 +364,24 @@ class TestImageNearDup:
         assert (0, 1) in pairs and pairs[(0, 1)] <= 4
         assert not any(3 in p for p in pairs)  # unrelated image clean
 
+    def test_flat_images_hash_by_brightness(self, spark):
+        register_default_decoders()
+        black = np.zeros((16, 16, 3), dtype=np.uint8)
+        white = np.full((16, 16, 3), 255, dtype=np.uint8)
+        black2 = np.zeros((16, 16, 3), dtype=np.uint8)
+        df = self._media_df(spark, [black, white, black2])
+        sigs = {
+            r["media_id"]: r["phash"]
+            for r in multimodal.perceptual_hash(
+                multimodal.decode_features(df, dim=64)
+            ).collect()
+        }
+        # equal solids still dedup; different solids must NOT collide
+        assert sigs[0] == sigs[2]
+        assert sigs[0] != sigs[1]
+        pairs = multimodal.image_neardup_pairs(df, max_hamming=4).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+
     def test_null_and_empty_features_drop(self, spark):
         feats = spark.createDataFrame(
             [(0, None), (1, []), (2, [float(i) for i in range(64)])],

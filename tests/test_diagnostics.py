@@ -32,7 +32,7 @@ class TestKeySkew:
         assert (
             got["n_rows"], got["n_keys"], got["max_key_rows"]
         ) == (n, nk, mx)
-        assert got["skew_ratio_pm"] == (1000 * mx * nk) // n
+        assert got["skew_ratio_pm"] == (1000 * mx) // max(n // nk, 1)
         assert got["top1_share_pm"] == (1000 * mx) // n
 
     def test_null_key_is_a_group(self, spark):

@@ -56,6 +56,25 @@ class TestParser:
         assert list(iter_warc_records(b"")) == []
         assert list(iter_warc_records(b"\r\n\r\n")) == []
 
+    def test_negative_content_length_terminates(self):
+        # a malformed negative length must not move the cursor
+        # backward (infinite re-yield of earlier records)
+        bad = (
+            encode_warc(REC[:1])
+            + b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+            b"Content-Length: -1000000\r\n\r\n"
+            + encode_warc(REC[1:2])
+        )
+        recs = list(iter_warc_records(bad))
+        assert [h["warc-record-id"] for h, _ in recs] == ["<urn:uuid:0001>"]
+
+    def test_non_ascii_uri_roundtrip(self):
+        rec = [("<urn:uuid:0009>", "http://exämple.com/π", "2024-01-01T00:00:00Z", "body")]
+        (h, p), = iter_warc_records(encode_warc(rec))
+        assert h["warc-target-uri"] == "http://exämple.com/π"
+        assert p == b"body"
+
 
 def _write(path: str, data: bytes) -> None:
     with open(path, "wb") as f:
@@ -132,6 +151,22 @@ class TestReader:
             for r in read_wet_corpus(spark, wet_dir).collect()
         )
         assert streamed == batch
+
+    def test_idless_records_get_distinct_content_ids(self, spark, tmp_path):
+        # records WITHOUT WARC-Record-ID must hash their content, not
+        # all collapse to xxhash64(NULL) = 42
+        recs = b"".join(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: http://x/{i}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body + b"\r\n\r\n"
+            for i, body in enumerate([b"first body", b"second body"])
+        )
+        _write(os.path.join(tmp_path, "noid.warc.wet"), recs)
+        df = read_wet_corpus(spark, str(tmp_path))
+        ids = [r["doc_id"] for r in df.collect()]
+        assert len(ids) == 2 and ids[0] != ids[1]
+        assert 42 not in ids
 
     def test_response_http_strip(self, spark, tmp_path):
         body = "<html><body>hi</body></html>"
