@@ -519,3 +519,67 @@ class TestFifthWavePlans:
         # ceiling so a regression to per-round edge-table re-exchanges
         # (5+/round) is caught
         assert exchange_count(out) <= 18
+
+
+class TestSixthWaveShapes:
+    """Plan locks for the sixth-session operators: WET parse stays
+    shuffle-free, the perceptual hash is a pure projection, the skew
+    cards are aggregate-only, and the Hamming cross-join moves longs."""
+
+    def test_wet_read_no_shuffle(self, spark, tmp_path):
+        import gzip
+
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.sources.wet import (
+            encode_warc,
+            read_wet_corpus,
+        )
+
+        p = tmp_path / "s.warc.wet.gz"
+        p.write_bytes(gzip.compress(encode_warc(
+            [("<urn:uuid:1>", "http://x/", "2024-01-01T00:00:00Z", "t")]
+        )))
+        # binaryFile scan -> mapInPandas -> projection: zero exchanges
+        assert exchange_count(read_wet_corpus(spark, str(tmp_path))) == 0
+
+    def test_perceptual_hash_zero_shuffle_projection(self, spark):
+        from energy_pandas_spark.operators.multimodal import perceptual_hash
+        from energy_pandas_spark.plans import exchange_count
+
+        feats = spark.createDataFrame(
+            [(0, [float(i) for i in range(64)])],
+            "media_id long, features array<float>",
+        )
+        out = perceptual_hash(feats)
+        assert exchange_count(out) == 0
+        # and no Python workers: the signature is expression-only
+        assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_skew_cards_aggregate_only(self, spark, sf_dir):
+        from energy_pandas_spark.operators.diagnostics import (
+            key_skew_stats,
+            top_keys,
+        )
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.plans.explain import formatted_plan
+        from energy_pandas_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        card = key_skew_stats(ev, "user_id")
+        # key histogram exchange + final 1-row aggregate; no windows
+        assert exchange_count(card) <= 2
+        assert "Window" not in formatted_plan(card)
+        # top-k compiles to a bounded TakeOrdered, not a global sort
+        plan = formatted_plan(top_keys(ev, "user_id", k=5))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_hamming_cross_ships_longs_only(self, spark):
+        from energy_pandas_spark.operators.dedup import hamming_cross_hits
+        from energy_pandas_spark.plans.explain import read_schemas
+
+        new = spark.createDataFrame(
+            [(0, 5), (1, 0x5555555555555555)], "media_id long, phash long"
+        )
+        store = spark.createDataFrame([(5,), (1024,)], "phash long")
+        out = hamming_cross_hits(new, store, "media_id", "phash")
+        assert sorted(r.media_id for r in out.collect()) == [0]
