@@ -540,3 +540,62 @@ def test_exact_substring_dedup_matches_python(spark, docs, k):
     for i, tt in toks.items():
         keep = [w for j, w in enumerate(tt) if j not in covered[i]]
         assert got[i] == (" ".join(keep), len(tt), len(tt) - len(keep))
+
+
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(0, 10**9),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\r"
+                ),
+                max_size=200,
+            ),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_any_payload(recs):
+    """encode -> parse recovers every record exactly for ANY payload
+    text (including embedded newlines and record-marker lookalikes) —
+    Content-Length framing, not delimiter scanning."""
+    from energy_pandas_spark.sources.wet import encode_warc, iter_warc_records
+
+    rows = [
+        (f"<urn:uuid:{i}>", f"http://x/{i}", "2024-01-01T00:00:00Z", t)
+        for i, t in recs
+    ]
+    got = list(iter_warc_records(encode_warc(rows)))
+    assert len(got) == len(rows)
+    for (rid, url, _, text), (h, payload) in zip(rows, got):
+        assert h["warc-record-id"] == rid
+        assert payload.decode("utf-8") == text
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12), min_size=1,
+        max_size=15,
+    ),
+    pieces=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        st.integers(-(10**7), -1),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_viterbi_lossless_and_deterministic(words, pieces):
+    """Viterbi segmentation always reconstructs the word exactly and
+    is a pure function of (word, scores) — for arbitrary score tables
+    that may not even cover the alphabet (OOV single chars fall back)."""
+    from energy_pandas_spark.operators.unigram import _viterbi
+
+    for w in words:
+        a = _viterbi(w, pieces, 4)
+        b = _viterbi(w, dict(pieces), 4)
+        assert "".join(a) == w
+        assert a == b
+        assert all(p in pieces or len(p) == 1 for p in a)
