@@ -88,10 +88,18 @@ def query_terms(spark: SparkSession, queries: dict[int, str]) -> DataFrame:
     qtf) with the SAME whitespace/lowercase tokenizer the postings
     use — tokenizer drift between index and query is the classic
     retrieval bug."""
+    import re
+
+    # ASCII \s split mirrors the Java `\s+` the JVM-side tokens()
+    # uses (the bpe_encode precedent) — Python str.split() also breaks
+    # on unicode spaces (U+00A0, U+2009, U+3000), which the index
+    # tokenizer does NOT, so a query containing one would silently
+    # miss the very documents that contain it
+    _ws = re.compile(r"\s+", re.ASCII)
     rows = []
     for qid, text in queries.items():
         counts: dict[str, int] = {}
-        for t in (text or "").lower().split():
+        for t in _ws.split((text or "").lower()):
             if t:
                 counts[t] = counts.get(t, 0) + 1
         rows.extend((int(qid), term, n) for term, n in sorted(counts.items()))
@@ -117,6 +125,17 @@ def _matched(
     )
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return stats, matched, dfreq
+
+
+def _finish(out: DataFrame, matched: DataFrame) -> DataFrame:
+    """Materialize the (queries x k)-sized result eagerly
+    (localCheckpoint truncates the lineage off the persisted matched
+    postings) and RELEASE the cache — without this every search call
+    would pin one persisted frame for the rest of the session (the
+    curation loop workload makes thousands of calls)."""
+    out = out.localCheckpoint(eager=True)
+    matched.unpersist()
+    return out
 
 
 def search_topk(
@@ -160,7 +179,8 @@ def search_topk(
             .drop("__need")
         )
     scored = scored.drop("__nt")
-    return _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+    out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+    return _finish(out, matched)
 
 
 def bm25_topk(
@@ -213,7 +233,8 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(contrib).alias("__score"))
     )
-    return _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+    out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
+    return _finish(out, matched)
 
 
 def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -246,20 +267,27 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
-def write_postings_index(
-    postings: DataFrame, path: str, n_buckets: int = 64
-) -> DataFrame:
-    """Persist postings hive-partitioned by ``bucket =
-    pmod(xxhash64(term), n_buckets)``. A search only reads the
-    partitions its query terms hash into (see :func:`search_index`) —
-    the at-rest layout twin of the broadcast term-prune.
+def _write_bucket_meta(spark: SparkSession, path: str, n_buckets: int) -> None:
+    """Persist the index's bucket count under ``_meta`` (leading
+    underscore = invisible to Spark's partition discovery) so readers
+    never have to guess it."""
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
 
-    Returns the per-bucket manifest (bucket, n_terms, n_postings)."""
-    bucketed = postings.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-    )
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    spark = postings.sparkSession
+
+def read_bucket_meta(spark: SparkSession, path: str) -> int | None:
+    """The bucket count the index was written with (None for an index
+    predating the meta file)."""
+    try:
+        return int(
+            spark.read.parquet(path.rstrip("/") + "/_meta").collect()[0][0]
+        )
+    except Exception:
+        return None
+
+
+def _bucket_manifest(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.parquet(path)
         .groupBy("bucket")
@@ -268,6 +296,42 @@ def write_postings_index(
             F.count(F.lit(1)).alias("n_postings"),
         )
     )
+
+
+def _write_bucketed(
+    postings: DataFrame, path: str, n_buckets: int, mode: str
+) -> DataFrame:
+    """Shared body of write/append: bucket-stamp, land, refresh the
+    manifest. The bucket count persists in ``_meta`` so search/append
+    can validate instead of silently pruning the wrong partitions."""
+    spark = postings.sparkSession
+    if mode == "append":
+        stored = read_bucket_meta(spark, path)
+        if stored is not None and stored != n_buckets:
+            raise ValueError(
+                f"index at {path} was written with n_buckets={stored}, "
+                f"append called with {n_buckets} — appended terms would "
+                "land in partitions search_index never reads"
+            )
+    bucketed = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    bucketed.write.mode(mode).partitionBy("bucket").parquet(path)
+    _write_bucket_meta(spark, path, n_buckets)
+    return _bucket_manifest(spark, path)
+
+
+def write_postings_index(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> DataFrame:
+    """Persist postings hive-partitioned by ``bucket =
+    pmod(xxhash64(term), n_buckets)``. A search only reads the
+    partitions its query terms hash into (see :func:`search_index`) —
+    the at-rest layout twin of the broadcast term-prune. The bucket
+    count lands in a ``_meta`` file alongside.
+
+    Returns the per-bucket manifest (bucket, n_terms, n_postings)."""
+    return _write_bucketed(postings, path, n_buckets, "overwrite")
 
 
 def append_postings_index(
@@ -277,23 +341,12 @@ def append_postings_index(
     WITHOUT rebuilding: rows land in the same term-hash partition
     directories (dynamic append), so `search_index`'s partition
     pruning keeps working and ingest cost is proportional to the new
-    batch. Callers own not re-appending the same docs (postings are
-    keyed facts, not upserts — the IVF-append contract).
+    batch. Raises if ``n_buckets`` disagrees with the index's stored
+    bucket count. Callers own not re-appending the same docs
+    (postings are keyed facts, not upserts — the IVF-append contract).
 
     Returns the refreshed per-bucket manifest."""
-    bucketed = postings.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-    )
-    bucketed.write.mode("append").partitionBy("bucket").parquet(path)
-    spark = postings.sparkSession
-    return (
-        spark.read.parquet(path)
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count(F.lit(1)).alias("n_postings"),
-        )
-    )
+    return _write_bucketed(postings, path, n_buckets, "append")
 
 
 def search_index(
@@ -302,7 +355,7 @@ def search_index(
     docs: DataFrame,
     qterms: DataFrame,
     k: int = 10,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Quantized-TF-IDF search against a persisted postings index.
@@ -310,7 +363,26 @@ def search_index(
     The query terms' buckets become a partition-pruning filter on the
     parquet scan — ``.explain`` shows ``PartitionFilters: [bucket IN
     (...)]`` and only those directories are read. ``docs`` supplies
-    the corpus-size stat only (one count)."""
+    the corpus-size stat only (one count).
+
+    ``n_buckets`` defaults to the count stored in the index's
+    ``_meta`` file — passing a WRONG count would hash query terms into
+    partitions that don't hold their postings and silently return
+    incomplete results, so an explicit value that contradicts the
+    meta raises."""
+    stored = read_bucket_meta(spark, path)
+    if n_buckets is None:
+        if stored is None:
+            raise ValueError(
+                f"index at {path} has no _meta bucket count; pass "
+                "n_buckets= explicitly (must match the write-time value)"
+            )
+        n_buckets = stored
+    elif stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"index at {path} was written with n_buckets={stored}, "
+            f"search called with {n_buckets}"
+        )
     terms = [r.term for r in qterms.select("term").distinct().collect()]
     buckets = sorted(
         {
@@ -339,17 +411,14 @@ def compact_postings_index(
 
     Returns the refreshed per-bucket manifest."""
     import os
+    import re
 
     from energy_pandas_spark.sources.layout import compact
 
+    # exact-match the partition directories: a crashed compaction's
+    # `bucket=3__backup` / `bucket=3__compacting` siblings must never
+    # be compacted as if they were live buckets (recover first)
     for name in sorted(os.listdir(path)):
-        if name.startswith("bucket="):
+        if re.fullmatch(r"bucket=\d+", name):
             compact(spark, os.path.join(path, name), "term", files_per_bucket)
-    return (
-        spark.read.parquet(path)
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count(F.lit(1)).alias("n_postings"),
-        )
-    )
+    return _bucket_manifest(spark, path)

@@ -27,11 +27,37 @@ __all__ = [
     "merge_cardinality",
     "quantile_sketches",
     "merge_quantiles",
+    "fold_kll",
 ]
 
 
 def _keys(by: str | Sequence[str] | None) -> list[str]:
     return [by] if isinstance(by, str) else list(by or [])
+
+
+def fold_kll(arr) -> F.Column:
+    """Pairwise fold of an ARRAY of KLL sketch blobs into one sketch
+    (``kll_sketch_merge_double`` is a binary scalar — Spark ships no
+    union aggregate for KLL). THE shared fold — merge_quantiles and
+    the streaming quantile writer both use it, so ANSI/empty-array
+    edge fixes land once. The fold is associative, so collect order
+    does not matter."""
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+
+
+def _qlabel(q: float) -> str:
+    """Collision-proof quantile column label: integral percents keep
+    the established ``q_50`` form; sub-percent quantiles spell their
+    decimals (``0.999 -> q_99_9``) instead of rounding into a
+    neighbor's name (0.999 and 1.0 must not both emit ``q_100``)."""
+    pct = q * 100.0
+    if abs(pct - round(pct)) < 1e-9:
+        return f"q_{int(round(pct)):02d}"
+    return "q_" + f"{pct:g}".replace(".", "_").replace("-", "m")
 
 
 def cardinality_sketches(
@@ -97,17 +123,12 @@ def merge_quantiles(
     (days -> month is ~31 KB-sized sketches per group), and the fold
     is associative so the collect order does not matter."""
     keys = _keys(by)
-    arr = F.collect_list(F.col(sketch_col))
     merged = sketches.groupBy(*keys).agg(
-        F.aggregate(
-            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1),
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        ).alias("__m")
+        fold_kll(F.collect_list(F.col(sketch_col))).alias("__m")
     )
     outs = [
         F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
-            f"q_{int(round(q * 100)):02d}"
+            _qlabel(q)
         )
         for q in quantiles
     ]

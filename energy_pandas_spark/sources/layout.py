@@ -28,6 +28,7 @@ __all__ = [
     "write_training_shards",
     "write_clustered",
     "compact",
+    "recover_table",
     "file_column_stats",
     "zorder_key",
     "write_zordered",
@@ -121,17 +122,32 @@ def compact(
 ) -> None:
     """Rewrite a (fragmented) parquet directory into ``num_files``
     range-clustered files: stage the full rewrite into a sibling
-    directory, then swap (delete + rename — one metadata op per
-    filesystem call, so readers see old-or-new, never a partial mix).
-    Do not run two compactions or a compaction and a writer
-    concurrently on the same path."""
+    directory, then swap via the rename-to-backup protocol. Crash
+    recovery is self-healing: a rerun (or :func:`recover_table`)
+    restores the ``__backup`` a crash between the swap's renames left
+    behind, so the table is never lost — but until one of those runs,
+    direct ``spark.read.parquet(path)`` of a crashed-mid-swap table
+    fails (the data sits under ``__backup``). Readers that LIST before
+    a concurrent swap commits can also race the backup delete — see
+    ``streaming/stats._swap``. Do not run two compactions or a
+    compaction and a writer concurrently on the same path."""
     from energy_pandas_spark.streaming.stats import _swap
 
+    if not recover_table(spark, path):
+        raise FileNotFoundError(f"no table at {path} (and no __backup)")
     tmp = path.rstrip("/") + "__compacting"
     write_clustered(spark.read.parquet(path), tmp, cluster_by, num_files)
-    # crash-safe swap (rename-to-backup protocol): a bare
-    # delete-then-rename has a window where the table is simply gone
     _swap(spark, tmp, path)
+
+
+def recover_table(spark: SparkSession, path: str) -> bool:
+    """Restore ``path`` from a ``__backup`` left by a compaction/swap
+    crash (rename, metadata-only). Returns True when the table exists
+    after the call. Safe to call unconditionally before reading a
+    compacted table after an unclean shutdown."""
+    from energy_pandas_spark.streaming.stats import _recover_backup
+
+    return _recover_backup(spark, path)
 
 
 def file_column_stats(path: str, column: str) -> list[tuple[str, object, object]]:

@@ -52,7 +52,14 @@ def _swap(spark: SparkSession, tmp: str, path: str) -> None:
 
     A crash between 2 and 3 leaves the old table intact under
     ``__backup``; ``_read_table`` restores it before the replayed batch
-    re-merges, so the documented all-or-nothing guarantee holds."""
+    re-merges, so the documented all-or-nothing guarantee holds.
+
+    Reader caveat: the guarantee is for reads that LIST the directory
+    after a swap completes. A lazy DataFrame whose file listing was
+    captured BEFORE a swap races the step-4 backup delete — its action
+    can hit missing files. Callers that hold reads across maintenance
+    commits must re-read (or collect eagerly); the sketch tables are
+    1-file coalesced precisely so eager reads are cheap."""
     fs, dst = _fs_path(spark, path)
     _, src = _fs_path(spark, tmp)
     _, bak = _fs_path(spark, path.rstrip("/") + "__backup")
@@ -66,19 +73,29 @@ def _swap(spark: SparkSession, tmp: str, path: str) -> None:
     fs.delete(bak, True)
 
 
-def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read the sketch table, restoring from ``__backup`` if a crash
-    landed between ``_swap`` steps 2 and 3. Returns None if the table
-    has never been written."""
+def _recover_backup(spark: SparkSession, path: str) -> bool:
+    """If ``path`` is missing but a ``__backup`` from an interrupted
+    :func:`_swap` survives, restore it. Returns True when the table
+    exists after the call. Shared by the sketch readers and
+    ``sources/layout.compact``."""
     fs, dst = _fs_path(spark, path)
     if not fs.exists(dst):
         _, bak = _fs_path(spark, path.rstrip("/") + "__backup")
         if fs.exists(bak):
             fs.rename(bak, dst)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    return bool(fs.exists(dst))
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the sketch table, restoring from ``__backup`` if a crash
+    landed between ``_swap`` steps 2 and 3. Returns None ONLY if the
+    table has never been written — any other read failure (corrupt
+    footer, transient FS error) propagates, because treating it as
+    "no table" would make the next batch swap the whole accumulated
+    history away and delete it."""
+    if not _recover_backup(spark, path):
         return None
+    return spark.read.parquet(path)
 
 
 def make_cardinality_writer(
@@ -160,7 +177,15 @@ def make_quantile_writer(
     high water is skipped outright. That single stamp is sufficient
     here precisely because there is no partial-partition state to
     reason about (contrast: the rollup sink needs per-partition
-    stamps)."""
+    stamps).
+
+    PAIRING CONTRACT: batch ids are monotonic only per CHECKPOINT
+    directory. A table must live and die with one checkpoint — restart
+    the stream against the same table with a fresh/cleared checkpoint
+    and the restarted ids (0, 1, ...) all fall under the stored high
+    water, silently skipping every new batch until the old high water
+    is passed. To rebuild, drop the table together with its
+    checkpoint."""
     keys = list(key_cols)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -176,14 +201,11 @@ def make_quantile_writer(
             ).alias("kll")
         )
         if existing is not None:
+            from energy_pandas_spark.operators.sketches import fold_kll
+
             both = existing.select(*keys, "kll").unionByName(fresh)
-            arr = F.collect_list("kll")
             merged = both.groupBy(*keys).agg(
-                F.aggregate(
-                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-                    F.element_at(arr, 1),
-                    lambda acc, s: F.kll_sketch_merge_double(acc, s),
-                ).alias("kll")
+                fold_kll(F.collect_list("kll")).alias("kll")
             )
         else:
             merged = fresh

@@ -269,3 +269,76 @@ def test_compact_postings_index_preserves_results(spark, tmp_path):
     assert manifest.agg(F.sum("n_postings")).collect()[0][0] == len(
         {(d, t) for d, t in _py_postings()}
     )
+
+
+class TestIndexMetaAndRecovery:
+    def test_bucket_count_persisted_and_validated(self, spark, tmp_path):
+        from energy_pandas_spark.operators.retrieval import (
+            append_postings_index,
+            build_postings,
+            query_terms,
+            read_bucket_meta,
+            search_index,
+            write_postings_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"term{i} shared word") for i in range(20)],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "idx")
+        post = build_postings(docs)
+        write_postings_index(post, p, n_buckets=8)
+        assert read_bucket_meta(spark, p) == 8
+        q = query_terms(spark, {0: "shared"})
+        # meta-resolved bucket count: no n_buckets argument needed
+        hits = search_index(spark, p, docs, q, k=5)
+        assert hits.count() == 5
+        # a contradicting explicit count raises instead of silently
+        # pruning the wrong partitions
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="n_buckets=8"):
+            search_index(spark, p, docs, q, k=5, n_buckets=64)
+        with _pt.raises(ValueError, match="n_buckets=8"):
+            append_postings_index(post, p, n_buckets=16)
+
+    def test_query_terms_ascii_whitespace_matches_index(self, spark):
+        from energy_pandas_spark.operators.retrieval import (
+            build_postings,
+            query_terms,
+            search_topk,
+        )
+
+        # U+00A0 is NOT a token break for the JVM \s+ tokenizer; the
+        # query tokenizer must agree or this document is unfindable
+        docs = spark.createDataFrame(
+            [(1, "hello world elsewhere")], "doc_id long, text string"
+        )
+        q = query_terms(spark, {0: "hello world"})
+        assert [r.term for r in q.collect()] == ["hello world"]
+        top = search_topk(docs, q, k=3)
+        assert [r.doc_id for r in top.collect()] == [1]
+
+    def test_search_releases_its_cache(self, spark):
+        from energy_pandas_spark.operators.retrieval import (
+            query_terms,
+            search_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getRDDStorageInfo()
+        out = search_topk(docs, query_terms(spark, {0: "alpha"}), k=3)
+        assert out.count() == 3
+        # the matched-postings persist must not outlive the call
+        # (localCheckpoint blocks are the only acceptable residue)
+        names = [
+            str(i.name()) for i in jsc.getRDDStorageInfo()
+        ]
+        assert not any("MEMORY_AND_DISK" in n or "Exchange" in n for n in names) or len(
+            jsc.getRDDStorageInfo()
+        ) <= len(before) + 1

@@ -270,3 +270,39 @@ def test_sketch_swap_crash_recovery(spark, tmp_path):
     w(b2, 1)  # replay with stale backup present: still a no-op
     final = read_quantiles(spark, path, [0.5], by="event_type").first()
     assert final["q_50"] == got["q_50"]
+
+
+def test_quantile_labels_never_collide(spark):
+    """0.999 and 1.0 must not both emit q_100 (the old int(round(q*100))
+    label): sub-percent quantiles spell their decimals."""
+    from energy_pandas_spark.operators.sketches import (
+        merge_quantiles,
+        quantile_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1000)], "g string, v double"
+    )
+    sk = quantile_sketches(df, "v", by="g")
+    out = merge_quantiles(sk, [0.5, 0.999, 1.0], by="g")
+    assert out.columns == ["g", "q_50", "q_99_9", "q_100"]
+    row = out.collect()[0]
+    assert row["q_99_9"] <= row["q_100"] == 999.0
+
+
+def test_read_table_corruption_does_not_wipe_history(spark, tmp_path):
+    """A corrupt sketch table must FAIL the batch (retryable), not be
+    treated as 'never written' — that path swaps the history away."""
+    import pytest as _pt
+
+    from energy_pandas_spark.streaming.stats import _read_table
+
+    p = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    with _pt.raises(Exception):
+        _read_table(spark, p)  # must raise, NOT return None
+    assert _read_table(spark, str(tmp_path / "never_written")) is None
