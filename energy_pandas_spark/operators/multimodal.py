@@ -46,6 +46,7 @@ __all__ = [
     "frame_sample_plan",
     "perceptual_hash",
     "image_neardup_pairs",
+    "image_dedup",
 ]
 
 #: canonical multimodal row schema
@@ -283,4 +284,33 @@ def image_neardup_pairs(
     return hamming_neardup_pairs(
         sigs, id_col=id_col, sig_col="phash",
         max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def image_dedup(
+    df: DataFrame,
+    max_hamming: int = 4,
+    max_bucket: int = 1000,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    strict: bool = False,
+) -> DataFrame:
+    """Images to DROP: connected components over the verified
+    perceptual-hash pairs, keeping the smallest id per cluster — the
+    :func:`~energy_pandas_spark.operators.dedup.minhash_dedup`
+    contract for the image modality (correct on transitive chains of
+    re-encodes where greedy pair-dropping over-keeps). Anti-join the
+    result against the media table to materialize the kept set."""
+    from energy_pandas_spark.operators.graph import dedup_clusters
+
+    pairs = image_neardup_pairs(
+        df, max_hamming=max_hamming, max_bucket=max_bucket,
+        id_col=id_col, content_col=content_col, meta_col=meta_col,
+        strict=strict,
+    )
+    return (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_survivor"))
+        .select(F.col("doc_id").alias(id_col))
     )

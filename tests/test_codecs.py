@@ -393,3 +393,27 @@ class TestImageNearDup:
         }
         assert sigs[0] is None and sigs[1] is None
         assert sigs[2] is not None
+
+
+def test_image_dedup_transitive_chain(spark):
+    """A re-encode chain (A ~ B ~ C where A and C may differ by more
+    than max_hamming) collapses to ONE survivor — the CC contract."""
+    register_default_decoders()
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = a.copy(); b[0, 0] = 255 - b[0, 0]
+    c = b.copy(); c[8, 8] = 255 - c[8, 8]
+    other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [
+        (i, bytearray(encode_png(im)), ("image/png", 16, 16, None))
+        for i, im in enumerate([a, b, c, other])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    drops = {r.media_id for r in multimodal.image_dedup(df, max_hamming=4).collect()}
+    # smallest id (0) survives its cluster; 3 is unrelated and kept
+    assert 0 not in drops and 3 not in drops
+    assert drops <= {1, 2} and len(drops) >= 1
