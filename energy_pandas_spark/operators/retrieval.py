@@ -146,6 +146,7 @@ def search_topk(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     require_all: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact quantized-TF-IDF top-k retrieval.
 
@@ -156,7 +157,12 @@ def search_topk(
     semantics: only documents containing EVERY query term rank (the
     matched-term count rides the same aggregate — no extra shuffle).
     Returns (query_id, doc_id, score_q, rank), rank 1..k per query by
-    (score desc, doc_id asc)."""
+    (score desc, doc_id asc).
+
+    ``eager=True`` (default) materializes the small result and
+    releases the matched-postings cache before returning; pass
+    ``eager=False`` to get the lazy plan instead — the caller then
+    owns unpersisting (plan-inspection/tests use this)."""
     stats, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -180,7 +186,7 @@ def search_topk(
         )
     scored = scored.drop("__nt")
     out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
-    return _finish(out, matched)
+    return _finish(out, matched) if eager else out
 
 
 def bm25_topk(
@@ -192,6 +198,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """BM25 top-k (Robertson/Sparck Jones, the Lucene-default scoring).
 
@@ -234,7 +241,7 @@ def bm25_topk(
         .agg(F.sum(contrib).alias("__score"))
     )
     out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
-    return _finish(out, matched)
+    return _finish(out, matched) if eager else out
 
 
 def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:

@@ -397,8 +397,21 @@ class TestFourthWavePlans:
 
     def test_search_topk_shares_postings_and_broadcasts(self, spark, sf_dir):
         # postings persist across the df-aggregate and scoring consumers
-        # (no second corpus scan) and every dimension join broadcasts
-        df = entrymod.search_topk_docs(spark, sf_dir)
+        # (no second corpus scan) and every dimension join broadcasts.
+        # eager=False keeps the LAZY plan inspectable (the default
+        # eagerly materializes + releases the cache, leaving only a
+        # Scan ExistingRDD behind)
+        from energy_pandas_spark.operators.retrieval import (
+            query_terms,
+            search_topk,
+        )
+        from energy_pandas_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = query_terms(spark, entrymod._SEARCH_QUERIES)
+        df = search_topk(docs, q, k=10, eager=False).orderBy(
+            "query_id", "rank"
+        )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 2
         # live scans: postings build + the N-count (the cached relation's
