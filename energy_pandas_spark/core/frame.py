@@ -420,7 +420,15 @@ class EnergyFrame:
         return out
 
     def to_ip(self) -> "EnergyFrame":
-        """Convert to default inch-pound units (energypandas.py:665-677)."""
+        """Convert to default inch-pound units (energypandas.py:665-677).
+
+        The silent no-op applies to UNMAPPED units only (the
+        reference's KeyError branch). A mapped-but-inconvertible entry
+        raises in both engines: the EnergyPlus definitions file sets
+        ``kBtuh = 1000 * Btu * hour`` (energy*time, energyplus_en.txt:45),
+        so the table's ``kW -> kBtuh/h`` can never convert — the
+        reference hits pint's DimensionalityError there, this engine
+        raises IncompatibleUnitsError (parity, bug included)."""
         return self._to_default(to_ip_unit)
 
     def to_si(self) -> "EnergyFrame":
@@ -490,6 +498,11 @@ class EnergyFrame:
     def __sub__(self, other: Any) -> "EnergyFrame":
         return self._binary(other, lambda a, b: a - b)
 
+    def __rsub__(self, other: Any) -> "EnergyFrame":
+        # scalar - frame: the non-commutative reflections the pandas
+        # reference supports alongside __radd__/__rmul__
+        return self._binary(other, lambda a, b: b - a)
+
     def __mul__(self, other: Any) -> "EnergyFrame":
         return self._binary(other, lambda a, b: a * b)
 
@@ -497,6 +510,9 @@ class EnergyFrame:
 
     def __truediv__(self, other: Any) -> "EnergyFrame":
         return self._binary(other, lambda a, b: a / b)
+
+    def __rtruediv__(self, other: Any) -> "EnergyFrame":
+        return self._binary(other, lambda a, b: b / a)
 
     # ------------------------------------------------------------------
     # analytics (delegating to the operator layer)
@@ -530,6 +546,8 @@ class EnergyFrame:
     def ldc_source(
         self, scoph: float | None = None, scopc: float | None = None
     ) -> "EnergyFrame":
+        if not self.is_series:
+            raise ValueError("ldc_source is defined on a single value column")
         out = analytics.ldc_source(self._df, self.name, scoph, scopc)
         return EnergyFrame(
             out, units=self._units, index_col="idx", meta=self._meta,
@@ -620,6 +638,8 @@ class EnergyFrame:
     def time_at_min(self):
         if self._index_col is None:
             raise ValueError("time_at_min requires an index column")
+        if not self.is_series:
+            raise ValueError("time_at_min is defined on a single value column")
         return analytics.time_at_min(self._df, self._index_col, self.name).collect()[0][0]
 
     def mean(self, axis: int = 0) -> "EnergyFrame | float":
@@ -633,10 +653,25 @@ class EnergyFrame:
             agg = [getattr(F, how)(c).alias(c) for c in self._value_cols]
             row = self._df.agg(*agg).collect()[0]
             return row[0] if self.is_series else dict(zip(self._value_cols, row))
-        # axis=1: cross-column expression; shared unit survives (rule 4)
-        n = len(self._value_cols)
-        total = sum((F.col(c) for c in self._value_cols[1:]), F.col(self._value_cols[0]))
-        expr = (total / F.lit(n)) if how == "avg" else total
+        # axis=1: cross-column expression; shared unit survives (rule 4).
+        # pandas skipna semantics (the reference is a pandas subclass):
+        # NULL cells are EXCLUDED — mean averages the non-null cells
+        # (all-null row -> NULL), sum treats them as 0 (all-null -> 0.0,
+        # pandas' skipna sum). A naive `a + b` would null the whole row
+        # on one null cell.
+        if not self._value_cols:
+            raise ValueError(f"{how}(axis=1) requires at least one value column")
+        total = sum(
+            (F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in self._value_cols[1:]),
+            F.coalesce(F.col(self._value_cols[0]).cast("double"), F.lit(0.0)),
+        )
+        nn = sum(
+            (F.col(c).isNotNull().cast("int") for c in self._value_cols[1:]),
+            F.col(self._value_cols[0]).isNotNull().cast("int"),
+        )
+        expr = (
+            F.when(nn > 0, total / nn.cast("double")) if how == "avg" else total
+        )
         name = how if how != "avg" else "mean"
         keep = [self._index_col] if self._index_col else []
         out = self._df.select(*keep, expr.alias(name))
@@ -665,6 +700,12 @@ class EnergyFrame:
     def unstack_to_periods(self, periodlength: int) -> DataFrame:
         from energy_pandas_spark.operators.reshape import unstack_to_periods
 
+        if self._index_col is None:
+            raise ValueError("unstack_to_periods requires a time index")
+        if not self.is_series:
+            raise ValueError(
+                "unstack_to_periods is defined on a single value column"
+            )
         return unstack_to_periods(
             self._df, self._index_col, self.name, periodlength
         )

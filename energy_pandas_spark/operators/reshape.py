@@ -24,14 +24,21 @@ def with_ordinal(
 ) -> DataFrame:
     """Ordinal position of each row on a fixed-frequency time grid:
     ``(ts - min(ts)) / step``. The global min is a 1-row broadcast —
-    fully distributed, order-independent."""
+    fully distributed, order-independent. Epoch math goes through
+    :func:`~energy_pandas_spark.util.epoch_micros`, not
+    ``unix_timestamp`` — the latter interprets TIMESTAMP_NTZ wall
+    clocks in the session timezone, where a DST gap would collapse two
+    grid slots onto one ordinal."""
+    from energy_pandas_spark.util import epoch_micros
+
     stats = df.agg(F.min(ts_col).alias("__ts0"))
-    return df.crossJoin(F.broadcast(stats)).withColumn(
+    joined = df.crossJoin(F.broadcast(stats))
+    micros = epoch_micros(df, ts_col) - epoch_micros(
+        df, ts_col, F.col("__ts0")
+    )
+    return joined.withColumn(
         ordinal_name,
-        (
-            (F.unix_timestamp(ts_col) - F.unix_timestamp("__ts0"))
-            / F.lit(step_seconds)
-        ).cast("long"),
+        (micros / F.lit(step_seconds * 1_000_000)).cast("long"),
     ).drop("__ts0")
 
 

@@ -106,9 +106,12 @@ def ewma(
     def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if keys:
             # groups are contiguous (partition-sorted); sort=False keeps
-            # them in order, so the cython ewm output aligns row-for-row
+            # them in order, so the cython ewm output aligns row-for-row.
+            # dropna=False: a NULL key is a real group — the default
+            # would silently drop its rows and the assignment below
+            # would crash on the length mismatch
             vals = (
-                pdf.groupby(keys, sort=False)[value_col]
+                pdf.groupby(keys, sort=False, dropna=False)[value_col]
                 .ewm(alpha=alpha, adjust=False)
                 .mean()
                 .to_numpy()
@@ -133,7 +136,12 @@ def ewma(
                 last = pdf.iloc[-1]
                 tail_mask = pd.Series(True, index=pdf.index)
                 for k in keys:
-                    tail_mask &= pdf[k] == last[k]
+                    if pd.isna(last[k]):
+                        # NaN != NaN would make the mask all-False and
+                        # split a NULL-key group across Arrow batches
+                        tail_mask &= pdf[k].isna()
+                    else:
+                        tail_mask &= pdf[k] == last[k]
                 # trailing contiguous block of the last key
                 split = int(tail_mask[::-1].idxmin()) + 1 if not tail_mask.all() else 0
                 head, carry = pdf.iloc[:split], pdf.iloc[split:]

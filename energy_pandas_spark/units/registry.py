@@ -449,6 +449,13 @@ class UnitRegistry:
         :980): offsets are honored for absolute temperature units
         (degC -> K adds 273.15, test_energypandas.py:80-87) and absent for
         delta/compound units.
+
+        Absolute<->delta temperature conversions (degC -> deltaC)
+        convert through the absolute scale (20 degC -> 293.15 deltaC)
+        — pint's ``.to()`` parity: delta units are multiplicative
+        twins of kelvin, and only offset-unit ARITHMETIC is ambiguous
+        in pint, not ``.to()``. Callers converting a difference column
+        must already hold it in delta units.
         """
         u = self.parse(src) if isinstance(src, str) else src
         v = self.parse(dst) if isinstance(dst, str) else dst

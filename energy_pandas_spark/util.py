@@ -20,8 +20,17 @@ def epoch_micros(df: DataFrame, ts_col: str, col: Column | None = None) -> Colum
     """
     expr = col if col is not None else F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        return F.timestamp_diff("MICROSECOND", epoch, expr)
+        # calendar decomposition, NOT timestamp_diff: Spark routes
+        # timestamp_diff on NTZ operands through the SESSION timezone,
+        # so in a DST-observing session the spring-forward wall hour
+        # collapses onto its neighbor (02:00 == 03:00 on the gap day).
+        # unix_date/hour/minute/date_part are pure wall-clock reads.
+        return (
+            F.unix_date(F.to_date(expr)).cast("long") * F.lit(86_400_000_000)
+            + F.hour(expr).cast("long") * F.lit(3_600_000_000)
+            + F.minute(expr).cast("long") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), expr) * 1_000_000).cast("long")
+        )
     return F.unix_micros(expr)
 
 

@@ -253,3 +253,89 @@ def test_filter_keeps_units_and_meta(spark):
     k = ef.where("Temp < 2").to_units("kelvin")
     vals = sorted(r.Temp for r in k.spark_df.collect())
     assert vals == [273.15, 274.15]
+
+
+class TestCoreReviewRegressions:
+    """Regressions from the core-parity review: skipna axis-1
+    reductions, reflected operators, wrapper guards."""
+
+    def test_axis1_skipna_like_pandas(self, spark):
+        from energy_pandas_spark import EnergyFrame
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 3.0), (2, 2.0, None), (3, None, None)],
+            "ts long, a double, b double",
+        )
+        ef = EnergyFrame(df, units={"a": "W", "b": "W"}, index_col="ts")
+        m = {r["ts"]: r["mean"] for r in ef.mean(axis=1).df.collect()}
+        s = {r["ts"]: r["sum"] for r in ef.sum(axis=1).df.collect()}
+        assert m[1] == 2.0 and s[1] == 4.0
+        assert m[2] == 2.0 and s[2] == 2.0   # NULL cell skipped
+        assert m[3] is None and s[3] == 0.0  # pandas all-NaN semantics
+
+    def test_reflected_sub_div(self, spark):
+        from energy_pandas_spark import EnergyFrame
+
+        df = spark.createDataFrame([(1, 4.0)], "ts long, v double")
+        ef = EnergyFrame(df, units={"v": "W"}, index_col="ts")
+        assert (10.0 - ef).df.collect()[0]["v"] == 6.0
+        assert (8.0 / ef).df.collect()[0]["v"] == 2.0
+        assert (ef - 1.0).df.collect()[0]["v"] == 3.0  # unchanged
+
+    def test_multicolumn_guards_raise_clearly(self, spark):
+        import pytest as _pt
+
+        from energy_pandas_spark import EnergyFrame
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0)], "ts long, a double, b double"
+        )
+        ef = EnergyFrame(df, units={"a": "W", "b": "W"}, index_col="ts")
+        for call in (
+            lambda: ef.ldc_source(),
+            lambda: ef.time_at_min(),
+            lambda: ef.unstack_to_periods(4),
+        ):
+            with _pt.raises(ValueError, match="single value column"):
+                call()
+
+    def test_ewma_null_keys_survive(self, spark):
+        from energy_pandas_spark.operators.windows import ewma
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), (None, 1, 10.0), ("a", 2, 2.0), (None, 2, 20.0)],
+            "k string, t long, v double",
+        )
+        out = ewma(df, "t", "v", alpha=0.5, by="k").collect()
+        nulls = sorted(
+            (r["t"], r["ewma"]) for r in out if r["k"] is None
+        )
+        # NULL is a real group with its own recurrence, not a crash
+        assert nulls[0] == (1, 10.0) and abs(nulls[1][1] - 15.0) < 1e-9
+
+
+def test_ntz_epoch_micros_ignores_session_dst(spark):
+    """epoch_micros on TIMESTAMP_NTZ must be a pure wall-clock read:
+    timestamp_diff routes NTZ through the session zone, collapsing the
+    spring-forward hour onto its neighbor in DST-observing sessions."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.util import epoch_micros
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [(f"2018-03-11 {h:02d}:00:00",) for h in range(6)]
+        ntz = spark.createDataFrame(rows, "ts string").select(
+            F.col("ts").cast("timestamp_ntz").alias("ts")
+        )
+        micros = [
+            r["m"]
+            for r in ntz.select(epoch_micros(ntz, "ts").alias("m"))
+            .orderBy("ts")
+            .collect()
+        ]
+        diffs = [b - a for a, b in zip(micros, micros[1:])]
+        assert diffs == [3_600_000_000] * 5  # 02:00 != 03:00
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
