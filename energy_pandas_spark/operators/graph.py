@@ -63,7 +63,11 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0): raw long sums of content-addressed 64-bit ids
+    # overflow and CRASH under Spark 4's default ANSI mode (the same
+    # guard _sig applies in the star variant)
+    lsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lsum).collect()[0][0]
     for it in range(max_iter):
         nbr = labels.join(sym, labels["id"] == sym["u"]).select(
             F.col("v").alias("id"), F.col("label")
@@ -89,7 +93,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(lsum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

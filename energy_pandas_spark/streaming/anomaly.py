@@ -61,7 +61,7 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _make_zscore_fn(threshold: float):
+def _make_zscore_fn(threshold: float, key_name: str = "user_id"):
     def fn(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -74,6 +74,16 @@ def _make_zscore_fn(threshold: float):
         out_ts, out_v, out_z, out_a = [], [], [], []
         for ts, v in zip(pdf["ts"], pdf["value"]):
             v = float(v)
+            if math.isnan(v):
+                # a NULL/NaN value must not enter the accumulator: one
+                # NaN would poison mean/m2 and silently disable the
+                # detector for this key forever (the batch z-score
+                # skips nulls the same way). Emit unscored.
+                out_ts.append(ts)
+                out_v.append(v)
+                out_z.append(0.0)
+                out_a.append("no")
+                continue
             # score against the PRE-update statistics: the first two
             # events of a key can never be anomalies (no variance yet)
             if n >= 2 and m2 > 0:
@@ -91,7 +101,7 @@ def _make_zscore_fn(threshold: float):
         state.update((n, mean, m2))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(out_v),
+                key_name: [key[0]] * len(out_v),
                 "ts": out_ts,
                 "value": out_v,
                 "zscore": out_z,
@@ -114,12 +124,19 @@ def streaming_zscore(
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    # the output key field mirrors the INPUT key column's name and
+    # type (ZSCORE_OUTPUT_SCHEMA documents the default user_id shape;
+    # a string device key must not be forced into a long user_id slot)
+    schema = StructType(
+        [StructField(key, events.schema[key].dataType)]
+        + [f for f in ZSCORE_OUTPUT_SCHEMA.fields if f.name != "user_id"]
+    )
     return (
         src.select(key, "ts", "value")
         .groupBy(key)
         .applyInPandasWithState(
-            _make_zscore_fn(threshold),
-            outputStructType=ZSCORE_OUTPUT_SCHEMA,
+            _make_zscore_fn(threshold, key),
+            outputStructType=schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -62,19 +62,23 @@ def decontaminate_stream(
     )
     bench = np.sort(np.array([r.h for r in bench_grams], dtype=np.int64))
 
-    with_hashes = stream.withColumn(
-        "__gh",
-        F.transform(
-            F.array_distinct(
-                word_shingles_of_tokens(
-                    F.coalesce(
-                        tokens(text_col), F.array().cast("array<string>")
-                    ),
-                    n,
-                )
+    # materialize the token array BEFORE the shingle lambdas touch it
+    # (the word_shingles_of_tokens hot-path contract): inlining the
+    # tokens() expression would re-run the split once per shingle
+    # position — O(len^2) per streamed document
+    with_hashes = (
+        stream.withColumn(
+            "__toks",
+            F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "__gh",
+            F.transform(
+                F.array_distinct(word_shingles_of_tokens("__toks", n)),
+                lambda g: F.xxhash64(g),
             ),
-            lambda g: F.xxhash64(g),
-        ),
+        )
+        .drop("__toks")
     )
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"

@@ -69,6 +69,10 @@ def make_line_dedup_ingest_writer(
         spark = batch.sparkSession
         if pre_filter is not None:
             batch = pre_filter(batch)
+        # persist: the batch source feeds the line explosion AND the
+        # final non-text-column join — without this an availableNow
+        # file source re-reads the batch's input files per consumer
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         lines = (
             _line_rows(batch, text_col, id_col, sep)
             .withColumn(
@@ -119,11 +123,25 @@ def make_line_dedup_ingest_writer(
             )
             if drop_empty:
                 kept = kept.filter(F.trim(F.col(text_col)) != "")
+                how = "inner"
+            else:
+                # batch line_dedup keeps a document whose every line
+                # was already in the store (text='', 0 lines); an
+                # inner join here would silently drop it — LEFT join
+                # + coalesce mirrors the batch contract
+                how = "left"
             out = (
                 batch.select(*[c for c in batch.columns if c != text_col])
-                .join(kept, id_col, "inner")
+                .join(kept, id_col, how)
                 .withColumn("__batch_id", F.lit(batch_id).cast("long"))
             )
+            if not drop_empty:
+                out = out.withColumn(
+                    text_col, F.coalesce(F.col(text_col), F.lit(""))
+                ).withColumn(
+                    "n_lines_kept",
+                    F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")),
+                )
             (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -141,6 +159,7 @@ def make_line_dedup_ingest_writer(
             winners.unpersist()
         finally:
             lines.unpersist()
+            batch.unpersist()
 
     return write_batch
 

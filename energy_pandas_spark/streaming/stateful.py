@@ -45,7 +45,9 @@ _OUT_SCHEMA = StructType(
     ]
 )
 
-_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+_STATE_SCHEMA = StructType(
+    [StructField("seen", LongType()), StructField("max_ms", LongType())]
+)
 
 
 def with_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,12 +81,19 @@ def _make_dedup_fn(horizon_ms: int):
             batch_max = pdf["ts"].iloc[-1]
             max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
         emitted = state.exists
+        prev_ms = state.get[1] if emitted else 0
+        batch_ms = int(max_ts.value // 1_000_000) if max_ts is not None else 0
+        # the horizon anchors at the NEWEST occurrence ever seen: a
+        # late-but-valid duplicate must not SHORTEN a timeout already
+        # set from a newer event, or the state would expire early and
+        # a later duplicate inside the horizon would re-emit
+        high_ms = max(prev_ms, batch_ms)
         if emitted:
-            state.update((state.get[0] + n,))
+            state.update((state.get[0] + n, high_ms))
         elif first is not None:
-            state.update((n,))
-        if max_ts is not None:
-            state.setTimeoutTimestamp(int(max_ts.value // 1_000_000) + horizon_ms)
+            state.update((n, high_ms))
+        if high_ms > 0:
+            state.setTimeoutTimestamp(high_ms + horizon_ms)
         if not emitted and first is not None:
             yield pd.DataFrame(
                 {

@@ -131,3 +131,32 @@ class TestStarCC:
             + [(20, 21)]                                         # pair
         )
         self._compare(spark, edges)
+
+
+def test_components_huge_hash_ids_no_overflow(spark):
+    """Content-addressed ids near Long.MAX: the convergence sum must not
+    overflow (ANSI mode turns a long-sum wrap into a crash), so both
+    variants accumulate in decimal(38,0)."""
+    from energy_pandas_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    top = 9_223_372_036_854_775_807  # Long.MAX
+    edges = spark.createDataFrame(
+        [(top, top - 1), (top - 2, top - 3), (top - 1, top - 4)],
+        "src long, dst long",
+    )
+    want = {
+        top: top - 4,
+        top - 1: top - 4,
+        top - 4: top - 4,
+        top - 2: top - 3,
+        top - 3: top - 3,
+    }
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == want
+    got_star = {
+        r.id: r.component for r in connected_components_star(edges).collect()
+    }
+    assert got_star == want

@@ -144,3 +144,54 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     # the heaviest items were never evicted: exact counts, zero error
     for item, _ in exact.most_common(3):
         assert sketch[item].error == 0 and sketch[item]["count"] == exact[item]
+
+
+def test_zscore_string_key_and_nan_values(spark, tmp_path):
+    """A NULL value must pass through unscored WITHOUT entering the
+    Welford state (one NaN would poison mean/m2 for the key forever),
+    and the output key field mirrors the input key's name and type."""
+    src = str(tmp_path / "nансrc".replace("ан", "an"))
+    chk = str(tmp_path / "nanchk")
+    rows = [("dev-a", f"2024-01-01 10:{i:02d}:00", 10.0 + (i % 3)) for i in range(8)]
+    rows.append(("dev-a", "2024-01-01 10:30:00", None))  # mid-stream NULL
+    rows.append(("dev-a", "2024-01-01 11:00:00", 500.0))  # still an outlier
+    (
+        spark.createDataFrame(rows, "device string, ts_s string, value double")
+        .select("device", F.to_timestamp("ts_s").alias("ts"), "value")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("device string, ts timestamp, value double")
+        .parquet(src)
+    )
+    q = (
+        streaming_zscore(stream, key="device", threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("zdev")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.sql("select * from zdev")
+    assert out.schema["device"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert len(rows) == 10
+    def _is_null(v):
+        return v is None or math.isnan(v)
+
+    by_value = {r.value: r for r in rows if not _is_null(r.value)}
+    nan_rows = [r for r in rows if _is_null(r.value)]
+    # the NULL row is emitted, unscored
+    assert len(nan_rows) == 1
+    assert nan_rows[0].is_anomaly == "no" and nan_rows[0].zscore == 0.0
+    # the outlier's z-score is computed from the 8 REAL baseline points
+    import statistics
+
+    base = [10.0 + (i % 3) for i in range(8)]
+    expect = (500.0 - statistics.mean(base)) / statistics.stdev(base)
+    assert by_value[500.0].is_anomaly == "yes"
+    assert math.isclose(by_value[500.0].zscore, expect, rel_tol=1e-9)
+    assert all(r.device == "dev-a" for r in rows)

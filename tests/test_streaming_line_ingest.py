@@ -147,3 +147,33 @@ def test_line_ingest_pre_filter_gate(spark, tmp_path):
         r.doc_id for r in read_line_corpus(spark, str(tmp_path / "corpus")).collect()
     }
     assert got1 == {0, 10}
+
+
+def test_line_ingest_keep_empty_docs(spark, tmp_path):
+    """drop_empty=False mirrors the batch line_dedup contract: a doc
+    whose every line was already in the store stays in the corpus with
+    empty text (0 lines kept) instead of being silently dropped."""
+    w = make_line_dedup_ingest_writer(
+        str(tmp_path / "corpus"),
+        str(tmp_path / "digests"),
+        drop_empty=False,
+    )
+    w(
+        spark.createDataFrame(
+            [(0, f"{HEADER}\nalpha body")], "doc_id long, text string"
+        ),
+        0,
+    )
+    w(
+        spark.createDataFrame(
+            [(10, HEADER), (11, f"{HEADER}\nbeta body")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    got = {r.doc_id: (r.text, r.n_lines_kept) for r in corpus.collect()}
+    assert set(got) == {0, 10, 11}
+    assert got[0] == (f"{HEADER}\nalpha body", 2)
+    assert got[10] == ("", 0)  # nothing novel, still present
+    assert got[11] == ("beta body", 1)
