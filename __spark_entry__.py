@@ -5507,6 +5507,24 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, num_merges=16).orderBy("rank")
 
 
+def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece tokenizer training (operators/
+    wordpiece.py:train_wordpiece — the BERT-family trainer completing
+    the BPE/unigram/WordPiece trio): one corpus scan for word counts,
+    then 16 likelihood-scored merge iterations on the vocab-sized
+    word table (score = count(pair)/(count(l)*count(r)), one shared
+    IEEE expression, argmax tiebroken (left, right) asc). Rows-only
+    BY DESIGN (iterative); correctness pinned by tests/
+    test_wordpiece.py — bit-exact equality between the distributed
+    loop, the bounded driver twin, and an independent pure-Python
+    reference."""
+    _prep(spark)
+    from energy_pandas_spark.operators.wordpiece import train_wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_wordpiece(docs, num_merges=16).orderBy("rank")
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (operators/pipeline.py:corpus_report):
     volume, breadth, exact-dup rate, empty docs — one aggregate pass."""
@@ -8217,6 +8235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_docs": gopher_rules_docs,
         "bpe_merges_docs": bpe_merges_docs,
         "unigram_vocab_docs": unigram_vocab_docs,
+        "wordpiece_merges_docs": wordpiece_merges_docs,
         "search_topk_docs": search_topk_docs,
         "bm25_topk_docs": bm25_topk_docs,
         "sample_per_source_docs": sample_per_source_docs,

@@ -133,6 +133,7 @@ HEADLINE = [
     "image_neardup_media",
     "skew_card_events",
     "unigram_vocab_docs",
+    "wordpiece_merges_docs",
 ]
 
 

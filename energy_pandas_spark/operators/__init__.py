@@ -38,6 +38,11 @@ from energy_pandas_spark.operators.unigram import (
     train_unigram,
     unigram_encode,
 )
+from energy_pandas_spark.operators.wordpiece import (
+    train_wordpiece,
+    wordpiece_encode,
+    wordpiece_vocabulary,
+)
 from energy_pandas_spark.operators.dedup import (
     dedup_exact,
     dedup_incremental,
@@ -157,10 +162,13 @@ __all__ = [
     # reshape
     "unstack_to_periods",
     "with_ordinal",
-    # bpe tokenizer training
+    # tokenizer training (BPE / unigram-LM / WordPiece)
     "train_bpe",
     "train_unigram",
     "unigram_encode",
+    "train_wordpiece",
+    "wordpiece_encode",
+    "wordpiece_vocabulary",
     "bpe_encode",
     "bpe_vocabulary",
     "word_counts",

@@ -115,10 +115,13 @@ def _pair_structs(syms) -> F.Column:
     )
 
 
-def _apply_merge(syms, left: str, right: str) -> F.Column:
+def _apply_merge(syms, left: str, right: str, merged: str | None = None) -> F.Column:
     """Left-to-right non-overlapping replacement of adjacent
-    (left, right) with the concatenated symbol — a codegen'd fold."""
-    merged = left + right
+    (left, right) with the merged symbol (default: their
+    concatenation; WordPiece passes its ``##``-stripped fusion) —
+    a codegen'd fold."""
+    if merged is None:
+        merged = left + right
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
