@@ -3094,6 +3094,103 @@ ORDER BY d.doc_id
 """
 
 
+_CYR_LINE = "системы обработки данных работают надёжно"
+_HAN_LINE = "分布式数据处理系统"
+
+
+def script_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script audit (operators/text.py:
+    script_mix) over documents with deterministic Cyrillic / Han
+    spans injected (the corpus is Latin-only, so injection exercises
+    the mixed-script and dominance-flip paths): nine codegen'd
+    regexp_count classes + total letters, priority-tiebroken argmax,
+    integer purity permille. Map-only projection; the DuckDB oracle
+    evaluates RE2's \\p{Script} twins of the JVM \\p{IsScript}
+    classes (parity-probed)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import SCRIPT_CLASSES, script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" " + _CYR_LINE)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + _HAN_LINE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cols = [f"n_{name}" for name, _ in SCRIPT_CLASSES]
+    return (
+        script_mix(injected)
+        .select(
+            "doc_id",
+            *cols,
+            "n_script_other",
+            "n_letters",
+            "dominant_script",
+            "script_purity_permille",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SCRIPT_MIX_SQL = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || (CASE WHEN doc_id % 5 = 0 THEN ' {_CYR_LINE}' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' {_HAN_LINE}' ELSE '' END)
+           AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\p{{Latin}}'))::BIGINT AS n_latin,
+         len(regexp_extract_all(text, '\p{{Cyrillic}}'))::BIGINT AS n_cyrillic,
+         len(regexp_extract_all(text, '\p{{Greek}}'))::BIGINT AS n_greek,
+         len(regexp_extract_all(text, '\p{{Han}}'))::BIGINT AS n_han,
+         len(regexp_extract_all(text, '[\p{{Hiragana}}\p{{Katakana}}]'))::BIGINT AS n_kana,
+         len(regexp_extract_all(text, '\p{{Hangul}}'))::BIGINT AS n_hangul,
+         len(regexp_extract_all(text, '\p{{Arabic}}'))::BIGINT AS n_arabic,
+         len(regexp_extract_all(text, '\p{{Hebrew}}'))::BIGINT AS n_hebrew,
+         len(regexp_extract_all(text, '\p{{Devanagari}}'))::BIGINT AS n_devanagari,
+         len(regexp_extract_all(text, '\p{{L}}'))::BIGINT AS n_letters
+  FROM inj
+), t AS (
+  SELECT *,
+         n_letters - (n_latin + n_cyrillic + n_greek + n_han + n_kana
+                      + n_hangul + n_arabic + n_hebrew + n_devanagari)
+           AS n_script_other
+  FROM s
+), d AS (
+  SELECT *,
+         greatest(n_latin, n_cyrillic, n_greek, n_han, n_kana, n_hangul,
+                  n_arabic, n_hebrew, n_devanagari, n_script_other) AS gmax
+  FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_kana, n_hangul,
+       n_arabic, n_hebrew, n_devanagari, n_script_other, n_letters,
+       CASE WHEN n_letters = 0 THEN 'none'
+            WHEN n_latin = gmax THEN 'latin'
+            WHEN n_cyrillic = gmax THEN 'cyrillic'
+            WHEN n_greek = gmax THEN 'greek'
+            WHEN n_han = gmax THEN 'han'
+            WHEN n_kana = gmax THEN 'kana'
+            WHEN n_hangul = gmax THEN 'hangul'
+            WHEN n_arabic = gmax THEN 'arabic'
+            WHEN n_hebrew = gmax THEN 'hebrew'
+            WHEN n_devanagari = gmax THEN 'devanagari'
+            ELSE 'other' END AS dominant_script,
+       (CASE WHEN n_letters = 0 THEN 0
+             ELSE (1000 * gmax) // n_letters END)::BIGINT
+         AS script_purity_permille
+FROM d ORDER BY doc_id
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint = md5 of normalized text."""
     _prep(spark)
@@ -8255,6 +8352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_scrub_docs": exact_substring_scrub_docs,
         "dedup_bursts_events": dedup_bursts_events,
         "mixed_language_docs": mixed_language_docs,
+        "script_mix_docs": script_mix_docs,
         "collocations_docs": collocations_docs,
         "textrank_docs": textrank_docs,
         "epoch_order_docs": epoch_order_docs,
@@ -8453,6 +8551,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_scrub_docs": _EXACT_SUBSTRING_SQL,
         "dedup_bursts_events": _DEDUP_BURSTS_SQL,
         "mixed_language_docs": _mixed_language_sql(),
+        "script_mix_docs": _SCRIPT_MIX_SQL,
         "collocations_docs": _COLLOCATIONS_SQL,
         "textrank_docs": _textrank_sql(),
         "epoch_order_docs": _EPOCH_ORDER_SQL,

@@ -134,6 +134,7 @@ HEADLINE = [
     "skew_card_events",
     "unigram_vocab_docs",
     "wordpiece_merges_docs",
+    "script_mix_docs",
 ]
 
 

@@ -105,6 +105,7 @@ from energy_pandas_spark.operators.text import (
     compression_ratio,
     exact_substring_dedup,
     mixed_language_stats,
+    script_mix,
     pii_stats,
     html_to_text,
     perplexity_buckets,
@@ -225,6 +226,7 @@ __all__ = [
     "exact_substring_dedup",
     "compression_ratio",
     "mixed_language_stats",
+    "script_mix",
     "pii_stats",
     "html_to_text",
     "perplexity_buckets",

@@ -188,6 +188,87 @@ def language_id(
     return df.withColumn(out_col, expr)
 
 
+# Unicode SCRIPT classes (writing systems) — complementary to the
+# stopword-vote language_id: script detection is alphabet-level truth
+# (a Cyrillic page is never English no matter what its stopwords say)
+# and it covers languages with no stopword table. Java regex script
+# names (\p{IsXxx}); the DuckDB oracle uses RE2's \p{Xxx} — the two
+# engines' Unicode script tables agree (parity-probed across all nine
+# classes). Order = dominance priority on exact ties.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("greek", r"\p{IsGreek}"),
+    ("han", r"\p{IsHan}"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]"),
+    ("hangul", r"\p{IsHangul}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hebrew", r"\p{IsHebrew}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+]
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script audit for multilingual crawls: one
+    letter count per writing system (``n_latin`` … ``n_devanagari``,
+    plus ``n_script_other`` for letters outside the nine classes and
+    ``n_letters`` total), the ``dominant_script`` (``none`` for
+    letter-less docs; exact ties go to the first class in
+    ``SCRIPT_CLASSES`` order, ``other`` last), and integer
+    ``script_purity_permille`` = 1000·dominant/letters — the
+    mixed-script / wrong-script gate (a crawl page whose purity is low
+    is boilerplate soup or a mislabeled document).
+
+    Pure codegen'd regexp counts — map-only projection, no shuffle, no
+    Python; integer arithmetic end-to-end so the DuckDB oracle matches
+    bit-for-bit."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    n_letters = F.regexp_count(t, F.lit(r"\p{L}")).cast("long")
+    classified = None
+    for c in counts.values():
+        classified = c if classified is None else classified + c
+    # argmax with priority tiebreak: max over (count, -index) structs —
+    # highest count wins, ties fall to the lowest index (list order),
+    # 'other' last
+    entries = [
+        F.struct(
+            counts[name].alias("c"),
+            F.lit(-i).alias("p"),
+            F.lit(name).alias("s"),
+        )
+        for i, (name, _) in enumerate(SCRIPT_CLASSES)
+    ] + [
+        F.struct(
+            (n_letters - classified).alias("c"),
+            F.lit(-len(SCRIPT_CLASSES)).alias("p"),
+            F.lit("other").alias("s"),
+        )
+    ]
+    best = F.array_max(F.array(*entries))
+    out = {f"n_{name}": counts[name] for name, _ in SCRIPT_CLASSES}
+    out["n_script_other"] = n_letters - classified
+    out["n_letters"] = n_letters
+    out["__dom"] = best
+    staged = df.withColumns(out)
+    return staged.withColumns(
+        {
+            "dominant_script": F.when(
+                F.col("n_letters") == 0, F.lit("none")
+            ).otherwise(F.col("__dom.s")),
+            # integer floor division (div, not floor(/)): double
+            # division can round exactly onto the next integer and
+            # split the engines at quotient boundaries
+            "script_purity_permille": F.when(
+                F.col("n_letters") == 0, F.lit(0).cast("long")
+            ).otherwise(F.expr("(1000 * __dom.c) div n_letters")),
+        }
+    ).drop("__dom")
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

@@ -174,6 +174,38 @@ class TestText:
         assert out[0] == "en" and out[3] == "de" and out[4] == "fr"
         assert out[6] == "und"  # empty text
 
+    def test_script_mix(self, spark):
+        from energy_pandas_spark.operators.text import script_mix
+
+        texts = [
+            (0, "hello world"),
+            (1, "привет мир hello"),       # cyrillic-dominant mix
+            (2, "你好世界"),
+            (3, None),
+            (4, "123 !@#"),
+            (5, "mixed 混合 текст"),        # latin/cyr tie -> latin
+            (6, "こんにちは カタカナ"),      # hiragana+katakana = kana
+            (7, "ꦗꦮ"),                     # Javanese: outside the classes
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r.doc_id: r for r in script_mix(df).collect()}
+        assert got[0].dominant_script == "latin"
+        assert got[0].script_purity_permille == 1000
+        assert got[1].dominant_script == "cyrillic"
+        assert got[1].n_cyrillic == 9 and got[1].n_latin == 5
+        assert got[1].script_purity_permille == 9000 // 14
+        assert got[2].dominant_script == "han" and got[2].n_han == 4
+        assert got[3].dominant_script == "none"
+        assert got[3].script_purity_permille == 0 and got[3].n_letters == 0
+        assert got[4].dominant_script == "none"
+        # exact latin/cyrillic tie: first class in SCRIPT_CLASSES wins
+        assert got[5].n_latin == got[5].n_cyrillic == 5
+        assert got[5].dominant_script == "latin"
+        assert got[6].dominant_script == "kana"
+        # unclassified letters land in n_script_other and can dominate
+        assert got[7].dominant_script == "other"
+        assert got[7].n_script_other == 2 == got[7].n_letters
+
 
 class TestMultimodal:
     def test_decode_features_deterministic(self, spark):
