@@ -7182,6 +7182,217 @@ FROM ex ORDER BY doc_id
 """
 
 
+def _with_synth_urls(docs):
+    """Deterministic synthetic URL per document (the corpus has no URL
+    column): six variants exercising every canonicalization rule —
+    mixed-case scheme/host + www + default port + tracking params,
+    fragments, trailing slashes, userinfo, non-URL garbage, and a
+    multi-part public suffix. Variants 0/1/2 collapse across documents
+    sharing (source, doc_id%20), so the dedup path genuinely drops
+    rows."""
+    did, src = F.col("doc_id"), F.col("source")
+    pg = (did % 20).cast("string")
+    v = did % 6
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), src, F.lit(".Example.COM:443/page/"),
+                pg, F.lit("/?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://"), src, F.lit(".example.com/page/"), pg,
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), src, F.lit(".example.com:80/page/"), pg,
+                F.lit("///"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://user@"), src, F.lit(".example.com/page/"),
+                pg, F.lit("?z=9&gclid=abc&a=1"),
+            ),
+        )
+        .when(v == 4, F.concat(F.lit("not a url "), did.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn."), src, F.lit(".example.co.uk/asset/"),
+                (did % 7).cast("string"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"), "text")
+
+
+_SYNTH_URL_CTE = r"""
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/page/'
+                       || (doc_id % 20)::VARCHAR || '/?utm_source=feed&b=2&a=1'
+           WHEN 1 THEN 'https://' || source || '.example.com/page/'
+                       || (doc_id % 20)::VARCHAR || '#frag'
+           WHEN 2 THEN 'http://' || source || '.example.com:80/page/'
+                       || (doc_id % 20)::VARCHAR || '///'
+           WHEN 3 THEN 'https://user@' || source || '.example.com/page/'
+                       || (doc_id % 20)::VARCHAR || '?z=9&gclid=abc&a=1'
+           WHEN 4 THEN 'not a url ' || doc_id::VARCHAR
+           ELSE 'https://cdn.' || source || '.example.co.uk/asset/'
+                || (doc_id % 7)::VARCHAR
+         END AS url,
+         text
+  FROM documents
+"""
+
+# the DuckDB twin of operators/urls.py:canonical_url — the LITERAL
+# same Java∩RE2 regexes and rule order
+_CANON_URL_CTE = r"""
+  SELECT *,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS auth
+  FROM u
+), h AS (
+  SELECT *,
+    regexp_replace(
+      lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)),
+      '^www\.', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+      '/+$', '') AS path0,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(url, '^[^#]*\?([^#]*)', 1), '&'),
+      x -> x != '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|yclid|igshid|mc_cid|mc_eid|ref|ref_src|spm|_ga|_gl)=')
+    )), '&'), '') AS q
+  FROM sa
+), c AS (
+  SELECT *,
+    CASE WHEN scheme = '' OR host = '' THEN NULL
+         ELSE scheme || '://' || host
+              || (CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                       THEN '' ELSE ':' || port END)
+              || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+              || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+    END AS canonical_url,
+    CASE WHEN host = '' OR host IS NULL THEN NULL ELSE
+      (CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+            WHEN len(string_split(host, '.')) >= 3
+                 AND (string_split(host, '.')[-2] || '.'
+                      || string_split(host, '.')[-1])
+                     IN ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+                         'com.au','net.au','org.au','edu.au','gov.au',
+                         'co.jp','ne.jp','or.jp','ac.jp','go.jp',
+                         'co.kr','or.kr','go.kr',
+                         'com.br','net.br','org.br',
+                         'com.cn','net.cn','org.cn','gov.cn',
+                         'com.mx','com.ar','com.tr','com.sg','com.hk','com.tw',
+                         'co.in','co.za','co.nz','co.id','co.th')
+            THEN string_split(host, '.')[-3] || '.'
+                 || string_split(host, '.')[-2] || '.'
+                 || string_split(host, '.')[-1]
+            ELSE string_split(host, '.')[-2] || '.'
+                 || string_split(host, '.')[-1] END)
+    END AS domain
+  FROM h
+"""
+
+
+def url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (operators/urls.py:canonical_url/url_domain) over documents with
+    deterministic synthetic URLs: lowercase scheme/host, www/userinfo/
+    default-port strip, fragment drop, tracking-param drop + sort,
+    trailing-slash normalization, multi-part public-suffix domains.
+    Map-only codegen projection; the oracle evaluates the literal same
+    Java∩RE2 regexes."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import canonical_url, url_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _with_synth_urls(docs)
+        .select(
+            "doc_id",
+            "url",
+            canonical_url("url").alias("canonical_url"),
+            url_domain("url").alias("domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_URL_CANONICAL_SQL = rf"""
+WITH u AS ({_SYNTH_URL_CTE}
+), sa AS ({_CANON_URL_CTE}
+)
+SELECT doc_id, url, canonical_url, domain FROM c ORDER BY doc_id
+"""
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/urls.py:url_dedup): one survivor
+    (smallest doc_id) per canonical URL, n_copies counted; rows whose
+    URL does not canonicalize are all kept. One digest-keyed shuffle
+    over (canonical, id) — text never moves."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup(_with_synth_urls(docs)).orderBy("doc_id")
+
+
+_URL_DEDUP_SQL = rf"""
+WITH u AS ({_SYNTH_URL_CTE}
+), sa AS ({_CANON_URL_CTE}
+)
+SELECT canonical_url, min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM c WHERE canonical_url IS NOT NULL GROUP BY canonical_url
+UNION ALL
+SELECT canonical_url, doc_id, 1::BIGINT AS n_copies
+FROM c WHERE canonical_url IS NULL
+ORDER BY doc_id
+"""
+
+
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus card (operators/urls.py:
+    domain_stats): doc/char totals and integer share permille — the
+    table crawl-site caps are enforced from. One map-combined
+    aggregate + a broadcast 1-row total."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_stats(_with_synth_urls(docs)).orderBy("domain")
+
+
+_DOMAIN_STATS_SQL = rf"""
+WITH u AS ({_SYNTH_URL_CTE}
+), sa AS ({_CANON_URL_CTE}
+), per AS (
+  SELECT coalesce(domain, '(none)') AS domain,
+         count(*)::BIGINT AS n_docs,
+         sum(len(coalesce(text, '')))::BIGINT AS n_chars
+  FROM c GROUP BY 1
+)
+SELECT domain, n_docs, n_chars,
+       ((1000 * n_docs) // (SELECT sum(n_docs) FROM per))::BIGINT
+         AS docs_permille
+FROM per ORDER BY domain
+"""
+
+
 _BLOCKLIST_TERMS = ["dup", "slow", "the"]
 
 
@@ -8353,6 +8564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bursts_events": dedup_bursts_events,
         "mixed_language_docs": mixed_language_docs,
         "script_mix_docs": script_mix_docs,
+        "url_canonical_docs": url_canonical_docs,
+        "url_dedup_docs": url_dedup_docs,
+        "domain_stats_docs": domain_stats_docs,
         "collocations_docs": collocations_docs,
         "textrank_docs": textrank_docs,
         "epoch_order_docs": epoch_order_docs,
@@ -8552,6 +8766,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bursts_events": _DEDUP_BURSTS_SQL,
         "mixed_language_docs": _mixed_language_sql(),
         "script_mix_docs": _SCRIPT_MIX_SQL,
+        "url_canonical_docs": _URL_CANONICAL_SQL,
+        "url_dedup_docs": _URL_DEDUP_SQL,
+        "domain_stats_docs": _DOMAIN_STATS_SQL,
         "collocations_docs": _COLLOCATIONS_SQL,
         "textrank_docs": _textrank_sql(),
         "epoch_order_docs": _EPOCH_ORDER_SQL,

@@ -135,6 +135,9 @@ HEADLINE = [
     "unigram_vocab_docs",
     "wordpiece_merges_docs",
     "script_mix_docs",
+    "url_canonical_docs",
+    "url_dedup_docs",
+    "domain_stats_docs",
 ]
 
 

@@ -124,6 +124,13 @@ from energy_pandas_spark.operators.text import (
     vocabulary,
 )
 from energy_pandas_spark.operators.reshape import unstack_to_periods, with_ordinal
+from energy_pandas_spark.operators.urls import (
+    canonical_url,
+    domain_stats,
+    registrable_domain,
+    url_dedup,
+    url_domain,
+)
 from energy_pandas_spark.operators.similarity import (
     cosine_topk,
     hard_negative_topk,
@@ -216,6 +223,12 @@ __all__ = [
     "corpus_diff",
     "corpus_diff_stats",
     "distribution_shift",
+    # crawl URL layer
+    "canonical_url",
+    "registrable_domain",
+    "url_domain",
+    "url_dedup",
+    "domain_stats",
     # retrieval
     "build_postings",
     "search_topk",

@@ -1,0 +1,236 @@
+"""URL canonicalization and domain-level corpus operators — the
+crawl-side twin of the content dedup family (a web corpus is deduped
+by URL before anything touches the text: mirrors, tracking-tagged
+relinks and fragment anchors all point at one page).
+
+Everything here is pure codegen'd string/array expressions (regexes
+kept to the Java∩RE2 subset — no lookaround, no backreferences — so
+the DuckDB oracles evaluate the LITERAL same patterns):
+
+- :func:`canonical_url` — lowercase scheme/host, strip userinfo,
+  ``www.`` and default ports, drop the fragment, drop tracking query
+  parameters (utm_* and the common click ids), sort the surviving
+  parameters, normalize empty paths to ``/`` and strip trailing
+  slashes. A non-URL (no ``scheme://`` match) canonicalizes to NULL —
+  callers treat those rows as uncanonicalizable, never silently
+  grouped together.
+- :func:`registrable_domain` — the grouping key for per-site caps and
+  stats. Without bundling the full Mozilla Public Suffix List, the
+  rule is: last two host labels, or last three when the 2-label tail
+  is a common multi-part public suffix (``co.uk``-style; the built-in
+  set covers the high-traffic ccTLD patterns and callers pass
+  ``extra_suffixes`` for the long tail).
+- :func:`url_dedup` — one survivor per canonical URL (smallest id, or
+  ``max_by(quality, -id)`` with ``quality_col``): the same single
+  digest-keyed shuffle shape as ``dedup_exact``; URL-less rows are
+  kept unconditionally.
+- :func:`domain_stats` — per-registrable-domain doc/char totals and
+  share-of-corpus permille: the table a crawl curator caps dominant
+  sites from (compose with ``sampling.balanced_cap_sample`` on
+  ``domain`` to enforce the cap).
+
+Scale shape: canonicalization and domain extraction are map-only
+projections; ``url_dedup`` shuffles (canonical-url, id[, quality])
+longs/strings once — page text never moves; ``domain_stats`` is one
+map-combined aggregate over domain keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "canonical_url",
+    "registrable_domain",
+    "url_domain",
+    "url_dedup",
+    "domain_stats",
+    "TRACKING_PARAM_RE",
+    "MULTIPART_SUFFIXES",
+]
+
+# tracking / click-id query parameters dropped by canonicalization
+# (the set every major crawler strips; anchored prefix match on the
+# `name=` head of each parameter)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|yclid|igshid|mc_cid|mc_eid"
+    r"|ref|ref_src|spm|_ga|_gl)="
+)
+
+# common multi-part public suffixes (a compact high-traffic subset of
+# the Mozilla PSL; extend per-call with extra_suffixes)
+MULTIPART_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "co.za", "co.nz", "co.id", "co.th",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#]*\?([^#]*)"
+_HOST_OF_AUTH_RE = r"^(?:[^@]*@)?([^:]*)"
+_PORT_OF_AUTH_RE = r":([0-9]+)$"
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of ``url`` (see module docstring for the rules);
+    NULL when the value does not parse as ``scheme://...``."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(auth, _HOST_OF_AUTH_RE, 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(auth, _PORT_OF_AUTH_RE, 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query)
+    )
+    return F.when(
+        (scheme == "") | (host == ""), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    )
+
+
+def registrable_domain(
+    host, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """Registrable (site-owner) domain of a hostname column: the last
+    two labels, or three when the 2-label tail is a multi-part public
+    suffix. Single-label hosts (``localhost``) pass through."""
+    h = F.lower(F.col(host) if isinstance(host, str) else host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    last4 = F.concat_ws(
+        ".",
+        F.element_at(parts, -4),
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    suffixes = tuple(MULTIPART_SUFFIXES) + tuple(extra_suffixes)
+    two_label = tuple(s for s in suffixes if s.count(".") == 1)
+    three_label = tuple(s for s in suffixes if s.count(".") == 2)
+    out = F.when(n <= 1, h)
+    if three_label:
+        out = out.when((n >= 4) & last3.isin(*three_label), last4)
+    return out.when((n >= 3) & last2.isin(*two_label), last3).otherwise(
+        last2
+    )
+
+
+def url_domain(url, extra_suffixes: tuple[str, ...] = ()) -> Column:
+    """Registrable domain straight from a URL column (NULL for
+    non-URLs)."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.lower(F.regexp_extract(auth, _HOST_OF_AUTH_RE, 1))
+    # isNull first: a NULL url must yield NULL, not the "" that
+    # concat_ws over null parts would otherwise manufacture
+    return F.when(
+        host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(registrable_domain(host, extra_suffixes))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One survivor per canonical URL: ``(canonical_url, survivor id,
+    n_copies)``. Default survivor is the smallest id; with
+    ``quality_col`` it is ``max_by((quality, -id))`` — keep the best
+    mirror. Rows whose URL does not canonicalize (NULL) are all kept
+    (one output row each, ``n_copies`` 1): an unparseable URL is not
+    evidence of duplication.
+
+    One digest-keyed shuffle over (canonical, id[, quality]) — text
+    never moves; join the result back on ``id_col`` to materialize
+    surviving documents."""
+    canon = canonical_url(F.col(url_col)).alias("canonical_url")
+    slim = df.select(canon, F.col(id_col), *(
+        [F.col(quality_col)] if quality_col else []
+    ))
+    with_url = slim.filter(F.col("canonical_url").isNotNull())
+    if quality_col:
+        survivor = F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("ni"),
+            ),
+        ).alias(id_col)
+    else:
+        survivor = F.min(id_col).alias(id_col)
+    kept = with_url.groupBy("canonical_url").agg(
+        survivor, F.count(F.lit(1)).alias("n_copies")
+    )
+    no_url = slim.filter(F.col("canonical_url").isNull()).select(
+        "canonical_url", F.col(id_col), F.lit(1).cast("long").alias("n_copies")
+    )
+    return kept.unionByName(no_url)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-registrable-domain corpus card: ``(domain, n_docs, n_chars,
+    docs_permille)`` — the dominance table a curator caps crawl sites
+    from. NULL-URL rows aggregate under domain ``(none)`` so the
+    totals stay honest. One map-combined aggregate + a 1-row corpus
+    total broadcast for the permille share (integer div)."""
+    dom = F.coalesce(
+        url_domain(F.col(url_col), extra_suffixes), F.lit("(none)")
+    ).alias("domain")
+    per = (
+        df.select(
+            dom,
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("n_chars"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("__total"))
+    return (
+        per.join(F.broadcast(total))
+        .withColumn("docs_permille", F.expr("(1000 * n_docs) div __total"))
+        .drop("__total")
+    )
