@@ -22,11 +22,19 @@ from energy_pandas_spark.streaming.ingest import (
     read_corpus,
 )
 from energy_pandas_spark.streaming.stateful import streaming_dedup
+from energy_pandas_spark.streaming.url_ingest import (
+    make_url_dedup_ingest_writer,
+    read_url_corpus,
+    url_dedup_ingest,
+)
 
 __all__ = [
     "make_neardup_ingest_writer",
     "neardup_ingest",
     "read_corpus",
+    "make_url_dedup_ingest_writer",
+    "url_dedup_ingest",
+    "read_url_corpus",
     "streaming_zscore",
     "stream_events",
     "windowed_aggregate",
