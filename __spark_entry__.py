@@ -3147,16 +3147,28 @@ WITH inj AS (
            AS text
   FROM documents
 ), s AS (
+  -- RE2 has no char-class intersection, so the letters-only filter
+  -- (Spark: [\p{{IsXxx}}&&\p{{L}}]) extracts script members and
+  -- list_filters them by \p{{L}}
   SELECT doc_id,
-         len(regexp_extract_all(text, '\p{{Latin}}'))::BIGINT AS n_latin,
-         len(regexp_extract_all(text, '\p{{Cyrillic}}'))::BIGINT AS n_cyrillic,
-         len(regexp_extract_all(text, '\p{{Greek}}'))::BIGINT AS n_greek,
-         len(regexp_extract_all(text, '\p{{Han}}'))::BIGINT AS n_han,
-         len(regexp_extract_all(text, '[\p{{Hiragana}}\p{{Katakana}}]'))::BIGINT AS n_kana,
-         len(regexp_extract_all(text, '\p{{Hangul}}'))::BIGINT AS n_hangul,
-         len(regexp_extract_all(text, '\p{{Arabic}}'))::BIGINT AS n_arabic,
-         len(regexp_extract_all(text, '\p{{Hebrew}}'))::BIGINT AS n_hebrew,
-         len(regexp_extract_all(text, '\p{{Devanagari}}'))::BIGINT AS n_devanagari,
+         len(list_filter(regexp_extract_all(text, '\p{{Latin}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_latin,
+         len(list_filter(regexp_extract_all(text, '\p{{Cyrillic}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_cyrillic,
+         len(list_filter(regexp_extract_all(text, '\p{{Greek}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_greek,
+         len(list_filter(regexp_extract_all(text, '\p{{Han}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_han,
+         len(list_filter(regexp_extract_all(text, '[\p{{Hiragana}}\p{{Katakana}}]'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_kana,
+         len(list_filter(regexp_extract_all(text, '\p{{Hangul}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_hangul,
+         len(list_filter(regexp_extract_all(text, '\p{{Arabic}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_arabic,
+         len(list_filter(regexp_extract_all(text, '\p{{Hebrew}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_hebrew,
+         len(list_filter(regexp_extract_all(text, '\p{{Devanagari}}'),
+             c -> regexp_matches(c, '\p{{L}}')))::BIGINT AS n_devanagari,
          len(regexp_extract_all(text, '\p{{L}}'))::BIGINT AS n_letters
   FROM inj
 ), t AS (

@@ -191,20 +191,25 @@ def language_id(
 # Unicode SCRIPT classes (writing systems) — complementary to the
 # stopword-vote language_id: script detection is alphabet-level truth
 # (a Cyrillic page is never English no matter what its stopwords say)
-# and it covers languages with no stopword table. Java regex script
-# names (\p{IsXxx}); the DuckDB oracle uses RE2's \p{Xxx} — the two
-# engines' Unicode script tables agree (parity-probed across all nine
-# classes). Order = dominance priority on exact ties.
+# and it covers languages with no stopword table. Each class is
+# intersected with \p{L}: scripts contain non-letters too (Arabic-Indic
+# digits, Devanagari danda, U+3007), and counting those against a
+# letters-only total would drive n_script_other negative and purity
+# past 1000. Java regex (\p{IsXxx}, && intersection); the DuckDB
+# oracle extracts RE2's \p{Xxx} members and filters them by \p{L} —
+# the two engines' Unicode tables agree (parity-probed across all nine
+# classes incl. digit/punctuation cases). Order = dominance priority
+# on exact ties.
 SCRIPT_CLASSES: list[tuple[str, str]] = [
-    ("latin", r"\p{IsLatin}"),
-    ("cyrillic", r"\p{IsCyrillic}"),
-    ("greek", r"\p{IsGreek}"),
-    ("han", r"\p{IsHan}"),
-    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]"),
-    ("hangul", r"\p{IsHangul}"),
-    ("arabic", r"\p{IsArabic}"),
-    ("hebrew", r"\p{IsHebrew}"),
-    ("devanagari", r"\p{IsDevanagari}"),
+    ("latin", r"[\p{IsLatin}&&\p{L}]"),
+    ("cyrillic", r"[\p{IsCyrillic}&&\p{L}]"),
+    ("greek", r"[\p{IsGreek}&&\p{L}]"),
+    ("han", r"[\p{IsHan}&&\p{L}]"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}&&\p{L}]"),
+    ("hangul", r"[\p{IsHangul}&&\p{L}]"),
+    ("arabic", r"[\p{IsArabic}&&\p{L}]"),
+    ("hebrew", r"[\p{IsHebrew}&&\p{L}]"),
+    ("devanagari", r"[\p{IsDevanagari}&&\p{L}]"),
 ]
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "registrable_domain",
     "url_domain",
     "url_dedup",
+    "survivor_expr",
     "domain_stats",
     "TRACKING_PARAM_RE",
     "MULTIPART_SUFFIXES",
@@ -155,12 +156,36 @@ def url_domain(url, extra_suffixes: tuple[str, ...] = ()) -> Column:
     non-URLs)."""
     u = F.col(url) if isinstance(url, str) else url
     auth = F.regexp_extract(u, _AUTH_RE, 1)
-    host = F.lower(F.regexp_extract(auth, _HOST_OF_AUTH_RE, 1))
+    # the SAME www-stripped host canonical_url builds — otherwise
+    # url_dedup and domain_stats would group a www.<suffix> page
+    # under different sites
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(auth, _HOST_OF_AUTH_RE, 1)),
+        r"^www\.",
+        "",
+    )
     # isNull first: a NULL url must yield NULL, not the "" that
     # concat_ws over null parts would otherwise manufacture
     return F.when(
         host.isNull() | (host == ""), F.lit(None).cast("string")
     ).otherwise(registrable_domain(host, extra_suffixes))
+
+
+def survivor_expr(id_col: str, quality_col: str | None = None) -> Column:
+    """The dedup survivor aggregate: smallest id, or with
+    ``quality_col`` the ``max_by((quality, -id))`` best-copy argmax
+    (quality desc, id asc — total-order deterministic). Shared by the
+    batch :func:`url_dedup` and the streaming URL ingest so the two
+    paths cannot drift."""
+    if quality_col:
+        return F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("ni"),
+            ),
+        ).alias(id_col)
+    return F.min(id_col).alias(id_col)
 
 
 def url_dedup(
@@ -184,18 +209,9 @@ def url_dedup(
         [F.col(quality_col)] if quality_col else []
     ))
     with_url = slim.filter(F.col("canonical_url").isNotNull())
-    if quality_col:
-        survivor = F.max_by(
-            F.col(id_col),
-            F.struct(
-                F.col(quality_col).alias("q"),
-                (-F.col(id_col)).alias("ni"),
-            ),
-        ).alias(id_col)
-    else:
-        survivor = F.min(id_col).alias(id_col)
     kept = with_url.groupBy("canonical_url").agg(
-        survivor, F.count(F.lit(1)).alias("n_copies")
+        survivor_expr(id_col, quality_col),
+        F.count(F.lit(1)).alias("n_copies"),
     )
     no_url = slim.filter(F.col("canonical_url").isNull()).select(
         "canonical_url", F.col(id_col), F.lit(1).cast("long").alias("n_copies")

@@ -118,8 +118,6 @@ def _train_wordpiece_local(
     tests)."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in wc:
-        if not w:
-            continue
         k = (w[0],) + tuple(CONT + ch for ch in w[1:])
         vocab[k] = vocab.get(k, 0) + c
     merges: list[tuple[int, str, str, str, int, float]] = []
@@ -132,12 +130,18 @@ def _train_wordpiece_local(
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
                 pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
+        # the frequency floor EXCLUDES rare pairs from candidacy (it
+        # must not halt training: a one-off typo pair scores a perfect
+        # 1/(1*1) and would otherwise win the argmax and break the loop)
+        eligible = {
+            p: c for p, c in pair_counts.items() if c >= min_pair_count
+        }
+        if not eligible:
             break
         # score = double(pair) / (double(l) * double(r)) — the literal
         # IEEE expression the distributed plan evaluates
         (l, r), pc = min(
-            pair_counts.items(),
+            eligible.items(),
             key=lambda kv: (
                 -(
                     float(kv[1])
@@ -150,8 +154,6 @@ def _train_wordpiece_local(
                 kv[0][1],
             ),
         )
-        if pc < min_pair_count:
-            break
         score = float(pc) / (float(sym_counts[l]) * float(sym_counts[r]))
         merged = _merge_symbol(l, r)
         merges.append((rank, l, r, merged, pc, score))
@@ -185,12 +187,13 @@ def train_wordpiece(
     Determinism: the best pair is (score desc, left asc, right asc) —
     a total order over one shared IEEE expression, so the learned
     table is independent of partitioning and identical between the
-    distributed loop and the collected twin (tested). Training stops
-    early when no pair reaches ``min_pair_count`` occurrences (the
-    frequency floor keeps one-off typos from grabbing perfect scores:
-    a pair seen once between two once-seen symbols scores 1.0)."""
+    distributed loop and the collected twin (tested). Pairs below
+    ``min_pair_count`` occurrences are EXCLUDED from candidacy (not a
+    stop condition: a one-off typo pair scores a perfect 1/(1*1) and
+    would otherwise win the argmax and halt training); training stops
+    when no eligible pair remains."""
     spark = df.sparkSession
-    wc = word_counts(df, text_col).filter(F.col("word") != "")
+    wc = word_counts(df, text_col)  # tokens() never emits ""
     if driver_vocab_threshold > 0:
         sample = wc.limit(driver_vocab_threshold + 1).collect()
         if len(sample) <= driver_vocab_threshold:
@@ -228,6 +231,7 @@ def train_wordpiece(
                 ),
                 "r",
             )
+            .filter(F.col("c") >= min_pair_count)
             .withColumn(
                 "score",
                 F.col("c").cast("double")
@@ -237,7 +241,7 @@ def train_wordpiece(
             .limit(1)
             .collect()
         )
-        if not best or best[0].c < min_pair_count:
+        if not best:
             break
         l, r, pc, score = best[0].l, best[0].r, int(best[0].c), float(
             best[0].score
@@ -260,7 +264,7 @@ def wordpiece_vocabulary(
     ``##``-prefixed) plus every merged symbol — the list a trainer
     exports as ``vocab.txt``. One corpus pass (the word-count
     aggregate) + a vocab-sized distinct; ``(token)`` sorted."""
-    wc = word_counts(df, text_col).filter(F.col("word") != "")
+    wc = word_counts(df, text_col)  # tokens() never emits ""
     base = wc.select(
         F.explode(_symbolize(F.col("word"))).alias("token")
     ).distinct()

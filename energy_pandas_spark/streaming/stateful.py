@@ -45,6 +45,11 @@ _OUT_SCHEMA = StructType(
     ]
 )
 
+# STATE SCHEMA v2 (seen, max_ms) — v1 was (seen) only. Structured
+# Streaming does not evolve applyInPandasWithState state schemas: a
+# query checkpointed under v1 must restart from a FRESH checkpoint
+# (the digest store itself is unaffected; only in-flight dedup
+# horizons reset).
 _STATE_SCHEMA = StructType(
     [StructField("seen", LongType()), StructField("max_ms", LongType())]
 )

@@ -65,7 +65,10 @@ def make_url_dedup_ingest_writer(
     they can never block a later good copy of the same page."""
     from pyspark import StorageLevel
 
-    from energy_pandas_spark.operators.urls import canonical_url
+    from energy_pandas_spark.operators.urls import (
+        canonical_url,
+        survivor_expr,
+    )
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -78,19 +81,11 @@ def make_url_dedup_ingest_writer(
             with_url = canon.filter(F.col("__curl").isNotNull()).withColumn(
                 "__h", F.xxhash64(F.lit("url-v1"), F.col("__curl"))
             )
-            if quality_col:
-                survivor = F.max_by(
-                    F.col(id_col),
-                    F.struct(
-                        F.col(quality_col).alias("q"),
-                        (-F.col(id_col)).alias("ni"),
-                    ),
-                ).alias(id_col)
-            else:
-                survivor = F.min(id_col).alias(id_col)
-            winners = (
-                with_url.groupBy("__h")
-                .agg(survivor, F.count(F.lit(1)).alias("__n_copies"))
+            # the batch operator's survivor aggregate — shared so the
+            # streaming and batch paths cannot pick different winners
+            winners = with_url.groupBy("__h").agg(
+                survivor_expr(id_col, quality_col),
+                F.count(F.lit(1)).alias("__n_copies"),
             )
             store = _read_or_none(spark, urls_path)
             if store is not None:

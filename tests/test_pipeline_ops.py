@@ -186,6 +186,7 @@ class TestText:
             (5, "mixed 混合 текст"),        # latin/cyr tie -> latin
             (6, "こんにちは カタカナ"),      # hiragana+katakana = kana
             (7, "ꦗꦮ"),                     # Javanese: outside the classes
+            (8, "٣٣٣ a"),                  # Arabic-Indic DIGITS + 1 letter
         ]
         df = spark.createDataFrame(texts, "doc_id long, text string")
         got = {r.doc_id: r for r in script_mix(df).collect()}
@@ -205,6 +206,12 @@ class TestText:
         # unclassified letters land in n_script_other and can dominate
         assert got[7].dominant_script == "other"
         assert got[7].n_script_other == 2 == got[7].n_letters
+        # script DIGITS are not letters: they must not count, push
+        # n_script_other negative, or flip dominance
+        assert got[8].n_arabic == 0 and got[8].n_letters == 1
+        assert got[8].dominant_script == "latin"
+        assert got[8].n_script_other == 0
+        assert got[8].script_purity_permille == 1000
 
 
 class TestMultimodal:

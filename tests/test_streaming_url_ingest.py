@@ -103,7 +103,7 @@ def test_url_ingest_streaming_end_to_end(spark, tmp_path):
         str(tmp_path / "urls"),
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         r.doc_id for r in read_url_corpus(spark, str(tmp_path / "corpus")).collect()
     }

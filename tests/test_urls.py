@@ -90,6 +90,17 @@ def test_url_domain_and_extra_suffixes(spark):
     assert got2[0] == "blog.example.co.uk"
 
 
+def test_url_domain_strips_www_like_canonical_url(spark):
+    # www must strip BEFORE domain extraction, matching canonical_url's
+    # host — otherwise www.<suffix> pages group under a phantom site
+    df = spark.createDataFrame(
+        [("https://www.co.uk/x",), ("https://www.example.com/y",)],
+        "url string",
+    )
+    got = [r.d for r in df.select(url_domain("url").alias("d")).collect()]
+    assert got == ["co.uk", "example.com"]
+
+
 def test_url_dedup_keep_min_and_quality(spark):
     rows = [
         (1, "https://www.example.com/p?utm_source=a", 0.9),

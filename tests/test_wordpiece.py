@@ -36,10 +36,11 @@ def ref_train_wordpiece(texts, num_merges, min_pair_count=2):
                 syms_c[s] += c
             for i in range(len(syms) - 1):
                 pairs_c[(syms[i], syms[i + 1])] += c
-        if not pairs_c:
+        eligible = {p: c for p, c in pairs_c.items() if c >= min_pair_count}
+        if not eligible:
             break
         best = min(
-            pairs_c.items(),
+            eligible.items(),
             key=lambda kv: (
                 -(float(kv[1]) / (float(syms_c[kv[0][0]]) * float(syms_c[kv[0][1]]))),
                 kv[0][0],
@@ -47,8 +48,6 @@ def ref_train_wordpiece(texts, num_merges, min_pair_count=2):
             ),
         )
         (l, r), pc = best
-        if pc < min_pair_count:
-            break
         score = float(pc) / (float(syms_c[l]) * float(syms_c[r]))
         merged = l + (r[len(CONT):] if r.startswith(CONT) else r)
         merges.append((rank, l, r, merged, pc, score))
@@ -105,6 +104,22 @@ def test_wordpiece_differs_from_raw_frequency_order(spark):
     wp = train_wordpiece(_df(spark), 3).orderBy("rank").collect()
     bp = train_bpe(_df(spark), 3).orderBy("rank").collect()
     assert (wp[0].left, wp[0].right) != (bp[0].left, bp[0].right)
+
+
+def test_rare_perfect_score_pair_does_not_halt_training(spark):
+    # a single 'qz' typo: pair (q, ##z) scores a perfect 1/(1*1) but
+    # occurs once — it must be EXCLUDED, not halt training at rank 0
+    texts = TEXTS + ["qz"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for threshold in (0, 200_000):  # distributed and local twin
+        got = train_wordpiece(
+            df, 8, driver_vocab_threshold=threshold
+        ).collect()
+        assert len(got) == 8
+        assert all(r.pair_count >= 2 for r in got)
+        assert not any(r.left == "q" for r in got)
 
 
 def test_train_wordpiece_distributed_matches_local(spark):
