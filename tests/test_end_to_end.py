@@ -110,3 +110,75 @@ def test_jsonl_to_webdataset_pipeline(spark, tmp_path):
     src_scores = {r.doc_id: r.score for r in train.collect()}
     got_scores = {r.key: r.score for r in back.collect()}
     assert got_scores == src_scores
+
+
+def test_crawl_to_corpus_chain(spark, tmp_path):
+    """The crawl front end as ONE chain: WET shards stream in ->
+    URL-dedup ingest (mirrors/tracking relinks dropped by canonical
+    URL, text untouched) -> MinHash near-dup ingest (content-level) —
+    the stage-boundary composition where each stage verifies in
+    isolation but bugs hide between them."""
+    import gzip
+
+    from energy_pandas_spark.sources.wet import encode_warc, stream_wet_corpus
+    from energy_pandas_spark.streaming.ingest import (
+        make_neardup_ingest_writer,
+        read_corpus,
+    )
+    from energy_pandas_spark.streaming.url_ingest import (
+        read_url_corpus,
+        url_dedup_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox leaps over the lazy dog again and again"
+    other = "completely different content about spark query engines and shuffles"
+    third = "yet another unrelated document mentioning catalysts and codegen"
+    shards = {
+        "s1.wet.gz": [
+            ("<urn:uuid:a>", "http://www.example.com/p?utm_source=x",
+             "2024-01-01T00:00:00Z", base),
+            ("<urn:uuid:b>", "http://other.org/q",
+             "2024-01-01T00:00:00Z", other),
+        ],
+        "s2.wet.gz": [
+            # URL dup of <a> with DIFFERENT text: only the URL stage
+            # can drop it
+            ("<urn:uuid:c>", "http://example.com/p/",
+             "2024-01-02T00:00:00Z", third),
+            # new URL, text NEAR-dup of <a>: only the content stage
+            # can drop it
+            ("<urn:uuid:d>", "http://third.net/r",
+             "2024-01-02T00:00:00Z", near),
+        ],
+    }
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    for name, recs in shards.items():
+        (wet_dir / name).write_bytes(gzip.compress(encode_warc(recs)))
+
+    url_corpus = str(tmp_path / "url_corpus")
+    q = url_dedup_ingest(
+        stream_wet_corpus(spark, str(wet_dir) + "/*.wet.gz",
+                          max_files_per_trigger=1),
+        url_corpus,
+        str(tmp_path / "url_store"),
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    stage1 = read_url_corpus(spark, url_corpus)
+    assert {r.record_id for r in stage1.collect()} == {
+        "<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:d>"
+    }
+
+    w = make_neardup_ingest_writer(
+        str(tmp_path / "corpus"), str(tmp_path / "bands"),
+        num_hashes=64, bands=32, shingle_size=2, threshold=0.3,
+    )
+    w(stage1, 0)
+    final = read_corpus(spark, str(tmp_path / "corpus"))
+    got = {r.record_id for r in final.collect()}
+    # the a~d near-dup cluster keeps exactly ONE survivor (smallest
+    # content-addressed doc_id — either record); b always survives
+    assert "<urn:uuid:b>" in got and len(got) == 2
+    assert len(got & {"<urn:uuid:a>", "<urn:uuid:d>"}) == 1
