@@ -3109,8 +3109,11 @@ def script_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes (parity-probed)."""
     _prep(spark)
     from energy_pandas_spark.operators.text import SCRIPT_CLASSES, script_mix
+    from energy_pandas_spark.util import spread_partitions
 
-    docs = _t(spark, sf_dir, "documents")
+    # ten Unicode-class regex scans per doc are CPU-bound: spread the
+    # single-file small-SF scan across cores (no-op at real scale)
+    docs = spread_partitions(_t(spark, sf_dir, "documents"))
     injected = docs.select(
         "doc_id",
         F.concat(
