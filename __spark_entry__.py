@@ -1020,6 +1020,67 @@ def asof_join_broadcast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
 
 
+_CM_TERMS = [
+    "the", "data", "quick", "lazy", "spark", "document", "energy",
+    "model", "with", "zzz_absent",
+]
+
+
+def cm_term_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketches.py:
+    cm_sketch/cm_query — the mergeable frequency sketch completing the
+    HLL/KLL/SpaceSaving/Bloom family): explode(depth) + one
+    map-combined (row, col) aggregate builds the sparse counter table,
+    probes broadcast. Built here with the engine-portable md5 hasher
+    (cm_md5_hasher, the hash_bucket hex-prefix scheme) so the DuckDB
+    oracle replays the EXACT sketch — estimates are deterministic
+    integers, hash collisions included."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.sketches import (
+        cm_md5_hasher,
+        cm_query,
+        cm_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    sk = cm_sketch(toks, "term", depth=4, width=2048, hasher=cm_md5_hasher)
+    qs = spark.createDataFrame([(t,) for t in _CM_TERMS], "term string")
+    return cm_query(
+        sk, qs, "term", depth=4, width=2048, hasher=cm_md5_hasher
+    ).orderBy("term")
+
+
+_CM_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), rows AS (
+  SELECT unnest(range(4)) AS row
+), counters AS (
+  SELECT row,
+         ('0x' || substr(md5(row::VARCHAR || ':' || term), 1, 15))::BIGINT
+           % 2048 AS col,
+         count(*)::BIGINT AS c
+  FROM toks, rows GROUP BY 1, 2
+), q AS (
+  SELECT unnest(['the', 'data', 'quick', 'lazy', 'spark', 'document',
+                 'energy', 'model', 'with', 'zzz_absent']) AS term
+), probe AS (
+  SELECT q.term, r.row,
+         ('0x' || substr(md5(r.row::VARCHAR || ':' || q.term), 1, 15))::BIGINT
+           % 2048 AS col
+  FROM q, rows r
+)
+SELECT p.term, min(coalesce(c.c, 0))::BIGINT AS cm_est
+FROM probe p LEFT JOIN counters c ON c.row = p.row AND c.col = p.col
+GROUP BY p.term ORDER BY p.term
+"""
+
+
+
 def corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counts over the corpus (docs, terms, content
     fingerprints) — the distinct-aggregate family. The scale path for
@@ -8667,6 +8728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sales": rollup_sales,
         "ntile_quartiles": ntile_quartiles,
         "corpus_cardinality": corpus_cardinality,
+        "cm_term_counts_docs": cm_term_counts_docs,
         "cosine_topk": cosine_topk,
         "embedding_norms": embedding_norms,
         "hash_split_dist": hash_split_dist,
@@ -8864,6 +8926,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_orders": _CUBE_SQL,
         "ntile_quartiles": _NTILE_SQL,
         "corpus_cardinality": _CARDINALITY_SQL,
+        "cm_term_counts_docs": _CM_TERMS_SQL,
         "asof_join_broadcast_hourly": _ASOF_SQL,
         "asof_join_tolerance_hourly": _ASOF_TOL_SQL,
         "interval_join_bucketed_windows": _INTERVAL_JOIN_SQL,

@@ -138,6 +138,7 @@ HEADLINE = [
     "url_canonical_docs",
     "url_dedup_docs",
     "domain_stats_docs",
+    "cm_term_counts_docs",
 ]
 
 

@@ -93,6 +93,15 @@ from energy_pandas_spark.operators.sampling import (
     epoch_order,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
+from energy_pandas_spark.operators.sketches import (
+    cardinality_sketches,
+    cm_merge,
+    cm_query,
+    cm_sketch,
+    merge_cardinality,
+    merge_quantiles,
+    quantile_sketches,
+)
 from energy_pandas_spark.operators.diagnostics import (
     key_skew_stats,
     top_keys,
@@ -258,6 +267,14 @@ __all__ = [
     "contamination_overlap",
     "repetition_stats",
     "pack_sequences",
+    # mergeable sketches
+    "cardinality_sketches",
+    "merge_cardinality",
+    "quantile_sketches",
+    "merge_quantiles",
+    "cm_sketch",
+    "cm_merge",
+    "cm_query",
     # similarity
     "cosine_topk",
     "hard_negative_topk",

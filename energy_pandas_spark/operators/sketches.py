@@ -28,6 +28,10 @@ __all__ = [
     "quantile_sketches",
     "merge_quantiles",
     "fold_kll",
+    "cm_sketch",
+    "cm_merge",
+    "cm_query",
+    "cm_md5_hasher",
 ]
 
 
@@ -133,3 +137,129 @@ def merge_quantiles(
         for q in quantiles
     ]
     return merged.select(*[F.col(c) for c in keys], *outs)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+#
+# Spark ships no Count-Min aggregate, so the sketch lives as a SPARSE
+# count table: (group keys..., row, col, count) with at most
+# depth * width rows per group. That representation is the mergeable
+# monoid the HLL/KLL tables are — rollup = one integer sum on
+# (row, col) — with two properties the dense-blob form lacks: the
+# merge is EXACTLY equal to a single-shot build (deterministic BIGINT
+# sums, asserted bit-equal in tests, no binary-blob equality caveats),
+# and Catalyst sees plain longs (column pruning, partial aggregation,
+# AQE all apply). Row i's hash is xxhash64(i, value) pmod width — the
+# engine's house hash, so sketches built by different jobs merge.
+#
+# Estimates carry the classic CM guarantee: est >= true count, and
+# est <= true + eps*N with probability 1 - (1/2)^depth for
+# width >= e/eps (point queries take the min over depth rows).
+
+
+def _cm_default_hasher(i, v):
+    """Row i's counter position source: the engine's house hash. Pass
+    ``hasher=cm_md5_hasher`` instead when the sketch must be
+    replayable by an engine without xxhash64 (the DuckDB oracles)."""
+    return F.xxhash64(i, v)
+
+
+def cm_md5_hasher(i, v):
+    """Engine-portable CM hasher: top 60 bits of md5("i:value") — the
+    same md5-hex-prefix scheme as ``sampling.hash_bucket``, so DuckDB
+    replicates it with ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(i.cast("string"), F.lit(":"), v.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    hasher=None,
+) -> DataFrame:
+    """Reduce each group to a sparse Count-Min table ``(keys..., row,
+    col, count)`` — one explode(depth) + map-combined hash aggregate;
+    the shuffle carries (row, col, partial count) longs, never values."""
+    keys = _keys(by)
+    h = hasher or _cm_default_hasher
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: F.struct(
+                i.alias("row"),
+                F.pmod(h(i, F.col(value_col)), F.lit(width)).alias("col"),
+            ),
+        )
+    ).alias("__rc")
+    return (
+        df.select(*keys, rows)
+        .groupBy(*keys, F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cm_merge(
+    sketches: DataFrame,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge sparse CM tables up a hierarchy level: one integer sum on
+    (keys..., row, col) — bit-equal to building one sketch over the
+    union of the inputs."""
+    keys = _keys(by)
+    return sketches.groupBy(*keys, "row", "col").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    out_col: str = "cm_est",
+    hasher=None,
+) -> DataFrame:
+    """Point-frequency estimates for each row of ``queries``: the min
+    over depth rows of the matching counters (absent counter = 0).
+    ``depth`` / ``width`` (and ``hasher``) MUST match the build. ``sketch`` is ONE
+    sketch (build ungrouped, or filter/pre-merge a grouped table to
+    one group first). The query side expands to (value, row, col) and
+    broadcasts into the sketch — per-query cost scales with depth,
+    not the sketch."""
+    h = hasher or _cm_default_hasher
+    probe = queries.select(
+        F.col(value_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda i: F.struct(
+                    i.alias("row"),
+                    F.pmod(h(i, F.col(value_col)), F.lit(width)).alias("col"),
+                ),
+            )
+        ).alias("__rc"),
+    ).select(value_col, F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
+    joined = F.broadcast(probe).join(
+        sketch.select("row", "col", "count"), ["row", "col"], "left"
+    )
+    return (
+        joined.groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("count"), F.lit(0).cast("long"))).alias(
+                out_col
+            )
+        )
+    )

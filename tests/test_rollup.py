@@ -306,3 +306,64 @@ def test_read_table_corruption_does_not_wipe_history(spark, tmp_path):
     with _pt.raises(Exception):
         _read_table(spark, p)  # must raise, NOT return None
     assert _read_table(spark, str(tmp_path / "never_written")) is None
+
+
+class TestCountMin:
+    def _docsish(self, spark):
+        # skewed term stream: term_i appears ~ 600/i times
+        rows = []
+        for i in range(1, 30):
+            rows += [(f"term{i:02d}",)] * (600 // i)
+        return spark.createDataFrame(rows, "term string")
+
+    def test_overestimate_and_exact_on_heavy(self, spark):
+        from collections import Counter
+
+        from energy_pandas_spark.operators.sketches import cm_query, cm_sketch
+
+        df = self._docsish(spark)
+        sk = cm_sketch(df, "term", depth=4, width=2048)
+        qs = spark.createDataFrame(
+            [(f"term{i:02d}",) for i in range(1, 30)], "term string"
+        )
+        est = {r.term: r.cm_est for r in cm_query(sk, qs, "term").collect()}
+        exact = Counter(r.term for r in df.collect())
+        n = sum(exact.values())
+        for t, c in exact.items():
+            assert est[t] >= c  # CM never underestimates
+            assert est[t] <= c + (2.0 * n) / 2048  # eps*N slack
+        # with width >> distinct terms, heavy terms are exact
+        assert est["term01"] == exact["term01"] == 600
+
+    def test_merge_bit_equal_to_single_shot(self, spark):
+        from energy_pandas_spark.operators.sketches import cm_merge, cm_sketch
+
+        df = self._docsish(spark)
+        a, b = df.randomSplit([0.5, 0.5], seed=7)
+        merged = sorted(
+            map(tuple, cm_merge(cm_sketch(a, "term").unionByName(
+                cm_sketch(b, "term"))).collect())
+        )
+        single = sorted(map(tuple, cm_sketch(df, "term").collect()))
+        assert merged == single
+
+    def test_grouped_sketch_and_absent_query(self, spark):
+        from energy_pandas_spark.operators.sketches import cm_query, cm_sketch
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("b", "y")], "grp string, term string"
+        )
+        sk = cm_sketch(df, "term", by="grp")
+        assert {r.grp for r in sk.select("grp").distinct().collect()} == {"a", "b"}
+        only_a = sk.filter("grp = 'a'")
+        qs = spark.createDataFrame([("x",), ("zz",)], "term string")
+        est = {r.term: r.cm_est for r in cm_query(only_a, qs, "term").collect()}
+        assert est["x"] == 2
+        # a value the sketch never saw can estimate 0 (absent counters)
+        assert est["zz"] >= 0
+
+    def test_sparse_bound(self, spark):
+        from energy_pandas_spark.operators.sketches import cm_sketch
+
+        df = self._docsish(spark)
+        assert cm_sketch(df, "term", depth=4, width=64).count() <= 4 * 64
