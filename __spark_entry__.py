@@ -7469,6 +7469,52 @@ FROM per ORDER BY domain
 """
 
 
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL layer composed with mixture balancing: registrable
+    domain (operators/urls.py:url_domain) feeds balanced_cap_sample —
+    cap any one crawl site at ~100 docs via the integer bucket
+    threshold (count aggregate broadcast onto a map-only filter; no
+    per-group rank window, so a mega-domain cannot create a skewed
+    task). Unparseable URLs group under '(none)' and are capped like
+    any other site."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import balanced_cap_sample
+    from energy_pandas_spark.operators.urls import url_domain
+
+    docs = _with_synth_urls(_t(spark, sf_dir, "documents"))
+    dom = docs.withColumn(
+        "domain", F.coalesce(url_domain(F.col("url")), F.lit("(none)"))
+    )
+    out = balanced_cap_sample(dom, "doc_id", "domain", cap=100)
+    return (
+        out.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+_DOMAIN_CAP_SQL = rf"""
+WITH u AS ({_SYNTH_URL_CTE}
+), sa AS ({_CANON_URL_CTE}
+), dd AS (
+  SELECT doc_id, coalesce(domain, '(none)') AS domain FROM c
+), cnt AS (SELECT domain, count(*) AS n FROM dd GROUP BY 1),
+t AS (
+  SELECT domain,
+         CASE WHEN n <= 100 THEN 10000 ELSE (100::BIGINT * 10000) // n END
+           AS thresh
+  FROM cnt
+)
+SELECT d.domain, count(*) AS n_docs, sum(d.doc_id)::BIGINT AS id_sum
+FROM dd d JOIN t USING (domain)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < thresh
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _BLOCKLIST_TERMS = ["dup", "slow", "the"]
 
 
@@ -8643,6 +8689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_docs": url_canonical_docs,
         "url_dedup_docs": url_dedup_docs,
         "domain_stats_docs": domain_stats_docs,
+        "domain_cap_docs": domain_cap_docs,
         "collocations_docs": collocations_docs,
         "textrank_docs": textrank_docs,
         "epoch_order_docs": epoch_order_docs,
@@ -8846,6 +8893,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_docs": _URL_CANONICAL_SQL,
         "url_dedup_docs": _URL_DEDUP_SQL,
         "domain_stats_docs": _DOMAIN_STATS_SQL,
+        "domain_cap_docs": _DOMAIN_CAP_SQL,
         "collocations_docs": _COLLOCATIONS_SQL,
         "textrank_docs": _textrank_sql(),
         "epoch_order_docs": _EPOCH_ORDER_SQL,

@@ -139,6 +139,7 @@ HEADLINE = [
     "url_dedup_docs",
     "domain_stats_docs",
     "cm_term_counts_docs",
+    "domain_cap_docs",
 ]
 
 
