@@ -249,3 +249,81 @@ def read_quantiles(
     if table is None:
         raise FileNotFoundError(f"no sketch table at {path}")
     return merge_quantiles(table, quantiles, by=by, sketch_col="kll")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency table
+# ---------------------------------------------------------------------------
+
+
+def make_cm_writer(
+    path: str,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    hasher=None,
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch Count-Min maintenance. Unlike HLL (whose union
+    is idempotent, so replays merge harmlessly) CM counters are SUMS —
+    a replayed batch must not double-add. So the table stores PARTIAL
+    sparse sketches partitioned by ``__batch_id`` with dynamic
+    partition overwrite: a replay rewrites exactly its own partition,
+    nothing merges at write time, and no swap protocol is needed
+    (append-only idempotent landing, the ingest-store contract).
+    ``read_cm`` merges at read time — one integer (row, col) sum over
+    batches * depth * width longs, executor-trivial at any horizon."""
+    from energy_pandas_spark.operators.sketches import cm_sketch
+
+    keys = list(by or [])
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = cm_sketch(
+            batch, value_col, by=keys, depth=depth, width=width,
+            hasher=hasher,
+        )
+        (
+            sk.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def continuous_cm(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    hasher=None,
+    trigger_available_now: bool = True,
+):
+    """Start the maintenance query; returns the StreamingQuery."""
+    write_batch = make_cm_writer(path, value_col, by, depth, width, hasher)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cm(
+    spark: SparkSession,
+    path: str,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """The merged Count-Min table at any rollup level — feed it to
+    ``operators.sketches.cm_query`` for point estimates."""
+    from energy_pandas_spark.operators.sketches import cm_merge
+
+    table = _read_table(spark, path)
+    if table is None:
+        raise FileNotFoundError(f"no sketch table at {path}")
+    return cm_merge(table.drop("__batch_id"), by=by)

@@ -367,3 +367,38 @@ class TestCountMin:
 
         df = self._docsish(spark)
         assert cm_sketch(df, "term", depth=4, width=64).count() <= 4 * 64
+
+
+def test_continuous_cm_partials_and_replay(spark, tmp_path):
+    from collections import Counter
+
+    from energy_pandas_spark.operators.sketches import cm_query
+    from energy_pandas_spark.streaming.stats import make_cm_writer, read_cm
+
+    path = str(tmp_path / "cm_sketches")
+    w = make_cm_writer(path, "term", depth=4, width=1024)
+    b1 = spark.createDataFrame(
+        [(f"t{i % 20:02d}",) for i in range(400)], "term string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"t{i % 10:02d}",) for i in range(300)], "term string"
+    )
+    w(b1, 0)
+    w(b2, 1)
+    qs = spark.createDataFrame([(f"t{i:02d}",) for i in range(20)], "term string")
+    merged = read_cm(spark, path)
+    est = {r.term: r.cm_est for r in cm_query(
+        merged, qs, "term", depth=4, width=1024).collect()}
+    exact = Counter([f"t{i % 20:02d}" for i in range(400)]
+                    + [f"t{i % 10:02d}" for i in range(300)])
+    for t, c in exact.items():
+        assert est[t] >= c
+    # width 1024 >> 20 distinct terms: every estimate is exact here
+    assert est == dict(exact)
+
+    # CM sums are NOT idempotent — replay safety comes from the
+    # batch-id partition overwrite, so a replayed batch changes nothing
+    w(b2, 1)
+    again = {r.term: r.cm_est for r in cm_query(
+        read_cm(spark, path), qs, "term", depth=4, width=1024).collect()}
+    assert again == est
