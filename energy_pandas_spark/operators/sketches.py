@@ -236,9 +236,10 @@ def cm_query(
     over depth rows of the matching counters (absent counter = 0).
     ``depth`` / ``width`` (and ``hasher``) MUST match the build. ``sketch`` is ONE
     sketch (build ungrouped, or filter/pre-merge a grouped table to
-    one group first). The query side expands to (value, row, col) and
-    broadcasts into the sketch — per-query cost scales with depth,
-    not the sketch."""
+    one group first). The SKETCH side broadcasts (<= depth * width
+    counter rows by construction — the whole point of a sketch); the
+    probe side is left-outer preserved, so estimates cover values the
+    sketch never saw (0). Per-query cost scales with depth."""
     h = hasher or _cm_default_hasher
     probe = queries.select(
         F.col(value_col),
@@ -252,8 +253,10 @@ def cm_query(
             )
         ).alias("__rc"),
     ).select(value_col, F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
-    joined = F.broadcast(probe).join(
-        sketch.select("row", "col", "count"), ["row", "col"], "left"
+    joined = probe.join(
+        F.broadcast(sketch.select("row", "col", "count")),
+        ["row", "col"],
+        "left",
     )
     return (
         joined.groupBy(value_col)

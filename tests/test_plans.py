@@ -596,3 +596,49 @@ class TestSixthWaveShapes:
         store = spark.createDataFrame([(5,), (1024,)], "phash long")
         out = hamming_cross_hits(new, store, "media_id", "phash")
         assert sorted(r.media_id for r in out.collect()) == [0]
+
+
+class TestSeventhWaveShapes:
+    def test_script_mix_zero_shuffle_no_python(self, spark):
+        from energy_pandas_spark.operators.text import script_mix
+        from energy_pandas_spark.plans import exchange_count
+
+        df = spark.createDataFrame(
+            [(0, "hello мир")], "doc_id long, text string"
+        )
+        out = script_mix(df)
+        assert exchange_count(out) == 0
+        assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_url_dedup_single_digest_shuffle_no_text(self, spark):
+        from energy_pandas_spark.operators.urls import url_dedup
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.plans.explain import read_schemas
+
+        df = spark.createDataFrame(
+            [(0, "https://a.io/x", "body text")],
+            "doc_id long, url string, text string",
+        )
+        out = url_dedup(df)
+        # one digest-keyed aggregate exchange per branch (kept +
+        # union'd null side share the scan); text never reaches a scan
+        assert exchange_count(out) <= 2
+        for cols in read_schemas(out):
+            assert "text" not in cols
+
+    def test_cm_sketch_one_aggregate_no_window(self, spark):
+        from energy_pandas_spark.operators.sketches import cm_query, cm_sketch
+        from energy_pandas_spark.plans import exchange_count
+        from energy_pandas_spark.plans.explain import formatted_plan
+
+        df = spark.createDataFrame([("x",), ("y",)], "term string")
+        sk = cm_sketch(df, "term")
+        assert exchange_count(sk) == 1  # the (row, col) aggregate
+        assert "Window" not in formatted_plan(sk)
+        # probes broadcast into the sketch: no shuffle added on the
+        # query side beyond the sketch's own aggregate
+        qs = spark.createDataFrame([("x",)], "term string")
+        est = cm_query(sk, qs, "term")
+        from energy_pandas_spark.plans import broadcast_join_count
+
+        assert broadcast_join_count(est) >= 1
