@@ -50,8 +50,15 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as exc:
+        # a directory with no data files yet (crash after mkdir) is
+        # legitimately "no store". ANY other failure — corrupt footer,
+        # transient FS error — must propagate: treating it as "empty
+        # store" would land the batch WITHOUT dedup against history,
+        # silently double-ingesting (the _read_table rule, stats.py)
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return None
+        raise
 
 
 def make_neardup_ingest_writer(
