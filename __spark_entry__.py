@@ -4971,6 +4971,52 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def chunk_docs_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-window chunking (operators/text.py:chunk_sentences —
+    the third RAG chunker): 3-sentence windows stepping by 2, case
+    preserved, boundaries from the shared SENTENCE_RE heuristic. The
+    corpus has no sentence marks, so each document gets a
+    deterministic punctuated tail appended (text becomes the first
+    sentence; windows genuinely slide). Map-only array expressions —
+    the oracle runs the literal same regex."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import chunk_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(". Fin alpha! Fin beta? Tail closes"),
+        ).alias("text"),
+    )
+    return chunk_sentences(injected, size=3, overlap=1).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_CHUNK_SENTENCES_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '') || '. Fin alpha! Fin beta? Tail closes' AS text
+  FROM documents
+), sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(text, '[^.!?]+[.!?]*'),
+           s -> trim(s)), x -> x != '') AS t
+  FROM inj
+)
+SELECT doc_id,
+       (s // 2)::BIGINT AS chunk_idx,
+       array_to_string(t[s + 1 : s + 3], ' ') AS chunk_text,
+       least(3, len(t) - s)::BIGINT AS n_sentences
+FROM sents, LATERAL (SELECT unnest(range(0, len(t), 2)) AS s)
+WHERE len(t) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def chunk_docs_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py:chunk_documents):
     boundary after token w iff md5-bucket(w) % 16 == 0 — expected
@@ -8677,6 +8723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": html_extract_docs,
         "perplexity_buckets_docs": perplexity_buckets_docs,
         "chunk_docs_fixed": chunk_docs_fixed,
+        "chunk_docs_sentences": chunk_docs_sentences,
         "source_overlap_docs": source_overlap_docs,
         "search_all_terms_docs": search_all_terms_docs,
         "embedding_dim_stats_q": embedding_dim_stats_q,
@@ -8881,6 +8928,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_docs": _HTML_EXTRACT_SQL,
         "perplexity_buckets_docs": _PERPLEXITY_BUCKETS_SQL,
         "chunk_docs_fixed": _CHUNK_FIXED_SQL,
+        "chunk_docs_sentences": _CHUNK_SENTENCES_SQL,
         "source_overlap_docs": _SOURCE_OVERLAP_SQL,
         "search_all_terms_docs": _SEARCH_ALL_SQL,
         "embedding_dim_stats_q": _EMB_DIM_STATS_SQL,

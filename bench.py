@@ -140,6 +140,7 @@ HEADLINE = [
     "domain_stats_docs",
     "cm_term_counts_docs",
     "domain_cap_docs",
+    "chunk_docs_sentences",
 ]
 
 

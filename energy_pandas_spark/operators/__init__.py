@@ -110,6 +110,8 @@ from energy_pandas_spark.operators.diagnostics import (
 from energy_pandas_spark.operators.text import (
     blocklist_filter,
     chunk_fixed,
+    chunk_sentences,
+    split_sentences,
     contamination_overlap,
     compression_ratio,
     exact_substring_dedup,
@@ -245,6 +247,8 @@ __all__ = [
     # corpus statistics / text pipeline
     "blocklist_filter",
     "chunk_fixed",
+    "chunk_sentences",
+    "split_sentences",
     "exact_substring_dedup",
     "compression_ratio",
     "mixed_language_stats",

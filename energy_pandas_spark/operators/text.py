@@ -2416,6 +2416,70 @@ def chunk_fixed(
     )
 
 
+# sentence = a maximal run of non-terminators plus its trailing
+# terminator run ("Really?!" keeps both marks). The classic regex
+# heuristic — abbreviations ("Dr. Smith") split, like every
+# rule-based splitter; Java∩RE2 subset so the oracle runs it verbatim
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(text) -> Column:
+    """Trimmed, non-empty sentences of a text column (case preserved —
+    unlike the token chunkers, sentence chunks feed embedders that
+    want the original casing)."""
+    t = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(t, F.lit(SENTENCE_RE), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 5,
+    overlap: int = 1,
+) -> DataFrame:
+    """Sentence-window chunking — the third RAG chunker next to
+    :func:`chunk_fixed` (token windows) and :func:`chunk_documents`
+    (CDC): chunk ``i`` covers sentences ``[i*(size-overlap), ...+size)``
+    joined by a single space; the final chunk may be short; documents
+    with no sentences produce no rows. Sentence boundaries are the
+    ``SENTENCE_RE`` heuristic.
+
+    Output: ``(id, chunk_idx, chunk_text, n_sentences)``.
+
+    Scale shape mirrors chunk_fixed: the sentence array materializes
+    once, start offsets come from ``sequence``, chunks from 1-based
+    ``slice`` — one projection + one generator, zero shuffles, no
+    Python workers."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    step = size - overlap
+    src = df.select(
+        F.col(id_col), split_sentences(text_col).alias("__sents")
+    ).filter(F.size("__sents") > 0)
+    n = F.size("__sents")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    exploded = src.select(
+        F.col(id_col), F.col("__sents"), F.explode(starts).alias("__s")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__s") / F.lit(step)).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("__sents", F.col("__s") + 1, F.lit(size)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(size), n - F.col("__s")).cast("long").alias("n_sentences"),
+    )
+
+
 def source_vocab_overlap(
     df: DataFrame,
     by: str = "source",

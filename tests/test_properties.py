@@ -599,3 +599,43 @@ def test_viterbi_lossless_and_deterministic(words, pieces):
         assert "".join(a) == w
         assert a == b
         assert all(p in pieces or len(p) == 1 for p in a)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .!?X", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    size=st.integers(min_value=1, max_value=4),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_chunk_sentences_matches_python(spark, texts, size, overlap):
+    """chunk_sentences == a pure-Python re-implementation of the same
+    regex heuristic for ANY punctuation soup (runs of terminators,
+    leading/trailing marks, empty docs) and window geometry."""
+    import re
+
+    from energy_pandas_spark.operators.text import chunk_sentences
+
+    overlap = min(overlap, size - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_sentences)
+        for r in chunk_sentences(df, size=size, overlap=overlap).collect()
+    )
+    step = size - overlap
+    expect = []
+    for i, t in enumerate(texts):
+        sents = [
+            s.strip(" ")
+            for s in re.findall(r"[^.!?]+[.!?]*", t)
+        ]
+        sents = [s for s in sents if s]
+        for ci, s0 in enumerate(range(0, len(sents), step)):
+            window = sents[s0 : s0 + size]
+            expect.append((i, ci, " ".join(window), len(window)))
+    assert got == sorted(expect)
