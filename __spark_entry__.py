@@ -8615,6 +8615,80 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality gate (operators/expectations.py:
+    validate): eight deequ-style rules — row floor, null checks, key
+    uniqueness, range/set/regex membership, per-mille shares —
+    compiled into ONE map-combined aggregate over documents (the scan
+    happens once no matter how many rules run). Metrics are exact
+    integer counts and `div` per-milles, so verdicts are engine-exact;
+    bounds are chosen so the suite reports a deterministic mix of
+    pass and fail rows on the clean synthetic corpus."""
+    _prep(spark)
+    from energy_pandas_spark.operators.expectations import (
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_min_rows,
+        expect_no_nulls,
+        expect_null_share_below,
+        expect_share_at_least,
+        expect_unique,
+        validate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    suite = [
+        expect_min_rows(100),
+        expect_no_nulls("doc_id"),
+        expect_unique("doc_id"),
+        expect_null_share_below("text", 100),
+        expect_in_range("n_chars", 0, 500),
+        expect_in_set("lang", ["en", "fr", "de"]),
+        expect_matches("source", "src[0-9]"),
+        expect_share_at_least("text_min_100", F.length("text") >= 100, 900),
+    ]
+    # (expectation, column) is unique across this suite -> a total order
+    return validate(docs, suite).orderBy("expectation", "column")
+
+
+_VALIDATE_DOCS_SQL = r"""
+WITH a AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         count(*) FILTER (WHERE doc_id IS NULL)::BIGINT AS null_ids,
+         count(*) FILTER (WHERE doc_id IS NOT NULL)::BIGINT AS complete_ids,
+         count(DISTINCT doc_id)::BIGINT AS distinct_ids,
+         count(*) FILTER (WHERE text IS NULL)::BIGINT AS null_text,
+         count(*) FILTER (WHERE n_chars IS NOT NULL
+                          AND n_chars NOT BETWEEN 0 AND 500)::BIGINT AS oor_chars,
+         count(*) FILTER (WHERE lang IS NOT NULL
+                          AND lang NOT IN ('en', 'fr', 'de'))::BIGINT AS bad_lang,
+         count(*) FILTER (WHERE source IS NOT NULL
+                          AND NOT regexp_full_match(source, '(?:src[0-9])'))
+           ::BIGINT AS bad_src,
+         count(*) FILTER (WHERE len(text) >= 100)::BIGINT AS long_text
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'min_rows' AS expectation, '*' AS "column",
+         n_rows AS metric, 100::BIGINT AS bound, n_rows >= 100 AS ok FROM a
+  UNION ALL SELECT 'no_nulls', 'doc_id', null_ids, 0, null_ids <= 0 FROM a
+  UNION ALL SELECT 'unique', 'doc_id', complete_ids - distinct_ids, 0,
+                   complete_ids - distinct_ids <= 0 FROM a
+  UNION ALL SELECT 'null_share_below', 'text',
+                   (1000 * null_text) // greatest(n_rows, 1), 100,
+                   (1000 * null_text) // greatest(n_rows, 1) <= 100 FROM a
+  UNION ALL SELECT 'in_range', 'n_chars', oor_chars, 0, oor_chars <= 0 FROM a
+  UNION ALL SELECT 'in_set', 'lang', bad_lang, 0, bad_lang <= 0 FROM a
+  UNION ALL SELECT 'matches', 'source', bad_src, 0, bad_src <= 0 FROM a
+  UNION ALL SELECT 'share_at_least', 'text_min_100',
+                   (1000 * long_text) // greatest(n_rows, 1), 900,
+                   (1000 * long_text) // greatest(n_rows, 1) >= 900 FROM a
+)
+ORDER BY expectation, "column"
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8765,6 +8839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip_docs": wet_roundtrip_docs,
         "skew_card_events": skew_card_events,
         "hot_users_events": hot_users_events,
+        "validate_docs": validate_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -8970,6 +9045,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip_docs": _WET_ROUNDTRIP_SQL,
         "skew_card_events": _SKEW_CARD_SQL,
         "hot_users_events": _HOT_USERS_SQL,
+        "validate_docs": _VALIDATE_DOCS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
