@@ -8689,6 +8689,57 @@ ORDER BY expectation, "column"
 """
 
 
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-milli readability card (operators/text.py:
+    readability_stats): word/sentence/vowel-group counts and the
+    Flesch / Flesch-Kincaid formulas evaluated entirely in integer
+    `div` arithmetic — bit-exact across engines, no float tolerance.
+    Map-only codegen projection, zero shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import readability_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_stats(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "wps_milli",
+        "spw_milli",
+        "flesch_milli",
+        "fk_grade_milli",
+    ).orderBy("doc_id")
+
+
+_READABILITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS words,
+         len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::BIGINT
+           AS n_sentences
+  FROM documents
+), c AS (
+  SELECT doc_id, n_sentences,
+         len(words)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(words,
+           x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+           ::BIGINT AS n_syllables
+  FROM w
+), r AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         ((1000 * n_words) // greatest(n_sentences, 1))::BIGINT AS wps_milli,
+         ((1000 * n_syllables) // greatest(n_words, 1))::BIGINT AS spw_milli
+  FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
+       (206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000)
+         ::BIGINT AS flesch_milli,
+       ((390 * wps_milli) // 1000 + (11800 * spw_milli) // 1000 - 15590)
+         ::BIGINT AS fk_grade_milli
+FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8840,6 +8891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_card_events": skew_card_events,
         "hot_users_events": hot_users_events,
         "validate_docs": validate_docs,
+        "readability_docs": readability_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9046,6 +9098,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_card_events": _SKEW_CARD_SQL,
         "hot_users_events": _HOT_USERS_SQL,
         "validate_docs": _VALIDATE_DOCS_SQL,
+        "readability_docs": _READABILITY_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

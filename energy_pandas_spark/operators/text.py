@@ -23,6 +23,7 @@ __all__ = [
     "bpe_ish_token_count",
     "quality_features",
     "quality_score",
+    "readability_stats",
     "language_id",
     "fingerprint",
     "minhash_fingerprint",
@@ -157,6 +158,64 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             0.4 * length_score + 0.4 * F.col("alpha_ratio") + 0.2 * rep_score, 6
         ),
+    )
+
+
+def readability_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-quantized readability card per document — the classic
+    corpus-filtering signal ("drop pages written below grade 3 / above
+    grade 16") made engine-exact.
+
+    Word/sentence/syllable counts use deterministic ASCII heuristics
+    (words = ``[a-z]+`` runs of the lowercased text, sentences =
+    ``[.!?]+`` runs, syllables = vowel-group runs per word with a
+    1-per-word floor), and the Flesch reading-ease / Flesch-Kincaid
+    grade formulas are evaluated in MILLI-units with integer ``div``
+    floor divisions only — no float anywhere, so scores are bit-equal
+    across engines and the driver query carries a DuckDB oracle.
+    flesch_milli = 206835 - 1015·wps - 84600·spw (each product divided
+    by 1000 after the per-mille ratio), i.e. the standard
+    ``206.835 - 1.015·(words/sentence) - 84.6·(syllables/word)``
+    scaled by 1000 and floored.
+
+    Map-only codegen projection (regex extract + array aggregate HOFs),
+    zero shuffle — the 100 TB cost is one scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z]+', 0)")
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: a
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))).cast("long"),
+        ),
+    )
+    out = df.withColumns(
+        {
+            "n_words": F.size(words).cast("long"),
+            "n_sentences": F.size(
+                F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))
+            ).cast("long"),
+            "n_syllables": syl,
+        }
+    ).withColumns(
+        {
+            # per-mille ratios; safe floors keep div operands positive
+            "wps_milli": F.expr("(1000 * n_words) div greatest(n_sentences, 1)"),
+            "spw_milli": F.expr("(1000 * n_syllables) div greatest(n_words, 1)"),
+        }
+    )
+    return out.withColumns(
+        {
+            "flesch_milli": F.expr(
+                "206835 - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000"
+            ),
+            "fk_grade_milli": F.expr(
+                "(390 * wps_milli) div 1000 + (11800 * spw_milli) div 1000 - 15590"
+            ),
+        }
     )
 
 

@@ -1367,3 +1367,43 @@ class TestJsDivergence:
         df = spark.createDataFrame(rows, "doc_id long, source string, text string")
         r = js_divergence_matrix(df).collect()[0]
         assert abs(r["js"]) < 0.01  # quantization slack only
+
+
+def test_readability_stats_known_values(spark):
+    from energy_pandas_spark.operators.text import readability_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It was happy!"),
+            (2, "Incomprehensibility characterizes multidimensional "
+                "heterogeneous organizations."),
+            (3, ""),
+            (4, None),
+            (5, "No terminal punctuation here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability_stats(df).collect()}
+    r = rows[1]
+    # 9 words / 2 sentences / 10 vowel-group syllables
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 2, 10)
+    assert (r.wps_milli, r.spw_milli) == (4500, 1111)
+    # 206835 - (1015*4500)//1000 - (84600*1111)//1000
+    assert r.flesch_milli == 206835 - 4567 - 93990
+    assert r.fk_grade_milli == 1755 + 13109 - 15590
+    # dense academic prose scores deeply negative (very hard)
+    assert rows[2].flesch_milli < 0 and rows[2].fk_grade_milli > 50000
+    # empty and NULL text behave identically: all counts zero
+    for d in (3, 4):
+        assert (rows[d].n_words, rows[d].n_sentences, rows[d].n_syllables) == (0, 0, 0)
+        assert rows[d].flesch_milli == 206835
+    # no sentence terminator: the 1-sentence floor applies in the ratio
+    assert rows[5].n_sentences == 0 and rows[5].wps_milli == 4000
+
+
+def test_readability_stats_zero_shuffle_no_python(spark):
+    from energy_pandas_spark.operators.text import readability_stats
+
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = readability_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
