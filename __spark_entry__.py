@@ -8740,6 +8740,169 @@ FROM r ORDER BY doc_id
 """
 
 
+def _with_link_html(docs):
+    """Deterministic synthetic page (url, html) per document for the
+    link-graph queries: every href form the extractor handles —
+    absolute (with a hot 'hub.net' target every 4th doc), single-quoted
+    with WWW/port/multi-part-suffix canonicalization work, root- and
+    protocol-relative resolution against the page URL, plus mailto /
+    empty-ish / relative-path hrefs that must NOT resolve."""
+    did, src = F.col("doc_id"), F.col("source")
+    hub = F.when(did % 4 == 0, F.lit("hub")).otherwise(src)
+    html = F.concat(
+        F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><a href="https://'), hub, F.lit(".net/a/"),
+        (did % 5).cast("string"),
+        F.lit("\">x</a><a href='HTTP://WWW."), src,
+        F.lit(".CO.UK:80/x'>y</a>"),
+        F.lit('<a href="/rel/'), (did % 7).cast("string"),
+        F.lit('">r</a><a href="//cdn.'), src, F.lit('.net/img">c</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a><a href="rel.html">s</a>'),
+    )
+    url = F.concat(F.lit("https://"), src, F.lit(".org/p/"), did.cast("string"))
+    return docs.select("doc_id", url.alias("url"), html.alias("text"))
+
+
+def link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph (operators/urls.py:extract_links +
+    domain_links) over synthetic pages: href harvesting is a map-only
+    regex explode (page text never shuffles), resolution handles
+    absolute / protocol-relative / root-relative forms, and only
+    (src_domain, dst_domain) pairs enter the one map-combined edge
+    aggregate — the crawl-frontier / site-authority input table."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import domain_links
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_links(_with_link_html(docs)).orderBy(
+        "src_domain", "dst_domain"
+    )
+
+
+def link_degrees_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain in/out degree card (operators/urls.py:
+    link_degree_stats) over the domain link graph — two aggregates +
+    one outer join on the domain²-bounded edge table, never the
+    corpus."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import (
+        domain_links,
+        link_degree_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return link_degree_stats(domain_links(_with_link_html(docs))).orderBy(
+        "domain"
+    )
+
+
+def _domain_case_sql(h: str) -> str:
+    """DuckDB twin of operators/urls.py:registrable_domain for a host
+    expression (the literal CASE _CANON_URL_CTE uses; the built-in
+    suffix set is all 2-label so the last-3 arm covers it)."""
+    parts = f"string_split({h}, '.')"
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    suffixes = (
+        "('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',"
+        "'com.au','net.au','org.au','edu.au','gov.au',"
+        "'co.jp','ne.jp','or.jp','ac.jp','go.jp',"
+        "'co.kr','or.kr','go.kr','com.br','net.br','org.br',"
+        "'com.cn','net.cn','org.cn','gov.cn',"
+        "'com.mx','com.ar','com.tr','com.sg','com.hk','com.tw',"
+        "'co.in','co.za','co.nz','co.id','co.th')"
+    )
+    return (
+        f"CASE WHEN {h} = '' OR {h} IS NULL THEN NULL ELSE "
+        f"(CASE WHEN len({parts}) <= 1 THEN {h} "
+        f"WHEN len({parts}) >= 3 AND {last2} IN {suffixes} THEN {last3} "
+        f"ELSE {last2} END) END"
+    )
+
+
+_HOST_OF_SQL = (
+    "regexp_replace(lower(regexp_extract(regexp_extract({col}, "
+    r"'^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), "
+    r"'^(?:[^@]*@)?([^:]*)', 1)), '^www\.', '')"
+)
+
+_LINK_EDGES_CTE = rf"""
+  SELECT doc_id,
+         'https://' || source || '.org/p/' || doc_id::VARCHAR AS url,
+         '<p>' || coalesce(text, '') || '</p><a href="https://'
+         || (CASE WHEN doc_id % 4 = 0 THEN 'hub' ELSE source END)
+         || '.net/a/' || (doc_id % 5)::VARCHAR
+         || '">x</a><a href=''HTTP://WWW.' || source || '.CO.UK:80/x''>y</a>'
+         || '<a href="/rel/' || (doc_id % 7)::VARCHAR
+         || '">r</a><a href="//cdn.' || source || '.net/img">c</a>'
+         || '<a href="mailto:a@b.c">m</a><a href="rel.html">s</a>' AS html
+  FROM documents
+), hrefs AS (
+  SELECT doc_id, url, unnest(list_concat(
+    regexp_extract_all(html, 'href\s*=\s*"([^"]*)"', 1),
+    regexp_extract_all(html, 'href\s*=\s*''([^'']*)''', 1))) AS href
+  FROM pages
+), res AS (
+  SELECT doc_id, url,
+    CASE
+      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://') THEN href
+      WHEN href LIKE '//%'
+           AND lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) != ''
+           AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) != ''
+        THEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+             || ':' || href
+      WHEN href LIKE '/%' AND href NOT LIKE '//%'
+           AND lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) != ''
+           AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) != ''
+        THEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+             || '://' || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+             || href
+      ELSE NULL
+    END AS target
+  FROM hrefs
+), hosts AS (
+  SELECT {_HOST_OF_SQL.format(col='url')} AS src_host,
+         {_HOST_OF_SQL.format(col='target')} AS dst_host
+  FROM res WHERE target IS NOT NULL
+), doms AS (
+  SELECT {_domain_case_sql('src_host')} AS src_domain,
+         {_domain_case_sql('dst_host')} AS dst_domain
+  FROM hosts
+), edges AS (
+  SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+  FROM doms
+  WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+_LINK_GRAPH_SQL = rf"""
+WITH pages AS ({_LINK_EDGES_CTE}
+)
+SELECT src_domain, dst_domain, n_links FROM edges
+ORDER BY src_domain, dst_domain
+"""
+
+_LINK_DEGREES_SQL = rf"""
+WITH pages AS ({_LINK_EDGES_CTE}
+), o AS (
+  SELECT src_domain AS domain, sum(n_links)::BIGINT AS n_out_links,
+         count(*)::BIGINT AS n_out_domains
+  FROM edges GROUP BY 1
+), i AS (
+  SELECT dst_domain AS domain, sum(n_links)::BIGINT AS n_in_links,
+         count(*)::BIGINT AS n_in_domains
+  FROM edges GROUP BY 1
+)
+SELECT coalesce(o.domain, i.domain) AS domain,
+       coalesce(n_out_links, 0)::BIGINT AS n_out_links,
+       coalesce(n_out_domains, 0)::BIGINT AS n_out_domains,
+       coalesce(n_in_links, 0)::BIGINT AS n_in_links,
+       coalesce(n_in_domains, 0)::BIGINT AS n_in_domains
+FROM o FULL OUTER JOIN i ON o.domain = i.domain
+ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8892,6 +9055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_users_events": hot_users_events,
         "validate_docs": validate_docs,
         "readability_docs": readability_docs,
+        "link_graph_docs": link_graph_docs,
+        "link_degrees_docs": link_degrees_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9099,6 +9264,8 @@ def oracle_sql() -> dict[str, str]:
         "hot_users_events": _HOT_USERS_SQL,
         "validate_docs": _VALIDATE_DOCS_SQL,
         "readability_docs": _READABILITY_SQL,
+        "link_graph_docs": _LINK_GRAPH_SQL,
+        "link_degrees_docs": _LINK_DEGREES_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

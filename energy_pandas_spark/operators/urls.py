@@ -46,8 +46,13 @@ __all__ = [
     "url_dedup",
     "survivor_expr",
     "domain_stats",
+    "extract_links",
+    "domain_links",
+    "link_degree_stats",
     "TRACKING_PARAM_RE",
     "MULTIPART_SUFFIXES",
+    "HREF_DQ_RE",
+    "HREF_SQ_RE",
 ]
 
 # tracking / click-id query parameters dropped by canonicalization
@@ -217,6 +222,138 @@ def url_dedup(
         "canonical_url", F.col(id_col), F.lit(1).cast("long").alias("n_copies")
     )
     return kept.unionByName(no_url)
+
+
+# href extraction (double- and single-quoted attribute values); both
+# patterns are in the Java∩RE2 subset so oracles replay them literally
+HREF_DQ_RE = r'href\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"href\s*=\s*'([^']*)'"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """Outlink harvesting — the crawl-frontier feed: one row per
+    ``href`` found in ``html_col`` as ``(id, href, url)`` where ``url``
+    is the resolved absolute link.
+
+    Resolution against ``base_url_col`` (when given): absolute
+    ``scheme://`` hrefs pass through; protocol-relative ``//host/...``
+    take the base's (lowercased) scheme; root-relative ``/path`` take
+    the base's ``scheme://authority`` origin. Everything else —
+    relative paths, ``mailto:``, ``javascript:``, empty — resolves to
+    NULL (callers filter; an unresolvable href is not a frontier
+    entry). Without a base column, only absolute hrefs resolve.
+
+    Map-only: regex extract + explode, zero shuffle. Downstream
+    canonicalization (:func:`canonical_url`) and per-domain grouping
+    are where the crawl loop dedups the frontier.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    hrefs = F.concat(
+        F.regexp_extract_all(h, F.lit(HREF_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(HREF_SQ_RE), F.lit(1)),
+    )
+    base_cols = [F.col(base_url_col)] if base_url_col else []
+    out = df.select(F.col(id_col), *base_cols, F.explode(hrefs).alias("href"))
+    absolute = F.col("href").rlike(_SCHEME_RE)
+    if base_url_col:
+        base = F.col(base_url_col)
+        scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+        auth = F.regexp_extract(base, _AUTH_RE, 1)
+        origin_ok = (scheme != "") & (auth != "")
+        resolved = (
+            F.when(absolute, F.col("href"))
+            .when(
+                F.col("href").startswith("//") & origin_ok,
+                F.concat(scheme, F.lit(":"), F.col("href")),
+            )
+            .when(
+                F.col("href").startswith("/")
+                & ~F.col("href").startswith("//")
+                & origin_ok,
+                F.concat(scheme, F.lit("://"), auth, F.col("href")),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+    else:
+        resolved = F.when(absolute, F.col("href")).otherwise(
+            F.lit(None).cast("string")
+        )
+    return out.select(F.col(id_col), "href", resolved.alias("url"))
+
+
+def domain_links(
+    df: DataFrame,
+    html_col: str = "text",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """The domain-level link graph: ``(src_domain, dst_domain,
+    n_links)`` edges from every resolvable href — the input to site
+    authority ranks (compose with ``graph.pagerank``), spam-cluster
+    detection, and crawl prioritization.
+
+    Shape at scale: href extraction is a map-only explode (text is
+    read once and never shuffled); only ``(src_domain, dst_domain)``
+    string pairs enter the single map-combined aggregate — the edge
+    table is domain²-bounded, orders of magnitude smaller than the
+    corpus."""
+    links = extract_links(
+        df.select(F.col(id_col), F.col(url_col), F.col(html_col)),
+        html_col=html_col,
+        id_col=id_col,
+        base_url_col=url_col,
+    )
+    src = df.select(
+        F.col(id_col),
+        url_domain(F.col(url_col), extra_suffixes).alias("src_domain"),
+    )
+    edges = (
+        links.filter(F.col("url").isNotNull())
+        .join(src, id_col)
+        .select(
+            "src_domain",
+            url_domain(F.col("url"), extra_suffixes).alias("dst_domain"),
+        )
+        .filter(F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull())
+    )
+    if not keep_self_loops:
+        edges = edges.filter(F.col("src_domain") != F.col("dst_domain"))
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def link_degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-domain degree card over a :func:`domain_links` edge table:
+    ``(domain, n_out_links, n_out_domains, n_in_links, n_in_domains)``
+    with zeros for pure sources/sinks. Two aggregates + one outer join
+    over the (already domain²-bounded) edge table — never touches the
+    corpus."""
+    out = edges.groupBy(F.col("src_domain").alias("domain")).agg(
+        F.sum("n_links").alias("n_out_links"),
+        F.count(F.lit(1)).alias("n_out_domains"),
+    )
+    inn = edges.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.sum("n_links").alias("n_in_links"),
+        F.count(F.lit(1)).alias("n_in_domains"),
+    )
+    return (
+        out.join(inn, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("n_out_links", F.lit(0)).cast("long").alias("n_out_links"),
+            F.coalesce("n_out_domains", F.lit(0)).cast("long").alias("n_out_domains"),
+            F.coalesce("n_in_links", F.lit(0)).cast("long").alias("n_in_links"),
+            F.coalesce("n_in_domains", F.lit(0)).cast("long").alias("n_in_domains"),
+        )
+    )
 
 
 def domain_stats(

@@ -154,3 +154,110 @@ def test_canonical_url_plan_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_extract_links_resolution(spark):
+    from pyspark.sql import Row
+
+    from energy_pandas_spark.operators.urls import extract_links
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                url="https://a.example.org/p/1",
+                text=(
+                    '<a href="https://hub.net/a/1">l</a> '
+                    "<a href='HTTP://WWW.b.co.uk:80/x'>m</a> "
+                    '<a href="/rel/3">r</a> <a href="//cdn.c.net/img">p</a> '
+                    '<a href="mailto:x@y.z">e</a> <a href="">q</a> '
+                    '<a href="rel2.html">s</a>'
+                ),
+            ),
+            # base does not parse: root-relative cannot resolve,
+            # absolute still passes through
+            Row(doc_id=2, url="not a url",
+                text='<a href="/only/rel">x</a> <a href="https://hub.net/b">y</a>'),
+            Row(doc_id=3, url="https://d.example.org/", text=None),
+        ]
+    )
+    rows = extract_links(df, base_url_col="url").collect()
+    resolved = {(r.doc_id, r.href): r.url for r in rows}
+    assert resolved[(1, "https://hub.net/a/1")] == "https://hub.net/a/1"
+    # single-quoted href captured; absolute passes through unchanged
+    assert resolved[(1, "HTTP://WWW.b.co.uk:80/x")] == "HTTP://WWW.b.co.uk:80/x"
+    # root-relative joins the base origin; protocol-relative takes its scheme
+    assert resolved[(1, "/rel/3")] == "https://a.example.org/rel/3"
+    assert resolved[(1, "//cdn.c.net/img")] == "https://cdn.c.net/img"
+    # mailto / empty / relative-path hrefs do not resolve
+    assert resolved[(1, "mailto:x@y.z")] is None
+    assert resolved[(1, "")] is None
+    assert resolved[(1, "rel2.html")] is None
+    assert resolved[(2, "/only/rel")] is None
+    assert resolved[(2, "https://hub.net/b")] == "https://hub.net/b"
+    # NULL html -> no rows
+    assert not [r for r in rows if r.doc_id == 3]
+
+
+def test_extract_links_is_map_only(spark):
+    from energy_pandas_spark.operators.urls import extract_links
+
+    df = spark.createDataFrame(
+        [(1, "https://a.org/", '<a href="/x">y</a>')],
+        "doc_id long, url string, text string",
+    )
+    plan = (
+        extract_links(df, base_url_col="url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_domain_links_and_degrees(spark):
+    from pyspark.sql import Row
+
+    from energy_pandas_spark.operators.urls import (
+        domain_links,
+        link_degree_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                url="https://a.example.org/p/1",
+                text=(
+                    '<a href="https://hub.net/a/1">l</a> '
+                    '<a href="https://hub.net/a/2">l2</a> '
+                    '<a href="/self">s</a>'
+                ),
+            ),
+            Row(doc_id=2, url="https://b.example.org/p/2",
+                text='<a href="https://hub.net/b">y</a>'),
+            # src without a parseable URL contributes no edges
+            Row(doc_id=3, url=None, text='<a href="https://hub.net/c">z</a>'),
+        ]
+    )
+    edges = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in domain_links(df).collect()
+    }
+    # a.example.org and b.example.org share the registrable domain
+    assert edges == {
+        ("example.org", "hub.net"): 3,
+        ("example.org", "example.org"): 1,
+    }
+    deg = {
+        r.domain: (r.n_out_links, r.n_out_domains, r.n_in_links, r.n_in_domains)
+        for r in link_degree_stats(domain_links(df)).collect()
+    }
+    assert deg["example.org"] == (4, 2, 1, 1)
+    assert deg["hub.net"] == (0, 0, 3, 1)
+    # dropping self-loops removes the intra-site edge
+    no_self = {
+        (r.src_domain, r.dst_domain)
+        for r in domain_links(df, keep_self_loops=False).collect()
+    }
+    assert no_self == {("example.org", "hub.net")}
