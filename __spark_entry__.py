@@ -8903,6 +8903,70 @@ ORDER BY domain
 """
 
 
+def shard_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted sequential shard assignment (operators/
+    sharding.py:sequential_shards): exclusive running n_chars in
+    doc_id order via the two-level distributed prefix sum — range
+    buckets + bucket-local windows + an n_buckets-row offset
+    aggregate; no global sort, no single-partition window. The oracle
+    is the naive global-window SQL: identical integers by
+    construction."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sharding import sequential_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sequential_shards(docs, "n_chars", "doc_id", target=20000)
+        .select("doc_id", "cum_before", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+_SHARD_PLAN_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM documents
+)
+SELECT doc_id, cum_before, (cum_before // 20000)::BIGINT AS shard_id
+FROM p ORDER BY doc_id
+"""
+
+
+def shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export manifest over the shard plan (operators/sharding.py:
+    shard_manifest): per-shard row/weight totals and the covered
+    doc_id range — one map-combined aggregate, shard-count-sized."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sharding import (
+        sequential_shards,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planned = sequential_shards(docs, "n_chars", "doc_id", target=20000)
+    return shard_manifest(planned, "n_chars", "doc_id").orderBy("shard_id")
+
+
+_SHARD_MANIFEST_SQL = r"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM documents
+)
+SELECT (cum_before // 20000)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_rows,
+       sum(n_chars)::BIGINT AS total_weight,
+       min(doc_id) AS first_order,
+       max(doc_id) AS last_order
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9057,6 +9121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": readability_docs,
         "link_graph_docs": link_graph_docs,
         "link_degrees_docs": link_degrees_docs,
+        "shard_plan_docs": shard_plan_docs,
+        "shard_manifest_docs": shard_manifest_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9266,6 +9332,8 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _READABILITY_SQL,
         "link_graph_docs": _LINK_GRAPH_SQL,
         "link_degrees_docs": _LINK_DEGREES_SQL,
+        "shard_plan_docs": _SHARD_PLAN_SQL,
+        "shard_manifest_docs": _SHARD_MANIFEST_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
