@@ -8967,6 +8967,70 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def domain_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site authority: integer PageRank (operators/graph.py:pagerank)
+    over the domain link graph — the crawl-prioritization composition
+    (extract_links -> domain_links -> pagerank). The deliberate hot
+    'hub.net' target must surface as the top-ranked domain; ranks are
+    pure scaled-integer arithmetic, replayed exactly by the unrolled
+    oracle iteration."""
+    _prep(spark)
+    from energy_pandas_spark.operators.graph import pagerank
+    from energy_pandas_spark.operators.urls import domain_links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = domain_links(_with_link_html(docs))
+    ranks = pagerank(
+        edges, src="src_domain", dst="dst_domain", weight="n_links", n_iter=10
+    )
+    return ranks.select(F.col("id").alias("domain"), "rank_q").orderBy(
+        F.desc("rank_q"), "domain"
+    )
+
+
+def _domain_rank_sql(n_iter: int = 10) -> str:
+    """Oracle: the link-edge CTE feeding the same unrolled integer
+    PageRank iteration as _event_graph_rank_sql."""
+    scale = 1 << 40
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT nd.u,
+         ((3 * ({scale} // nstat.n) + 17 * coalesce(s.s, 0)) // 20)::BIGINT
+           AS r
+  FROM nodes nd CROSS JOIN nstat
+  LEFT JOIN (
+    SELECT pe.v AS u, sum((rp.r * pe.w) // ow.ow)::BIGINT AS s
+    FROM pe
+    JOIN {prev} rp ON rp.u = pe.u
+    JOIN outw ow ON ow.u = pe.u
+    GROUP BY pe.v
+  ) s ON s.u = nd.u
+)"""
+        )
+        prev = f"r{k}"
+    iter_ctes = ",\n".join(its)
+    return rf"""
+WITH pages AS ({_LINK_EDGES_CTE}
+), pe AS (
+  SELECT src_domain AS u, dst_domain AS v, n_links AS w FROM edges
+), outw AS (
+  SELECT u, sum(w)::BIGINT AS ow FROM pe GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT u FROM (SELECT u FROM pe UNION ALL SELECT v AS u FROM pe)
+), nstat AS (
+  SELECT count(*)::BIGINT AS n FROM nodes
+), r0 AS (
+  SELECT u, ({scale} // nstat.n)::BIGINT AS r FROM nodes CROSS JOIN nstat
+),
+{iter_ctes}
+SELECT u AS domain, r AS rank_q
+FROM {prev} ORDER BY rank_q DESC, domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9123,6 +9187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees_docs": link_degrees_docs,
         "shard_plan_docs": shard_plan_docs,
         "shard_manifest_docs": shard_manifest_docs,
+        "domain_rank_docs": domain_rank_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9334,6 +9399,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees_docs": _LINK_DEGREES_SQL,
         "shard_plan_docs": _SHARD_PLAN_SQL,
         "shard_manifest_docs": _SHARD_MANIFEST_SQL,
+        "domain_rank_docs": _domain_rank_sql(),
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
