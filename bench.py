@@ -141,6 +141,14 @@ HEADLINE = [
     "cm_term_counts_docs",
     "domain_cap_docs",
     "chunk_docs_sentences",
+    # round-3 session-8 additions
+    "validate_docs",
+    "readability_docs",
+    "link_graph_docs",
+    "link_degrees_docs",
+    "domain_rank_docs",
+    "shard_plan_docs",
+    "shard_manifest_docs",
 ]
 
 

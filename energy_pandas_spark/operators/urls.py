@@ -235,6 +235,7 @@ def extract_links(
     html_col: str = "text",
     id_col: str = "doc_id",
     base_url_col: str | None = None,
+    keep_base: bool = False,
 ) -> DataFrame:
     """Outlink harvesting — the crawl-frontier feed: one row per
     ``href`` found in ``html_col`` as ``(id, href, url)`` where ``url``
@@ -251,6 +252,12 @@ def extract_links(
     Map-only: regex extract + explode, zero shuffle. Downstream
     canonicalization (:func:`canonical_url`) and per-domain grouping
     are where the crawl loop dedups the frontier.
+
+    ``keep_base`` retains the base URL in the output as ``base_url``
+    (aliased so it can never collide with the resolved ``url``
+    column) — callers deriving per-source columns (e.g.
+    :func:`domain_links`'s ``src_domain``) read it from the same row
+    instead of joining back to the corpus.
     """
     h = F.coalesce(F.col(html_col), F.lit(""))
     hrefs = F.concat(
@@ -283,7 +290,12 @@ def extract_links(
         resolved = F.when(absolute, F.col("href")).otherwise(
             F.lit(None).cast("string")
         )
-    return out.select(F.col(id_col), "href", resolved.alias("url"))
+    keep = (
+        [F.col(base_url_col).alias("base_url")]
+        if (keep_base and base_url_col)
+        else []
+    )
+    return out.select(F.col(id_col), *keep, "href", resolved.alias("url"))
 
 
 def domain_links(
@@ -300,7 +312,9 @@ def domain_links(
     detection, and crawl prioritization.
 
     Shape at scale: href extraction is a map-only explode (text is
-    read once and never shuffled); only ``(src_domain, dst_domain)``
+    read once and never shuffled — ``src_domain`` derives from the
+    base URL carried on the SAME row, so there is no join back to the
+    corpus and no second scan); only ``(src_domain, dst_domain)``
     string pairs enter the single map-combined aggregate — the edge
     table is domain²-bounded, orders of magnitude smaller than the
     corpus."""
@@ -309,16 +323,12 @@ def domain_links(
         html_col=html_col,
         id_col=id_col,
         base_url_col=url_col,
-    )
-    src = df.select(
-        F.col(id_col),
-        url_domain(F.col(url_col), extra_suffixes).alias("src_domain"),
+        keep_base=True,
     )
     edges = (
         links.filter(F.col("url").isNotNull())
-        .join(src, id_col)
         .select(
-            "src_domain",
+            url_domain(F.col("base_url"), extra_suffixes).alias("src_domain"),
             url_domain(F.col("url"), extra_suffixes).alias("dst_domain"),
         )
         .filter(F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull())

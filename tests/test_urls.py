@@ -261,3 +261,17 @@ def test_domain_links_and_degrees(spark):
         for r in domain_links(df, keep_self_loops=False).collect()
     }
     assert no_self == {("example.org", "hub.net")}
+
+
+def test_domain_links_single_scan_no_join(spark):
+    from energy_pandas_spark.operators.urls import domain_links
+
+    df = spark.createDataFrame(
+        [(1, "https://a.org/", '<a href="https://b.net/x">y</a>')],
+        "doc_id long, url string, text string",
+    )
+    plan = domain_links(df)._jdf.queryExecution().executedPlan().toString()
+    # src_domain comes from the same row as the hrefs: one pass over
+    # the corpus, no join back, one map-combined edge aggregate
+    assert "Join" not in plan and "Python" not in plan
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
