@@ -9032,6 +9032,231 @@ FROM {prev} ORDER BY rank_q DESC, domain
 
 
 # ---------------------------------------------------------------------------
+# robots.txt: parse + crawl gate (operators/robots.py)
+# ---------------------------------------------------------------------------
+
+# four robots.txt templates covering the spec's group/agent/wildcard
+# semantics; domain k gets template k % 4. Kept byte-identical to the
+# DuckDB e'...' literals in _ROBOTS_CORPUS_CTE.
+_ROBOTS_TEMPLATES = [
+    (
+        "# robots for site\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /tmp*\n"
+        "Disallow:\n"
+        "\n"
+        "Sitemap: https://example.com/sitemap.xml\n"
+    ),
+    (
+        "User-agent: ccbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /\n"
+    ),
+    (
+        "User-agent: ccbot\n"
+        "User-agent: gptbot\n"
+        "Disallow: /*.php$\n"
+        "Disallow: /search?q=*\n"
+        "Allow: /search?q=ok$\n"
+    ),
+    (
+        "Disallow: /orphan\r\n"
+        "USER-AGENT: *   # annotated\r\n"
+        "DISALLOW: /a/\r\n"
+        "allow: /a/b/\r\n"
+    ),
+]
+
+
+def _synth_robots(spark: SparkSession):
+    """Deterministic synthetic robots corpus: 50 sites, template by
+    k % 4 (star groups, specific-agent groups, consecutive UA lines,
+    wildcards/$ anchors, CRLF + case + comment noise, orphan rules)."""
+    texts = F.array(*[F.lit(t) for t in _ROBOTS_TEMPLATES])
+    return spark.range(50).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.element_at(texts, (F.col("id") % 4 + 1).cast("int")).alias("text"),
+    )
+
+
+def robots_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (operators/robots.py:parse_robots) for agent
+    'ccbot' over the synthetic robots corpus: RFC 9309 group structure
+    (consecutive User-agent lines share one group, a User-agent line
+    after rules opens a new one, pre-group rules are ignored) and
+    most-specific-wins agent selection (a named 'ccbot' group silences
+    the '*' groups). Comment strip, CRLF fold, case-insensitive
+    directives, empty-Disallow drop. One posexplode + per-site windows
+    — never a single-partition window."""
+    _prep(spark)
+    from energy_pandas_spark.operators.robots import parse_robots
+
+    robots = _synth_robots(spark)
+    return parse_robots(robots, agent="ccbot").orderBy(
+        "domain", "allow", "path"
+    )
+
+
+_ROBOTS_CORPUS_CTE = r"""
+  SELECT 'site' || k::VARCHAR || '.com' AS domain,
+         CASE k % 4
+           WHEN 0 THEN e'# robots for site\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\nDisallow: /tmp*\nDisallow:\n\nSitemap: https://example.com/sitemap.xml\n'
+           WHEN 1 THEN e'User-agent: ccbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n'
+           WHEN 2 THEN e'User-agent: ccbot\nUser-agent: gptbot\nDisallow: /*.php$\nDisallow: /search?q=*\nAllow: /search?q=ok$\n'
+           ELSE e'Disallow: /orphan\r\nUSER-AGENT: *   # annotated\r\nDISALLOW: /a/\r\nallow: /a/b/\r\n'
+         END AS text
+  FROM range(50) t(k)
+"""
+
+# the DuckDB twin of operators/robots.py:parse_robots (agent 'ccbot')
+# — the LITERAL same Java∩RE2 regexes and window algebra
+_ROBOTS_RULES_CTE = r"""
+  SELECT domain,
+         generate_subscripts(l, 1) AS idx,
+         trim(regexp_replace(unnest(l), '#.*$', '')) AS line
+  FROM (SELECT domain,
+               string_split(replace(text, chr(13), ''), chr(10)) AS l
+        FROM rb)
+), fl AS (
+  SELECT domain, idx, line,
+    regexp_matches(line, '(?i)^user-agent\s*:') AS is_ua,
+    lower(trim(regexp_extract(line, '(?i)^user-agent\s*:(.*)$', 1))) AS ua,
+    regexp_matches(line, '(?i)^(dis)?allow\s*:') AS is_rule,
+    regexp_matches(line, '(?i)^allow\s*:') AS is_allow,
+    trim(regexp_extract(line, '(?i)^(dis)?allow\s*:(.*)$', 2)) AS path
+  FROM ln
+), g0 AS (
+  SELECT *, coalesce(
+    lag(is_ua) OVER (PARTITION BY domain ORDER BY idx), false) AS prev_ua
+  FROM fl
+), g AS (
+  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+    OVER (PARTITION BY domain ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+  FROM g0
+), sc AS (
+  SELECT *,
+    max(CASE WHEN is_ua AND ua = '*' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY domain, grp) AS has_star,
+    max(CASE WHEN is_ua AND ua = 'ccbot' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY domain, grp) AS has_agent,
+    max(CASE WHEN is_ua AND ua = 'ccbot' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY domain) AS any_specific
+  FROM g
+), rules AS (
+  SELECT domain, is_allow AS allow, path, len(path)::INT AS rule_len
+  FROM sc
+  WHERE is_rule AND grp >= 1 AND path != ''
+    AND (has_agent = 1 OR (has_star = 1 AND any_specific = 0))
+"""
+
+_ROBOTS_RULES_SQL = rf"""
+WITH rb AS ({_ROBOTS_CORPUS_CTE}
+), ln AS ({_ROBOTS_RULES_CTE}
+)
+SELECT domain, allow, path, rule_len
+FROM rules ORDER BY domain, allow, path
+"""
+
+
+def robots_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission gating (operators/robots.py:apply_robots):
+    pages on the 50 synthetic robots sites, longest-raw-path rule wins
+    with Allow beating Disallow on ties; unmatched pages (and sites
+    with no applicable rules) stay allowed. One corpus x broadcast-
+    rules equi-join on the site key + LIKE-pattern match (robots ``*``
+    -> ``%``, trailing ``$`` anchors) + one argmax aggregate — page
+    text never enters the rule join."""
+    _prep(spark)
+    from energy_pandas_spark.operators.robots import apply_robots, parse_robots
+
+    rules = parse_robots(_synth_robots(spark), agent="ccbot")
+    docs = _t(spark, sf_dir, "documents")
+    paths = F.array(
+        F.lit("/private/x"),
+        F.lit("/private/ok/x"),
+        F.lit("/tmp123"),
+        F.lit("/index.php"),
+        F.lit("/index.php?x=1"),
+        F.lit("/search?q=cats"),
+        F.lit("/a/b/c"),
+        F.lit("/search?q=ok"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com"),
+            F.element_at(paths, (F.col("doc_id") % 8 + 1).cast("int")),
+        ).alias("url"),
+    )
+    return apply_robots(pages, F.broadcast(rules)).orderBy("doc_id")
+
+
+_ROBOTS_GATE_SQL = rf"""
+WITH rb AS ({_ROBOTS_CORPUS_CTE}
+), ln AS ({_ROBOTS_RULES_CTE}
+), pg AS (
+  SELECT doc_id,
+         'https://site' || (doc_id % 50)::VARCHAR || '.com' ||
+         CASE doc_id % 8
+           WHEN 0 THEN '/private/x'
+           WHEN 1 THEN '/private/ok/x'
+           WHEN 2 THEN '/tmp123'
+           WHEN 3 THEN '/index.php'
+           WHEN 4 THEN '/index.php?x=1'
+           WHEN 5 THEN '/search?q=cats'
+           WHEN 6 THEN '/a/b/c'
+           ELSE '/search?q=ok'
+         END AS url
+  FROM documents
+), tg AS (
+  -- the apply_robots URL decomposition (url_domain of a 2-label host
+  -- is the www-stripped host itself; path defaults to '/', ?query
+  -- rides the match target)
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_extract(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+      '^(?:[^@]*@)?([^:]*)', 1)), '^www\.', '') AS pkey,
+    (CASE WHEN regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+          THEN '/' ELSE regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END)
+    || (CASE WHEN regexp_extract(url, '^[^#]*\?([^#]*)', 1) = ''
+             THEN '' ELSE '?' || regexp_extract(url, '^[^#]*\?([^#]*)', 1)
+        END) AS target
+  FROM pg
+), m AS (
+  SELECT t.doc_id, r.allow, r.path,
+    row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY r.rule_len DESC, r.allow DESC, r.path DESC)
+      AS rn
+  FROM tg t JOIN rules r ON r.domain = t.pkey
+  WHERE t.target LIKE (
+    CASE WHEN right(r.path, 1) = '$'
+         THEN replace(replace(replace(replace(
+                substr(r.path, 1, len(r.path) - 1),
+                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+         ELSE replace(replace(replace(replace(
+                r.path,
+                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') || '%'
+    END) ESCAPE '\'
+)
+SELECT p.doc_id, p.url,
+       coalesce(m.allow, true) AS allowed,
+       m.path AS matched_rule
+FROM tg p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -9188,6 +9413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan_docs": shard_plan_docs,
         "shard_manifest_docs": shard_manifest_docs,
         "domain_rank_docs": domain_rank_docs,
+        "robots_rules_docs": robots_rules_docs,
+        "robots_gate_docs": robots_gate_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9400,6 +9627,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan_docs": _SHARD_PLAN_SQL,
         "shard_manifest_docs": _SHARD_MANIFEST_SQL,
         "domain_rank_docs": _domain_rank_sql(),
+        "robots_rules_docs": _ROBOTS_RULES_SQL,
+        "robots_gate_docs": _ROBOTS_GATE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
