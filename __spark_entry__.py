@@ -9256,6 +9256,54 @@ ORDER BY p.doc_id
 """
 
 
+def fetch_waves_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl scheduling (operators/urls.py:
+    plan_fetch_waves): at most one URL per registrable domain per
+    wave (rank by priority desc, url asc), every domain pinned to one
+    fetcher slot by stable md5 bucket, per-domain queues capped at
+    max_waves=5 via the engine's two-stage bounded top-k (no unbounded
+    per-domain window task). The oracle derives the domain from the
+    same synthetic construction (clean two-label hosts make url_domain
+    the identity on 'siteK.com')."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import plan_fetch_waves
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 17).alias("n_refs"),
+    )
+    return plan_fetch_waves(frontier, n_workers=8, max_waves=5).orderBy(
+        "domain", "wave"
+    )
+
+
+_FETCH_WAVES_SQL = r"""
+WITH fr AS (
+  SELECT 'https://site' || (doc_id % 25)::VARCHAR || '.com/p/'
+           || doc_id::VARCHAR AS url,
+         'site' || (doc_id % 25)::VARCHAR || '.com' AS domain,
+         (doc_id % 17)::BIGINT AS priority
+  FROM documents
+), r AS (
+  SELECT url, domain, priority,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY priority DESC, url ASC) AS wave
+  FROM fr
+)
+SELECT url, domain, priority,
+       (('0x' || substr(md5('crawl-v1:' || domain), 1, 15))::BIGINT % 8)::INT
+         AS worker,
+       wave::INT AS wave
+FROM r WHERE wave <= 5 ORDER BY domain, wave
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9415,6 +9463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank_docs": domain_rank_docs,
         "robots_rules_docs": robots_rules_docs,
         "robots_gate_docs": robots_gate_docs,
+        "fetch_waves_docs": fetch_waves_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9629,6 +9678,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_rank_docs": _domain_rank_sql(),
         "robots_rules_docs": _ROBOTS_RULES_SQL,
         "robots_gate_docs": _ROBOTS_GATE_SQL,
+        "fetch_waves_docs": _FETCH_WAVES_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

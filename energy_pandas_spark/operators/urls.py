@@ -49,6 +49,7 @@ __all__ = [
     "extract_links",
     "domain_links",
     "link_degree_stats",
+    "plan_fetch_waves",
     "TRACKING_PARAM_RE",
     "MULTIPART_SUFFIXES",
     "HREF_DQ_RE",
@@ -363,6 +364,77 @@ def link_degree_stats(edges: DataFrame) -> DataFrame:
             F.coalesce("n_in_links", F.lit(0)).cast("long").alias("n_in_links"),
             F.coalesce("n_in_domains", F.lit(0)).cast("long").alias("n_in_domains"),
         )
+    )
+
+
+def plan_fetch_waves(
+    frontier: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "n_refs",
+    n_workers: int = 64,
+    max_waves: int = 10_000,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Politeness-aware fetch schedule over a frontier: ``(url, domain,
+    priority, worker, wave)`` where wave ``w`` holds at most ONE URL
+    per registrable domain (rank within the domain by priority desc,
+    url asc) and ``worker`` pins every domain to one fetcher slot
+    (stable md5 bucket — connection reuse and per-host rate limiting
+    live on one worker; domains spread uniformly across slots). URLs
+    whose domain does not parse are dropped — an unaddressable target
+    is not schedulable.
+
+    ``max_waves`` caps each domain's queue: with any realistic crawl
+    delay, wave numbers beyond ~10k are beyond the fetch horizon, and
+    the cap is what makes the per-domain ranking scale-safe — the
+    rank runs as the engine's two-stage bounded top-k (a local rank
+    per (domain, input partition) prunes to ``max_waves`` survivors
+    per partition before the global per-domain rank), so a
+    mega-domain's queue never piles into one unbounded task."""
+    if n_workers <= 0:
+        raise ValueError(f"n_workers must be positive, got {n_workers}")
+    if max_waves <= 0:
+        raise ValueError(f"max_waves must be positive, got {max_waves}")
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    dom = url_domain(F.col(url_col), extra_suffixes)
+    slim = (
+        frontier.select(
+            F.col(url_col).alias("url"),
+            dom.alias("domain"),
+            F.coalesce(F.col(priority_col), F.lit(0)).cast("long").alias(
+                "priority"
+            ),
+        )
+        .filter(F.col("domain").isNotNull())
+    )
+    order = [F.desc("priority"), F.asc("url")]
+    local = (
+        slim.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("domain", "__pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__lr") <= max_waves)
+        .drop("__lr", "__pid")
+    )
+    return (
+        local.withColumn(
+            "wave",
+            F.row_number().over(Window.partitionBy("domain").orderBy(*order)),
+        )
+        .filter(F.col("wave") <= max_waves)
+        .withColumn(
+            "worker",
+            hash_bucket(
+                F.concat(F.lit("crawl-v1:"), F.col("domain")), n_workers
+            ),
+        )
+        .select("url", "domain", "priority", "worker", "wave")
     )
 
 

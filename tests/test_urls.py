@@ -275,3 +275,61 @@ def test_domain_links_single_scan_no_join(spark):
     # the corpus, no join back, one map-combined edge aggregate
     assert "Join" not in plan and "Python" not in plan
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_plan_fetch_waves_politeness_and_priority(spark):
+    from energy_pandas_spark.operators.urls import plan_fetch_waves
+
+    rows = [
+        # big.org: priorities 5,3,3,1 -> waves by (prio desc, url asc)
+        ("https://big.org/a", 3),
+        ("https://big.org/b", 5),
+        ("https://big.org/c", 3),
+        ("https://big.org/d", 1),
+        ("https://small.net/only", 2),
+        ("not a url", 9),  # unparseable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, n_refs long")
+    out = plan_fetch_waves(df, n_workers=8).collect()
+    got = {r.url: (r.domain, r.priority, r.wave) for r in out}
+    assert "not a url" not in got
+    assert got["https://big.org/b"] == ("big.org", 5, 1)
+    assert got["https://big.org/a"] == ("big.org", 3, 2)
+    assert got["https://big.org/c"] == ("big.org", 3, 3)
+    assert got["https://big.org/d"] == ("big.org", 1, 4)
+    assert got["https://small.net/only"] == ("small.net", 2, 1)
+    # one URL per (domain, wave); worker stable per domain, in range
+    assert len({(r.domain, r.wave) for r in out}) == len(out)
+    workers = {}
+    for r in out:
+        assert 0 <= r.worker < 8
+        assert workers.setdefault(r.domain, r.worker) == r.worker
+
+
+def test_plan_fetch_waves_cap_and_partitioning_invariance(spark):
+    from energy_pandas_spark.operators.urls import plan_fetch_waves
+
+    rows = [(f"https://cap.org/{i:03d}", i % 7) for i in range(40)] + [
+        (f"https://other.io/{i}", i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string, n_refs long")
+    out1 = plan_fetch_waves(df, max_waves=5, n_workers=4)
+    got1 = sorted((r.domain, r.wave, r.url) for r in out1.collect())
+    # cap: cap.org keeps exactly max_waves rows, other.io all 3
+    assert sum(1 for d, _, _ in got1 if d == "cap.org") == 5
+    assert sum(1 for d, _, _ in got1 if d == "other.io") == 3
+    # the two-stage bounded rank is split-plan invariant
+    out2 = plan_fetch_waves(df.repartition(7), max_waves=5, n_workers=4)
+    assert got1 == sorted((r.domain, r.wave, r.url) for r in out2.collect())
+
+
+def test_plan_fetch_waves_validation(spark):
+    import pytest as _pytest
+
+    from energy_pandas_spark.operators.urls import plan_fetch_waves
+
+    df = spark.createDataFrame([("https://a.org/x", 1)], "url string, n_refs long")
+    with _pytest.raises(ValueError):
+        plan_fetch_waves(df, n_workers=0)
+    with _pytest.raises(ValueError):
+        plan_fetch_waves(df, max_waves=0)
