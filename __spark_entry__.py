@@ -9304,6 +9304,87 @@ FROM r WHERE wave <= 5 ORDER BY domain, wave
 """
 
 
+def hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-term estimates per language
+    (operators/sketches.py:hll_registers/hll_estimate): md5-hex-prefix
+    registers, integer harmonic state, small-range linear counting via
+    an exact in-plan integer lookup (quantize=1024 — JVM and libm ln
+    disagree by 1 ulp on ~7% of inputs, so the runtime-ln branch can't
+    sit under the hash gate; the table can). The DuckDB oracle REPLAYS
+    the sketch bit-for-bit, hash collisions included (the
+    cm_term_counts_docs precedent: an approximate sketch under the
+    full value-hash gate, unlike the rows-only DataSketches queries).
+    One explode + map-combined (lang, bucket) max aggregate — at most
+    256 register rows per language ever shuffle."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("term"),
+    )
+    regs = hll_registers(toks, "term", by="lang", lgm=8)
+    return hll_estimate(regs, by="lang", lgm=8, quantize=1024).orderBy("lang")
+
+
+def _hll_distinct_sql(lgm: int = 8, quantize: int = 1024) -> str:
+    """Oracle: replay the md5 registers, the exact integer harmonic
+    state, and the SAME linear-counting lookup table hll_estimate
+    builds (both sides derive it from Python libm once)."""
+    import math
+
+    from energy_pandas_spark.util import round_half_away
+
+    m = 1 << lgm
+    b = 60 - lgm
+    table = ", ".join(
+        str(round_half_away(quantize * m * math.log(m / v)))
+        for v in range(1, m + 1)
+    )
+    scale = repr(float(m * m * (1 << (b + 1))))
+    return rf"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\s+'), x -> x != '')) AS term
+  FROM documents
+), h AS (
+  SELECT lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS v FROM tok
+), br AS (
+  SELECT lang, (v % {m})::INT AS bucket,
+         (CASE WHEN (v >> {lgm}) = 0 THEN {b + 1}
+               ELSE {b} - (length(bin(v >> {lgm})) - 1) END)::INT AS rho
+  FROM h
+), regs AS (
+  SELECT lang, bucket, max(rho) AS r FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS present,
+         sum(1::BIGINT << ({b + 1} - r))::BIGINT AS zp
+  FROM regs GROUP BY 1
+), st AS (
+  SELECT lang, ({m} - present)::BIGINT AS n_zero,
+         (zp + ({m} - present) * (1::BIGINT << {b + 1}))::BIGINT AS z_scaled
+  FROM agg
+), est AS (
+  SELECT lang, n_zero, z_scaled,
+         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {float(m)!r}::DOUBLE))
+           * {scale} / z_scaled::DOUBLE AS raw
+  FROM st
+)
+SELECT lang, {m} AS m, n_zero, z_scaled,
+       CASE WHEN raw <= {2.5 * m!r} AND n_zero > 0
+            THEN ([{table}])[n_zero::INT]::BIGINT
+            ELSE round(raw * {float(quantize)!r})::BIGINT
+       END AS est_distinct_q
+FROM est ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9464,6 +9545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules_docs": robots_rules_docs,
         "robots_gate_docs": robots_gate_docs,
         "fetch_waves_docs": fetch_waves_docs,
+        "hll_distinct_docs": hll_distinct_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9679,6 +9761,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules_docs": _ROBOTS_RULES_SQL,
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         "fetch_waves_docs": _FETCH_WAVES_SQL,
+        "hll_distinct_docs": _hll_distinct_sql(),
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -32,6 +32,9 @@ __all__ = [
     "cm_merge",
     "cm_query",
     "cm_md5_hasher",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 
@@ -265,4 +268,154 @@ def cm_query(
                 out_col
             )
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (md5 registers — replayable by any SQL engine)
+# ---------------------------------------------------------------------------
+#
+# The DataSketches HLL path above is the fast production sketch, but
+# its binary blobs are opaque to other engines. This variant keeps the
+# sketch as a SPARSE register table (group keys..., bucket, r) built
+# from the package's md5-hex-prefix hash — the same engine-portable
+# scheme as cm_md5_hasher / sampling.hash_bucket — so a DuckDB oracle
+# REPLAYS the sketch bit-for-bit, hash collisions included, and the
+# estimate itself sits under the value-hash gate (integer register
+# state + ONE IEEE division both engines evaluate identically).
+#
+# Register algebra (classic Flajolet HLL): the 60-bit md5 value v
+# splits into bucket = v % m (m = 2^lgm) and a B = 60 - lgm bit word
+# w = v div m; rho(w) = position of the leftmost 1-bit in the B-bit
+# word (B + 1 for w = 0); register r_j = max rho over the bucket.
+# Merge = max per (keys, bucket), BIT-equal to a single-shot build.
+# The raw estimate is alpha_m * m^2 / sum_j 2^(-r_j); absent buckets
+# contribute 2^0. Scaling the harmonic sum by 2^(B+1) keeps it an
+# exact BIGINT: z_scaled = sum_present 2^(B+1-r_j)
+#                          + (m - present) * 2^(B+1)   <= m * 2^(B+1).
+#
+# hll_estimate emits the raw-HLL estimate only (no small/large-range
+# correction branch: linear counting needs ln(), whose libm rounding
+# is engine-specific — n_zero is in the output so callers can apply
+# m * ln(m / n_zero) themselves when est < 2.5 m). Relative standard
+# error ~= 1.04 / sqrt(m) (~6.5% at the default lgm = 8).
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    lgm: int = 8,
+) -> DataFrame:
+    """Reduce each group to its sparse HLL register table ``(keys...,
+    bucket, r)`` (at most ``2^lgm`` rows per group). One map-combined
+    hash aggregate — the shuffle carries (bucket, partial max) ints,
+    never the values; duplicates collapse map-side by construction."""
+    if not 4 <= lgm <= 16:
+        raise ValueError(f"lgm must be in [4, 16], got {lgm}")
+    keys = _keys(by)
+    b = 60 - lgm
+    v = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = (v % F.lit(1 << lgm)).cast("int")
+    # exact floor-div by 2^lgm: a right shift (v / m in DOUBLE would
+    # lose bits — v has up to 60 significant bits, doubles carry 53)
+    w = F.shiftright(v, lgm)
+    rho = (
+        F.when(w == 0, F.lit(b + 1))
+        .otherwise(F.lit(b) - (F.length(F.bin(w)) - 1))
+        .cast("int")
+    )
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("__rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("__rho").alias("r"))
+    )
+
+
+def hll_merge(
+    registers: DataFrame,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge register tables up a hierarchy level: one integer max on
+    (keys..., bucket) — bit-equal to building one register table over
+    the union of the inputs."""
+    keys = _keys(by)
+    return registers.groupBy(*keys, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    by: str | Sequence[str] | None = None,
+    lgm: int = 8,
+    out_col: str = "est_distinct",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Read a register table out to ``(keys..., m, n_zero, z_scaled,
+    est_distinct)``: exact integer sketch state plus the estimate with
+    the standard small-range correction — linear counting
+    ``m * ln(m / V)`` when the raw estimate falls under ``2.5 m`` and
+    zero registers remain (raw HLL overestimates ~10x in that regime).
+    ``lgm`` MUST match the build.
+
+    Portability: the raw branch is one IEEE expression over exact
+    integers — bit-identical on any engine. The linear-counting branch
+    calls runtime ``ln``, where JVM ``Math.log`` and C libm disagree by
+    1 ulp on ~7% of inputs (measured) — so with ``quantize`` set the
+    output column becomes ``<out_col>_q``: BIGINT
+    ``round(quantize * est)`` where the linear-counting values come
+    from an EXACT in-plan integer lookup table over the m possible
+    ``V`` values (built driver-side with Python's libm, replayable as
+    a list literal by any engine) and the raw branch rounds a double
+    both engines already agree on bit-for-bit — no float leaves the
+    plan, hash-gate safe. Quantized mode needs ``lgm <= 10`` (the
+    lookup literal is m entries)."""
+    keys = _keys(by)
+    m = 1 << lgm
+    b = 60 - lgm
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    scale = F.lit(float(m * m * (1 << (b + 1))))  # exact: a power of two
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b + 1} - r)")).alias(
+            "__zp"
+        ),
+    )
+    z = (
+        F.col("__zp")
+        + (F.lit(m) - F.col("__present")) * F.lit(1 << (b + 1)).cast("long")
+    ).cast("long")
+    nz = (F.lit(m) - F.col("__present")).cast("long")
+    raw = alpha * scale / z.cast("double")
+    small = (raw <= F.lit(2.5 * m)) & (nz > 0)
+    if quantize is None:
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / nz.cast("double"))
+        est = F.when(small, lc).otherwise(raw).alias(out_col)
+    else:
+        if lgm > 10:
+            raise ValueError(
+                f"quantized estimates need lgm <= 10, got {lgm}"
+            )
+        import math
+
+        from energy_pandas_spark.util import round_half_away
+
+        lc_table = F.array(
+            *[
+                F.lit(round_half_away(quantize * m * math.log(m / v))).cast(
+                    "long"
+                )
+                for v in range(1, m + 1)
+            ]
+        )
+        lc_q = F.element_at(lc_table, nz.cast("int"))
+        raw_q = F.round(raw * F.lit(float(quantize))).cast("long")
+        est = F.when(small, lc_q).otherwise(raw_q).alias(out_col + "_q")
+    return agg.select(
+        *keys,
+        F.lit(m).alias("m"),
+        nz.alias("n_zero"),
+        z.alias("z_scaled"),
+        est,
     )

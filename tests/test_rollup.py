@@ -402,3 +402,137 @@ def test_continuous_cm_partials_and_replay(spark, tmp_path):
     again = {r.term: r.cm_est for r in cm_query(
         read_cm(spark, path), qs, "term", depth=4, width=1024).collect()}
     assert again == est
+
+
+class TestPortableHLL:
+    def _df(self, spark, n=5000, dups=3):
+        # n distinct values, each appearing `dups` times
+        return (
+            spark.range(n * dups)
+            .select((F.col("id") % n).alias("v"))
+            .select(F.concat(F.lit("user-"), F.col("v")).alias("v"))
+        )
+
+    def test_estimate_within_rse_bound(self, spark):
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 5000
+        regs = hll_registers(self._df(spark, n), "v", lgm=8)
+        row = hll_estimate(regs, lgm=8).collect()[0]
+        assert row.m == 256
+        # raw HLL rse ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert abs(row.est_distinct - n) / n < 0.26
+        # duplicates must not move the registers at all
+        regs2 = hll_registers(self._df(spark, n, dups=1), "v", lgm=8)
+        assert sorted(map(tuple, regs.collect())) == sorted(
+            map(tuple, regs2.collect())
+        )
+
+    def test_merge_bit_equal_to_single_shot(self, spark):
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        df = self._df(spark, 2000, dups=1)
+        a = df.filter(F.col("v") < "user-3")
+        b = df.filter(F.col("v") >= "user-3")
+        merged = hll_merge(
+            hll_registers(a, "v").unionByName(hll_registers(b, "v"))
+        )
+        single = hll_registers(df, "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, single.collect())
+        )
+        e1 = hll_estimate(merged).collect()[0]
+        e2 = hll_estimate(single).collect()[0]
+        assert (e1.z_scaled, e1.n_zero, e1.est_distinct) == (
+            e2.z_scaled,
+            e2.n_zero,
+            e2.est_distinct,
+        )
+
+    def test_registers_match_python_replay(self, spark):
+        import hashlib
+
+        from energy_pandas_spark.operators.sketches import hll_registers
+
+        vals = [f"k{i}" for i in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        regs = {}
+        for v in vals:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            bucket, w = h % 256, h >> 8
+            # leftmost-1 position in the 52-bit word (53 when w == 0)
+            rho = 53 - w.bit_length() if w else 53
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        spark_regs = {
+            r.bucket: r.r for r in hll_registers(df, "v", lgm=8).collect()
+        }
+        assert spark_regs == regs
+
+    def test_grouped_registers_and_lgm_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x")], "g string, v string"
+        )
+        est = {
+            r.g: r
+            for r in hll_estimate(
+                hll_registers(df, "v", by="g"), by="g"
+            ).collect()
+        }
+        assert set(est) == {"a", "b"}
+        assert est["a"].n_zero == 254 and est["b"].n_zero == 255
+        with _pytest.raises(ValueError):
+            hll_registers(df, "v", lgm=3)
+
+    def test_small_range_linear_counting(self, spark):
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 20
+        regs = hll_registers(self._df(spark, n), "v", lgm=8)
+        # runtime-ln branch: small cardinalities come back near-exact
+        row = hll_estimate(regs, lgm=8).collect()[0]
+        assert abs(row.est_distinct - n) / n < 0.15
+        # quantized branch: integer output, same accuracy, and the
+        # lookup value equals the Python replay of m*ln(m/V)
+        rq = hll_estimate(regs, lgm=8, quantize=1024).collect()[0]
+        import math
+
+        from energy_pandas_spark.util import round_half_away
+
+        expect = round_half_away(1024 * 256 * math.log(256 / rq.n_zero))
+        assert rq.est_distinct_q == expect
+        assert abs(rq.est_distinct_q / 1024 - n) / n < 0.15
+
+    def test_quantized_raw_branch_and_lgm_guard(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 5000  # raw branch (est > 2.5 m)
+        regs = hll_registers(self._df(spark, n), "v", lgm=8)
+        r = hll_estimate(regs, lgm=8).collect()[0]
+        rq = hll_estimate(regs, lgm=8, quantize=1024).collect()[0]
+        from energy_pandas_spark.util import round_half_away
+
+        assert rq.est_distinct_q == round_half_away(1024 * r.est_distinct)
+        with _pytest.raises(ValueError):
+            hll_estimate(regs, lgm=12, quantize=1024)
