@@ -9385,6 +9385,91 @@ FROM est ORDER BY lang
 """
 
 
+def pack_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency card (operators/packing.py:packing_stats)
+    over the same 256-token / 8-bucket layout pack_sequences_docs
+    verifies: total tokens, sequences, tail-padding waste and integer
+    utilization permille, in one corpus scan + two tiny aggregates
+    (all waste in concatenate-and-chunk is per-bucket tails)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", budget=256, n_buckets=8)
+    return packing_stats(packed, "n_tokens", budget=256)
+
+
+_PACK_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != ''))::BIGINT AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8)::INT
+           AS pack_bucket
+  FROM documents
+), per AS (
+  SELECT pack_bucket, count(*)::BIGINT AS docs, sum(n_tokens)::BIGINT AS t,
+         ((sum(n_tokens) + 255) // 256)::BIGINT AS seqs
+  FROM toks GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets_used,
+       sum(docs)::BIGINT AS n_docs,
+       sum(t)::BIGINT AS total_tokens,
+       sum(seqs)::BIGINT AS n_seqs,
+       (sum(seqs) * 256)::BIGINT AS capacity,
+       (sum(seqs) * 256 - sum(t))::BIGINT AS waste_tokens,
+       ((1000 * sum(t)) // (sum(seqs) * 256))::BIGINT AS utilization_permille
+FROM per
+"""
+
+
+def token_length_hist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two histogram of document token counts
+    (operators/diagnostics.py:length_histogram): bucket b holds counts
+    in [2^b, 2^(b+1)) via exact integer floor(log2) — length(bin(v))-1,
+    no float log — so the distribution card is engine-portable. One
+    map-combined aggregate, ~64 rows per language out."""
+    _prep(spark)
+    from energy_pandas_spark.operators.diagnostics import length_histogram
+    from energy_pandas_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return length_histogram(docs, "n_tokens", by="lang").orderBy(
+        "lang", "bucket"
+    )
+
+
+_TOKEN_LENGTH_HIST_SQL = r"""
+WITH tc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != ''))::BIGINT AS v
+  FROM documents
+), b AS (
+  SELECT lang,
+         (CASE WHEN v <= 0 THEN -1 ELSE length(bin(v)) - 1 END)::INT AS bucket,
+         v
+  FROM tc
+)
+SELECT lang, bucket,
+       (CASE WHEN bucket < 0 THEN 0 ELSE (1::BIGINT << bucket) END)::BIGINT
+         AS lo,
+       (CASE WHEN bucket < 0 THEN 0
+             ELSE (1::BIGINT << (bucket + 1)) - 1 END)::BIGINT AS hi,
+       count(*)::BIGINT AS n_rows,
+       sum(v)::BIGINT AS sum_value
+FROM b GROUP BY 1, 2 ORDER BY lang, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9546,6 +9631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate_docs": robots_gate_docs,
         "fetch_waves_docs": fetch_waves_docs,
         "hll_distinct_docs": hll_distinct_docs,
+        "pack_stats_docs": pack_stats_docs,
+        "token_length_hist_docs": token_length_hist_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9762,6 +9849,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         "fetch_waves_docs": _FETCH_WAVES_SQL,
         "hll_distinct_docs": _hll_distinct_sql(),
+        "pack_stats_docs": _PACK_STATS_SQL,
+        "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

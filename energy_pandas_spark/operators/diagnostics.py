@@ -16,9 +16,16 @@ engine-exact, so ``key_skew_stats`` carries a DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["key_skew_stats", "top_keys", "partition_skew_stats"]
+__all__ = [
+    "key_skew_stats",
+    "top_keys",
+    "partition_skew_stats",
+    "length_histogram",
+]
 
 
 def key_skew_stats(
@@ -111,4 +118,51 @@ def partition_skew_stats(df: DataFrame) -> DataFrame:
         F.expr(
             "(1000 * max_rows) div greatest(n_rows div n_partitions, 1)"
         ).alias("skew_ratio_pm"),
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Power-of-two histogram of a non-negative integer column —
+    the sequence-length / document-size distribution card:
+    ``(keys..., bucket, lo, hi, n_rows, sum_value)`` where bucket b
+    holds values in ``[2^b, 2^(b+1))`` and zeros land in bucket -1
+    (``lo = hi = 0``).
+
+    The bucket is ``length(bin(v)) - 1`` — exact integer floor(log2),
+    no float ``log`` anywhere, so the histogram is engine-portable
+    (``bin`` prints without leading zeros on Spark and DuckDB alike).
+    One map-combined aggregate; only (keys, bucket, value) longs enter
+    the shuffle, ~64 buckets per group out."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("long")
+    bucket = (
+        F.when(v <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(v)) - 1)
+        .cast("int")
+    )
+    agg = (
+        df.select(*keys, bucket.alias("bucket"), v.alias("__v"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__v").alias("sum_value"),
+        )
+    )
+    lo = F.when(F.col("bucket") < 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+    )
+    hi = F.when(F.col("bucket") < 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")
+    )
+    return agg.select(
+        *keys,
+        "bucket",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        "n_rows",
+        "sum_value",
     )

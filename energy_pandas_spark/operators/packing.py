@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from energy_pandas_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "packing_stats"]
 
 
 def pack_sequences(
@@ -66,4 +66,48 @@ def pack_sequences(
             "seq_offset": (cum_excl % budget).cast("long"),
             "n_seqs": (F.floor(end_incl / budget).cast("long") - seq_id + 1),
         }
+    )
+
+
+def packing_stats(
+    packed: DataFrame,
+    token_col: str,
+    budget: int,
+    bucket_col: str = "pack_bucket",
+) -> DataFrame:
+    """One-row packing-efficiency report over a :func:`pack_sequences`
+    output (or any frame carrying the bucket and token-count columns):
+    ``(n_buckets_used, n_docs, total_tokens, n_seqs, capacity,
+    waste_tokens, utilization_permille)``.
+
+    In the concatenate-and-chunk layout every mid-stream sequence is
+    full by construction, so ALL waste is per-bucket tail padding:
+    a bucket with T tokens yields ``ceil(T / budget)`` sequences and
+    wastes ``seqs * budget - T``. More buckets = more parallelism but
+    more tails — this card is the knob's feedback. Integer arithmetic
+    throughout; two aggregates (bucket-sized, then one row); the
+    corpus frame is scanned once and only (bucket, token) longs enter
+    the aggregate."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    per = (
+        packed.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum(F.col(token_col).cast("long")).alias("__toks"),
+        )
+        .withColumn("__seqs", F.expr(f"(__toks + {budget - 1}) div {budget}"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum("__docs").cast("long").alias("n_docs"),
+        F.sum("__toks").cast("long").alias("total_tokens"),
+        F.sum("__seqs").cast("long").alias("n_seqs"),
+        (F.sum("__seqs") * budget).cast("long").alias("capacity"),
+        (F.sum("__seqs") * budget - F.sum("__toks"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.expr(f"(1000 * sum(__toks)) div (sum(__seqs) * {budget})")
+        .cast("long")
+        .alias("utilization_permille"),
     )

@@ -72,3 +72,72 @@ class TestPartitionSkew:
         # a single-partition layout is perfectly "balanced"
         one = partition_skew_stats(_df(spark).coalesce(1)).collect()[0]
         assert one["n_partitions"] == 1 and one["skew_ratio_pm"] == 1000
+
+
+class TestLengthHistogram:
+    def test_buckets_exact(self, spark):
+        from energy_pandas_spark.operators.diagnostics import length_histogram
+
+        vals = [0, 1, 1, 2, 3, 4, 7, 8, 1023, 1024, 2**40]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r.bucket: (r.lo, r.hi, r.n_rows, r.sum_value)
+            for r in length_histogram(df, "v").collect()
+        }
+        assert got[-1] == (0, 0, 1, 0)
+        assert got[0] == (1, 1, 2, 2)
+        assert got[1] == (2, 3, 2, 5)
+        assert got[2] == (4, 7, 2, 11)
+        assert got[3] == (8, 15, 1, 8)
+        assert got[9] == (512, 1023, 1, 1023)
+        assert got[10] == (1024, 2047, 1, 1024)
+        assert got[40] == (1 << 40, (1 << 41) - 1, 1, 1 << 40)
+
+    def test_grouped(self, spark):
+        from energy_pandas_spark.operators.diagnostics import length_histogram
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 6), ("b", 5)], "g string, v long"
+        )
+        got = {
+            (r.g, r.bucket): r.n_rows
+            for r in length_histogram(df, "v", by="g").collect()
+        }
+        assert got == {("a", 2): 2, ("b", 2): 1}
+
+
+class TestPackingStats:
+    def test_report_matches_hand_computation(self, spark):
+        from energy_pandas_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        rows = [(i, 10 + (i % 3)) for i in range(20)]  # tokens 10/11/12
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        packed = pack_sequences(df, "n_tokens", budget=16, n_buckets=4)
+        got = packing_stats(packed, "n_tokens", budget=16).collect()[0]
+        # replay per bucket in python
+        import hashlib
+
+        buckets = {}
+        for i, t in rows:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+            buckets[b] = buckets.get(b, 0) + t
+        seqs = sum((t + 15) // 16 for t in buckets.values())
+        total = sum(buckets.values())
+        assert got.n_docs == 20 and got.total_tokens == total
+        assert got.n_buckets_used == len(buckets)
+        assert got.n_seqs == seqs
+        assert got.capacity == seqs * 16
+        assert got.waste_tokens == seqs * 16 - total
+        assert got.utilization_permille == (1000 * total) // (seqs * 16)
+
+    def test_budget_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.packing import packing_stats
+
+        df = spark.createDataFrame([(0, 1, 1)], "doc_id long, n_tokens long, pack_bucket int")
+        with _pytest.raises(ValueError):
+            packing_stats(df, "n_tokens", budget=0)
