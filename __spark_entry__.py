@@ -9470,6 +9470,82 @@ FROM b GROUP BY 1, 2 ORDER BY lang, bucket
 """
 
 
+def kn_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-likelihood (operators/
+    text.py:kneser_ney_score): the textbook smoothed LM (d = 3/4,
+    continuation counts, interpolated backoff) trained on the src0
+    slice, scoring every document as an order-free BIGINT sum of
+    1/2^20-nat quantized position logs; OOV positions (unseen context,
+    or zero continuation mass) are counted, never scored. Vocab-sized
+    model tables, hash joins on the bigram stream, one per-doc
+    aggregate. 1-ulp libm ln caveat at quantization boundaries (the
+    BM25/DSIR precedent)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import (
+        bigram_lm_train,
+        kneser_ney_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_train(docs.filter(F.col("source") == "src0"))
+    return kneser_ney_score(docs, lm).orderBy("doc_id")
+
+
+_KN_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE source = 'src0'
+  GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+  FROM lm GROUP BY 1
+),
+cont AS (SELECT w2, count(*)::BIGINT AS ncont FROM lm GROUP BY 1),
+b AS (SELECT count(*)::BIGINT AS b FROM lm),
+sc AS (
+  SELECT g.doc_id,
+         CASE WHEN c.c1 IS NULL
+                OR (coalesce(l.c12, 0) = 0 AND coalesce(n.ncont, 0) = 0)
+              THEN 1 ELSE 0 END AS oov,
+         CASE WHEN c.c1 IS NULL
+                OR (coalesce(l.c12, 0) = 0 AND coalesce(n.ncont, 0) = 0)
+              THEN 0
+              ELSE round(ln(
+                greatest(4 * coalesce(l.c12, 0) - 3, 0)::DOUBLE
+                  / (4 * c.c1)::DOUBLE
+                + ((3 * c.n1p)::DOUBLE / (4 * c.c1)::DOUBLE)
+                  * (coalesce(n.ncont, 0)::DOUBLE / b.b::DOUBLE)
+              ) * 1048576.0)::BIGINT END AS lpq
+  FROM bg g
+  LEFT JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2
+  LEFT JOIN ctx c ON g.w1 = c.w1
+  LEFT JOIN cont n ON g.w2 = n.w2
+  CROSS JOIN b
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(oov)::BIGINT AS n_oov,
+         sum(lpq)::BIGINT AS logprob_q
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+       coalesce(per.logprob_q, 0)::BIGINT AS logprob_q
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9633,6 +9709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_docs": hll_distinct_docs,
         "pack_stats_docs": pack_stats_docs,
         "token_length_hist_docs": token_length_hist_docs,
+        "kn_lm_score_docs": kn_lm_score_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9851,6 +9928,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_docs": _hll_distinct_sql(),
         "pack_stats_docs": _PACK_STATS_SQL,
         "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
+        "kn_lm_score_docs": _KN_LM_SCORE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

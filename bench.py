@@ -149,6 +149,13 @@ HEADLINE = [
     "domain_rank_docs",
     "shard_plan_docs",
     "shard_manifest_docs",
+    # round-3 session-9 additions
+    "robots_rules_docs",
+    "robots_gate_docs",
+    "fetch_waves_docs",
+    "hll_distinct_docs",
+    "pack_stats_docs",
+    "token_length_hist_docs",
 ]
 
 

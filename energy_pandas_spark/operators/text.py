@@ -59,6 +59,7 @@ __all__ = [
     "score_with_weights",
     "bigram_lm_train",
     "bigram_lm_score",
+    "kneser_ney_score",
     "span_dup_stats",
     "span_dedup_filter",
     "line_dup_stats",
@@ -1450,6 +1451,91 @@ def bigram_lm_score(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("avg_p", F.lit(0.0)).alias("avg_p"),
         )
+    )
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: tuple[int, int] = (3, 4),
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram log-likelihood
+    against a :func:`bigram_lm_train` count table — the standard
+    smoothed LM (Kneser & Ney 1995; Chen & Goodman 1998 interpolated
+    form) rather than add-one:
+
+        P(w2|w1) = max(c12 - d, 0) / c1
+                   + (d * N1+(w1,.) / c1) * (N1+(., w2) / B)
+
+    with absolute discount ``d = discount[0]/discount[1]`` (default
+    the textbook 0.75 as the exact rational 3/4), continuation counts
+    N1+ = distinct-neighbor counts, and B = distinct bigrams. All
+    counts are integers; P evaluates as ONE fixed-shape IEEE
+    expression (exactly-rounded +,*,/ — no big-integer rationals, so
+    nothing overflows at corpus scale), and the per-position log is
+    quantized to 1/``quant`` nats (BIGINT, order-free document sums;
+    the 1-ulp libm ln caveat the BM25/DSIR scorers document applies
+    at quantization boundaries).
+
+    A position is OOV — counted, never scored — when its context w1
+    was never seen in training, or when both c12 = 0 and w2 has no
+    continuation mass (P would be 0). Output: ``(id, n_bigrams,
+    n_oov, logprob_q)`` with zero rows for sub-2-token docs.
+
+    Scale shape: the three model tables (bigram, per-w1, per-w2) all
+    derive from ``lm`` (persisted — three consumers, one tokenize) and
+    are vocab-sized; the candidate bigram stream hash-joins them on
+    the bigram / w1 / w2 keys (NOT broadcast — a corpus LM table is
+    huge; AQE picks broadcast when it is not); B is a broadcast 1-row
+    aggregate. One final per-doc aggregate."""
+    dn, dd = discount
+    if not (0 < dn < dd):
+        raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
+    lm = lm.persist()
+    ctx = lm.groupBy("w1").agg(
+        F.sum("c12").alias("__c1"), F.count(F.lit(1)).alias("__n1p")
+    )
+    cont = lm.groupBy("w2").agg(F.count(F.lit(1)).alias("__ncont"))
+    btot = lm.agg(F.count(F.lit(1)).alias("__b"))
+    bg = _doc_bigrams(df, text_col, id_col)
+    c12 = F.coalesce(F.col("c12"), F.lit(0))
+    ncont = F.coalesce(F.col("__ncont"), F.lit(0))
+    oov = F.col("__c1").isNull() | ((c12 == 0) & (ncont == 0))
+    p = (
+        F.greatest(F.lit(dd) * c12 - F.lit(dn), F.lit(0)).cast("double")
+        / (F.lit(dd) * F.col("__c1")).cast("double")
+        + (
+            (F.lit(dn) * F.col("__n1p")).cast("double")
+            / (F.lit(dd) * F.col("__c1")).cast("double")
+        )
+        * (ncont.cast("double") / F.col("__b").cast("double"))
+    )
+    lp_q = F.round(F.log(p) * F.lit(float(quant))).cast("long")
+    scored = (
+        bg.join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.col(id_col),
+            oov.cast("int").alias("__oov"),
+            F.when(oov, F.lit(0).cast("long")).otherwise(lp_q).alias("__lpq"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.sum("__lpq").alias("logprob_q"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
     )
 
 

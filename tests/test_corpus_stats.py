@@ -1407,3 +1407,106 @@ def test_readability_stats_zero_shuffle_no_python(spark):
     df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
     plan = readability_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestKneserNey:
+    TRAIN = ["the cat sat", "the dog sat", "a cat ran"]
+
+    @staticmethod
+    def _replay(train_texts, score_texts, dn=3, dd=4, quant=1 << 20):
+        """Pure-Python interpolated-KN replay (the operator's contract)."""
+        import math
+
+        def bigrams(t):
+            w = t.lower().split()
+            return list(zip(w, w[1:]))
+
+        c12 = {}
+        for t in train_texts:
+            for p in bigrams(t):
+                c12[p] = c12.get(p, 0) + 1
+        c1, n1p, ncont = {}, {}, {}
+        for (w1, w2), c in c12.items():
+            c1[w1] = c1.get(w1, 0) + c
+            n1p[w1] = n1p.get(w1, 0) + 1
+            ncont[w2] = ncont.get(w2, 0) + 1
+        b = len(c12)
+        out = []
+        for t in score_texts:
+            n_bg = n_oov = lp = 0
+            for w1, w2 in bigrams(t):
+                n_bg += 1
+                cc = c12.get((w1, w2), 0)
+                nc = ncont.get(w2, 0)
+                if w1 not in c1 or (cc == 0 and nc == 0):
+                    n_oov += 1
+                    continue
+                p = max(dd * cc - dn, 0) / (dd * c1[w1]) + (
+                    (dn * n1p[w1]) / (dd * c1[w1])
+                ) * (nc / b)
+                v = math.log(p) * quant
+                lp += int(math.floor(v + 0.5)) if v >= 0 else int(
+                    math.ceil(v - 0.5)
+                )
+            out.append((n_bg, n_oov, lp))
+        return out
+
+    def test_normalizes_to_one(self):
+        # sanity of the formula itself: for each seen context, P sums
+        # to 1 over the continuation vocabulary
+        import math
+
+        vocab = ["the", "cat", "dog", "sat", "ran", "a"]
+        for w1 in ["the", "cat", "a"]:
+            rows = self._replay(
+                self.TRAIN, [f"{w1} {w2}" for w2 in vocab]
+            )
+            total = sum(
+                math.exp(lp / (1 << 20)) for (_, oov, lp) in rows if oov == 0
+            )
+            assert abs(total - 1.0) < 1e-4
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import (
+            bigram_lm_train,
+            kneser_ney_score,
+        )
+
+        score_texts = [
+            "the cat sat",        # all seen bigrams
+            "the cat ran",        # unseen bigram, seen continuation
+            "zebra cat sat",      # unseen context -> OOV position
+            "cat zebra",          # unseen continuation -> OOV position
+            "single",             # no bigrams
+        ]
+        train = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TRAIN)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score_texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.n_oov, r.logprob_q)
+            for r in kneser_ney_score(docs, bigram_lm_train(train)).collect()
+        }
+        want = dict(enumerate(self._replay(self.TRAIN, score_texts)))
+        assert got == want
+        assert got[4] == (0, 0, 0)
+        assert got[2][1] == 1 and got[3][1] == 1
+
+    def test_discount_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.text import (
+            bigram_lm_train,
+            kneser_ney_score,
+        )
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        lm = bigram_lm_train(df)
+        with _pytest.raises(ValueError):
+            kneser_ney_score(df, lm, discount=(4, 4))
+        with _pytest.raises(ValueError):
+            kneser_ney_score(df, lm, discount=(0, 4))
