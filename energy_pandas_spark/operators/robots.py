@@ -52,6 +52,7 @@ __all__ = [
     "parse_robots",
     "robots_like_pattern",
     "apply_robots",
+    "robots_link_filter",
     "UA_RE",
     "RULE_RE",
 ]
@@ -231,3 +232,34 @@ def apply_robots(
         .withColumn(out_col, F.coalesce(F.col("__allowed"), F.lit(True)))
         .drop("__allowed")
     )
+
+
+def robots_link_filter(
+    rules: DataFrame,
+    key_col: str = "domain",
+    key_expr: Column | None = None,
+):
+    """A politeness gate shaped for the streaming frontier's
+    ``link_filter`` hook (streaming/frontier.py): keeps only link rows
+    whose resolved ``url`` the rule table allows. Disallowed targets
+    leave NO seen-store entry — exactly the frontier's scope-gate
+    semantic, so relaxing robots policy later re-discovers them.
+
+    Per batch: the link frame reduces to its distinct URLs (links may
+    repeat per page), those gate through :func:`apply_robots` grouped
+    by the URL string itself, and the allowed set semi-joins back —
+    page HTML never enters the rule join."""
+    def gate(links: DataFrame) -> DataFrame:
+        urls = links.select("url").distinct()
+        gated = apply_robots(
+            urls,
+            rules,
+            url_col="url",
+            id_col="url",
+            key_col=key_col,
+            key_expr=key_expr,
+        )
+        allowed = gated.filter(F.col("allowed")).select("url")
+        return links.join(allowed, "url", "left_semi")
+
+    return gate

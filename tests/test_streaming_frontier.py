@@ -140,3 +140,53 @@ def test_frontier_streaming_end_to_end(spark, tmp_path):
     assert q.awaitTermination(300)
     got = {(r.url, r.n_refs) for r in read_frontier(spark, str(tmp_path / "f")).collect()}
     assert got == {("https://b.io/x", 2)}
+
+
+def test_frontier_with_robots_gate(spark, tmp_path):
+    """The politeness composition: a robots-gated frontier drops
+    disallowed targets WITHOUT storing them, so a later policy change
+    re-discovers them."""
+    from energy_pandas_spark.operators.robots import (
+        parse_robots,
+        robots_link_filter,
+    )
+    from energy_pandas_spark.streaming.frontier import (
+        make_frontier_ingest_writer,
+        read_frontier,
+    )
+
+    robots = spark.createDataFrame(
+        [("b.io", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, text string",
+    )
+    rules = parse_robots(robots)
+    frontier = str(tmp_path / "frontier")
+    seen = str(tmp_path / "seen")
+    gated_writer = make_frontier_ingest_writer(
+        frontier, seen, link_filter=robots_link_filter(F.broadcast(rules))
+    )
+    b0 = _pages(
+        spark,
+        [
+            (1, "https://a.io/1",
+             '<a href="https://b.io/ok">x</a>'
+             '<a href="https://b.io/private/secret">y</a>'),
+        ],
+    )
+    gated_writer(b0, 0)
+    got = {r.url for r in read_frontier(spark, frontier).collect()}
+    assert got == {"https://b.io/ok"}
+
+    # policy relaxed: a writer with no gate sees the same link again
+    # (the disallowed target left no seen-store entry) and enqueues it
+    open_writer = make_frontier_ingest_writer(frontier, seen)
+    b1 = _pages(
+        spark,
+        [
+            (2, "https://a.io/2",
+             '<a href="https://b.io/private/secret">y</a>'),
+        ],
+    )
+    open_writer(b1, 1)
+    after = {r.url for r in read_frontier(spark, frontier).collect()}
+    assert after == {"https://b.io/ok", "https://b.io/private/secret"}
