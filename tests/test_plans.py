@@ -642,3 +642,100 @@ class TestSeventhWaveShapes:
         from energy_pandas_spark.plans import broadcast_join_count
 
         assert broadcast_join_count(est) >= 1
+
+
+def _ep(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestNinthWaveShapes:
+    def test_hll_registers_one_aggregate_no_python(self, spark):
+        from energy_pandas_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+        from energy_pandas_spark.plans import exchange_count
+        
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        regs = hll_registers(df, "v")
+        assert exchange_count(regs) == 1  # the (bucket) max aggregate
+        plan = _ep(regs)
+        assert "Window" not in plan and "EvalPython" not in plan
+        est = hll_estimate(regs, quantize=1024)
+        assert "EvalPython" not in _ep(est)
+
+    def test_apply_robots_broadcasts_rules_no_window(self, spark):
+        from energy_pandas_spark.operators.robots import (
+            apply_robots,
+            parse_robots,
+        )
+        from energy_pandas_spark.plans import broadcast_join_count
+        from pyspark.sql import functions as F
+
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("a.io", "User-agent: *\nDisallow: /x\n")],
+                "domain string, text string",
+            )
+        )
+        pages = spark.createDataFrame(
+            [(1, "https://a.io/x")], "doc_id long, url string"
+        )
+        out = apply_robots(pages, F.broadcast(rules))
+        assert broadcast_join_count(out) >= 1
+        # parse_robots' own windows partition by site key; the verdict
+        # argmax is an aggregate — nothing runs on a single partition
+        assert "SinglePartition" not in _ep(out)
+
+    def test_packing_stats_two_aggregates_no_window(self, spark):
+        from energy_pandas_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+        from energy_pandas_spark.plans import exchange_count
+        
+        df = spark.createDataFrame(
+            [(0, 10), (1, 20)], "doc_id long, n_tokens long"
+        )
+        packed = pack_sequences(df, "n_tokens", budget=16, n_buckets=4)
+        card = packing_stats(packed, "n_tokens", budget=16)
+        # bucket aggregate + the 1-row rollup; the pack window itself
+        # is NOT re-executed (stats reads only bucket + token columns)
+        assert exchange_count(card) <= 3
+        assert "EvalPython" not in _ep(card)
+
+    def test_length_histogram_single_aggregate(self, spark):
+        from energy_pandas_spark.operators.diagnostics import length_histogram
+        from energy_pandas_spark.plans import exchange_count
+        
+        df = spark.createDataFrame([(5,), (9,)], "v long")
+        out = length_histogram(df, "v")
+        assert exchange_count(out) == 1
+        plan = _ep(out)
+        assert "Window" not in plan and "EvalPython" not in plan
+
+    def test_fetch_waves_bounded_rank_no_single_partition(self, spark):
+        from energy_pandas_spark.operators.urls import plan_fetch_waves
+        
+        df = spark.createDataFrame(
+            [("https://a.io/x", 1)], "url string, n_refs long"
+        )
+        plan = _ep(plan_fetch_waves(df))
+        assert "SinglePartition" not in plan
+        assert "EvalPython" not in plan
+
+    def test_kneser_ney_no_python_no_cartesian(self, spark):
+        from energy_pandas_spark.operators.text import (
+            bigram_lm_train,
+            kneser_ney_score,
+        )
+        
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+        )
+        out = kneser_ney_score(df, bigram_lm_train(df))
+        plan = _ep(out)
+        assert "EvalPython" not in plan
+        # the 1-row B total broadcasts; nothing falls back to a
+        # cartesian product
+        assert "CartesianProduct" not in plan
