@@ -29,6 +29,9 @@ __all__ = [
     "make_quantile_writer",
     "continuous_quantiles",
     "read_quantiles",
+    "make_portable_hll_writer",
+    "continuous_portable_hll",
+    "read_portable_hll",
 ]
 
 
@@ -327,3 +330,82 @@ def read_cm(
     if table is None:
         raise FileNotFoundError(f"no sketch table at {path}")
     return cm_merge(table.drop("__batch_id"), by=by)
+
+
+# ---------------------------------------------------------------------------
+# engine-portable HLL register tables (operators/sketches.py:hll_registers)
+# ---------------------------------------------------------------------------
+
+
+def make_portable_hll_writer(
+    path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgm: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """The md5-register twin of :func:`make_cardinality_writer`: the
+    maintained table is a sparse ``(keys..., bucket, r)`` register
+    table any SQL engine can replay (operators/sketches.py module
+    notes), instead of an opaque DataSketches blob. Merge is
+    element-wise ``max`` — idempotent, so at-least-once replays cannot
+    inflate estimates; no batch-id stamps needed (the HLL-union
+    argument above)."""
+    from energy_pandas_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    keys = list(key_cols)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = hll_registers(batch, value_col, by=keys, lgm=lgm)
+        existing = _read_table(spark, path)  # None on first batch
+        merged = (
+            hll_merge(existing.unionByName(fresh), by=keys)
+            if existing is not None
+            else fresh
+        )
+        tmp = path.rstrip("/") + "__staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap(spark, tmp, path)
+
+    return write_batch
+
+
+def continuous_portable_hll(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgm: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Start the maintenance query; returns the StreamingQuery."""
+    write_batch = make_portable_hll_writer(path, key_cols, value_col, lgm)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_portable_hll(
+    spark: SparkSession,
+    path: str,
+    by: Sequence[str] | str | None = None,
+    lgm: int = 8,
+) -> DataFrame:
+    """Estimates at any rollup level from the stored register table:
+    registers merge up to ``by`` (element-wise max) and read out
+    through ``hll_estimate`` — never a rescan of the underlying
+    stream. ``lgm`` MUST match the writer's."""
+    from energy_pandas_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+    )
+
+    regs = spark.read.parquet(path)
+    return hll_estimate(hll_merge(regs, by=by), by=by, lgm=lgm)

@@ -536,3 +536,52 @@ class TestPortableHLL:
         assert rq.est_distinct_q == round_half_away(1024 * r.est_distinct)
         with _pytest.raises(ValueError):
             hll_estimate(regs, lgm=12, quantize=1024)
+
+
+def test_continuous_portable_hll_merges_and_survives_replay(spark, tmp_path):
+    from energy_pandas_spark.streaming.stats import (
+        make_portable_hll_writer,
+        read_portable_hll,
+    )
+
+    path = str(tmp_path / "phll")
+    w = make_portable_hll_writer(path, ["event_type"], "user_id")
+    b1 = spark.createDataFrame(
+        [("click", i % 50) for i in range(500)],
+        "event_type string, user_id long",
+    )
+    b2 = spark.createDataFrame(
+        [("click", 25 + i % 50) for i in range(500)]
+        + [("view", i) for i in range(30)],
+        "event_type string, user_id long",
+    )
+    w(b1, 0)
+    w(b2, 1)
+    got = {
+        r.event_type: r.est_distinct
+        for r in read_portable_hll(spark, path, by="event_type").collect()
+    }
+    # true: click 75 (0..74), view 30 — linear-counting regime
+    assert abs(got["click"] - 75) / 75 < 0.15
+    assert abs(got["view"] - 30) / 30 < 0.15
+
+    # replay batch 1: register max is idempotent, estimates frozen
+    w(b2, 1)
+    again = {
+        r.event_type: r.est_distinct
+        for r in read_portable_hll(spark, path, by="event_type").collect()
+    }
+    assert again == got
+
+    # the maintained table equals a single-shot batch build
+    from energy_pandas_spark.operators.sketches import hll_registers
+
+    direct = hll_registers(b1.unionByName(b2), "user_id", by=["event_type"])
+    stored = spark.read.parquet(path)
+    assert sorted(map(tuple, stored.select("event_type", "bucket", "r").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # global rollup reads off the same table (view ⊂ click -> 75)
+    total = read_portable_hll(spark, path).collect()[0]
+    assert abs(total.est_distinct - 75) / 75 < 0.15
