@@ -9546,6 +9546,67 @@ ORDER BY d.doc_id
 """
 
 
+def corpus_delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable refresh (operators/pipeline.py:corpus_delta) over
+    the corpus_diff_docs fixture: added/changed rows carry the new
+    snapshot's text, removed rows ship id+status only, unchanged rows
+    (the bulk) are absent — what an incremental consumer actually
+    moves. corpus_patch(old, this) == new is the tested round-trip.
+    Diff ships two longs per row; text joins in for the delta ids
+    only."""
+    _prep(spark)
+    from energy_pandas_spark.operators.pipeline import corpus_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new = changed.unionByName(added)
+    return (
+        corpus_delta(docs, new)
+        .select("doc_id", "status", "text")
+        .orderBy("doc_id", "status")
+    )
+
+
+_CORPUS_DELTA_SQL = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+           AS d
+  FROM documents
+), new_src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' changed' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+), new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+           AS d
+  FROM new_src
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.d IS NULL THEN 'added'
+              WHEN n.d IS NULL THEN 'removed'
+              WHEN o.d = n.d THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT j.doc_id, j.status, ns.text
+FROM j LEFT JOIN new_src ns ON j.doc_id = ns.doc_id
+WHERE j.status != 'unchanged'
+ORDER BY j.doc_id, j.status
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9710,6 +9771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats_docs": pack_stats_docs,
         "token_length_hist_docs": token_length_hist_docs,
         "kn_lm_score_docs": kn_lm_score_docs,
+        "corpus_delta_docs": corpus_delta_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9929,6 +9991,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_stats_docs": _PACK_STATS_SQL,
         "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
         "kn_lm_score_docs": _KN_LM_SCORE_SQL,
+        "corpus_delta_docs": _CORPUS_DELTA_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -26,6 +26,8 @@ __all__ = [
     "corpus_report",
     "corpus_diff",
     "corpus_diff_stats",
+    "corpus_delta",
+    "corpus_patch",
     "distribution_shift",
 ]
 
@@ -205,6 +207,50 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SHIPPABLE form of :func:`corpus_diff`: one row per
+    added/changed/removed id, carrying the new snapshot's full payload
+    for added/changed rows (payload columns NULL for removed rows).
+    Unchanged rows — the bulk of any refresh — are absent, so a
+    downstream consumer syncs a 100 TB corpus by moving only the
+    delta; :func:`corpus_patch` reconstructs the new snapshot from
+    ``(old, delta)`` exactly.
+
+    Scale shape: the diff itself shuffles two longs per row; payload
+    (text) then ships ONLY for the added/changed ids via one semi-ish
+    inner join against ``new``. Same unique-id assumption as
+    corpus_diff."""
+    d = corpus_diff(old, new, text_col, id_col).filter(
+        F.col("status") != "unchanged"
+    )
+    add_chg = d.filter(F.col("status") != "removed").join(new, id_col)
+    removed = d.filter(F.col("status") == "removed")
+    return add_chg.unionByName(removed, allowMissingColumns=True)
+
+
+def corpus_patch(
+    old: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`corpus_delta` to reconstruct the new snapshot:
+    every delta id leaves ``old`` (removed and changed rows must go;
+    added ids were never there), then added/changed payload rows union
+    in. ``corpus_patch(old, corpus_delta(old, new)) == new`` row for
+    row (delta payload columns must match ``old``'s schema).
+
+    One anti-join on the id plus a union — old text never shuffles
+    (the anti-join ships ids), delta text is delta-sized."""
+    kept = old.join(delta.select(F.col(id_col)), id_col, "left_anti")
+    adds = delta.filter(F.col("status") != "removed").drop("status")
+    return kept.unionByName(adds.select(*old.columns))
 
 
 def corpus_diff_stats(

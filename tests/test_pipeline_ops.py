@@ -1056,3 +1056,65 @@ def test_distribution_shift_ks(spark):
         spark.createDataFrame([(9, None)], "doc_id long, x long")
     )
     assert distribution_shift(withnull, old, "x").collect()[0].ks_stat == 0.0
+
+
+def test_corpus_delta_patch_round_trip(spark):
+    """patch(old, delta(old, new)) == new, and the delta ships only the
+    non-unchanged rows."""
+    import random
+
+    from energy_pandas_spark.operators.pipeline import (
+        corpus_delta,
+        corpus_patch,
+    )
+
+    rng = random.Random(42)
+    old_rows = [(i, f"doc {i} body {rng.randint(0, 9)}") for i in range(80)]
+    new_rows = []
+    for i, t in old_rows:
+        r = rng.random()
+        if r < 0.2:
+            continue  # removed
+        if r < 0.4:
+            new_rows.append((i, t + " amended"))  # changed
+        else:
+            new_rows.append((i, t))  # unchanged
+    new_rows += [(1000 + i, f"fresh {i}") for i in range(10)]  # added
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    delta = corpus_delta(old, new)
+    by_status = {}
+    for r in delta.collect():
+        by_status.setdefault(r.status, []).append(r)
+    assert set(by_status) <= {"added", "changed", "removed"}
+    assert all(r.text is None for r in by_status.get("removed", []))
+    assert all(r.text is not None for r in by_status.get("added", []))
+    n_unchanged = len(new_rows) - len(by_status.get("added", [])) - len(
+        by_status.get("changed", [])
+    )
+    assert delta.count() == len(old_rows) + len(new_rows) - 2 * n_unchanged - (
+        len(by_status.get("changed", []))
+    )
+
+    rebuilt = corpus_patch(old, delta)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_corpus_patch_empty_delta_is_identity(spark):
+    from energy_pandas_spark.operators.pipeline import (
+        corpus_delta,
+        corpus_patch,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    delta = corpus_delta(old, old)
+    assert delta.count() == 0
+    rebuilt = corpus_patch(old, delta)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, old.collect())
+    )
