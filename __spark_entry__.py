@@ -9607,6 +9607,99 @@ ORDER BY j.doc_id, j.status
 """
 
 
+def neardup_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup quality measurement (operators/dedup.py:neardup_eval):
+    every 9th document plus a 12-token-suffixed mutant (Jaccard vs its
+    original spreads with doc length, straddling both thresholds);
+    predictions = minhash LSH at threshold 0.8 (32x2 banding — miss
+    6e-15, so exact j >= 0.8 replays it); truth = exact Jaccard at the
+    rational 1/2. The card shows the deliberate recall gap: mid-range
+    [0.5, 0.8) pairs are true dups the 0.8 predictor must miss, while
+    precision stays 1000. Ground truth is brute-force over the bounded
+    fixture by design (the op's documented quadratic-in-sample
+    contract)."""
+    _prep(spark)
+    from energy_pandas_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_eval,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "text")
+    )
+    suffix = " zza zzb zzc zzd zze zzf zzg zzh zzi zzj zzk zzl"
+    mut = base.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    corpus = base.unionByName(mut)
+    pred = minhash_lsh_pairs(
+        corpus, threshold=0.8, num_hashes=64, bands=32
+    )
+    return neardup_eval(
+        corpus, pred, truth_threshold=(1, 2), sample_permille=1000
+    )
+
+
+_NEARDUP_EVAL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id,
+         text || ' zza zzb zzc zzd zze zzf zzg zzh zzi zzj zzk zzl' AS text
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) < 3
+           THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]
+         END) AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x != '') AS toks
+    FROM corpus
+  )
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::BIGINT AS i,
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), truth AS (
+  SELECT id_a, id_b FROM pairs WHERE u > 0 AND 2 * i >= u
+), predt AS (
+  -- the 0.8-threshold LSH predictor replays as exact j >= 0.8
+  SELECT id_a, id_b FROM pairs WHERE u > 0 AND 10 * i >= 8 * u
+), m AS (
+  SELECT coalesce(p.one, 0) AS p, coalesce(t.one, 0) AS t
+  FROM (SELECT id_a, id_b, 1 AS one FROM predt) p
+  FULL JOIN (SELECT id_a, id_b, 1 AS one FROM truth) t
+    USING (id_a, id_b)
+), c AS (
+  SELECT (SELECT count(*) FROM corpus)::BIGINT AS n_sample,
+         sum(t)::BIGINT AS n_true_pairs,
+         sum(p)::BIGINT AS n_pred_pairs,
+         sum(p * t)::BIGINT AS tp
+  FROM m
+)
+SELECT n_sample, n_true_pairs, n_pred_pairs, tp,
+       (n_pred_pairs - tp)::BIGINT AS fp,
+       (n_true_pairs - tp)::BIGINT AS fn,
+       (CASE WHEN n_pred_pairs = 0 THEN 1000
+             ELSE (1000 * tp) // n_pred_pairs END)::BIGINT
+         AS precision_permille,
+       (CASE WHEN n_true_pairs = 0 THEN 1000
+             ELSE (1000 * tp) // n_true_pairs END)::BIGINT
+         AS recall_permille
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9772,6 +9865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_hist_docs": token_length_hist_docs,
         "kn_lm_score_docs": kn_lm_score_docs,
         "corpus_delta_docs": corpus_delta_docs,
+        "neardup_eval_docs": neardup_eval_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -9992,6 +10086,7 @@ def oracle_sql() -> dict[str, str]:
         "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
         "kn_lm_score_docs": _KN_LM_SCORE_SQL,
         "corpus_delta_docs": _CORPUS_DELTA_SQL,
+        "neardup_eval_docs": _NEARDUP_EVAL_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -65,6 +65,7 @@ __all__ = [
     "crosscorpus_neardup_pairs",
     "build_band_store",
     "load_band_store",
+    "neardup_eval",
 ]
 
 
@@ -1516,4 +1517,104 @@ def winnow_pairs(
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup evaluation (precision/recall vs exact ground truth on a sample)
+# ---------------------------------------------------------------------------
+
+
+def neardup_eval(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    truth_threshold: tuple[int, int] = (1, 2),
+    shingle_size: int = 3,
+    sample_permille: int = 150,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """One-row precision/recall card for a candidate near-dup pair set
+    (any of the ``*_pairs`` operators) against EXACT shingle-Jaccard
+    ground truth — the "measure, don't guess" loop for LSH knobs
+    (bands/rows/threshold): ``(n_sample, n_true_pairs, n_pred_pairs,
+    tp, fp, fn, precision_permille, recall_permille)``.
+
+    Ground truth is brute-force all-pairs Jaccard over a DETERMINISTIC
+    md5 hash-sample of the corpus — quadratic IN THE SAMPLE by
+    design; ``sample_permille`` is the cost bound (E[pairs] =
+    (permille/1000 * N)² / 2 — keep the sample in the thousands). The
+    prediction set restricts to pairs with BOTH ids sampled, so the
+    two sets are comparable. The truth threshold is the exact rational
+    ``truth_threshold[0]/truth_threshold[1]`` compared as ``den *
+    |A∩B| >= num * |A∪B|`` — no float boundary; empty-vs-empty pairs
+    (undefined Jaccard) are excluded. Zero-denominator conventions:
+    no predictions -> precision 1000, no true pairs -> recall 1000.
+
+    Pairs contract: ``(id_a, id_b)`` with ``id_a < id_b`` (every pair
+    operator in this module emits that orientation)."""
+    from energy_pandas_spark.operators.sampling import hash_bucket
+
+    tn, td = truth_threshold
+    if not (0 < tn <= td):
+        raise ValueError(
+            f"truth_threshold must satisfy 0 < num <= den, got {truth_threshold}"
+        )
+    cut = (sample_permille * denominator) // 1000
+    sample = df.filter(hash_bucket(id_col, denominator) < cut)
+    sh = _shingle_sets(sample, text_col, id_col, shingle_size)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    uni = F.size("__sa") + F.size("__sb") - inter
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter((uni > 0) & (F.lit(td) * inter >= F.lit(tn) * uni))
+        .select("id_a", "id_b")
+    )
+    ids = sample.select(F.col(id_col))
+    pred = (
+        pairs.select("id_a", "id_b")
+        .join(ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    )
+    m = pred.withColumn("__p", F.lit(1)).join(
+        true_pairs.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    counts = m.agg(
+        F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("n_pred_pairs"),
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(
+            F.sum((F.col("__p").isNotNull() & F.col("__t").isNotNull()).cast("int")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    n_sample = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    return (
+        counts.join(F.broadcast(n_sample))
+        .withColumns(
+            {
+                "fp": (F.col("n_pred_pairs") - F.col("tp")).cast("long"),
+                "fn": (F.col("n_true_pairs") - F.col("tp")).cast("long"),
+                "precision_permille": F.when(
+                    F.col("n_pred_pairs") == 0, F.lit(1000).cast("long")
+                ).otherwise(F.expr("(1000 * tp) div n_pred_pairs")),
+                "recall_permille": F.when(
+                    F.col("n_true_pairs") == 0, F.lit(1000).cast("long")
+                ).otherwise(F.expr("(1000 * tp) div n_true_pairs")),
+            }
+        )
+        .select(
+            "n_sample",
+            "n_true_pairs",
+            "n_pred_pairs",
+            "tp",
+            "fp",
+            "fn",
+            "precision_permille",
+            "recall_permille",
+        )
     )

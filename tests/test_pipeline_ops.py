@@ -1118,3 +1118,72 @@ def test_corpus_patch_empty_delta_is_identity(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, old.collect())
     )
+
+
+class TestNeardupEval:
+    def _docs(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base),
+            (2, base),                               # j=1.0 with 1
+            (3, base + " lambda mu"),                # high j with 1/2
+            (4, "one two three four five six seven"),
+            (5, "totally different words entirely here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_perfect_predictor_scores_1000(self, spark):
+        from energy_pandas_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            neardup_eval,
+        )
+
+        docs = self._docs(spark)
+        pred = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=100)
+        # sample = whole corpus
+        card = neardup_eval(
+            docs, pred, truth_threshold=(1, 2), sample_permille=1000
+        ).collect()[0]
+        assert card.n_sample == 5
+        assert card.n_true_pairs == card.tp == card.n_pred_pairs
+        assert card.fp == 0 and card.fn == 0
+        assert card.precision_permille == 1000
+        assert card.recall_permille == 1000
+        assert card.n_true_pairs == 3  # (1,2), (1,3), (2,3)
+
+    def test_misses_and_false_positives_counted(self, spark):
+        from energy_pandas_spark.operators.dedup import neardup_eval
+
+        docs = self._docs(spark)
+        pred = spark.createDataFrame(
+            [(1, 2), (1, 4)], "id_a long, id_b long"  # one hit, one junk
+        )
+        card = neardup_eval(
+            docs, pred, truth_threshold=(1, 2), sample_permille=1000
+        ).collect()[0]
+        assert (card.tp, card.fp, card.fn) == (1, 1, 2)
+        assert card.precision_permille == 500
+        assert card.recall_permille == 333
+
+    def test_pairs_outside_sample_ignored(self, spark):
+        from energy_pandas_spark.operators.dedup import neardup_eval
+
+        docs = self._docs(spark)
+        # empty sample cut -> everything vacuous
+        pred = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        card = neardup_eval(
+            docs, pred, sample_permille=0
+        ).collect()[0]
+        assert card.n_sample == 0 and card.n_pred_pairs == 0
+        assert card.precision_permille == 1000
+        assert card.recall_permille == 1000
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.dedup import neardup_eval
+
+        docs = self._docs(spark)
+        pred = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with _pytest.raises(ValueError):
+            neardup_eval(docs, pred, truth_threshold=(3, 2))
