@@ -9700,6 +9700,78 @@ FROM c
 """
 
 
+def span_corrupt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span corruption (operators/text.py:
+    span_corrupt): md5-seeded span starts (no RNG state), fixed-length
+    spans with merged overlaps, ``<extra_id_k>`` sentinels in the
+    input, sentinel-prefixed spans in the target — the denoising
+    training-pair generator, lossless by construction (tested). One
+    posexplode + per-document windows + one re-assembly shuffle; the
+    oracle replays the identical md5 arithmetic and window algebra."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corrupt(docs).orderBy("doc_id")
+
+
+_SPAN_CORRUPT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+), st AS (
+  SELECT doc_id, i, tok,
+         CASE WHEN ('0x' || substr(md5('span-v1:' || doc_id::VARCHAR || ':'
+                                       || i::VARCHAR), 1, 15))::BIGINT
+                   % 1000 < 60
+              THEN 1 ELSE 0 END AS s
+  FROM ex
+), cov AS (
+  SELECT *, max(s) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+              AS covered
+  FROM st
+), run0 AS (
+  SELECT *, covered AND NOT coalesce(
+              lag(covered) OVER (PARTITION BY doc_id ORDER BY i), false)
+              AS run_start
+  FROM cov
+), runs AS (
+  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM run0
+), pieces AS (
+  SELECT doc_id, i, covered,
+    CASE WHEN NOT covered THEN [tok]
+         WHEN run_start THEN ['<extra_id_' || (run_id - 1)::VARCHAR || '>']
+         ELSE [] END AS inp,
+    CASE WHEN run_start
+           THEN ['<extra_id_' || (run_id - 1)::VARCHAR || '>', tok]
+         WHEN covered THEN [tok] ELSE [] END AS tgt
+  FROM runs
+), per AS (
+  SELECT doc_id,
+         array_to_string(flatten(list(inp ORDER BY i)), ' ') AS input_text,
+         array_to_string(flatten(list(tgt ORDER BY i)), ' ') AS target_text,
+         count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS n_masked
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.input_text, '') AS input_text,
+       coalesce(per.target_text, '') AS target_text,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.n_masked, 0)::BIGINT AS n_masked
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9866,6 +9938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm_score_docs": kn_lm_score_docs,
         "corpus_delta_docs": corpus_delta_docs,
         "neardup_eval_docs": neardup_eval_docs,
+        "span_corrupt_docs": span_corrupt_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10087,6 +10160,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_lm_score_docs": _KN_LM_SCORE_SQL,
         "corpus_delta_docs": _CORPUS_DELTA_SQL,
         "neardup_eval_docs": _NEARDUP_EVAL_SQL,
+        "span_corrupt_docs": _SPAN_CORRUPT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -60,6 +60,7 @@ __all__ = [
     "bigram_lm_train",
     "bigram_lm_score",
     "kneser_ney_score",
+    "span_corrupt",
     "span_dup_stats",
     "span_dedup_filter",
     "line_dup_stats",
@@ -1536,6 +1537,119 @@ def kneser_ney_score(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
         F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_permille: int = 60,
+    span: int = 3,
+    seed: str = "span-v1",
+) -> DataFrame:
+    """Deterministic T5-style span corruption — the denoising-objective
+    pair generator: ``(id, input_text, target_text, n_tokens,
+    n_masked)`` where masked spans become ``<extra_id_k>`` sentinels in
+    the input and the target lists each sentinel followed by the
+    tokens it hides (the T5 span-corruption layout, Raffel et al.
+    2020).
+
+    Determinism replaces RNG state: position ``i`` of document ``d``
+    OPENS a span iff the md5 bucket of ``seed:d:i`` falls under
+    ``start_permille``; spans run a FIXED ``span`` tokens (the paper's
+    geometric lengths need sequential sampling — fixed length + merged
+    overlaps is the closed-form variant) and overlapping spans merge
+    into one sentinel. Expected mask fraction ~= start_permille/1000 *
+    span. Same corpus + seed -> bit-identical pairs on any engine;
+    epoch-varied corruption = vary ``seed``.
+
+    Shape: one posexplode + per-document windows (coverage is a
+    ``span``-wide lookback max, run ids a running sum — document-sized
+    partitions, never corpus-wide) + one group re-assembly; a single
+    shuffle on the doc id."""
+    if not 0 <= start_permille <= 1000:
+        raise ValueError(f"start_permille must be in [0, 1000], got {start_permille}")
+    if span <= 0:
+        raise ValueError(f"span must be positive, got {span}")
+    from pyspark.sql import Window
+
+    from energy_pandas_spark.operators.sampling import hash_bucket
+
+    toks_df = df.select(F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"))
+    ex = toks_df.select(
+        F.col(id_col), F.posexplode("__toks").alias("__i0", "__tok")
+    ).withColumn("__i", F.col("__i0") + 1)
+    start = (
+        hash_bucket(
+            F.concat(
+                F.lit(seed + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("__i").cast("string"),
+            ),
+            1000,
+        )
+        < start_permille
+    )
+    w_seq = Window.partitionBy(id_col).orderBy("__i")
+    w_cov = w_seq.rowsBetween(-(span - 1), 0)
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+    marked = ex.withColumn("__start", start.cast("int")).withColumn(
+        "__covered", F.max("__start").over(w_cov) == 1
+    )
+    marked = marked.withColumn(
+        "__run_start",
+        F.col("__covered")
+        & ~F.coalesce(F.lag("__covered").over(w_seq), F.lit(False)),
+    ).withColumn(
+        "__run_id", F.sum(F.col("__run_start").cast("int")).over(w_run)
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("__run_id") - 1).cast("string"), F.lit(">")
+    )
+    inp_piece = (
+        F.when(~F.col("__covered"), F.array(F.col("__tok")))
+        .when(F.col("__run_start"), F.array(sentinel))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    tgt_piece = (
+        F.when(F.col("__run_start"), F.array(sentinel, F.col("__tok")))
+        .when(F.col("__covered"), F.array(F.col("__tok")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    pieces = marked.select(
+        F.col(id_col),
+        F.struct(
+            F.col("__i").alias("i"),
+            inp_piece.alias("inp"),
+            tgt_piece.alias("tgt"),
+            F.col("__covered").cast("int").alias("cov"),
+        ).alias("__p"),
+    )
+    per = pieces.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("__p")).alias("__ps")
+    )
+    joined = per.select(
+        F.col(id_col),
+        F.array_join(
+            F.flatten(F.transform("__ps", lambda p: p.inp)), " "
+        ).alias("input_text"),
+        F.array_join(
+            F.flatten(F.transform("__ps", lambda p: p.tgt)), " "
+        ).alias("target_text"),
+        F.size("__ps").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "__ps", F.lit(0).cast("long"), lambda acc, p: acc + p.cov
+        ).alias("n_masked"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(joined, id_col, "left").select(
+        id_col,
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("target_text", F.lit("")).alias("target_text"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
     )
 
 

@@ -1510,3 +1510,101 @@ class TestKneserNey:
             kneser_ney_score(df, lm, discount=(4, 4))
         with _pytest.raises(ValueError):
             kneser_ney_score(df, lm, discount=(0, 4))
+
+
+class TestSpanCorrupt:
+    @staticmethod
+    def _replay(texts, start_permille=60, span=3, seed="span-v1"):
+        import hashlib
+
+        out = []
+        for d, t in texts:
+            toks = [w for w in t.lower().split() if w]
+            n = len(toks)
+            start = [
+                int(
+                    hashlib.md5(f"{seed}:{d}:{i}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 1000
+                < start_permille
+                for i in range(1, n + 1)
+            ]
+            covered = [
+                any(start[max(0, i - span + 1): i + 1]) for i in range(n)
+            ]
+            inp, tgt, run = [], [], 0
+            for i in range(n):
+                if not covered[i]:
+                    inp.append(toks[i])
+                    continue
+                if i == 0 or not covered[i - 1]:
+                    inp.append(f"<extra_id_{run}>")
+                    tgt.append(f"<extra_id_{run}>")
+                    run += 1
+                tgt.append(toks[i])
+            out.append(
+                (d, " ".join(inp), " ".join(tgt), n, sum(covered))
+            )
+        return out
+
+    def test_matches_python_replay_and_reconstructs(self, spark):
+        from energy_pandas_spark.operators.text import span_corrupt
+
+        texts = [
+            (i, " ".join(f"w{i}t{j}" for j in range(5 + (i * 7) % 40)))
+            for i in range(30)
+        ] + [(99, ""), (100, None)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.input_text, r.target_text, r.n_tokens, r.n_masked)
+            for r in span_corrupt(df).collect()
+        )
+        want = sorted(
+            self._replay([(d, t or "") for d, t in texts])
+        )
+        assert got == want
+        # lossless: substituting each sentinel's target span back into
+        # the input reproduces the original token stream
+        for d, inp, tgt, n, masked in got:
+            spans = {}
+            cur = None
+            for w in tgt.split():
+                if w.startswith("<extra_id_"):
+                    cur = w
+                    spans[cur] = []
+                else:
+                    spans[cur].append(w)
+            rebuilt = []
+            for w in inp.split():
+                rebuilt.extend(spans[w] if w.startswith("<extra_id_") else [w])
+            orig = [w for w in (dict(texts)[d] or "").lower().split() if w]
+            assert rebuilt == orig
+
+    def test_partitioning_invariance_and_epoch_seed(self, spark):
+        from energy_pandas_spark.operators.text import span_corrupt
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(50))) for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, span_corrupt(df).collect()))
+        b = sorted(map(tuple, span_corrupt(df.repartition(7)).collect()))
+        assert a == b
+        c = sorted(map(tuple, span_corrupt(df, seed="span-v2").collect()))
+        assert a != c  # a new epoch seed re-rolls the masks
+        # mask fraction lands near start_permille * span / 1000
+        tot = sum(r[3] for r in a)
+        masked = sum(r[4] for r in a)
+        assert 0.08 < masked / tot < 0.30
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.text import span_corrupt
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            span_corrupt(df, start_permille=1001)
+        with _pytest.raises(ValueError):
+            span_corrupt(df, span=0)
