@@ -53,13 +53,45 @@ __all__ = [
     "robots_like_pattern",
     "apply_robots",
     "robots_link_filter",
+    "sitemap_urls",
     "UA_RE",
     "RULE_RE",
+    "SITEMAP_RE",
 ]
 
 # directive heads (inline (?i) — supported by both Java and RE2)
 UA_RE = r"(?i)^user-agent\s*:(.*)$"
 RULE_RE = r"(?i)^(dis)?allow\s*:(.*)$"
+SITEMAP_RE = r"(?i)^sitemap\s*:(.*)$"
+
+
+def sitemap_urls(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "domain",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt documents as ``(key_col,
+    sitemap_url)`` — the seed feed for the crawl frontier (per RFC
+    9309 the directive is group-independent, so no agent scoping
+    applies). Comment strip, CRLF fold, case-insensitive head;
+    non-URL values (no ``scheme://``) are dropped. Map-only regex
+    explode — zero shuffle."""
+    lines = F.split(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), "\r", ""),
+        "\n",
+    )
+    ln = df.select(
+        F.col(key_col), F.explode(lines).alias("__raw")
+    ).select(
+        key_col,
+        F.trim(F.regexp_replace(F.col("__raw"), "#.*$", "")).alias("__line"),
+    )
+    url = F.trim(F.regexp_extract(F.col("__line"), SITEMAP_RE, 1))
+    return (
+        ln.filter(F.col("__line").rlike(r"(?i)^sitemap\s*:"))
+        .select(F.col(key_col), url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"))
+    )
 
 
 def parse_robots(

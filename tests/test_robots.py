@@ -195,3 +195,36 @@ def test_parse_plan_never_touches_pages(spark):
     )
     plan = parse_robots(robots)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_sitemap_urls(spark):
+    from energy_pandas_spark.operators.robots import sitemap_urls
+
+    text = (
+        "User-agent: *\r\n"
+        "Disallow: /x\r\n"
+        "SITEMAP: https://example.com/sitemap.xml  # primary\r\n"
+        "sitemap: https://cdn.example.com/s2.xml.gz\r\n"
+        "Sitemap: not-a-url\r\n"
+        "Sitemap:\r\n"
+    )
+    df = spark.createDataFrame(
+        [("example.com", text), ("empty.org", None)],
+        "domain string, text string",
+    )
+    got = sorted(map(tuple, sitemap_urls(df).collect()))
+    assert got == [
+        ("example.com", "https://cdn.example.com/s2.xml.gz"),
+        ("example.com", "https://example.com/sitemap.xml"),
+    ]
+
+
+def test_sitemap_urls_zero_shuffle(spark):
+    from energy_pandas_spark.operators.robots import sitemap_urls
+    from energy_pandas_spark.plans import exchange_count
+
+    df = spark.createDataFrame(
+        [("a.io", "Sitemap: https://a.io/s.xml")],
+        "domain string, text string",
+    )
+    assert exchange_count(sitemap_urls(df)) == 0
