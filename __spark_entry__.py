@@ -9772,6 +9772,65 @@ ORDER BY d.doc_id
 """
 
 
+def calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability card (operators/diagnostics.py:
+    calibration_curve): synthetic scorer score = (37 id mod 1000)/1000
+    with labels drawn at rate score^2 via an independent md5 bucket —
+    a deliberately over-confident filter, so the card shows observed
+    positive permille under predicted confidence in every bin, worst
+    mid-range. One deterministic quantization + one map-combined
+    aggregate; <= 10 rows out; all-integer after the quantize."""
+    _prep(spark)
+    from energy_pandas_spark.operators.diagnostics import calibration_curve
+    from energy_pandas_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "doc_id",
+            ((F.col("doc_id") * 37) % 1000).alias("__spm"),
+            hash_bucket(
+                F.concat(F.lit("lbl:"), F.col("doc_id").cast("string")), 1000
+            ).alias("__b"),
+        )
+        .select(
+            (F.col("__spm").cast("double") / F.lit(1000.0)).alias("score"),
+            (F.col("__b") < F.expr("(__spm * __spm) div 1000"))
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return calibration_curve(scored, "score", "label").orderBy("bin")
+
+
+_CALIBRATION_SQL = r"""
+WITH sc AS (
+  SELECT doc_id, (doc_id * 37) % 1000 AS s_pm,
+         ((doc_id * 37) % 1000)::DOUBLE / 1000.0::DOUBLE AS score
+  FROM documents
+), lab AS (
+  SELECT score,
+         CASE WHEN ('0x' || substr(md5('lbl:' || doc_id::VARCHAR), 1, 15))
+                     ::BIGINT % 1000
+                   < (s_pm * s_pm) // 1000
+              THEN 1 ELSE 0 END AS label
+  FROM sc
+), q AS (
+  SELECT greatest(least(floor(score * 10), 9), 0)::INT AS bin,
+         round(score * 1000000.0)::BIGINT AS sq, label
+  FROM lab
+), agg AS (
+  SELECT bin, count(*)::BIGINT AS n_rows, sum(label)::BIGINT AS n_positive,
+         sum(sq)::BIGINT AS score_q_sum
+  FROM q GROUP BY 1
+)
+SELECT bin, n_rows, n_positive, score_q_sum,
+       ((1000 * n_positive) // n_rows)::BIGINT AS positive_permille,
+       ((1000 * score_q_sum) // (1000000 * n_rows))::BIGINT AS conf_permille
+FROM agg ORDER BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9939,6 +9998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_delta_docs": corpus_delta_docs,
         "neardup_eval_docs": neardup_eval_docs,
         "span_corrupt_docs": span_corrupt_docs,
+        "calibration_docs": calibration_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10161,6 +10221,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_delta_docs": _CORPUS_DELTA_SQL,
         "neardup_eval_docs": _NEARDUP_EVAL_SQL,
         "span_corrupt_docs": _SPAN_CORRUPT_SQL,
+        "calibration_docs": _CALIBRATION_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

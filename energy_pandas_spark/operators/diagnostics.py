@@ -25,6 +25,8 @@ __all__ = [
     "top_keys",
     "partition_skew_stats",
     "length_histogram",
+    "calibration_curve",
+    "calibration_ece",
 ]
 
 
@@ -165,4 +167,88 @@ def length_histogram(
         hi.alias("hi"),
         "n_rows",
         "sum_value",
+    )
+
+
+def _calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int, quant: int
+) -> DataFrame:
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = (
+        F.greatest(
+            F.least(F.floor(s * n_bins), F.lit(n_bins - 1)), F.lit(0)
+        )
+    ).cast("int")
+    sq = F.round(s * F.lit(float(quant))).cast("long")
+    return (
+        df.select(
+            b.alias("bin"),
+            sq.alias("__sq"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__y").cast("long").alias("n_positive"),
+            F.sum("__sq").cast("long").alias("score_q_sum"),
+        )
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Reliability card for a probabilistic scorer (quality classifier,
+    LM-based filter): rows bin by predicted score (``floor(score *
+    n_bins)``, clamped to [0, n_bins)), each bin reporting observed
+    positive rate vs mean predicted confidence — ``(bin, n_rows,
+    n_positive, score_q_sum, positive_permille, conf_permille)``.
+
+    A well-calibrated scorer has positive_permille tracking
+    conf_permille per bin; divergence says the filter's threshold
+    doesn't mean what its probability claims. All integer arithmetic
+    after one deterministic quantization (``round(score * quant)`` —
+    identical doubles round identically on any engine); one
+    map-combined aggregate, <= n_bins rows out."""
+    agg = _calibration_bins(df, score_col, label_col, n_bins, quant)
+    return agg.select(
+        "bin",
+        "n_rows",
+        "n_positive",
+        "score_q_sum",
+        F.expr("(1000 * n_positive) div n_rows").alias("positive_permille"),
+        F.expr(f"(1000 * score_q_sum) div ({quant} * n_rows)").alias(
+            "conf_permille"
+        ),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One-row expected calibration error in integer parts-per-million:
+    ``ECE = sum_b |acc_b - conf_b| * n_b / N`` folds to the exact
+    integer form ``sum_b |n_pos_b * quant - score_q_sum_b| div N``
+    (which IS ppm when ``quant`` = 1e6) — no float accumulation
+    anywhere."""
+    agg = _calibration_bins(df, score_col, label_col, n_bins, quant)
+    return agg.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.expr(
+            "sum(abs(n_positive * "
+            f"{quant}"
+            " - score_q_sum)) div sum(n_rows)"
+        )
+        .cast("long")
+        .alias("ece_ppm"),
     )

@@ -141,3 +141,100 @@ class TestPackingStats:
         df = spark.createDataFrame([(0, 1, 1)], "doc_id long, n_tokens long, pack_bucket int")
         with _pytest.raises(ValueError):
             packing_stats(df, "n_tokens", budget=0)
+
+
+class TestCalibration:
+    def _scored(self, spark, n=4000):
+        # score = u; label ~ Bernoulli(u^2) via an independent hash ->
+        # overconfident at low scores, underconfident near 1
+        import hashlib
+
+        rows = []
+        for i in range(n):
+            s_pm = (i * 37) % 1000
+            h = int(hashlib.md5(f"lbl:{i}".encode()).hexdigest()[:15], 16) % 1000
+            rows.append((i, s_pm / 1000.0, 1 if h < (s_pm * s_pm) // 1000 else 0))
+        return spark.createDataFrame(rows, "id long, score double, label int"), rows
+
+    def test_curve_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.diagnostics import calibration_curve
+
+        df, rows = self._scored(spark)
+        got = {
+            r.bin: (r.n_rows, r.n_positive, r.score_q_sum,
+                    r.positive_permille, r.conf_permille)
+            for r in calibration_curve(df, "score", "label").collect()
+        }
+        bins = {}
+        for _, s, y in rows:
+            b = min(int(s * 10), 9)
+            n, p, sq = bins.get(b, (0, 0, 0))
+            bins[b] = (n + 1, p + y, sq + round(s * 1_000_000))
+        want = {
+            b: (n, p, sq, (1000 * p) // n, (1000 * sq) // (1_000_000 * n))
+            for b, (n, p, sq) in bins.items()
+        }
+        assert got == want
+        # the planted miscalibration (label rate s^2 < score s) shows:
+        # every bin observes no more positives than it predicts, with
+        # the mid bins diverging most (s - s^2 peaks at 0.5)
+        assert all(v[3] <= v[4] for v in got.values())
+        mid_gap = got[5][4] - got[5][3]
+        assert mid_gap > got[9][4] - got[9][3]
+        assert mid_gap > 150
+
+    def test_ece_exact(self, spark):
+        from energy_pandas_spark.operators.diagnostics import calibration_ece
+
+        df, rows = self._scored(spark)
+        got = calibration_ece(df, "score", "label").collect()[0]
+        bins = {}
+        for _, s, y in rows:
+            b = min(int(s * 10), 9)
+            n, p, sq = bins.get(b, (0, 0, 0))
+            bins[b] = (n + 1, p + y, sq + round(s * 1_000_000))
+        want = sum(
+            abs(p * 1_000_000 - sq) for (n, p, sq) in bins.values()
+        ) // len(rows)
+        assert got.ece_ppm == want and got.n_rows == len(rows)
+        # a perfectly calibrated synthetic scorer lands near zero
+        from energy_pandas_spark.operators.diagnostics import calibration_curve  # noqa: F401
+        import hashlib
+
+        cal = spark.createDataFrame(
+            [
+                (
+                    i,
+                    ((i * 37) % 1000) / 1000.0,
+                    1
+                    if int(hashlib.md5(f"lbl:{i}".encode()).hexdigest()[:15], 16)
+                    % 1000
+                    < (i * 37) % 1000
+                    else 0,
+                )
+                for i in range(4000)
+            ],
+            "id long, score double, label int",
+        )
+        good = calibration_ece(cal, "score", "label").collect()[0]
+        assert good.ece_ppm < got.ece_ppm / 3
+
+    def test_out_of_range_scores_clamp(self, spark):
+        from energy_pandas_spark.operators.diagnostics import calibration_curve
+
+        df = spark.createDataFrame(
+            [(1, -0.2, 0), (2, 1.0, 1), (3, 1.7, 1)],
+            "id long, score double, label int",
+        )
+        got = {r.bin: r.n_rows for r in
+               calibration_curve(df, "score", "label").collect()}
+        assert got == {0: 1, 9: 2}
+
+    def test_n_bins_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.diagnostics import calibration_curve
+
+        df = spark.createDataFrame([(1, 0.5, 1)], "id long, score double, label int")
+        with _pytest.raises(ValueError):
+            calibration_curve(df, "score", "label", n_bins=0)
