@@ -9832,6 +9832,214 @@ FROM agg ORDER BY bin
 
 
 # ---------------------------------------------------------------------------
+# Unicode hygiene (operators/normalize.py): cleanup chain, mojibake
+# detect + repair, NFC normalization. The corpus itself is clean ASCII,
+# so deterministic dirt is injected around the text (the
+# html_extract_docs precedent) and both engines replay the SAME regex
+# constants (Java∩RE2 subset, interpolated verbatim below).
+# ---------------------------------------------------------------------------
+
+from energy_pandas_spark.operators.normalize import (  # noqa: E402
+    ALT_SPACE_CLASS as _N_ALT,
+    CONTROL_CLASS as _N_CTRL,
+    MOJIBAKE_MARKER as _N_MOJI,
+    ZERO_WIDTH_CLASS as _N_ZW,
+)
+
+
+def clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control hygiene (operators/normalize.py:clean_text_stats)
+    over documents wrapped in deterministic dirt (tab+NBSP head, CRLF,
+    zero-width + C0 control + trailing-space tail). One map-only codegen
+    projection: zero shuffle, no Python workers."""
+    _prep(spark)
+    from energy_pandas_spark.operators.normalize import clean_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\t head\r\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" ​zw tail  "),
+        ).alias("text"),
+    )
+    return (
+        clean_text_stats(wrapped)
+        .select(
+            "doc_id",
+            "n_ctrl",
+            "n_zero_width",
+            "n_alt_space",
+            "changed",
+            F.col("text_clean"),
+            F.length("text_clean").cast("long").alias("n_chars_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CLEAN_TEXT_SQL = f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         chr(9) || chr(160) || 'head' || chr(13) || chr(10)
+         || coalesce(text, '')
+         || ' ' || chr(8203) || 'zw' || chr(7) || ' tail  ' AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t,
+    trim(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(t,
+        '\\x{{000D}}\\x{{000A}}?', chr(10), 'g'),
+        '{_N_CTRL}', '', 'g'),
+        '{_N_ZW}', '', 'g'),
+        '{_N_ALT}', ' ', 'g'),
+        '[ \\x{{0009}}]+', ' ', 'g'),
+        '[ ]*\\x{{000A}}[ ]*', chr(10), 'g')
+    ) AS text_clean
+  FROM wrapped
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_N_CTRL}'))::BIGINT AS n_ctrl,
+       len(regexp_extract_all(t, '{_N_ZW}'))::BIGINT AS n_zero_width,
+       len(regexp_extract_all(t, '{_N_ALT}'))::BIGINT AS n_alt_space,
+       (text_clean != t) AS changed,
+       text_clean,
+       length(text_clean)::BIGINT AS n_chars_clean
+FROM c ORDER BY doc_id
+"""
+
+
+def mojibake_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake evidence counts (operators/normalize.py:mojibake_stats):
+    every third document gets the classic UTF-8-as-cp1252 artifacts
+    ("cafÃ©", "â€™") appended; the detector is a pure codegen regex
+    count — the JVM-side gate that decides which rows the Python repair
+    kernel touches."""
+    _prep(spark)
+    from energy_pandas_spark.operators.normalize import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    art = " cafÃ© â€™tis"  # 'café ’tis' corrupted
+    wrapped = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(art)),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return (
+        mojibake_stats(wrapped)
+        .select("doc_id", "n_mojibake", "n_chars", "mojibake_flag")
+        .orderBy("doc_id")
+    )
+
+
+_MOJIBAKE_STATS_SQL = f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN coalesce(text, '') || ' caf' || chr(195) || chr(169)
+                   || ' ' || chr(226) || chr(8364) || chr(8482) || 'tis'
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_N_MOJI}'))::BIGINT AS n_mojibake,
+       length(t)::BIGINT AS n_chars,
+       (len(regexp_extract_all(t, '{_N_MOJI}')) > 0) AS mojibake_flag
+FROM wrapped ORDER BY doc_id
+"""
+
+
+def fix_mojibake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/normalize.py:fix_mojibake): even
+    doc_ids carry a UTF-8-decoded-as-cp1252 corruption of a known
+    suffix, odd stay clean ASCII — so the repaired output is a closed
+    form the oracle states directly. The marker gate is JVM-side; the
+    Arrow kernel does per-char work only on the flagged half."""
+    _prep(spark)
+    from energy_pandas_spark.operators.normalize import fix_mojibake
+
+    suffix = ": café — naïve ’done"
+    corrupted = suffix.encode("utf-8").decode("cp1252")
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(corrupted)).otherwise(
+                F.lit(": plain ascii")
+            ),
+        ).alias("text"),
+    )
+    return fix_mojibake(wrapped).select("doc_id", "text").orderBy("doc_id")
+
+
+_FIX_MOJIBAKE_SQL = """
+SELECT doc_id,
+       'Doc ' || doc_id::VARCHAR ||
+       CASE WHEN doc_id % 2 = 0
+            THEN ': caf' || chr(233) || ' ' || chr(8212) || ' na'
+                 || chr(239) || 've ' || chr(8217) || 'done'
+            ELSE ': plain ascii' END AS text
+FROM documents ORDER BY doc_id
+"""
+
+
+def nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/normalize.py:nfc_text):
+    documents get a decomposed suffix (e+combining-acute, A+ring,
+    dot-above+dot-below reorder case); the Arrow kernel's
+    unicodedata.normalize must agree byte-for-byte with the oracle's
+    utf8proc nfc_normalize on assigned codepoints."""
+    _prep(spark)
+    from energy_pandas_spark.operators.normalize import nfc_text
+
+    suffix = " éÅḍ̇"
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(suffix)).alias(
+            "text"
+        ),
+    )
+    return (
+        nfc_text(wrapped, out_col="text_nfc", changed_col="changed")
+        .select(
+            "doc_id",
+            "text_nfc",
+            "changed",
+            F.length("text_nfc").cast("long").alias("n_chars_nfc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NFC_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' e' || chr(769) || 'A' || chr(778)
+         || 'd' || chr(775) || chr(803) AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS text_nfc,
+       (nfc_normalize(t) != t) AS changed,
+       length(nfc_normalize(t))::BIGINT AS n_chars_nfc
+FROM wrapped ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -9999,6 +10207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_eval_docs": neardup_eval_docs,
         "span_corrupt_docs": span_corrupt_docs,
         "calibration_docs": calibration_docs,
+        "clean_text_docs": clean_text_docs,
+        "mojibake_stats_docs": mojibake_stats_docs,
+        "fix_mojibake_docs": fix_mojibake_docs,
+        "nfc_docs": nfc_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10222,6 +10434,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_eval_docs": _NEARDUP_EVAL_SQL,
         "span_corrupt_docs": _SPAN_CORRUPT_SQL,
         "calibration_docs": _CALIBRATION_SQL,
+        "clean_text_docs": _CLEAN_TEXT_SQL,
+        "mojibake_stats_docs": _MOJIBAKE_STATS_SQL,
+        "fix_mojibake_docs": _FIX_MOJIBAKE_SQL,
+        "nfc_docs": _NFC_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
