@@ -10039,6 +10039,64 @@ FROM wrapped ORDER BY doc_id
 """
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware splitting (operators/sampling.py:leakage_safe_split):
+    documents are rewritten into 150 shared-content groups, then split
+    80/10/10 by the hash of each group's REPRESENTATIVE (smallest
+    member id) — so a content group can never straddle train/eval.
+    n_groups summing to exactly 150 across splits IS the zero-leakage
+    proof (plain hash_split would scatter every group). One digest
+    aggregate + one digest equi-join; text never shuffles."""
+    _prep(spark)
+    from energy_pandas_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared content "), (F.col("doc_id") % 150).cast("string")
+        ).alias("text"),
+    )
+    out = leakage_safe_split(
+        wrapped,
+        "doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        rep_col="rep",
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.countDistinct("rep").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+_LEAKAGE_SAFE_SPLIT_SQL = """
+WITH w AS (
+  SELECT doc_id, 'shared content ' || (doc_id % 150)::VARCHAR AS text
+  FROM documents
+), r AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM w
+), s AS (
+  SELECT doc_id, rep,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, rep,
+           (('0x' || substr(md5(rep::VARCHAR), 1, 15))::BIGINT % 10000)::INT
+             AS b
+    FROM r
+  )
+)
+SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+       count(DISTINCT rep)::BIGINT AS n_groups
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10211,6 +10269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_stats_docs": mojibake_stats_docs,
         "fix_mojibake_docs": fix_mojibake_docs,
         "nfc_docs": nfc_docs,
+        "leakage_safe_split_docs": leakage_safe_split_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10438,6 +10497,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_stats_docs": _MOJIBAKE_STATS_SQL,
         "fix_mojibake_docs": _FIX_MOJIBAKE_SQL,
         "nfc_docs": _NFC_SQL,
+        "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

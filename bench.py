@@ -156,6 +156,16 @@ HEADLINE = [
     "hll_distinct_docs",
     "pack_stats_docs",
     "token_length_hist_docs",
+    "kn_lm_score_docs",
+    "corpus_delta_docs",
+    "neardup_eval_docs",
+    "span_corrupt_docs",
+    "calibration_docs",
+    # round-3 session-10 additions
+    "clean_text_docs",
+    "mojibake_stats_docs",
+    "fix_mojibake_docs",
+    "nfc_docs",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "temperature_mixture",
     "select_token_budget",
     "split_leakage_stats",
+    "leakage_safe_split",
     "epoch_order",
 ]
 
@@ -498,6 +499,73 @@ def split_leakage_stats(
     return stats.selectExpr(
         f"stack({len(pairs)}, {stacked}) AS (split_a, split_b, n_digests, n_pairs)"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key: str,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    splits: Mapping[str, float] | None = None,
+    out_col: str = "split",
+    rep_col: str | None = None,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Split assignment that CANNOT leak duplicates across splits.
+
+    :func:`hash_split` hashes each row's own key, so two documents with
+    identical (or near-identical) content can land in different splits
+    — exactly the train/eval contamination :func:`split_leakage_stats`
+    audits. This variant hashes the duplicate CLUSTER's representative
+    (its smallest member key) instead, so a whole cluster always lands
+    in one split and the cross-split dup-pair count is zero by
+    construction.
+
+    Clusters come from ``pairs`` — the output of any near-dup pair
+    operator (``minhash_pairs`` / ``simhash_pairs`` /
+    ``containment_pairs``, columns ``id_a``/``id_b`` matching ``key``'s
+    values) resolved through connected components so chains can't
+    straddle — or, when ``pairs`` is None, from exact
+    normalized-content groups (the :func:`split_leakage_stats` digest).
+
+    Scale shape: the pairs path is one CC over the (small) dup-pair
+    edge set plus one equi-join of (id, component) longs against the
+    corpus — text never shuffles. The exact path is one digest-keyed
+    map-combined aggregate (two longs per distinct content) plus one
+    digest equi-join. Non-duplicate rows (the overwhelming majority)
+    keep ``rep == key``, so their assignment is identical to
+    :func:`hash_split` — adding dedup-awareness reshuffles only the
+    documents that have duplicates.
+
+    ``rep_col`` optionally exposes the representative key for audits.
+    """
+    from energy_pandas_spark.functions.textfns import normalized_text
+
+    if pairs is not None:
+        from energy_pandas_spark.operators.graph import connected_components
+
+        cc = connected_components(pairs, src="id_a", dst="id_b").select(
+            F.col("id").alias(key), F.col("component").alias("__cc")
+        )
+        tagged = (
+            df.join(cc, key, "left")
+            .withColumn("__rep", F.coalesce("__cc", F.col(key)))
+            .drop("__cc")
+        )
+    else:
+        digest = F.md5(normalized_text(text_col)).alias("__digest")
+        reps = (
+            df.select(F.col(key), digest)
+            .groupBy("__digest")
+            .agg(F.min(key).alias("__rep"))
+        )
+        tagged = df.withColumn("__digest", digest).join(
+            reps, "__digest", "left"
+        ).drop("__digest")
+    out = hash_split(tagged, "__rep", splits, out_col, denominator)
+    if rep_col is not None:
+        return out.withColumnRenamed("__rep", rep_col)
+    return out.drop("__rep")
 
 
 def weighted_mixture(

@@ -391,3 +391,85 @@ class TestEpochOrder:
         a = sorted(map(tuple, epoch_order(df, epochs=1, seed="s1").collect()))
         b = sorted(map(tuple, epoch_order(df, epochs=1, seed="s2").collect()))
         assert a != b
+
+
+class TestLeakageSafeSplit:
+    """Cluster-aware splitting: whole dup clusters land in one split."""
+
+    def _leaky_corpus(self, spark):
+        # same text under many keys — plain hash_split scatters them
+        rows = [(i, "identical leaked content") for i in range(40)]
+        rows += [(100 + i, f"unique doc {i}") for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_mode_zero_leakage(self, spark):
+        from energy_pandas_spark.operators.sampling import leakage_safe_split
+
+        df = self._leaky_corpus(spark)
+        out = leakage_safe_split(
+            df, "doc_id", splits={"train": 0.5, "test": 0.5}
+        )
+        # every copy of the duplicated text shares one split
+        dup_splits = (
+            out.filter(F.col("text") == "identical leaked content")
+            .select("split")
+            .distinct()
+            .collect()
+        )
+        assert len(dup_splits) == 1
+        # and the audit agrees: zero cross-split exact-dup pairs
+        per = (
+            out.groupBy(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+            .agg(
+                F.count_if(F.col("split") == "train").alias("a"),
+                F.count_if(F.col("split") == "test").alias("b"),
+            )
+            .agg(F.sum(F.col("a") * F.col("b")).alias("pairs"))
+            .collect()[0]
+        )
+        assert per.pairs == 0
+
+    def test_unique_rows_match_hash_split(self, spark):
+        from energy_pandas_spark.operators.sampling import (
+            hash_split,
+            leakage_safe_split,
+        )
+
+        df = self._leaky_corpus(spark).filter(F.col("doc_id") >= 100)
+        a = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(df, "doc_id").collect()
+        }
+        b = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+        assert a == b  # dedup-awareness is a no-op on unique content
+
+    def test_pairs_mode_chains(self, spark):
+        from energy_pandas_spark.operators.sampling import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+        )
+        # chain 1-2, 2-3 => cluster {1,2,3}; pair 5-6 => cluster {5,6}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        out = leakage_safe_split(
+            df,
+            "doc_id",
+            pairs=pairs,
+            splits={"train": 0.5, "test": 0.5},
+            rep_col="rep",
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].rep == rows[2].rep == rows[3].rep == 1
+        assert rows[1].split == rows[2].split == rows[3].split
+        assert rows[5].rep == rows[6].rep == 5
+        assert rows[5].split == rows[6].split
+        assert rows[4].rep == 4 and rows[7].rep == 7
+
+    def test_rep_col_hidden_by_default(self, spark):
+        from energy_pandas_spark.operators.sampling import leakage_safe_split
+
+        df = self._leaky_corpus(spark)
+        out = leakage_safe_split(df, "doc_id")
+        assert set(out.columns) == {"doc_id", "text", "split"}
