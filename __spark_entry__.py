@@ -10097,6 +10097,107 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py:rrf_fuse): quantized
+    TF-IDF top-10 and BM25 top-10 fused by reciprocal-rank fusion
+    (integer 2^20 div (60+rank) contributions — order-free BIGINT
+    sums), top-5 per query. RRF consumes only ranks, so the two
+    systems' incomparable score scales never matter. Inherits BM25's
+    1-ulp ln caveat through the bm25 ranking it fuses."""
+    _prep(spark)
+    from energy_pandas_spark.operators.retrieval import (
+        bm25_topk,
+        query_terms,
+        rrf_fuse,
+        search_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = query_terms(spark, _SEARCH_QUERIES)
+    fused = rrf_fuse(
+        [search_topk(docs, q, k=10), bm25_topk(docs, q, k=10)], k=5
+    )
+    return fused.orderBy("query_id", "rank")
+
+
+_RRF_FUSE_SQL = rf"""
+WITH rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+    SELECT doc_id, term, count(*) OVER (PARTITION BY doc_id) AS dl
+    FROM rtok
+  ) GROUP BY 1, 2
+), q(query_id, term, qtf) AS (
+  VALUES {_SEARCH_QUERY_VALUES}
+), n AS (SELECT count(*) AS n_docs FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM rtok) AS total_tokens
+), dfreq AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), tf_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(p.tf * q.qtf * ((n.n_docs * 1024) // d.df))::BIGINT AS s
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN dfreq d ON d.term = p.term
+  CROSS JOIN n
+  GROUP BY 1, 2
+), tf_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id
+         ) AS rank
+  FROM tf_scored
+), idf AS (
+  SELECT d.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         s.total_tokens / s.n_docs AS avgdl
+  FROM dfreq d CROSS JOIN stats s
+), bm_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(round(1024.0 * q.qtf * i.idf *
+                   ((p.tf * 2.2) /
+                    (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl))))::BIGINT
+         )::BIGINT AS s
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN idf i ON i.term = p.term
+  GROUP BY 1, 2
+), bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id
+         ) AS rank
+  FROM bm_scored
+), unioned AS (
+  SELECT query_id, doc_id, rank FROM tf_ranked WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM bm_ranked WHERE rank <= 10
+), fused AS (
+  SELECT query_id, doc_id,
+         sum(1048576 // (60 + rank))::BIGINT AS score_q,
+         count(*)::BIGINT AS n_systems
+  FROM unioned GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score_q, n_systems,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score_q, n_systems,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10270,6 +10371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake_docs": fix_mojibake_docs,
         "nfc_docs": nfc_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
+        "rrf_fuse_docs": rrf_fuse_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10498,6 +10600,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake_docs": _FIX_MOJIBAKE_SQL,
         "nfc_docs": _NFC_SQL,
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
+        "rrf_fuse_docs": _RRF_FUSE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -55,6 +55,7 @@ __all__ = [
     "query_terms",
     "search_topk",
     "bm25_topk",
+    "rrf_fuse",
     "write_postings_index",
     "append_postings_index",
     "compact_postings_index",
@@ -244,7 +245,63 @@ def bm25_topk(
     return _finish(out, matched) if eager else out
 
 
-def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+#: RRF quantization: fused scores are sums of ``RRF_SCALE div
+#: (rrf_k + rank)`` longs — order-free, engine-portable integers.
+RRF_SCALE = 1 << 20
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two or
+    more per-query rankings — the standard hybrid-retrieval combiner
+    (e.g. lexical BM25 + quantized TF-IDF, or either + an ANN ranking).
+
+    fused(d) = sum over systems of ``scale div (rrf_k + rank_s(d))`` —
+    the classic 1/(k+rank) quantized to integers, so fused scores are
+    order-free BIGINT sums and any engine replays them bit-for-bit.
+    RRF only consumes RANKS, which makes it immune to incomparable
+    score scales between systems (the reason it beats score averaging
+    without per-system calibration).
+
+    Each input needs (query_id, ``id_col``, ``rank_col``). Inputs are
+    top-k lists — (queries x k)-sized, tiny at any corpus scale — so
+    the fusion costs one union + one aggregate + the shared two-stage
+    top-k; the expensive part is producing the rankings, not fusing
+    them. Returns (query_id, ``id_col``, score_q, n_systems, rank)
+    with rank 1..k per query by (fused score desc, id asc)."""
+    if not results:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if rrf_k < 1 or scale < 1:
+        raise ValueError("rrf_k and scale must be >= 1")
+    parts = [
+        r.select(
+            "query_id", id_col, F.col(rank_col).cast("long").alias("__rank")
+        )
+        for r in results
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    scored = allr.groupBy("query_id", id_col).agg(
+        F.sum(
+            F.expr(f"{int(scale)} div ({int(rrf_k)} + __rank)")
+        ).alias("__score"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    return _topk(scored, k, id_col, extra=("n_systems",)).withColumnRenamed(
+        "__score", "score_q"
+    )
+
+
+def _topk(
+    scored: DataFrame, k: int, id_col: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Two-stage top-k by (__score desc, id asc): a bounded local
     window per (query, input partition), then the global window over
     the k x partitions survivors."""
@@ -270,7 +327,7 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
             ),
         )
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "__score", "rank")
+        .select("query_id", id_col, "__score", *extra, "rank")
     )
 
 

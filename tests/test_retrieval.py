@@ -342,3 +342,80 @@ class TestIndexMetaAndRecovery:
         assert not any("MEMORY_AND_DISK" in n or "Exchange" in n for n in names) or len(
             jsc.getRDDStorageInfo()
         ) <= len(before) + 1
+
+
+class TestRrfFuse:
+    def _ranking(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score_q long, rank int"
+        )
+
+    def test_hand_computed_fusion(self, spark):
+        from energy_pandas_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+        # system A ranks (10, 11, 12); system B ranks (11, 12, 13).
+        a = self._ranking(spark, [(0, 10, 900, 1), (0, 11, 800, 2), (0, 12, 700, 3)])
+        b = self._ranking(spark, [(0, 11, 50, 1), (0, 12, 40, 2), (0, 13, 30, 3)])
+        out = {r.doc_id: r for r in rrf_fuse([a, b], k=4, rrf_k=60).collect()}
+
+        def rr(rank):
+            return RRF_SCALE // (60 + rank)
+
+        assert out[11].score_q == rr(2) + rr(1)  # both systems
+        assert out[12].score_q == rr(3) + rr(2)
+        assert out[10].score_q == rr(1)
+        assert out[13].score_q == rr(3)
+        assert out[11].rank == 1  # consensus beats either solo #1
+        assert out[11].n_systems == 2 and out[10].n_systems == 1
+        # rr(1)=17189 < rr(3)+rr(2)=16644+16912 -> 12 outranks solo 10
+        assert out[12].rank == 2 and out[10].rank == 3 and out[13].rank == 4
+
+    def test_per_query_isolation_and_k(self, spark):
+        from energy_pandas_spark.operators.retrieval import rrf_fuse
+
+        a = self._ranking(
+            spark, [(0, 1, 9, 1), (0, 2, 8, 2), (1, 5, 9, 1), (1, 6, 8, 2)]
+        )
+        b = self._ranking(
+            spark, [(0, 2, 9, 1), (0, 3, 8, 2), (1, 6, 9, 1), (1, 7, 8, 2)]
+        )
+        out = rrf_fuse([a, b], k=1).collect()
+        top = {r.query_id: r.doc_id for r in out}
+        assert top == {0: 2, 1: 6}  # the doc both systems agree on
+        assert len(out) == 2
+
+    def test_single_system_preserves_order(self, spark):
+        from energy_pandas_spark.operators.retrieval import rrf_fuse
+
+        a = self._ranking(spark, [(0, 7, 9, 1), (0, 3, 8, 2), (0, 9, 7, 3)])
+        out = rrf_fuse([a], k=3).orderBy("rank").collect()
+        assert [r.doc_id for r in out] == [7, 3, 9]
+
+    def test_validation(self, spark):
+        from energy_pandas_spark.operators.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        a = self._ranking(spark, [(0, 1, 9, 1)])
+        with pytest.raises(ValueError):
+            rrf_fuse([a], rrf_k=0)
+
+    def test_end_to_end_hybrid(self, spark):
+        from energy_pandas_spark.operators.retrieval import (
+            bm25_topk,
+            query_terms,
+            rrf_fuse,
+            search_topk,
+        )
+
+        docs = _docs(spark)
+        q = query_terms(spark, {0: "spark join", 1: "window stream"})
+        fused = rrf_fuse(
+            [search_topk(docs, q, k=5), bm25_topk(docs, q, k=5)], k=3
+        )
+        rows = fused.collect()
+        assert rows and all(r.n_systems in (1, 2) for r in rows)
+        assert all(1 <= r.rank <= 3 for r in rows)
+        # no single-partition global sort anywhere in the fusion
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
