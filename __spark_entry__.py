@@ -10198,6 +10198,95 @@ ORDER BY query_id, rank
 """
 
 
+def anchor_texts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text harvesting + per-target anchor profile
+    (operators/urls.py:extract_anchor_texts/anchor_text_summary) over
+    synthetic pages: each document links one of 20 targets with a
+    markup-bearing anchor, a single-quoted tracking-param variant of
+    the SAME target (canonicalization must pool them), and an
+    image-only anchor that must drop as NULL. Extraction is a map-only
+    regex explode; the profile is one (url, anchor) aggregate + the
+    bounded two-stage top-k — never a whole-URL window task."""
+    _prep(spark)
+    from energy_pandas_spark.operators.urls import (
+        anchor_text_summary,
+        extract_anchor_texts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tgt = F.concat(
+        F.lit("https://t"), (did % 20).cast("string"), F.lit(".net/page")
+    )
+    html = F.concat(
+        F.lit("<p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><a href="'),
+        tgt,
+        F.lit('">visit <b>site</b> v'),
+        (did % 3).cast("string"),
+        F.lit("</a><a href='"),
+        tgt,
+        F.lit("?utm_source=x' class='x'>alt name</a>"),
+        F.lit('<a href="'),
+        tgt,
+        F.lit('"><img src="i.png"></a>'),
+    )
+    pages = docs.select("doc_id", html.alias("text"))
+    return anchor_text_summary(extract_anchor_texts(pages), k=2).orderBy(
+        "url"
+    )
+
+
+_ANCHOR_DQ_SQL = r'(?is)<a\b[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+_ANCHOR_SQ_SQL = r"(?is)<a\b[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>"
+
+_ANCHOR_TEXTS_SQL = rf"""
+WITH pages AS (
+  SELECT doc_id,
+         '<p>' || coalesce(text, '')
+         || '</p><a href="https://t' || (doc_id % 20)::VARCHAR
+         || '.net/page">visit <b>site</b> v' || (doc_id % 3)::VARCHAR
+         || '</a><a href=''https://t' || (doc_id % 20)::VARCHAR
+         || '.net/page?utm_source=x'' class=''x''>alt name</a>'
+         || '<a href="https://t' || (doc_id % 20)::VARCHAR
+         || '.net/page"><img src="i.png"></a>' AS t
+  FROM documents
+), raw AS (
+  SELECT unnest(regexp_extract_all(t, '{_ANCHOR_DQ_SQL}', 1)
+                || regexp_extract_all(t, $${_ANCHOR_SQ_SQL}$$, 1)) AS href,
+         unnest(regexp_extract_all(t, '{_ANCHOR_DQ_SQL}', 2)
+                || regexp_extract_all(t, $${_ANCHOR_SQ_SQL}$$, 2)) AS markup
+  FROM pages
+), u AS (
+  SELECT href AS url,
+         trim(regexp_replace(regexp_replace(markup, '<[^>]*>', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS anchor
+  FROM raw
+), sa AS ({_CANON_URL_CTE}
+), counts AS (
+  SELECT canonical_url AS url, anchor, count(*) AS n
+  FROM c WHERE canonical_url IS NOT NULL AND anchor != ''
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT url, anchor, n,
+         row_number() OVER (
+           PARTITION BY url ORDER BY n DESC, anchor
+         ) AS r
+  FROM counts
+), top AS (
+  SELECT url, string_agg(anchor, ' | ' ORDER BY r) AS top_anchors
+  FROM ranked WHERE r <= 2 GROUP BY 1
+), tot AS (
+  SELECT url, sum(n)::BIGINT AS n_links,
+         count(*)::BIGINT AS n_unique_anchors
+  FROM counts GROUP BY 1
+)
+SELECT tot.url, tot.n_links, tot.n_unique_anchors, top.top_anchors
+FROM tot JOIN top USING (url) ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10372,6 +10461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_docs": nfc_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "rrf_fuse_docs": rrf_fuse_docs,
+        "anchor_texts_docs": anchor_texts_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10601,6 +10691,7 @@ def oracle_sql() -> dict[str, str]:
         "nfc_docs": _NFC_SQL,
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "rrf_fuse_docs": _RRF_FUSE_SQL,
+        "anchor_texts_docs": _ANCHOR_TEXTS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

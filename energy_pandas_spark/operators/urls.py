@@ -37,7 +37,8 @@ map-combined aggregate over domain keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "canonical_url",
@@ -54,6 +55,10 @@ __all__ = [
     "MULTIPART_SUFFIXES",
     "HREF_DQ_RE",
     "HREF_SQ_RE",
+    "ANCHOR_DQ_RE",
+    "ANCHOR_SQ_RE",
+    "extract_anchor_texts",
+    "anchor_text_summary",
 ]
 
 # tracking / click-id query parameters dropped by canonicalization
@@ -230,6 +235,39 @@ def url_dedup(
 HREF_DQ_RE = r'href\s*=\s*"([^"]*)"'
 HREF_SQ_RE = r"href\s*=\s*'([^']*)'"
 
+# full <a> elements with their inner markup: group 1 = the href value,
+# group 2 = the anchor markup (non-greedy up to the closing tag). Both
+# live in the Java∩RE2 shared subset (no backreferences, no
+# lookaround) so the DuckDB oracles replay them verbatim.
+ANCHOR_DQ_RE = r'(?is)<a\b[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+ANCHOR_SQ_RE = r"(?is)<a\b[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>"
+
+
+def _resolved_href(href: Column, base_url_col: str | None) -> Column:
+    """Resolve an href against the row's base URL (shared by
+    :func:`extract_links` and :func:`extract_anchor_texts`): absolute
+    passes through, ``//host`` takes the base scheme, ``/path`` takes
+    the base origin, everything else is NULL."""
+    absolute = href.rlike(_SCHEME_RE)
+    if base_url_col is None:
+        return F.when(absolute, href).otherwise(F.lit(None).cast("string"))
+    base = F.col(base_url_col)
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    origin_ok = (scheme != "") & (auth != "")
+    return (
+        F.when(absolute, href)
+        .when(
+            href.startswith("//") & origin_ok,
+            F.concat(scheme, F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/") & ~href.startswith("//") & origin_ok,
+            F.concat(scheme, F.lit("://"), auth, href),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
 
 def extract_links(
     df: DataFrame,
@@ -267,36 +305,134 @@ def extract_links(
     )
     base_cols = [F.col(base_url_col)] if base_url_col else []
     out = df.select(F.col(id_col), *base_cols, F.explode(hrefs).alias("href"))
-    absolute = F.col("href").rlike(_SCHEME_RE)
-    if base_url_col:
-        base = F.col(base_url_col)
-        scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
-        auth = F.regexp_extract(base, _AUTH_RE, 1)
-        origin_ok = (scheme != "") & (auth != "")
-        resolved = (
-            F.when(absolute, F.col("href"))
-            .when(
-                F.col("href").startswith("//") & origin_ok,
-                F.concat(scheme, F.lit(":"), F.col("href")),
-            )
-            .when(
-                F.col("href").startswith("/")
-                & ~F.col("href").startswith("//")
-                & origin_ok,
-                F.concat(scheme, F.lit("://"), auth, F.col("href")),
-            )
-            .otherwise(F.lit(None).cast("string"))
-        )
-    else:
-        resolved = F.when(absolute, F.col("href")).otherwise(
-            F.lit(None).cast("string")
-        )
+    resolved = _resolved_href(F.col("href"), base_url_col)
     keep = (
         [F.col(base_url_col).alias("base_url")]
         if (keep_base and base_url_col)
         else []
     )
     return out.select(F.col(id_col), *keep, "href", resolved.alias("url"))
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """Anchor-text harvesting: one row per ``<a href=...>...</a>``
+    element as ``(id, url, anchor)`` — the text OTHER pages use to
+    describe a target, the classic relevance signal behind web-search
+    training corpora (anchor "documents") and link-context features.
+
+    ``url`` resolves like :func:`extract_links` (absolute / protocol-
+    relative / root-relative against ``base_url_col``; everything else
+    NULL). ``anchor`` is the element's inner markup with tags stripped
+    and whitespace collapsed; empty anchors (image links, spacer
+    markup) come back NULL so callers can filter without guessing.
+
+    Map-only: two regexp_extract_all passes (double-/single-quoted
+    href) zipped into (href, markup) structs, one explode, a
+    tag-strip/collapse projection — zero shuffle, no Python, and both
+    regexes live in the Java∩RE2 shared subset the oracles replay.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    pairs = F.concat(
+        *[
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit(pat), F.lit(1)).alias("href"),
+                F.regexp_extract_all(h, F.lit(pat), F.lit(2)).alias("raw"),
+            )
+            for pat in (ANCHOR_DQ_RE, ANCHOR_SQ_RE)
+        ]
+    )
+    base_cols = [F.col(base_url_col)] if base_url_col else []
+    out = df.select(F.col(id_col), *base_cols, F.explode(pairs).alias("__a"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__a.raw"), r"<[^>]*>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        _resolved_href(F.col("__a.href"), base_url_col).alias("url"),
+        F.when(cleaned != "", cleaned).alias("anchor"),
+    )
+
+
+def anchor_text_summary(
+    links: DataFrame,
+    k: int = 3,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-target anchor profile over :func:`extract_anchor_texts`
+    output: ``(url, n_links, n_unique_anchors, top_anchors)`` with the
+    target canonicalized (:func:`canonical_url`) so tracking-param /
+    fragment variants of one page pool their anchors, and
+    ``top_anchors`` = the k most frequent anchor strings (count desc,
+    anchor asc) joined with ``" | "`` — the "anchor document".
+
+    Shape at scale: one map-combined (url, anchor) aggregate, then the
+    bounded two-stage top-k per url (local row_number per partition
+    first, never a whole-URL window task — a hub page with 10^9
+    inlinks stays splittable); the per-url rollup joins counts from
+    the SAME aggregate, so the link table is read once."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        links.filter(F.col("url").isNotNull() & F.col("anchor").isNotNull())
+        .select(canonical_url(F.col("url")).alias("url"), "anchor")
+        .groupBy("url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # two consumers (top-k windows + the totals rollup) behind a
+        # join: the left join's IsNotNull pushdown makes the subtrees
+        # unequal, so ReuseExchange won't fire — persist spill-safe
+        # (the repo's recurring exchange-reuse rule)
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    local = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("url", "__pid").orderBy(
+                    F.desc("n"), F.asc("anchor")
+                )
+            ),
+        )
+        .filter(F.col("__lr") <= k)
+    )
+    top = (
+        local.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.desc("n"), F.asc("anchor"))
+            ),
+        )
+        .filter(F.col("__r") <= k)
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__r", "anchor"))
+                    ),
+                    lambda s: s["anchor"],
+                ),
+                " | ",
+            ).alias("top_anchors")
+        )
+    )
+    totals = counts.groupBy("url").agg(
+        F.sum("n").alias("n_links"),
+        F.count(F.lit(1)).alias("n_unique_anchors"),
+    )
+    out = totals.join(top, "url", "left").select(
+        "url", "n_links", "n_unique_anchors", "top_anchors"
+    )
+    return out
 
 
 def domain_links(

@@ -333,3 +333,97 @@ def test_plan_fetch_waves_validation(spark):
         plan_fetch_waves(df, n_workers=0)
     with _pytest.raises(ValueError):
         plan_fetch_waves(df, max_waves=0)
+
+
+class TestAnchorTexts:
+    def test_extract_and_clean(self, spark):
+        from energy_pandas_spark.operators.urls import extract_anchor_texts
+
+        html = (
+            '<p>x</p><a href="https://a.com/p">Read   <b>more</b>\nhere</a>'
+            "<a href='https://b.com'><img src=\"i.png\"></a>"
+            '<A HREF="/rel" class="c">Rel Link</A>'
+        )
+        df = spark.createDataFrame(
+            [(1, html, "https://base.org/dir/page")],
+            "doc_id long, text string, url string",
+        )
+        out = extract_anchor_texts(df, base_url_col="url")
+        rows = {r.url: r.anchor for r in out.collect()}
+        assert rows["https://a.com/p"] == "Read more here"  # tags stripped
+        assert rows["https://b.com"] is None  # image link -> NULL anchor
+        assert rows["https://base.org/rel"] == "Rel Link"  # resolved + (?i)
+
+    def test_protocol_relative_and_no_base(self, spark):
+        from energy_pandas_spark.operators.urls import extract_anchor_texts
+
+        html = '<a href="//cdn.net/x">c</a><a href="mailto:a@b">m</a>'
+        df = spark.createDataFrame(
+            [(1, html, "HTTPS://Base.org/p")], "doc_id long, text string, url string"
+        )
+        rows = {r.anchor: r.url for r in
+                extract_anchor_texts(df, base_url_col="url").collect()}
+        assert rows["c"] == "https://cdn.net/x"  # base scheme, lowercased
+        assert rows["m"] is None
+        # without a base, only absolute hrefs resolve
+        rows2 = {r.anchor: r.url for r in extract_anchor_texts(df).collect()}
+        assert rows2["c"] is None
+
+    def test_null_text(self, spark):
+        from energy_pandas_spark.operators.urls import extract_anchor_texts
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        assert extract_anchor_texts(df).count() == 0
+
+    def test_extract_is_map_only(self, spark):
+        from energy_pandas_spark.operators.urls import extract_anchor_texts
+        from energy_pandas_spark.plans.explain import exchange_count
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.lit('<a href="https://x.com">y</a>').alias("text"),
+        )
+        out = extract_anchor_texts(df)
+        assert exchange_count(out) == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+
+    def test_summary_pools_canonical_variants(self, spark):
+        from energy_pandas_spark.operators.urls import (
+            anchor_text_summary,
+            extract_anchor_texts,
+        )
+
+        pages = []
+        # 3 pages call the target "home", 2 call it "start"; tracking
+        # params and fragments must pool onto one canonical target
+        variants = [
+            "https://t.com/", "https://t.com/?utm_source=x",
+            "https://t.com/#frag", "https://www.t.com/", "https://t.com",
+        ]
+        anchors = ["home", "home", "home", "start", "start"]
+        for i, (v, a) in enumerate(zip(variants, anchors)):
+            pages.append((i, f'<a href="{v}">{a}</a>'))
+        df = spark.createDataFrame(pages, "doc_id long, text string")
+        out = anchor_text_summary(extract_anchor_texts(df), k=1).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_links == 5 and r.n_unique_anchors == 2
+        assert r.top_anchors == "home"
+
+    def test_summary_topk_order(self, spark):
+        from energy_pandas_spark.operators.urls import anchor_text_summary
+
+        links = spark.createDataFrame(
+            [(1, "https://t.com/", a) for a in
+             ["b", "b", "b", "a", "a", "c"]],
+            "doc_id long, url string, anchor string",
+        )
+        r = anchor_text_summary(links, k=2).collect()[0]
+        assert r.top_anchors == "b | a"  # count desc, anchor asc
+        # never a whole-URL single window task
+        plan = (
+            anchor_text_summary(links, k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan
