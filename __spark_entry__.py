@@ -10287,6 +10287,172 @@ FROM tot JOIN top USING (url) ORDER BY url
 """
 
 
+def _with_block_html(docs):
+    """Deterministic jusText test page per document: a link-only nav
+    (boilerplate), a heading (short), a fixed stopword-rich paragraph
+    (good), the document's own text as a paragraph (label depends on
+    its content — deterministic either way), and a link footer."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<nav><a href="/">Home page</a> <a href="/x">About the site</a></nav>'),
+            F.lit("<h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>It is the case that a good result of the work "
+                  "is in the text and that it is for a test.</p><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><div><a href="/tos">Terms of use</a></div>'),
+        ).alias("text"),
+    )
+
+
+def content_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style block scoring (operators/extraction.py:
+    content_blocks) over synthetic pages: split at block tags, score
+    every block on link density / stopword density / length as
+    integer per-milles, label boilerplate/short/good/low_text. One
+    map-only codegen projection + posexplode — zero shuffle, no
+    Python; the oracle replays the literal same regex + HOF chain."""
+    _prep(spark)
+    from energy_pandas_spark.operators.extraction import content_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    return content_blocks(_with_block_html(docs)).orderBy(
+        "doc_id", "block_idx"
+    )
+
+
+def main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (operators/extraction.py:
+    extract_main_content): the good blocks re-joined in document order
+    WITHOUT exploding — the page stays one row end to end (zero
+    shuffle), nav/footer boilerplate and the heading vanish."""
+    _prep(spark)
+    from energy_pandas_spark.operators.extraction import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        extract_main_content(_with_block_html(docs))
+        .select(
+            "doc_id",
+            "main_content",
+            F.length("main_content").cast("long").alias("n_chars_main"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOCK_PAGE_CTE = """
+  SELECT doc_id,
+         '<nav><a href="/">Home page</a> <a href="/x">About the site</a></nav>'
+         || '<h1>Doc ' || doc_id::VARCHAR
+         || '</h1><p>It is the case that a good result of the work '
+         || 'is in the text and that it is for a test.</p><p>'
+         || coalesce(text, '')
+         || '</p><div><a href="/tos">Terms of use</a></div>' AS h
+  FROM documents
+"""
+
+_BLOCK_SPLIT_SQL = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|blockquote"
+    r"|section|article|header|footer|nav|aside|main|form)\b[^>]*>"
+)
+_ANCHOR_INNER_SQL = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+_BLOCK_STOPLIST_SQL = (
+    "['a','and','be','for','have','in','is','it','of','that',"
+    "'the','to','with']"
+)
+
+
+def _clean_block_sql(e: str) -> str:
+    """DuckDB twin of operators/extraction.py:_clean for expression
+    ``e`` (tag strip, entity decode in the same order — &amp; last —
+    whitespace collapse, trim)."""
+    t = f"regexp_replace({e}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = f"replace({t}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+_BLOCK_STATS_CTE = rf"""
+), pre AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(h,
+      '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+      '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS h
+  FROM pages
+), raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(h, '{_BLOCK_SPLIT_SQL}')) AS b,
+         generate_subscripts(string_split_regex(h, '{_BLOCK_SPLIT_SQL}'), 1)
+           AS ord0
+  FROM pre
+), scored0 AS (
+  SELECT doc_id, ord0, b,
+         {_clean_block_sql('b')} AS text,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(b, '{_ANCHOR_INNER_SQL}', 1),
+           x -> length({_clean_block_sql('x')})
+         )), 0)::BIGINT AS n_link_chars
+  FROM raw
+), scored AS (
+  SELECT doc_id, ord0, text, n_link_chars,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           ::BIGINT AS n_words,
+         len(list_filter(
+           list_filter(string_split(lower(text), ' '), x -> x != ''),
+           x -> list_contains({_BLOCK_STOPLIST_SQL}, x)))::BIGINT AS n_stop
+  FROM scored0 WHERE text != ''
+), labeled AS (
+  SELECT doc_id, ord0, text, n_chars, n_words, n_link_chars,
+         (n_link_chars * 1000) // greatest(n_chars, 1) AS link_permille,
+         (n_stop * 1000) // greatest(n_words, 1) AS stop_permille
+  FROM scored
+), blocks AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1)::INT
+           AS block_idx,
+         text AS block_text, n_chars, n_words, n_link_chars,
+         link_permille, stop_permille,
+         CASE WHEN link_permille > 330 THEN 'boilerplate'
+              WHEN n_words < 5 THEN 'short'
+              WHEN stop_permille >= 150 THEN 'good'
+              ELSE 'low_text' END AS label
+  FROM labeled
+"""
+
+_CONTENT_BLOCKS_SQL = f"""
+WITH pages AS ({_BLOCK_PAGE_CTE}{_BLOCK_STATS_CTE}
+)
+SELECT doc_id, block_idx, block_text, n_chars, n_words, n_link_chars,
+       link_permille, stop_permille, label
+FROM blocks ORDER BY doc_id, block_idx
+"""
+
+_MAIN_CONTENT_SQL = f"""
+WITH pages AS ({_BLOCK_PAGE_CTE}{_BLOCK_STATS_CTE}
+), joined AS (
+  SELECT p.doc_id,
+         coalesce(string_agg(b.block_text, chr(10) ORDER BY b.block_idx)
+                  FILTER (WHERE b.label = 'good'), '') AS main_content
+  FROM pages p LEFT JOIN blocks b ON b.doc_id = p.doc_id
+  GROUP BY p.doc_id
+)
+SELECT doc_id, main_content,
+       length(main_content)::BIGINT AS n_chars_main
+FROM joined ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10462,6 +10628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "rrf_fuse_docs": rrf_fuse_docs,
         "anchor_texts_docs": anchor_texts_docs,
+        "content_blocks_docs": content_blocks_docs,
+        "main_content_docs": main_content_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10692,6 +10860,8 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split_docs": _LEAKAGE_SAFE_SPLIT_SQL,
         "rrf_fuse_docs": _RRF_FUSE_SQL,
         "anchor_texts_docs": _ANCHOR_TEXTS_SQL,
+        "content_blocks_docs": _CONTENT_BLOCKS_SQL,
+        "main_content_docs": _MAIN_CONTENT_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,
