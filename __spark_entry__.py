@@ -10453,6 +10453,127 @@ FROM joined ORDER BY doc_id
 """
 
 
+def _with_templated_text(docs):
+    """Per-source template header/footer around every document — the
+    per-site boilerplate the template scrub must detect and strip
+    while leaving the (per-doc unique) body lines alone."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("Copyright "),
+            F.col("source"),
+            F.lit(" press\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nAbout "),
+            F.col("source"),
+            F.lit(" | contact"),
+        ).alias("text"),
+    )
+
+
+def domain_templates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site template-line detection (operators/text.py:
+    template_lines): a normalized line in >= 500 permille of a
+    source's documents (and >= 2 of them) is that site's boilerplate.
+    Per-document distinct lines materialize in-array BEFORE the
+    explode (no distinct shuffle); one map-combined (group, line)
+    aggregate + the group-keyed doc-count join."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import template_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return template_lines(_with_templated_text(docs), "source").orderBy(
+        "source", "line"
+    )
+
+
+_DOMAIN_TEMPLATES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         'Copyright ' || source || ' press' || chr(10)
+         || coalesce(text, '') || chr(10)
+         || 'About ' || source || ' | contact' AS t
+  FROM documents
+), dl AS (
+  SELECT DISTINCT source, doc_id, line FROM (
+    SELECT source, doc_id,
+           trim(regexp_replace(lower(unnest(string_split(t, chr(10)))),
+                               '\s+', ' ', 'g')) AS line
+    FROM w
+  ) WHERE line != ''
+), c AS (
+  SELECT source, line, count(*) AS n_docs_with_line FROM dl GROUP BY 1, 2
+), g AS (
+  SELECT source, count(*) AS n_docs_group FROM w GROUP BY 1
+)
+SELECT c.source, c.line, c.n_docs_with_line, g.n_docs_group,
+       (c.n_docs_with_line * 1000) // g.n_docs_group AS doc_permille
+FROM c JOIN g USING (source)
+WHERE c.n_docs_with_line * 1000 >= 500 * g.n_docs_group
+  AND c.n_docs_with_line >= 2
+ORDER BY source, line
+"""
+
+
+def strip_templates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site template stripping (operators/text.py:strip_templates):
+    the injected Copyright/About lines vanish from every document of
+    their source, body lines survive with original casing, and the
+    text rebuilds in line order. One text scan into persisted line
+    rows (digest-long shuffles only), a (group, digest) anti-join, the
+    per-doc array_sort rebuild — never a global sort."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import strip_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        strip_templates(_with_templated_text(docs), "source")
+        .select("doc_id", "source", "text", "n_lines_kept")
+        .orderBy("doc_id")
+    )
+
+
+_STRIP_TEMPLATES_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         'Copyright ' || source || ' press' || chr(10)
+         || coalesce(text, '') || chr(10)
+         || 'About ' || source || ' | contact' AS t
+  FROM documents
+), rows0 AS (
+  SELECT source, doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) AS idx,
+         unnest(string_split(t, chr(10))) AS line
+  FROM w
+), keyed AS (
+  SELECT *, trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS k
+  FROM rows0
+), dl AS (
+  SELECT DISTINCT source, doc_id, k FROM keyed WHERE k != ''
+), c AS (
+  SELECT source, k, count(*) AS n FROM dl GROUP BY 1, 2
+), g AS (
+  SELECT source, count(*) AS gn FROM w GROUP BY 1
+), tmpl AS (
+  SELECT c.source, c.k FROM c JOIN g USING (source)
+  WHERE c.n * 1000 >= 500 * g.gn AND c.n >= 2
+), kept AS (
+  SELECT keyed.doc_id,
+         string_agg(keyed.line, chr(10) ORDER BY keyed.idx) AS text,
+         count(*) AS n_lines_kept
+  FROM keyed
+  LEFT JOIN tmpl ON tmpl.source = keyed.source AND tmpl.k = keyed.k
+  WHERE tmpl.k IS NULL
+  GROUP BY 1
+)
+SELECT w.doc_id, w.source,
+       coalesce(kept.text, '') AS text,
+       coalesce(kept.n_lines_kept, 0)::BIGINT AS n_lines_kept
+FROM w LEFT JOIN kept USING (doc_id) ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10630,6 +10751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts_docs": anchor_texts_docs,
         "content_blocks_docs": content_blocks_docs,
         "main_content_docs": main_content_docs,
+        "domain_templates_docs": domain_templates_docs,
+        "strip_templates_docs": strip_templates_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10862,6 +10985,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts_docs": _ANCHOR_TEXTS_SQL,
         "content_blocks_docs": _CONTENT_BLOCKS_SQL,
         "main_content_docs": _MAIN_CONTENT_SQL,
+        "domain_templates_docs": _DOMAIN_TEMPLATES_SQL,
+        "strip_templates_docs": _STRIP_TEMPLATES_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

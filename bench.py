@@ -166,6 +166,11 @@ HEADLINE = [
     "mojibake_stats_docs",
     "fix_mojibake_docs",
     "nfc_docs",
+    "leakage_safe_split_docs",
+    "rrf_fuse_docs",
+    "anchor_texts_docs",
+    "content_blocks_docs",
+    "main_content_docs",
 ]
 
 

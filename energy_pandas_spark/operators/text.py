@@ -65,6 +65,8 @@ __all__ = [
     "span_dedup_filter",
     "line_dup_stats",
     "line_dedup",
+    "template_lines",
+    "strip_templates",
     "line_dedup_in_doc",
     "line_dedup_incremental",
     "line_digests",
@@ -1957,6 +1959,168 @@ def line_dedup(
             F.array_join(F.transform("__il", lambda s: s.getField("l")), sep).alias(
                 "__text_out"
             ),
+            F.size("__il").cast("long").alias("n_lines_kept"),
+        )
+    )
+    out = (
+        df.drop("n_lines_kept")
+        .join(kept, id_col, "left")
+        .withColumn(text_col, F.coalesce("__text_out", F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .drop("__text_out")
+    )
+    if drop_empty:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out
+
+
+def template_lines(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_permille: int = 500,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group template lines — the per-SITE boilerplate table
+    (CCNet/trafilatura's site-template trick): a normalized line that
+    appears in at least ``min_doc_permille`` per mille of a group's
+    documents (and in at least ``min_docs`` of them — the absolute
+    floor that keeps two-page domains from templating everything) is
+    that group's navigation/footer/copyright template, not content.
+    Group by registrable domain (:func:`~energy_pandas_spark.operators.
+    urls.url_domain`) for crawl corpora; any partition key works.
+
+    This is DISTINCT from corpus-level :func:`line_dedup`: a site
+    template repeated on every page of ONE domain may still be
+    corpus-rare, and cross-domain dedup must not eat legitimate quotes
+    — the per-group document-fraction test is the right scope.
+
+    Returns (group, line, n_docs_with_line, n_docs_group,
+    doc_permille). Shape: per-document distinct normalized lines
+    materialize IN-ARRAY before the explode (map-side — a line
+    repeated inside one doc counts that doc once without any
+    distinct shuffle), one map-combined (group, line) aggregate, and a
+    group-keyed equi-join against the |groups|-sized doc-count table
+    (too big to broadcast at web scale)."""
+    if not 0 <= min_doc_permille <= 1000:
+        raise ValueError("min_doc_permille must be in [0, 1000]")
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    norm_lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                lambda l: F.trim(
+                    F.regexp_replace(F.lower(l), r"\s+", " ")
+                ),
+            ),
+            lambda x: x != F.lit(""),
+        )
+    )
+    lines = df.select(F.col(group_col), F.explode(norm_lines).alias("line"))
+    counts = lines.groupBy(group_col, "line").agg(
+        F.count(F.lit(1)).alias("n_docs_with_line")
+    )
+    gtot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs_group"))
+    return (
+        counts.join(gtot, group_col)
+        .filter(
+            (F.col("n_docs_with_line") * 1000
+             >= F.lit(int(min_doc_permille)) * F.col("n_docs_group"))
+            & (F.col("n_docs_with_line") >= int(min_docs))
+        )
+        .select(
+            group_col,
+            "line",
+            "n_docs_with_line",
+            "n_docs_group",
+            F.expr(
+                "(n_docs_with_line * 1000) div n_docs_group"
+            ).alias("doc_permille"),
+        )
+    )
+
+
+def strip_templates(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_permille: int = 500,
+    min_docs: int = 2,
+    drop_empty: bool = False,
+) -> DataFrame:
+    """Strip each group's template lines (:func:`template_lines`) from
+    every document in the group and rebuild the text — the per-site
+    boilerplate scrub that runs after main-content extraction and
+    before fingerprinting.
+
+    Scale shape: the corpus text is scanned ONCE into (group, id, idx,
+    line, digest) rows persisted spill-safe (three consumers — the
+    per-doc distinct, the anti-join probe, and the rebuild — behind
+    joins, so ReuseExchange won't fire: the repo's exchange-reuse
+    rule); template detection dedups (group, id, digest) LONGS and
+    aggregates (group, digest) — no text in either shuffle; the strip
+    is one (group, digest) anti-join; re-assembly is the line_dedup
+    per-doc ``array_sort`` (never a global sort). The |groups|-sized
+    doc-count table comes from a second column-pruned scan of
+    ``group_col`` alone. Blank lines are structure and always survive;
+    a fully-templated document rebuilds to ``''`` (``drop_empty=True``
+    drops it)."""
+    from pyspark import StorageLevel
+
+    if not 0 <= min_doc_permille <= 1000:
+        raise ValueError("min_doc_permille must be in [0, 1000]")
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    rows = (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("idx", "line"),
+        )
+        .withColumn(
+            "h",
+            F.when(norm != "", F.xxhash64(F.lit("tmpl-v1"), norm)),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    per_doc = rows.filter(F.col("h").isNotNull()).dropDuplicates(
+        [group_col, id_col, "h"]
+    )
+    counts = per_doc.groupBy(group_col, "h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gtot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("gn"))
+    templates = (
+        counts.join(gtot, group_col)
+        .filter(
+            (F.col("n") * 1000 >= F.lit(int(min_doc_permille)) * F.col("gn"))
+            & (F.col("n") >= int(min_docs))
+        )
+        .select(group_col, "h")
+    )
+    kept = (
+        rows.join(templates, [group_col, "h"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("idx").alias("i"), F.col("line").alias("l"))
+                )
+            ).alias("__il")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("__il", lambda s: s.getField("l")), sep
+            ).alias("__text_out"),
             F.size("__il").cast("long").alias("n_lines_kept"),
         )
     )

@@ -259,3 +259,110 @@ class TestWinnowing:
             "doc_id long, text string",
         )
         assert winnow_pairs(df, min_shared=1, max_bucket=10).count() == 0
+
+
+class TestTemplateStripping:
+    def _corpus(self, spark):
+        rows = []
+        for i in range(8):
+            rows.append(
+                (i, "a.com",
+                 f"Copyright A Corp\nreal content {i} differs\nAbout | Contact")
+            )
+        for i in range(8, 12):
+            rows.append((i, "b.net", f"unique page {i}\nmore text {i}"))
+        # b.net shares one line across only 2/4 docs (50% -> at 500
+        # permille threshold it IS a template with min_docs=2)
+        rows[8] = (8, "b.net", "Shared Footer\nunique page 8")
+        rows[9] = (9, "b.net", "Shared Footer\nunique page 9")
+        return spark.createDataFrame(
+            rows, "doc_id long, domain string, text string"
+        )
+
+    def test_template_lines_detection(self, spark):
+        from energy_pandas_spark.operators.text import template_lines
+
+        out = template_lines(self._corpus(spark), "domain")
+        t = {(r.domain, r.line): r for r in out.collect()}
+        assert ("a.com", "copyright a corp") in t
+        assert ("a.com", "about | contact") in t
+        assert t[("a.com", "copyright a corp")].doc_permille == 1000
+        assert ("b.net", "shared footer") in t
+        assert t[("b.net", "shared footer")].n_docs_with_line == 2
+        # per-doc content lines never template
+        assert not any(l.startswith("real content") for (_, l) in t)
+
+    def test_min_docs_floor(self, spark):
+        from energy_pandas_spark.operators.text import template_lines
+
+        df = spark.createDataFrame(
+            [(1, "tiny.io", "only page line")],
+            "doc_id long, domain string, text string",
+        )
+        # 1/1 docs = 1000 permille but min_docs=2 blocks it
+        assert template_lines(df, "domain").count() == 0
+
+    def test_in_doc_repeat_counts_once(self, spark):
+        from energy_pandas_spark.operators.text import template_lines
+
+        df = spark.createDataFrame(
+            [(1, "d", "dup line\ndup line\nx"), (2, "d", "y")],
+            "doc_id long, domain string, text string",
+        )
+        # 'dup line' is in 1 of 2 docs = 500 permille, but min_docs=2
+        # needs two DOCS, not two occurrences
+        out = template_lines(df, "domain").collect()
+        assert out == []
+
+    def test_strip_rebuilds_content(self, spark):
+        from energy_pandas_spark.operators.text import strip_templates
+
+        out = strip_templates(self._corpus(spark), "domain")
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[0].text == "real content 0 differs"
+        assert rows[0].n_lines_kept == 1
+        # b.net: footer stripped from both carriers, content kept
+        assert rows[8].text == "unique page 8"
+        assert rows[10].text == "unique page 10\nmore text 10"
+        # group isolation: a.com's template never leaks into b.net
+        assert "Copyright" not in rows[8].text
+
+    def test_strip_normalized_matching_keeps_original_lines(self, spark):
+        from energy_pandas_spark.operators.text import strip_templates
+
+        # template match is on the NORMALIZED form; surviving lines
+        # keep their original casing/spacing
+        df = spark.createDataFrame(
+            [(1, "d", "FOOTER  TEXT\nKeep Me"),
+             (2, "d", "footer text\nother stuff")],
+            "doc_id long, domain string, text string",
+        )
+        rows = {r.doc_id: r.text for r in strip_templates(df, "domain").collect()}
+        assert rows[1] == "Keep Me"
+        assert rows[2] == "other stuff"
+
+    def test_blank_lines_survive_and_empty_doc(self, spark):
+        from energy_pandas_spark.operators.text import strip_templates
+
+        df = spark.createDataFrame(
+            [(1, "d", "tmpl\n\ntmpl"), (2, "d", "tmpl\nreal")],
+            "doc_id long, domain string, text string",
+        )
+        rows = {r.doc_id: r for r in strip_templates(df, "domain").collect()}
+        assert rows[1].text == ""  # blank joined alone
+        assert rows[2].text == "real"
+        out = strip_templates(df, "domain", drop_empty=True)
+        assert {r.doc_id for r in out.collect()} == {2}
+
+    def test_validation(self, spark):
+        from energy_pandas_spark.operators.text import (
+            strip_templates,
+            template_lines,
+        )
+        import pytest as _pt
+
+        df = self._corpus(spark)
+        with _pt.raises(ValueError):
+            template_lines(df, "domain", min_doc_permille=1001)
+        with _pt.raises(ValueError):
+            strip_templates(df, "domain", min_docs=0)
