@@ -171,6 +171,8 @@ HEADLINE = [
     "anchor_texts_docs",
     "content_blocks_docs",
     "main_content_docs",
+    "domain_templates_docs",
+    "strip_templates_docs",
 ]
 
 

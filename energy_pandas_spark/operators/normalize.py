@@ -131,6 +131,10 @@ def clean_text_stats(
     text changed at all — the "how dirty is this crawl batch" card
     input. Counts are over the RAW text; still one map-only scan."""
     raw = F.coalesce(_col(text_col), F.lit(""))
+    # `changed` is computed in the SAME withColumns so it resolves
+    # against the RAW text even when out_col == text_col (a trailing
+    # withColumn would compare the cleaned text to itself); codegen's
+    # subexpression elimination shares the duplicated clean chain
     return df.withColumns(
         {
             "n_ctrl": F.regexp_count(raw, F.lit(CONTROL_CLASS)).cast("long"),
@@ -140,9 +144,10 @@ def clean_text_stats(
             "n_alt_space": F.regexp_count(
                 raw, F.lit(ALT_SPACE_CLASS)
             ).cast("long"),
+            "changed": cleaned_text(text_col) != raw,
             out_col: cleaned_text(text_col),
         }
-    ).withColumn("changed", F.col(out_col) != raw)
+    )
 
 
 def mojibake_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -553,15 +553,22 @@ def leakage_safe_split(
             .drop("__cc")
         )
     else:
+        # NULL text digests to NULL, which matches nothing in the join:
+        # such rows fall back to their own key below (no content = no
+        # dup grouping) instead of all landing in the last split
+        # (hash_bucket(NULL) would fall through hash_split's when-chain)
         digest = F.md5(normalized_text(text_col)).alias("__digest")
         reps = (
             df.select(F.col(key), digest)
             .groupBy("__digest")
             .agg(F.min(key).alias("__rep"))
         )
-        tagged = df.withColumn("__digest", digest).join(
-            reps, "__digest", "left"
-        ).drop("__digest")
+        tagged = (
+            df.withColumn("__digest", digest)
+            .join(reps, "__digest", "left")
+            .drop("__digest")
+            .withColumn("__rep", F.coalesce("__rep", F.col(key)))
+        )
     out = hash_split(tagged, "__rep", splits, out_col, denominator)
     if rep_col is not None:
         return out.withColumnRenamed("__rep", rep_col)

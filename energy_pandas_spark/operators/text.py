@@ -1978,7 +1978,6 @@ def template_lines(
     df: DataFrame,
     group_col: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
     sep: str = "\n",
     min_doc_permille: int = 500,
     min_docs: int = 2,

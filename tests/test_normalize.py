@@ -59,6 +59,19 @@ class TestCleanText:
         assert row.text_clean == ""
         assert row.n_ctrl == 0
 
+    def test_in_place_out_col_still_reports_changed(self, spark):
+        # regression: a trailing withColumn would compare the cleaned
+        # text to itself when out_col == text_col
+        rows = clean_text_stats(
+            _one(spark, "a\x01b  c"), out_col="text"
+        ).collect()[0]
+        assert rows.text == "ab c"
+        assert rows.changed
+        clean = clean_text_stats(
+            _one(spark, "already clean"), out_col="text"
+        ).collect()[0]
+        assert not clean.changed
+
     def test_c1_block_stripped(self, spark):
         out = clean_text(_one(spark, "a\x85b\x9fc")).collect()[0].text
         assert out == "abc"
@@ -85,8 +98,7 @@ class TestMojibake:
 
     def test_fix_double_encoded(self):
         s = "déjà vu — ok"
-        once = s.encode("utf-8").decode("cp1252", errors="strict") \
-            if False else _corrupt(s)
+        once = _corrupt(s)
         twice = _corrupt(once)
         assert _fix_text(twice, max_rounds=3) == s
 

@@ -473,3 +473,23 @@ class TestLeakageSafeSplit:
         df = self._leaky_corpus(spark)
         out = leakage_safe_split(df, "doc_id")
         assert set(out.columns) == {"doc_id", "text", "split"}
+
+    def test_null_text_rows_keep_own_key(self, spark):
+        # regression: NULL text digests to NULL, the rep join misses,
+        # and hash_bucket(NULL) used to dump every such row into the
+        # LAST split; they must fall back to their own key instead
+        from energy_pandas_spark.operators.sampling import (
+            hash_split,
+            leakage_safe_split,
+        )
+
+        rows = [(i, None) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.split, r.rep)
+            for r in leakage_safe_split(df, "doc_id", rep_col="rep").collect()
+        }
+        want = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+        assert {k: v[0] for k, v in got.items()} == want
+        assert all(rep == k for k, (_, rep) in got.items())
+        assert len({v[0] for v in got.values()}) > 1  # not one split
