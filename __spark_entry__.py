@@ -10574,6 +10574,99 @@ FROM w LEFT JOIN kept USING (doc_id) ORDER BY doc_id
 """
 
 
+def kn3_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM log-likelihood (operators/
+    text.py:kneser_ney_trigram_score): the KenLM-order-3 depth of the
+    bigram scorer, every model table derived from ONE trigram count
+    aggregate over the src0 slice; unseen trigram contexts back off to
+    the continuation bigram, unseen w2 to the continuation unigram,
+    zero-mass w3 positions are OOV (counted, never scored). Order-free
+    BIGINT sums of 1/2^20-nat quantized logs; 1-ulp libm ln caveat."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import (
+        kneser_ney_trigram_score,
+        trigram_lm_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = trigram_lm_train(docs.filter(F.col("source") == "src0"))
+    return kneser_ney_trigram_score(docs, lm).orderBy("doc_id")
+
+
+_KN3_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+),
+lm AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE source = 'src0'
+  GROUP BY 1, 2, 3
+),
+ctx3 AS (
+  SELECT w1, w2, sum(c123)::BIGINT AS c12, count(*)::BIGINT AS n3t
+  FROM lm GROUP BY 1, 2
+),
+nc23 AS (
+  SELECT w2, w3, count(*)::BIGINT AS nc23 FROM lm GROUP BY 1, 2
+),
+ctx2 AS (
+  SELECT w2, sum(nc23)::BIGINT AS den2, count(*)::BIGINT AS n2t
+  FROM nc23 GROUP BY 1
+),
+cont1 AS (SELECT w3, count(*)::BIGINT AS nc3 FROM nc23 GROUP BY 1),
+b AS (SELECT count(*)::BIGINT AS b FROM nc23),
+sc AS (
+  SELECT g.doc_id,
+         CASE WHEN coalesce(u.nc3, 0) = 0 THEN 1 ELSE 0 END AS oov,
+         CASE WHEN coalesce(u.nc3, 0) = 0 THEN 0
+              ELSE round(ln(
+                CASE WHEN c3.c12 IS NOT NULL THEN
+                  greatest(4 * coalesce(l.c123, 0) - 3, 0)::DOUBLE
+                    / (4 * c3.c12)::DOUBLE
+                  + ((3 * c3.n3t)::DOUBLE / (4 * c3.c12)::DOUBLE)
+                    * (CASE WHEN c2.den2 IS NOT NULL THEN
+                         greatest(4 * coalesce(n.nc23, 0) - 3, 0)::DOUBLE
+                           / (4 * c2.den2)::DOUBLE
+                         + ((3 * c2.n2t)::DOUBLE / (4 * c2.den2)::DOUBLE)
+                           * (u.nc3::DOUBLE / b.b::DOUBLE)
+                       ELSE u.nc3::DOUBLE / b.b::DOUBLE END)
+                ELSE
+                  CASE WHEN c2.den2 IS NOT NULL THEN
+                    greatest(4 * coalesce(n.nc23, 0) - 3, 0)::DOUBLE
+                      / (4 * c2.den2)::DOUBLE
+                    + ((3 * c2.n2t)::DOUBLE / (4 * c2.den2)::DOUBLE)
+                      * (u.nc3::DOUBLE / b.b::DOUBLE)
+                  ELSE u.nc3::DOUBLE / b.b::DOUBLE END
+                END
+              ) * 1048576.0)::BIGINT END AS lpq
+  FROM tg g
+  LEFT JOIN lm l ON g.w1 = l.w1 AND g.w2 = l.w2 AND g.w3 = l.w3
+  LEFT JOIN ctx3 c3 ON g.w1 = c3.w1 AND g.w2 = c3.w2
+  LEFT JOIN nc23 n ON g.w2 = n.w2 AND g.w3 = n.w3
+  LEFT JOIN ctx2 c2 ON g.w2 = c2.w2
+  LEFT JOIN cont1 u ON g.w3 = u.w3
+  CROSS JOIN b
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_trigrams, sum(oov)::BIGINT AS n_oov,
+         sum(lpq)::BIGINT AS logprob_q
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_trigrams, 0)::BIGINT AS n_trigrams,
+       coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+       coalesce(per.logprob_q, 0)::BIGINT AS logprob_q
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10753,6 +10846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_docs": main_content_docs,
         "domain_templates_docs": domain_templates_docs,
         "strip_templates_docs": strip_templates_docs,
+        "kn3_lm_score_docs": kn3_lm_score_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -10987,6 +11081,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content_docs": _MAIN_CONTENT_SQL,
         "domain_templates_docs": _DOMAIN_TEMPLATES_SQL,
         "strip_templates_docs": _STRIP_TEMPLATES_SQL,
+        "kn3_lm_score_docs": _KN3_LM_SCORE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

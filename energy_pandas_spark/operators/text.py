@@ -60,6 +60,8 @@ __all__ = [
     "bigram_lm_train",
     "bigram_lm_score",
     "kneser_ney_score",
+    "trigram_lm_train",
+    "kneser_ney_trigram_score",
     "span_corrupt",
     "span_dup_stats",
     "span_dedup_filter",
@@ -1537,6 +1539,166 @@ def kneser_ney_score(
     return ids.join(per, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
+    )
+
+
+def _doc_trigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    m = F.size("__toks")
+    triples = F.when(
+        m >= 3,
+        F.zip_with(
+            F.slice("__toks", 1, m - 2),
+            F.zip_with(
+                F.slice("__toks", 2, m - 2),
+                F.slice("__toks", 3, m - 2),
+                lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+            ),
+            lambda a, bc: F.struct(
+                a.alias("w1"),
+                bc.getField("w2").alias("w2"),
+                bc.getField("w3").alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return toks_df.select(
+        F.col(id_col), F.explode(triples).alias("__tg")
+    ).select(
+        id_col,
+        F.col("__tg.w1").alias("w1"),
+        F.col("__tg.w2").alias("w2"),
+        F.col("__tg.w3").alias("w3"),
+    )
+
+
+def trigram_lm_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Trigram counts (w1, w2, w3, c123) from a reference corpus — one
+    map-combined hash aggregate over the exploded trigram stream. The
+    single input every :func:`kneser_ney_trigram_score` table derives
+    from."""
+    return (
+        _doc_trigrams(df, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+
+
+def kneser_ney_trigram_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: tuple[int, int] = (3, 4),
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney TRIGRAM log-likelihood —
+    the KenLM-order-3 depth of :func:`kneser_ney_score` (Chen &
+    Goodman 1998, interpolated form), everything derived from ONE
+    :func:`trigram_lm_train` count table:
+
+        P(w3|w1w2) = max(c123 - d, 0) / c12*
+                     + (d * N1+(w1w2,.) / c12*) * Pc(w3|w2)
+        Pc(w3|w2)  = max(N1+(.w2w3) - d, 0) / N1+(.w2.)
+                     + (d * N1+(w2,.) / N1+(.w2.)) * Pc(w3)
+        Pc(w3)     = N1+(.w3) / N1+(..)
+
+    with absolute discount ``d = discount[0]/discount[1]`` (textbook
+    3/4 as an exact rational) and all N1+ continuation counts taken
+    over the trigram table's distinct rows (so the lowest-order model
+    deliberately sees only bigrams that appear INSIDE a trigram — the
+    standard derived-counts formulation; document-final bigrams do
+    not contribute). An unseen trigram context backs off with
+    lambda = 1 to the continuation bigram, an unseen w2 context to
+    the continuation unigram; the probability is zero — OOV, counted
+    and never scored — exactly when w3 has NO continuation mass
+    (N1+(.w3) = 0).
+
+    Counts are integers; P evaluates as one fixed-shape IEEE CASE
+    cascade; per-position logs quantize to 1/``quant`` nats (BIGINT
+    order-free sums, the 1-ulp libm ln caveat at quantization
+    boundaries). Output: (id, n_trigrams, n_oov, logprob_q), zero
+    rows for sub-3-token docs.
+
+    Scale shape: the five model tables (trigram, trigram-context,
+    bigram-continuation, w2-context, unigram-continuation) all derive
+    from ``lm`` (persisted — one tokenize) and are vocab-sized; the
+    candidate trigram stream hash-joins them (NOT broadcast — corpus
+    LM tables are huge; AQE downgrades when small); the total is a
+    broadcast 1-row aggregate; one final per-doc aggregate."""
+    dn, dd = discount
+    if not (0 < dn < dd):
+        raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
+    lm = lm.persist()
+    ctx3 = lm.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("__c12"), F.count(F.lit(1)).alias("__n3t")
+    )
+    # bigram continuation table: N1+(.w2w3) = distinct w1 preceding
+    # the bigram = rows of the trigram table per (w2, w3). Feeds three
+    # consumers (probe join, w2-context, unigram-continuation).
+    nc23 = (
+        lm.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__nc23"))
+        .persist()
+    )
+    ctx2 = nc23.groupBy("w2").agg(
+        F.sum("__nc23").alias("__den2"), F.count(F.lit(1)).alias("__n2t")
+    )
+    cont1 = nc23.groupBy("w3").agg(F.count(F.lit(1)).alias("__nc3"))
+    btot = nc23.agg(F.count(F.lit(1)).alias("__b"))
+
+    tg = _doc_trigrams(df, text_col, id_col)
+    c123 = F.coalesce(F.col("c123"), F.lit(0))
+    nc23v = F.coalesce(F.col("__nc23"), F.lit(0))
+    ncont = F.coalesce(F.col("__nc3"), F.lit(0))
+    oov = ncont == 0
+    p1 = ncont.cast("double") / F.col("__b").cast("double")
+    p2 = F.when(
+        F.col("__den2").isNotNull(),
+        F.greatest(F.lit(dd) * nc23v - F.lit(dn), F.lit(0)).cast("double")
+        / (F.lit(dd) * F.col("__den2")).cast("double")
+        + (
+            (F.lit(dn) * F.col("__n2t")).cast("double")
+            / (F.lit(dd) * F.col("__den2")).cast("double")
+        )
+        * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("__c12").isNotNull(),
+        F.greatest(F.lit(dd) * c123 - F.lit(dn), F.lit(0)).cast("double")
+        / (F.lit(dd) * F.col("__c12")).cast("double")
+        + (
+            (F.lit(dn) * F.col("__n3t")).cast("double")
+            / (F.lit(dd) * F.col("__c12")).cast("double")
+        )
+        * p2,
+    ).otherwise(p2)
+    lp_q = F.round(F.log(p3) * F.lit(float(quant))).cast("long")
+    scored = (
+        tg.join(lm, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(nc23, ["w2", "w3"], "left")
+        .join(ctx2, "w2", "left")
+        .join(cont1, "w3", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.col(id_col),
+            oov.cast("int").alias("__oov"),
+            F.when(oov, F.lit(0).cast("long")).otherwise(lp_q).alias("__lpq"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("__oov").cast("long").alias("n_oov"),
+        F.sum("__lpq").alias("logprob_q"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
         F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
         F.coalesce("logprob_q", F.lit(0)).cast("long").alias("logprob_q"),
     )

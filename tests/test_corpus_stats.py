@@ -1512,6 +1512,158 @@ class TestKneserNey:
             kneser_ney_score(df, lm, discount=(0, 4))
 
 
+class TestKneserNeyTrigram:
+    TRAIN = [
+        "the cat sat on the mat",
+        "the dog sat on a mat",
+        "a cat ran to the mat",
+    ]
+
+    @staticmethod
+    def _replay(train_texts, score_texts, dn=3, dd=4, quant=1 << 20):
+        """Pure-Python interpolated trigram-KN replay (the operator's
+        contract: everything derived from the trigram count table)."""
+        import math
+
+        def trigrams(t):
+            w = t.lower().split()
+            return list(zip(w, w[1:], w[2:]))
+
+        c123 = {}
+        for t in train_texts:
+            for g in trigrams(t):
+                c123[g] = c123.get(g, 0) + 1
+        c12, n3t, nc23 = {}, {}, {}
+        for (w1, w2, w3), c in c123.items():
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + c
+            n3t[(w1, w2)] = n3t.get((w1, w2), 0) + 1
+            nc23[(w2, w3)] = nc23.get((w2, w3), 0) + 1
+        den2, n2t, nc3 = {}, {}, {}
+        for (w2, w3), c in nc23.items():
+            den2[w2] = den2.get(w2, 0) + c
+            n2t[w2] = n2t.get(w2, 0) + 1
+            nc3[w3] = nc3.get(w3, 0) + 1
+        b = len(nc23)
+        out = []
+        for t in score_texts:
+            n_tg = n_oov = lp = 0
+            for w1, w2, w3 in trigrams(t):
+                n_tg += 1
+                nc = nc3.get(w3, 0)
+                if nc == 0:
+                    n_oov += 1
+                    continue
+                p1 = nc / b
+                if w2 in den2:
+                    p2 = max(dd * nc23.get((w2, w3), 0) - dn, 0) / (
+                        dd * den2[w2]
+                    ) + ((dn * n2t[w2]) / (dd * den2[w2])) * p1
+                else:
+                    p2 = p1
+                if (w1, w2) in c12:
+                    p3 = max(dd * c123.get((w1, w2, w3), 0) - dn, 0) / (
+                        dd * c12[(w1, w2)]
+                    ) + ((dn * n3t[(w1, w2)]) / (dd * c12[(w1, w2)])) * p2
+                else:
+                    p3 = p2
+                v = math.log(p3) * quant
+                lp += int(math.floor(v + 0.5)) if v >= 0 else int(
+                    math.ceil(v - 0.5)
+                )
+            out.append((n_tg, n_oov, lp))
+        return out
+
+    def test_normalizes_to_one(self):
+        # per seen (w1, w2) context, P sums to 1 over the continuation
+        # vocabulary (every w3 with nonzero continuation mass)
+        import math
+
+        vocab = ["the", "cat", "dog", "sat", "ran", "on", "a", "to", "mat"]
+        cont_vocab = [
+            w3 for w3 in vocab
+            if any(f" {w3}" in (" " + " ".join(t.split()[1:]))
+                   for t in self.TRAIN)
+        ]
+        for ctx in ["the cat", "sat on", "a cat"]:
+            rows = self._replay(
+                self.TRAIN, [f"{ctx} {w3}" for w3 in vocab]
+            )
+            total = sum(
+                math.exp(lp / (1 << 20)) for (_, oov, lp) in rows if oov == 0
+            )
+            assert abs(total - 1.0) < 1e-4, ctx
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import (
+            kneser_ney_trigram_score,
+            trigram_lm_train,
+        )
+
+        score_texts = [
+            "the cat sat on the mat",   # all seen trigrams
+            "the cat ran to a mat",     # unseen trigrams, seen pieces
+            "zebra cat sat",            # unseen (w1,w2) -> bigram backoff
+            "cat zebra sat",            # unseen w2 -> unigram backoff
+            "the cat zebra",            # unseen w3 -> OOV position
+            "two words",                # no trigrams
+        ]
+        train = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TRAIN)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score_texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_trigrams, r.n_oov, r.logprob_q)
+            for r in kneser_ney_trigram_score(
+                docs, trigram_lm_train(train)
+            ).collect()
+        }
+        want = dict(enumerate(self._replay(self.TRAIN, score_texts)))
+        assert got == want
+        assert got[5] == (0, 0, 0)
+        assert got[4][1] == 1  # the OOV continuation
+        assert got[2][1] == 0 and got[3][1] == 0  # backoffs still score
+
+    def test_in_domain_outscores_out_of_domain(self, spark):
+        from energy_pandas_spark.operators.text import (
+            kneser_ney_trigram_score,
+            trigram_lm_train,
+        )
+
+        train = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TRAIN * 4)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "mat the on sat cat the")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in kneser_ney_trigram_score(
+                docs, trigram_lm_train(train)
+            ).collect()
+        }
+        a, b = rows[0], rows[1]
+        assert a.logprob_q / a.n_trigrams > b.logprob_q / b.n_trigrams
+
+    def test_discount_validation(self, spark):
+        import pytest as _pytest
+
+        from energy_pandas_spark.operators.text import (
+            kneser_ney_trigram_score,
+            trigram_lm_train,
+        )
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        lm = trigram_lm_train(df)
+        with _pytest.raises(ValueError):
+            kneser_ney_trigram_score(df, lm, discount=(4, 4))
+
+
 class TestSpanCorrupt:
     @staticmethod
     def _replay(texts, start_permille=60, span=3, seed="span-v1"):
