@@ -173,6 +173,7 @@ HEADLINE = [
     "main_content_docs",
     "domain_templates_docs",
     "strip_templates_docs",
+    "kn3_lm_score_docs",
 ]
 
 

@@ -2213,6 +2213,7 @@ def strip_templates(
     min_doc_permille: int = 500,
     min_docs: int = 2,
     drop_empty: bool = False,
+    templates: DataFrame | None = None,
 ) -> DataFrame:
     """Strip each group's template lines (:func:`template_lines`) from
     every document in the group and rebuild the text — the per-site
@@ -2230,7 +2231,14 @@ def strip_templates(
     doc-count table comes from a second column-pruned scan of
     ``group_col`` alone. Blank lines are structure and always survive;
     a fully-templated document rebuilds to ``''`` (``drop_empty=True``
-    drops it)."""
+    drops it).
+
+    ``templates`` switches to the INCREMENTAL posture: a precomputed
+    (group, line) table — :func:`template_lines` output or the merged
+    streaming template store — whose normalized lines are stripped
+    as-is, skipping in-batch detection entirely (new pages of a known
+    site scrub against history; detection cost amortizes across
+    batches, and a single fresh batch can't out-vote the corpus)."""
     from pyspark import StorageLevel
 
     if not 0 <= min_doc_permille <= 1000:
@@ -2238,35 +2246,47 @@ def strip_templates(
     if min_docs < 1:
         raise ValueError("min_docs must be >= 1")
     norm = F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
-    rows = (
-        df.select(
+    rows = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("idx", "line"),
+    ).withColumn(
+        "h",
+        F.when(norm != "", F.xxhash64(F.lit("tmpl-v1"), norm)),
+    )
+    if templates is None:
+        # self-detection: rows feed detection AND the strip — persist
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        per_doc = rows.filter(F.col("h").isNotNull()).dropDuplicates(
+            [group_col, id_col, "h"]
+        )
+        counts = per_doc.groupBy(group_col, "h").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        gtot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("gn"))
+        templates = (
+            counts.join(gtot, group_col)
+            .filter(
+                (F.col("n") * 1000
+                 >= F.lit(int(min_doc_permille)) * F.col("gn"))
+                & (F.col("n") >= int(min_docs))
+            )
+            .select(group_col, "h")
+        )
+    else:
+        tnorm = F.trim(
+            F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
+        )
+        templates = templates.select(
+            F.col(group_col), F.col("line")
+        ).select(
             F.col(group_col),
-            F.col(id_col),
-            F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-            ).alias("idx", "line"),
-        )
-        .withColumn(
-            "h",
-            F.when(norm != "", F.xxhash64(F.lit("tmpl-v1"), norm)),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    )
-    per_doc = rows.filter(F.col("h").isNotNull()).dropDuplicates(
-        [group_col, id_col, "h"]
-    )
-    counts = per_doc.groupBy(group_col, "h").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    gtot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("gn"))
-    templates = (
-        counts.join(gtot, group_col)
-        .filter(
-            (F.col("n") * 1000 >= F.lit(int(min_doc_permille)) * F.col("gn"))
-            & (F.col("n") >= int(min_docs))
-        )
-        .select(group_col, "h")
-    )
+            F.when(tnorm != "", F.xxhash64(F.lit("tmpl-v1"), tnorm)).alias(
+                "h"
+            ),
+        ).filter(F.col("h").isNotNull())
     kept = (
         rows.join(templates, [group_col, "h"], "left_anti")
         .groupBy(id_col)
