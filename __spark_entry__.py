@@ -10667,6 +10667,65 @@ ORDER BY d.doc_id
 """
 
 
+def selection_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-quantity curve (operators/sampling.py:
+    selection_curve): documents binned by n_chars over [0, 4000) with
+    token mass as the weight — per-bin counts plus the
+    cumulative-from-above retention a filter at each threshold keeps.
+    One map-combined histogram aggregate; the cumulative window runs
+    over the n_bins-row BIN table (bounded by construction, never by
+    data)."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.sampling import selection_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens("text")).cast("long").alias("toks"),
+    )
+    return selection_curve(
+        scored, "n_chars", lo=0, hi=4000, weight_col="toks", n_bins=8
+    )
+
+
+_SELECTION_CURVE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         x -> x != ''))::BIGINT AS toks
+  FROM documents
+), h AS (
+  SELECT least(greatest((n_chars * 8) // 4000, 0), 7)::INT AS bin,
+         count(*) AS n_docs, sum(toks)::BIGINT AS weight
+  FROM d WHERE n_chars IS NOT NULL GROUP BY 1
+), bins AS (
+  SELECT i::INT AS bin, ((i * 4000) // 8)::BIGINT AS threshold
+  FROM range(8) t(i)
+), f AS (
+  SELECT b.bin, b.threshold,
+         coalesce(h.n_docs, 0)::BIGINT AS n_docs,
+         coalesce(h.weight, 0)::BIGINT AS weight
+  FROM bins b LEFT JOIN h USING (bin)
+), c AS (
+  SELECT *,
+         sum(n_docs) OVER (ORDER BY bin DESC)::BIGINT
+           AS n_docs_at_or_above,
+         sum(weight) OVER (ORDER BY bin DESC)::BIGINT
+           AS weight_at_or_above,
+         sum(weight) OVER ()::BIGINT AS tot
+  FROM f
+)
+SELECT bin, threshold, n_docs, weight, n_docs_at_or_above,
+       weight_at_or_above,
+       (weight_at_or_above * 1000) // greatest(tot, 1)
+         AS weight_permille_retained
+FROM c ORDER BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10847,6 +10906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_templates_docs": domain_templates_docs,
         "strip_templates_docs": strip_templates_docs,
         "kn3_lm_score_docs": kn3_lm_score_docs,
+        "selection_curve_docs": selection_curve_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -11082,6 +11142,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_templates_docs": _DOMAIN_TEMPLATES_SQL,
         "strip_templates_docs": _STRIP_TEMPLATES_SQL,
         "kn3_lm_score_docs": _KN3_LM_SCORE_SQL,
+        "selection_curve_docs": _SELECTION_CURVE_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

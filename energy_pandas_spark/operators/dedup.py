@@ -47,6 +47,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
+    "lsh_plan",
     "minhash_dedup",
     "minhash_cluster_stats",
     "minhash_dedup_keep_best",
@@ -316,6 +317,86 @@ def _banded_buckets(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_plan(
+    threshold: float,
+    max_miss: float = 1e-4,
+    max_hashes: int = 512,
+    min_rows: int = 2,
+    fp_at: float | None = None,
+    max_fp: float | None = None,
+) -> dict:
+    """Principled MinHash-LSH banding: the cheapest ``(bands, rows)``
+    whose miss probability ``(1 - threshold**rows)**bands`` at the
+    target Jaccard ``threshold`` is at most ``max_miss`` — fewest
+    total hashes first, then fewest bands (the banded explode ships
+    ``bands`` rows per doc, so bands ARE the shuffle volume).
+
+    This knob has burned real configurations: 16 bands x 4 rows is
+    sound at j≈0.9 (miss 4e-8) but misses 36% of true pairs at
+    j = 0.5 — the exact mistake a round-2 advisory found in
+    crosscorpus_neardup. Plan the banding from the threshold instead
+    of copying another query's.
+
+    ``min_rows`` (default 2) bars the degenerate rows=1 family —
+    bucketing RAW minhashes makes almost every mildly-similar pair a
+    candidate, which is "cheap" in hashes and ruinous in candidate
+    verification. Pass ``fp_at``/``max_fp`` to additionally cap the
+    candidate probability at a lower similarity (the precision side of
+    the S-curve); sharp curves at low thresholds are exponentially
+    expensive, so the planner raising ValueError IS the honest answer
+    there — relax one constraint deliberately rather than silently.
+
+    Returns ``{"bands", "rows", "num_hashes", "miss_at_threshold",
+    "candidate_rate_at"}`` where ``candidate_rate_at`` maps a few
+    lower similarities to their candidate probability — the
+    shuffle-volume tax of the chosen plan. Driver-side scalar
+    arithmetic; raises when no plan within ``max_hashes`` satisfies
+    the constraints."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0 < max_miss < 1:
+        raise ValueError(f"max_miss must be in (0, 1), got {max_miss}")
+    if max_hashes < 1 or min_rows < 1:
+        raise ValueError("max_hashes and min_rows must be >= 1")
+    if (fp_at is None) != (max_fp is None):
+        raise ValueError("fp_at and max_fp must be given together")
+    if fp_at is not None and not 0 < fp_at < threshold:
+        raise ValueError("fp_at must be in (0, threshold)")
+    for total in range(min_rows, max_hashes + 1):
+        found = None
+        for rows in range(min_rows, total + 1):
+            if total % rows:
+                continue
+            bands = total // rows
+            if (1.0 - threshold**rows) ** bands > max_miss:
+                continue
+            if (
+                max_fp is not None
+                and 1.0 - (1.0 - fp_at**rows) ** bands > max_fp
+            ):
+                continue
+            if found is None or bands < found[0]:
+                found = (bands, rows)
+        if found is not None:
+            bands, rows = found
+            probe = {
+                round(s, 3): round(1.0 - (1.0 - s**rows) ** bands, 6)
+                for s in (threshold / 2, threshold * 0.8, threshold)
+            }
+            return {
+                "bands": bands,
+                "rows": rows,
+                "num_hashes": total,
+                "miss_at_threshold": (1.0 - threshold**rows) ** bands,
+                "candidate_rate_at": probe,
+            }
+    raise ValueError(
+        f"no (bands, rows) within {max_hashes} hashes satisfies "
+        f"miss <= {max_miss} at threshold {threshold}"
+        + (f" with fp <= {max_fp} at {fp_at}" if max_fp is not None else "")
+    )
 
 
 def minhash_lsh_candidates(

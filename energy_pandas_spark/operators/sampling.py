@@ -42,6 +42,7 @@ __all__ = [
     "select_token_budget",
     "split_leakage_stats",
     "leakage_safe_split",
+    "selection_curve",
     "epoch_order",
 ]
 
@@ -498,6 +499,98 @@ def split_leakage_stats(
     )
     return stats.selectExpr(
         f"stack({len(pairs)}, {stacked}) AS (split_a, split_b, n_digests, n_pairs)"
+    )
+
+
+def selection_curve(
+    df: DataFrame,
+    score_col: str,
+    lo: int,
+    hi: int,
+    weight_col: str | None = None,
+    n_bins: int = 20,
+) -> DataFrame:
+    """The quality-vs-quantity curve: how many documents (and how much
+    token mass) survive at each candidate filter threshold — the table
+    you read BEFORE picking a quality cutoff, instead of guessing one
+    and re-scanning per guess.
+
+    Scores are INTEGER (the engine's quantized-score convention —
+    classifier per-mille, readability milli-units, token counts);
+    ``[lo, hi)`` splits into ``n_bins`` equal integer bins (scores
+    below ``lo`` clamp into bin 0, at/above ``hi`` into the last bin).
+    Output, one row per bin ordered ascending: ``threshold`` (the
+    bin's lower edge), per-bin ``n_docs``/``weight``, cumulative
+    ``n_docs_at_or_above``/``weight_at_or_above`` (documents a filter
+    at that threshold KEEPS), and ``weight_permille_retained``.
+
+    Shape at scale: one map-combined histogram aggregate over the
+    corpus (n_bins rows out), then the descending cumulative runs as a
+    window over the BIN table — ``n_bins`` rows, so the single
+    partition is bounded by construction, never by the data. NULL
+    scores are excluded (a doc with no score can't pass any
+    threshold); NULL weights count 0."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("long")
+    w = (
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    span = int(hi) - int(lo)
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(({score_col} - {int(lo)}) * {int(n_bins)}) div {span}"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    hist = (
+        df.filter(s.isNotNull())
+        .select(bin_.alias("bin"), w.alias("__w"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__w").alias("weight"))
+    )
+    # dense bins: every threshold appears even when its bin is empty
+    bins = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"),
+        F.expr(f"{int(lo)} + (id * {span}) div {int(n_bins)}")
+        .cast("long")
+        .alias("threshold"),
+    )
+    full = bins.join(hist, "bin", "left").select(
+        "bin",
+        "threshold",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("weight", F.lit(0)).alias("weight"),
+    )
+    desc = (
+        Window.orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("weight").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        full.withColumn("n_docs_at_or_above", F.sum("n_docs").over(desc))
+        .withColumn("weight_at_or_above", F.sum("weight").over(desc))
+        .withColumn("__total", total)
+        .withColumn(
+            "weight_permille_retained",
+            F.expr(
+                "(weight_at_or_above * 1000)"
+                " div greatest(__total, cast(1 as bigint))"
+            ),
+        )
+        .drop("__total")
+        .orderBy("bin")
     )
 
 

@@ -366,3 +366,68 @@ class TestTemplateStripping:
             template_lines(df, "domain", min_doc_permille=1001)
         with _pt.raises(ValueError):
             strip_templates(df, "domain", min_docs=0)
+
+
+class TestLshPlan:
+    def test_high_threshold_is_cheap(self):
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        p = lsh_plan(0.9, max_miss=1e-4)
+        assert p["miss_at_threshold"] <= 1e-4
+        assert p["num_hashes"] == p["bands"] * p["rows"]
+        assert p["num_hashes"] <= 64  # j=0.9 needs few hashes
+
+    def test_low_threshold_needs_more_and_flags_the_old_mistake(self):
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        p = lsh_plan(0.5, max_miss=1e-4)
+        assert p["miss_at_threshold"] <= 1e-4
+        # the round-2 advisory case: 16x4 misses 36% at j=0.5
+        assert (1 - 0.5**4) ** 16 > 0.35
+        # a sound plan at 0.5 costs more than the j=0.9 plan
+        assert p["num_hashes"] > lsh_plan(0.9, max_miss=1e-4)["num_hashes"]
+
+    def test_min_rows_bars_degenerate_single_hash_buckets(self):
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        p = lsh_plan(0.5, max_miss=1e-4)
+        assert p["rows"] >= 2
+
+    def test_fp_constraint_honest_failure(self):
+        import pytest as _pt
+
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        # a sharp S-curve at j=0.5 (tight fp at 0.25) needs thousands
+        # of hashes: the planner must refuse, not silently degrade
+        with _pt.raises(ValueError):
+            lsh_plan(0.5, max_miss=1e-4, fp_at=0.25, max_fp=0.05,
+                     max_hashes=512)
+        # but a loose fp cap is satisfiable
+        p = lsh_plan(0.8, max_miss=1e-3, fp_at=0.3, max_fp=0.2)
+        assert 1 - (1 - 0.3 ** p["rows"]) ** p["bands"] <= 0.2
+
+    def test_matches_brute_force_optimum(self):
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        for thr, miss in ((0.9, 1e-4), (0.7, 1e-3), (0.5, 1e-4)):
+            p = lsh_plan(thr, max_miss=miss)
+            # no cheaper feasible total exists
+            for total in range(2, p["num_hashes"]):
+                for rows in range(2, total + 1):
+                    if total % rows:
+                        continue
+                    assert (1 - thr**rows) ** (total // rows) > miss, (
+                        thr, total, rows)
+
+    def test_validation(self):
+        import pytest as _pt
+
+        from energy_pandas_spark.operators.dedup import lsh_plan
+
+        with _pt.raises(ValueError):
+            lsh_plan(1.0)
+        with _pt.raises(ValueError):
+            lsh_plan(0.5, fp_at=0.25)  # max_fp missing
+        with _pt.raises(ValueError):
+            lsh_plan(0.5, fp_at=0.6, max_fp=0.1)  # fp_at >= threshold

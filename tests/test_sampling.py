@@ -493,3 +493,62 @@ class TestLeakageSafeSplit:
         assert {k: v[0] for k, v in got.items()} == want
         assert all(rep == k for k, (_, rep) in got.items())
         assert len({v[0] for v in got.values()}) > 1  # not one split
+
+
+class TestSelectionCurve:
+    def test_hand_computed_curve(self, spark):
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        # scores 0..9, weight = score*10
+        df = spark.createDataFrame(
+            [(i, i, i * 10) for i in range(10)],
+            "doc_id long, score long, toks long",
+        )
+        out = selection_curve(
+            df, "score", lo=0, hi=10, weight_col="toks", n_bins=5
+        ).collect()
+        assert [r.threshold for r in out] == [0, 2, 4, 6, 8]
+        assert [r.n_docs for r in out] == [2, 2, 2, 2, 2]
+        assert [r.weight for r in out] == [10, 50, 90, 130, 170]
+        # cumulative-from-above
+        assert [r.n_docs_at_or_above for r in out] == [10, 8, 6, 4, 2]
+        assert [r.weight_at_or_above for r in out] == [450, 440, 390, 300, 170]
+        total = 450
+        assert [r.weight_permille_retained for r in out] == [
+            (w * 1000) // total for w in (450, 440, 390, 300, 170)
+        ]
+
+    def test_clamping_null_and_empty_bins(self, spark):
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        df = spark.createDataFrame(
+            [(1, -5, 1), (2, 99, 1), (3, None, 7)],
+            "doc_id long, score long, toks long",
+        )
+        out = selection_curve(
+            df, "score", lo=0, hi=10, weight_col="toks", n_bins=5
+        ).collect()
+        assert len(out) == 5  # dense bins even when empty
+        assert out[0].n_docs == 1  # -5 clamps into bin 0
+        assert out[4].n_docs == 1  # 99 clamps into the top bin
+        assert sum(r.n_docs for r in out) == 2  # NULL score excluded
+
+    def test_docs_weight_default(self, spark):
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        df = spark.createDataFrame(
+            [(i, i % 4) for i in range(8)], "doc_id long, score long"
+        )
+        out = selection_curve(df, "score", lo=0, hi=4, n_bins=4).collect()
+        assert [r.weight for r in out] == [2, 2, 2, 2]  # weight = docs
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, score long")
+        with _pt.raises(ValueError):
+            selection_curve(df, "score", lo=5, hi=5)
+        with _pt.raises(ValueError):
+            selection_curve(df, "score", lo=0, hi=10, n_bins=0)
