@@ -10107,6 +10107,7 @@ def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.operators.retrieval import (
         bm25_topk,
+        build_postings,
         query_terms,
         rrf_fuse,
         search_topk,
@@ -10114,8 +10115,16 @@ def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     q = query_terms(spark, _SEARCH_QUERIES)
+    # ONE postings build persisted across both scorers — without this
+    # each search re-tokenizes and re-aggregates the whole corpus
+    # (measured 4.4s -> the sum of both standalone searches)
+    postings = build_postings(docs).persist()
     fused = rrf_fuse(
-        [search_topk(docs, q, k=10), bm25_topk(docs, q, k=10)], k=5
+        [
+            search_topk(docs, q, k=10, postings=postings),
+            bm25_topk(docs, q, k=10, postings=postings),
+        ],
+        k=5,
     )
     return fused.orderBy("query_id", "rank")
 
