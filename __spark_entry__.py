@@ -10711,7 +10711,7 @@ WITH d AS (
          count(*) AS n_docs, sum(toks)::BIGINT AS weight
   FROM d WHERE n_chars IS NOT NULL GROUP BY 1
 ), bins AS (
-  SELECT i::INT AS bin, ((i * 4000) // 8)::BIGINT AS threshold
+  SELECT i::INT AS bin, ((i * 4000 + 7) // 8)::BIGINT AS threshold
   FROM range(8) t(i)
 ), f AS (
   SELECT b.bin, b.threshold,

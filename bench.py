@@ -174,6 +174,7 @@ HEADLINE = [
     "domain_templates_docs",
     "strip_templates_docs",
     "kn3_lm_score_docs",
+    "selection_curve_docs",
 ]
 
 

@@ -27,6 +27,24 @@ def normalized_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+def normalized_distinct_lines(col: Column | str, sep: str = "\n") -> Column:
+    """Per-document DISTINCT normalized non-blank lines, materialized
+    in-array (map-side — no distinct shuffle): the shared line-identity
+    used by template detection in both its batch
+    (operators/text.py:template_lines) and streaming
+    (streaming/templates.py) forms. One definition so the store's
+    counts can never drift from the batch detector's."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(_c(col), F.lit("")), sep),
+                lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " ")),
+            ),
+            lambda x: x != F.lit(""),
+        )
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the lowercased text (empty strings removed)."""
     return F.filter(

@@ -522,7 +522,9 @@ def selection_curve(
     Output, one row per bin ordered ascending: ``threshold`` (the
     bin's lower edge), per-bin ``n_docs``/``weight``, cumulative
     ``n_docs_at_or_above``/``weight_at_or_above`` (documents a filter
-    at that threshold KEEPS), and ``weight_permille_retained``.
+    at that threshold KEEPS), and ``weight_permille_retained``. Bin
+    0's row is the keep-everything baseline — below-``lo`` scores
+    clamp into it, so its cumulative includes the underflow.
 
     Shape at scale: one map-combined histogram aggregate over the
     corpus (n_bins rows out), then the descending cumulative runs as a
@@ -545,7 +547,9 @@ def selection_curve(
     span = int(hi) - int(lo)
     bin_ = F.least(
         F.greatest(
-            F.expr(f"(({score_col} - {int(lo)}) * {int(n_bins)}) div {span}"),
+            F.expr(
+                f"((`{score_col}` - {int(lo)}) * {int(n_bins)}) div {span}"
+            ),
             F.lit(0),
         ),
         F.lit(n_bins - 1),
@@ -557,9 +561,14 @@ def selection_curve(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__w").alias("weight"))
     )
     # dense bins: every threshold appears even when its bin is empty
+    # bin i's lowest member score is lo + CEIL(i*span/n_bins) — floor
+    # would report a threshold one below the bin's true start whenever
+    # span % n_bins != 0, and "keeps at this threshold" would lie
     bins = df.sparkSession.range(n_bins).select(
         F.col("id").cast("int").alias("bin"),
-        F.expr(f"{int(lo)} + (id * {span}) div {int(n_bins)}")
+        F.expr(
+            f"{int(lo)} + (id * {span} + {int(n_bins) - 1}) div {int(n_bins)}"
+        )
         .cast("long")
         .alias("threshold"),
     )

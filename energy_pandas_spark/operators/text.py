@@ -2165,22 +2165,16 @@ def template_lines(
     distinct shuffle), one map-combined (group, line) aggregate, and a
     group-keyed equi-join against the |groups|-sized doc-count table
     (too big to broadcast at web scale)."""
+    from energy_pandas_spark.functions.textfns import normalized_distinct_lines
+
     if not 0 <= min_doc_permille <= 1000:
         raise ValueError("min_doc_permille must be in [0, 1000]")
     if min_docs < 1:
         raise ValueError("min_docs must be >= 1")
-    norm_lines = F.array_distinct(
-        F.filter(
-            F.transform(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
-                lambda l: F.trim(
-                    F.regexp_replace(F.lower(l), r"\s+", " ")
-                ),
-            ),
-            lambda x: x != F.lit(""),
-        )
+    lines = df.select(
+        F.col(group_col),
+        F.explode(normalized_distinct_lines(text_col, sep)).alias("line"),
     )
-    lines = df.select(F.col(group_col), F.explode(norm_lines).alias("line"))
     counts = lines.groupBy(group_col, "line").agg(
         F.count(F.lit(1)).alias("n_docs_with_line")
     )
@@ -2276,16 +2270,11 @@ def strip_templates(
             .select(group_col, "h")
         )
     else:
-        tnorm = F.trim(
-            F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
-        )
+        # `norm` is the same (line -> key) normalization used above —
+        # one definition, so the incremental scrub can't drift
         templates = templates.select(
-            F.col(group_col), F.col("line")
-        ).select(
             F.col(group_col),
-            F.when(tnorm != "", F.xxhash64(F.lit("tmpl-v1"), tnorm)).alias(
-                "h"
-            ),
+            F.when(norm != "", F.xxhash64(F.lit("tmpl-v1"), norm)).alias("h"),
         ).filter(F.col("h").isNotNull())
     kept = (
         rows.join(templates, [group_col, "h"], "left_anti")

@@ -49,18 +49,19 @@ def _batch_line_counts(
 ) -> DataFrame:
     """(group, line, n_docs) for one batch — per-doc distinct
     normalized lines materialized in-array before the explode, one
-    map-combined aggregate (the template_lines shape)."""
-    norm_lines = F.array_distinct(
-        F.filter(
-            F.transform(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
-                lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " ")),
-            ),
-            lambda x: x != F.lit(""),
-        )
+    map-combined aggregate (the template_lines shape, via the SHARED
+    line normalization so store and batch detector cannot drift)."""
+    from energy_pandas_spark.functions.textfns import (
+        normalized_distinct_lines,
     )
+
     return (
-        batch.select(F.col(group_col), F.explode(norm_lines).alias("line"))
+        batch.select(
+            F.col(group_col),
+            F.explode(normalized_distinct_lines(text_col, sep)).alias(
+                "line"
+            ),
+        )
         .groupBy(group_col, "line")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -78,24 +79,36 @@ def make_template_writer(
     — idempotent on replay by dynamic partition overwrite."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        lines = _batch_line_counts(batch, group_col, text_col, sep)
-        (
-            lines.withColumn("__batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(f"{path}/lines")
-        )
-        docs = batch.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
-        (
-            docs.withColumn("__batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(f"{path}/docs")
-        )
+        # two aggregates read the batch: persist so the micro-batch
+        # source computes once (the multi-consumer rule)
+        batch = batch.persist()
+        try:
+            # docs/ lands FIRST: a crash (or a concurrent reader)
+            # between the two writes then sees a doc total WITHOUT the
+            # batch's line counts — doc_permille deflates and the torn
+            # state under-strips (conservative). The opposite order
+            # inflates permilles and false templates would strip real
+            # content until the retry.
+            docs = batch.groupBy(group_col).agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+            (
+                docs.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(f"{path}/docs")
+            )
+            lines = _batch_line_counts(batch, group_col, text_col, sep)
+            (
+                lines.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(f"{path}/lines")
+            )
+        finally:
+            batch.unpersist()
 
     return write_batch
 
@@ -144,13 +157,17 @@ def read_templates(
     group_col: str,
     min_doc_permille: int = 500,
     min_docs: int = 2,
+    group_type: str = "string",
 ) -> DataFrame:
     """The store's current template table — (group, line,
     n_docs_with_line, n_docs_group, doc_permille), the exact
     :func:`~energy_pandas_spark.operators.text.template_lines`
     contract evaluated over ALL ingested batches, ready for
     ``strip_templates(..., templates=...)``. Empty store -> empty
-    table (nothing strips)."""
+    table (nothing strips); pass ``group_type`` when the group key is
+    not a string so the empty table's dtype matches the populated
+    store's (a mismatch would make downstream joins cast — or fail
+    under ANSI — the moment real data lands)."""
     if not 0 <= min_doc_permille <= 1000:
         raise ValueError("min_doc_permille must be in [0, 1000]")
     if min_docs < 1:
@@ -159,8 +176,8 @@ def read_templates(
     if lines is None or docs is None:
         return spark.createDataFrame(
             [],
-            f"{group_col} string, line string, n_docs_with_line long, "
-            "n_docs_group long, doc_permille long",
+            f"{group_col} {group_type}, line string, "
+            "n_docs_with_line long, n_docs_group long, doc_permille long",
         )
     return (
         lines.join(docs, group_col)

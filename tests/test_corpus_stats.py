@@ -1579,11 +1579,6 @@ class TestKneserNeyTrigram:
         import math
 
         vocab = ["the", "cat", "dog", "sat", "ran", "on", "a", "to", "mat"]
-        cont_vocab = [
-            w3 for w3 in vocab
-            if any(f" {w3}" in (" " + " ".join(t.split()[1:]))
-                   for t in self.TRAIN)
-        ]
         for ctx in ["the cat", "sat on", "a cat"]:
             rows = self._replay(
                 self.TRAIN, [f"{ctx} {w3}" for w3 in vocab]

@@ -552,3 +552,28 @@ class TestSelectionCurve:
             selection_curve(df, "score", lo=5, hi=5)
         with _pt.raises(ValueError):
             selection_curve(df, "score", lo=0, hi=10, n_bins=0)
+
+    def test_non_divisible_span_threshold_is_bin_floor(self, spark):
+        # regression: with span=10, n_bins=3 the bins are scores
+        # {0..3},{4..6},{7..9}; a floor(i*span/n_bins) threshold would
+        # report 3 for bin 1 even though score 3 lives in bin 0
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(10)], "doc_id long, score long"
+        )
+        out = selection_curve(df, "score", lo=0, hi=10, n_bins=3).collect()
+        assert [r.threshold for r in out] == [0, 4, 7]
+        assert [r.n_docs for r in out] == [4, 3, 3]
+        for r in out:
+            kept = sum(1 for s in range(10) if s >= r.threshold)
+            assert r.n_docs_at_or_above == kept
+
+    def test_awkward_column_name(self, spark):
+        from energy_pandas_spark.operators.sampling import selection_curve
+
+        df = spark.createDataFrame(
+            [(1, 5)], "doc_id long, `my score` long"
+        )
+        out = selection_curve(df, "my score", lo=0, hi=10, n_bins=2)
+        assert out.count() == 2
