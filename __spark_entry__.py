@@ -10735,6 +10735,136 @@ FROM c ORDER BY bin
 """
 
 
+def web_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-10 crawl chain COMPOSED, oracle-checked end to end:
+    Unicode hygiene (tab/NBSP/CRLF dirt folds) -> jusText block
+    extraction (nav/footer/heading drop, per-block scoring on the
+    CLEANED page) -> per-site template strip (the per-source copyright
+    line vanishes; the per-doc good sentence survives) -> one-row
+    corpus report. Every stage verifies in isolation elsewhere; this
+    query verifies their COMPOSITION, where stage-boundary bugs
+    (normalization drift, schema loss, order dependence) hide."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.extraction import extract_main_content
+    from energy_pandas_spark.operators.normalize import clean_text
+    from energy_pandas_spark.operators.text import strip_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<nav><a href="/">Home of the site</a> '
+              '<a href="/a">All the pages</a></nav><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>\t It is the case that a good result of the "
+              "work is in the text and\r\nthat it is for a test of doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(".</p><p>The copyright of "),
+        F.col("source"),
+        F.lit(" is with the owner of the site.</p><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><footer><a href="/t">Terms of use here</a></footer>'),
+    )
+    raw = docs.select("doc_id", "source", page.alias("text"))
+    cleaned = clean_text(raw)
+    main = extract_main_content(cleaned, out_col="__main").select(
+        "doc_id", "source", F.col("__main").alias("text")
+    )
+    stripped = strip_templates(main, "source")
+    return stripped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.trim("text") != "").alias("n_nonempty"),
+        F.sum(
+            F.when(F.trim("text") != "", F.col("doc_id")).otherwise(0)
+        ).alias("id_sum_nonempty"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+def _hygiene_sql(e: str) -> str:
+    """DuckDB twin of operators/normalize.py:cleaned_text for
+    expression ``e`` (the literal shared regex constants)."""
+    return f"""trim(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace(
+      regexp_replace({e},
+        '\\x{{000D}}\\x{{000A}}?', chr(10), 'g'),
+        '{_N_CTRL}', '', 'g'),
+        '{_N_ZW}', '', 'g'),
+        '{_N_ALT}', ' ', 'g'),
+        '[ \\x{{0009}}]+', ' ', 'g'),
+        '[ ]*\\x{{000A}}[ ]*', chr(10), 'g'))"""
+
+
+_WEB_CORPUS_SQL = rf"""
+WITH raw0 AS (
+  SELECT doc_id, source,
+         '<nav><a href="/">Home of the site</a> '
+         || '<a href="/a">All the pages</a></nav><h1>Doc '
+         || doc_id::VARCHAR
+         || '</h1><p>' || chr(9) || chr(160)
+         || 'It is the case that a good result of the work is in the '
+         || 'text and' || chr(13) || chr(10)
+         || 'that it is for a test of doc ' || doc_id::VARCHAR
+         || '.</p><p>The copyright of ' || source
+         || ' is with the owner of the site.</p><p>'
+         || coalesce(text, '')
+         || '</p><footer><a href="/t">Terms of use here</a></footer>'
+           AS t0
+  FROM documents
+), pages AS (
+  SELECT doc_id, {_hygiene_sql('t0')} AS h FROM raw0{_BLOCK_STATS_CTE}
+), mainc AS (
+  SELECT p.doc_id,
+         coalesce(string_agg(b.block_text, chr(10) ORDER BY b.block_idx)
+                  FILTER (WHERE b.label = 'good'), '') AS text
+  FROM pages p LEFT JOIN blocks b ON b.doc_id = p.doc_id
+  GROUP BY 1
+), m2 AS (
+  SELECT m.doc_id, d.source, m.text
+  FROM mainc m JOIN documents d USING (doc_id)
+), rows0 AS (
+  SELECT source, doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM m2
+), keyed AS (
+  SELECT *, trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS k
+  FROM rows0
+), dl AS (
+  SELECT DISTINCT source, doc_id, k FROM keyed WHERE k != ''
+), c AS (
+  SELECT source, k, count(*) AS n FROM dl GROUP BY 1, 2
+), g AS (
+  SELECT source, count(*) AS gn FROM m2 GROUP BY 1
+), tmpl AS (
+  SELECT c.source, c.k FROM c JOIN g USING (source)
+  WHERE c.n * 1000 >= 500 * g.gn AND c.n >= 2
+), kept AS (
+  SELECT keyed.doc_id,
+         string_agg(keyed.line, chr(10) ORDER BY keyed.idx) AS text
+  FROM keyed
+  LEFT JOIN tmpl ON tmpl.source = keyed.source AND tmpl.k = keyed.k
+  WHERE tmpl.k IS NULL
+  GROUP BY 1
+), final AS (
+  SELECT m2.doc_id, coalesce(kept.text, '') AS text
+  FROM m2 LEFT JOIN kept USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE trim(text) != '')::BIGINT AS n_nonempty,
+       sum(CASE WHEN trim(text) != '' THEN doc_id ELSE 0 END)::BIGINT
+         AS id_sum_nonempty,
+       sum(length(text))::BIGINT AS total_chars,
+       sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '')))::BIGINT AS total_tokens
+FROM final
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10916,6 +11046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_templates_docs": strip_templates_docs,
         "kn3_lm_score_docs": kn3_lm_score_docs,
         "selection_curve_docs": selection_curve_docs,
+        "web_corpus_docs": web_corpus_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -11152,6 +11283,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_templates_docs": _STRIP_TEMPLATES_SQL,
         "kn3_lm_score_docs": _KN3_LM_SCORE_SQL,
         "selection_curve_docs": _SELECTION_CURVE_SQL,
+        "web_corpus_docs": _WEB_CORPUS_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -175,6 +175,7 @@ HEADLINE = [
     "strip_templates_docs",
     "kn3_lm_score_docs",
     "selection_curve_docs",
+    "web_corpus_docs",
 ]
 
 
