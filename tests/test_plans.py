@@ -739,3 +739,79 @@ class TestNinthWaveShapes:
         # the 1-row B total broadcasts; nothing falls back to a
         # cartesian product
         assert "CartesianProduct" not in plan
+
+
+class TestTenthWaveShapes:
+    def test_kn3_no_python_no_cartesian(self, spark):
+        from energy_pandas_spark.operators.text import (
+            kneser_ney_trigram_score,
+            trigram_lm_train,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f") for i in range(4)],
+            "doc_id long, text string",
+        )
+        out = kneser_ney_trigram_score(df, trigram_lm_train(df))
+        plan = _ep(out)
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # the 1-row total is a broadcast, never a shuffled join
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_template_strip_ships_no_text_through_detection(self, spark):
+        from energy_pandas_spark.operators.text import strip_templates
+
+        df = spark.createDataFrame(
+            [(i, "d", f"TMPL\nbody {i}") for i in range(4)],
+            "doc_id long, domain string, text string",
+        )
+        out = strip_templates(df, "domain")
+        plan = _ep(out)
+        assert "EvalPython" not in plan
+        # detection dedups (group, id, digest) longs and aggregates
+        # (group, digest): no `line` column inside those exchanges
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert "line" not in keys, keys
+
+    def test_rrf_fuse_never_single_partition(self, spark):
+        from energy_pandas_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(0, 1, 9, 1), (0, 2, 8, 2)],
+            "query_id long, doc_id long, score_q long, rank int",
+        )
+        out = rrf_fuse([a, a], k=2)
+        assert "SinglePartition" not in _ep(out)
+
+    def test_extraction_and_normalize_stay_whole_jvm_map(self, spark):
+        from energy_pandas_spark.operators.extraction import (
+            extract_main_content,
+        )
+        from energy_pandas_spark.operators.normalize import clean_text
+        from energy_pandas_spark.plans import exchange_count
+        from pyspark.sql import functions as F
+
+        df = spark.range(4).select(
+            F.col("id").alias("doc_id"), F.lit("<p>x y</p>").alias("text")
+        )
+        chained = extract_main_content(clean_text(df))
+        assert exchange_count(chained) == 0
+        assert "EvalPython" not in _ep(chained)
+
+    def test_selection_curve_histogram_is_map_combined(self, spark):
+        from energy_pandas_spark.operators.sampling import selection_curve
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 10).alias("score")
+        )
+        out = selection_curve(df, "score", lo=0, hi=10, n_bins=5)
+        plan = _ep(out)
+        # the corpus-side aggregate is partial -> exchange -> final;
+        # the only SinglePartition window runs over the n_bins rows
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "EvalPython" not in plan
