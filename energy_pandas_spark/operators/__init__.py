@@ -57,6 +57,7 @@ from energy_pandas_spark.operators.dedup import (
     winnow_fingerprints,
     winnow_pairs,
     simhash_neardup_pairs,
+    lsh_plan,
 )
 from energy_pandas_spark.operators.graph import (
     connected_components,
@@ -70,8 +71,18 @@ from energy_pandas_spark.operators.joins import (
     interval_join_bucketed,
     salted_join,
 )
+from energy_pandas_spark.operators.extraction import (
+    content_blocks,
+    extract_main_content,
+)
+from energy_pandas_spark.operators.normalize import (
+    clean_text,
+    fix_mojibake,
+    nfc_text,
+)
 from energy_pandas_spark.operators.pipeline import (
     clean_corpus,
+    prepare_web_corpus,
     corpus_diff,
     corpus_health,
     corpus_diff_stats,
@@ -80,6 +91,7 @@ from energy_pandas_spark.operators.pipeline import (
 from energy_pandas_spark.operators.retrieval import (
     bm25_topk,
     build_postings,
+    rrf_fuse,
     search_topk,
 )
 from energy_pandas_spark.operators.sampling import (
@@ -91,6 +103,8 @@ from energy_pandas_spark.operators.sampling import (
     sample_k_per_group,
     drop_below_group_quantile,
     epoch_order,
+    leakage_safe_split,
+    selection_curve,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
 from energy_pandas_spark.operators.sketches import (
@@ -109,6 +123,10 @@ from energy_pandas_spark.operators.diagnostics import (
 )
 from energy_pandas_spark.operators.text import (
     blocklist_filter,
+    template_lines,
+    strip_templates,
+    kneser_ney_trigram_score,
+    trigram_lm_train,
     chunk_fixed,
     chunk_sentences,
     split_sentences,

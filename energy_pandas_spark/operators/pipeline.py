@@ -22,6 +22,7 @@ from energy_pandas_spark.operators.text import (
 
 __all__ = [
     "clean_corpus",
+    "prepare_web_corpus",
     "prepare_training_corpus",
     "corpus_report",
     "corpus_diff",
@@ -61,6 +62,73 @@ def clean_corpus(
         fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def prepare_web_corpus(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repair_mojibake: bool = False,
+    min_words: int = 5,
+    max_link_permille: int = 330,
+    min_stop_permille: int = 150,
+    stopwords: tuple[str, ...] | None = None,
+    min_doc_permille: int = 500,
+    min_docs: int = 2,
+    drop_empty: bool = True,
+    templates: DataFrame | None = None,
+) -> DataFrame:
+    """Raw crawl HTML -> clean prose, the one-call front half of a web
+    pipeline: Unicode hygiene (controls / zero-width / Unicode-space
+    dirt folds; optional mojibake repair — the only Python-kernel
+    stage, off by default) -> jusText block extraction (nav / footer /
+    link-farm boilerplate drops, prose survives) -> per-site template
+    stripping keyed on ``group_col`` (registrable domain for crawls;
+    pass ``templates=`` to scrub against a persisted store instead of
+    in-batch detection). Hand the result to ``clean_corpus`` /
+    ``prepare_training_corpus`` for language / quality / dedup.
+
+    Hygiene + extraction fuse into ONE zero-shuffle whole-JVM
+    projection (plan-locked in tests); the template strip adds its
+    digest-only detection shuffles and the per-doc rebuild. Every
+    stage is individually oracle-verified, and the composition itself
+    is driver-checked end to end (``web_corpus_docs``)."""
+    from energy_pandas_spark.operators.extraction import (
+        DEFAULT_STOPWORDS,
+        extract_main_content,
+    )
+    from energy_pandas_spark.operators.normalize import (
+        clean_text,
+        fix_mojibake,
+    )
+    from energy_pandas_spark.operators.text import strip_templates
+
+    out = df
+    if repair_mojibake:
+        out = fix_mojibake(out, text_col)
+    out = clean_text(out, text_col)
+    out = extract_main_content(
+        out,
+        text_col,
+        id_col,
+        out_col="__main",
+        stopwords=stopwords or DEFAULT_STOPWORDS,
+        min_words=min_words,
+        max_link_permille=max_link_permille,
+        min_stop_permille=min_stop_permille,
+    )
+    out = out.withColumn(text_col, F.col("__main")).drop("__main")
+    return strip_templates(
+        out,
+        group_col,
+        text_col,
+        id_col,
+        min_doc_permille=min_doc_permille,
+        min_docs=min_docs,
+        drop_empty=drop_empty,
+        templates=templates,
     )
 
 

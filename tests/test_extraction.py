@@ -187,3 +187,71 @@ def test_matches_python_recomputation(spark):
         exp = [(b["text"], b["link_pm"], b["stop_pm"], b["label"])
                for b in _py_blocks(p)]
         assert sorted(got.get(i, [])) == sorted(exp), f"page {i}"
+
+
+class TestPrepareWebCorpus:
+    def test_full_chain(self, spark):
+        from energy_pandas_spark.operators.pipeline import prepare_web_corpus
+
+        pages = []
+        for i in range(6):
+            pages.append((
+                i, "a.com",
+                '<nav><a href="/">Home of the site</a></nav>'
+                "<p>\t It is the case that a good result of the work "
+                f"is in the text of page {i}.</p>"
+                "<p>The copyright of a dot com is with the site.</p>"
+                '<footer><a href="/t">Terms of it all</a></footer>',
+            ))
+        df = spark.createDataFrame(
+            pages, "doc_id long, domain string, text string"
+        )
+        out = {r.doc_id: r.text for r in
+               prepare_web_corpus(df, "domain").collect()}
+        assert len(out) == 6
+        for i, t in out.items():
+            # hygiene folded the tab/NBSP head; boilerplate gone;
+            # per-site copyright template stripped; prose survived
+            assert t == ("It is the case that a good result of the "
+                         f"work is in the text of page {i}.")
+
+    def test_drop_empty_and_store_posture(self, spark, tmp_path):
+        from energy_pandas_spark.operators.pipeline import prepare_web_corpus
+        from energy_pandas_spark.streaming.templates import (
+            make_template_writer,
+            read_templates,
+        )
+
+        # all-boilerplate pages vanish with drop_empty
+        junk = spark.createDataFrame(
+            [(i, "b.net", '<nav><a href="/">Home page here</a></nav>')
+             for i in range(3)],
+            "doc_id long, domain string, text string",
+        )
+        assert prepare_web_corpus(junk, "domain").count() == 0
+        # incremental posture: the store's template strips a single
+        # fresh page that in-batch detection could never catch
+        hist = spark.createDataFrame(
+            [(i, "c.org",
+              "It is the case that a good result of the work is here "
+              f"in {i}.\nThe one true footer of the site is this.")
+             for i in range(4)],
+            "doc_id long, domain string, text string",
+        )
+        store = str(tmp_path / "store")
+        make_template_writer(store, "domain")(hist, 0)
+        # the footer sits in its OWN block: extraction collapses
+        # intra-block whitespace, so post-extraction "lines" are blocks
+        fresh = spark.createDataFrame(
+            [(99, "c.org",
+              "<p>It is the case that a good result of the work is "
+              "here in 99.</p>"
+              "<p>The one true footer of the site is this.</p>")],
+            "doc_id long, domain string, text string",
+        )
+        out = prepare_web_corpus(
+            fresh, "domain",
+            templates=read_templates(spark, store, "domain"),
+        ).collect()[0]
+        assert "one true footer" not in out.text
+        assert out.text.endswith("here in 99.")
