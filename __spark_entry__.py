@@ -10117,7 +10117,11 @@ def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = query_terms(spark, _SEARCH_QUERIES)
     # ONE postings build persisted across both scorers — without this
     # each search re-tokenizes and re-aggregates the whole corpus
-    # (measured 4.4s -> the sum of both standalone searches)
+    # (measured 4.4s -> the sum of both standalone searches). The
+    # (queries x 5)-row result materializes eagerly so the postings
+    # cache can be RELEASED before returning — a leaked persist
+    # substitutes into every later same-plan query via the logical-plan
+    # cache (observed breaking an unrelated plan-lock test).
     postings = build_postings(docs).persist()
     fused = rrf_fuse(
         [
@@ -10126,7 +10130,9 @@ def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=5,
     )
-    return fused.orderBy("query_id", "rank")
+    out = fused.orderBy("query_id", "rank").localCheckpoint(eager=True)
+    postings.unpersist()
+    return out
 
 
 _RRF_FUSE_SQL = rf"""
