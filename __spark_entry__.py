@@ -10871,6 +10871,79 @@ FROM final
 """
 
 
+def langid_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram language ID (operators/text.py:
+    train_langid_profiles/langid_ngram): ranked top-200 n-gram
+    profiles per corpus language, out-of-place distance with a
+    200-rank miss penalty, argmin with lang-asc tiebreak — integer
+    rank arithmetic end to end, so the confusion matrix is
+    hash-gated. One broadcast join against the langs x 200 profile
+    table; per-doc ranking uses the bounded two-stage top-k."""
+    _prep(spark)
+    from energy_pandas_spark.operators.text import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = train_langid_profiles(docs)
+    pred = langid_ngram(docs, profiles)
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_LANGID_NGRAM_SQL = r"""
+WITH nt AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+           AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, substr(t, i, 3) AS gram
+  FROM nt, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+), lc AS (
+  SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+), lp AS (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram)
+           AS rank
+  FROM lc QUALIFY rank <= 200
+), dc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+), dp AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram)
+           AS drank
+  FROM dc QUALIFY drank <= 200
+), j AS (
+  SELECT d.doc_id, lp.lang, abs(d.drank - lp.rank) AS dd
+  FROM dp d JOIN lp ON lp.gram = d.gram
+), agg AS (
+  SELECT doc_id, lang, sum(dd) AS dsum, count(*) AS nhits
+  FROM j GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, count(*) AS ng FROM dp GROUP BY 1
+), sc AS (
+  SELECT a.doc_id, a.lang,
+         (a.dsum + (t.ng - a.nhits) * 200)::BIGINT AS dist
+  FROM agg a JOIN tot t USING (doc_id)
+), best AS (
+  SELECT doc_id, lang AS pred
+  FROM sc QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY dist, lang
+  ) = 1
+), p AS (
+  SELECT d.lang, coalesce(b.pred, 'und') AS lang_pred
+  FROM documents d LEFT JOIN best b USING (doc_id)
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -11053,6 +11126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_lm_score_docs": kn3_lm_score_docs,
         "selection_curve_docs": selection_curve_docs,
         "web_corpus_docs": web_corpus_docs,
+        "langid_ngram_docs": langid_ngram_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -11290,6 +11364,7 @@ def oracle_sql() -> dict[str, str]:
         "kn3_lm_score_docs": _KN3_LM_SCORE_SQL,
         "selection_curve_docs": _SELECTION_CURVE_SQL,
         "web_corpus_docs": _WEB_CORPUS_SQL,
+        "langid_ngram_docs": _LANGID_NGRAM_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -176,6 +176,7 @@ HEADLINE = [
     "kn3_lm_score_docs",
     "selection_curve_docs",
     "web_corpus_docs",
+    "langid_ngram_docs",
 ]
 
 

@@ -9,7 +9,7 @@ pruning pushes everything else out of the read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from energy_pandas_spark.functions.textfns import (
     char_shingles_of_text,
@@ -69,6 +69,8 @@ __all__ = [
     "line_dedup",
     "template_lines",
     "strip_templates",
+    "train_langid_profiles",
+    "langid_ngram",
     "line_dedup_in_doc",
     "line_dedup_incremental",
     "line_digests",
@@ -2134,6 +2136,169 @@ def line_dedup(
     if drop_empty:
         out = out.filter(F.trim(F.col(text_col)) != "")
     return out
+
+
+def _char_gram_rows(
+    df: DataFrame, text_col: str, n: int, keep: list[Column]
+) -> DataFrame:
+    """(keep..., gram) rows: distinct-per-position char n-grams of the
+    normalized text (short docs emit nothing — a sub-n text has no
+    n-gram evidence)."""
+    from energy_pandas_spark.functions.textfns import (
+        char_shingles_of_text,
+        normalized_text,
+    )
+
+    norm = df.select(*keep, normalized_text(text_col).alias("__norm"))
+    grams = F.filter(
+        char_shingles_of_text("__norm", n), lambda g: F.length(g) == n
+    )
+    return norm.select(*keep, F.explode(grams).alias("gram"))
+
+
+def train_langid_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top: int = 200,
+    n: int = 3,
+) -> DataFrame:
+    """Cavnar-Trenkle language profiles (N-Gram-Based Text
+    Categorization, 1994): per language, the ``top`` most frequent
+    character ``n``-grams of the normalized text, ranked 1..top by
+    (count desc, gram asc — the deterministic tiebreak). Returns
+    (lang, gram, rank), ``langs x top`` rows — broadcast-sized by
+    construction at any corpus scale.
+
+    Shape: one explode + map-combined (lang, gram) count, then the
+    bounded two-stage top-k per language (a local row_number per
+    partition first — the hottest language never becomes one unbounded
+    window task)."""
+    if top < 1 or n < 1:
+        raise ValueError("top and n must be >= 1")
+    counts = (
+        _char_gram_rows(df, text_col, n, [F.col(lang_col).alias("lang")])
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    local = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("lang", "__pid").orderBy(
+                    F.desc("__c"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("__lr") <= top)
+    )
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("__c"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= top)
+        .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    top: int = 200,
+    n: int = 3,
+) -> DataFrame:
+    """Char-n-gram language ID by Cavnar-Trenkle out-of-place distance
+    — the classical upgrade over stopword voting (:func:`language_id`)
+    for short or stopword-poor text: build each document's own ranked
+    top-``top`` n-gram profile, then score each candidate language by
+    ``sum |doc_rank - lang_rank|`` with a ``top`` penalty for grams
+    absent from the language profile; argmin wins (ties break on lang
+    asc). Documents shorter than ``n`` chars predict ``'und'``.
+    Integer-exact end to end (rank arithmetic only), so the driver
+    query carries a full DuckDB oracle.
+
+    Shape: one explode + map-combined (doc, gram) count, the bounded
+    two-stage per-document top-k, ONE broadcast join against the
+    ``langs x top``-row profile table (left join: misses keep the
+    penalty), a (doc, lang) distance aggregate, and a min_by argmin —
+    no per-language scan, no Python."""
+    if top < 1 or n < 1:
+        raise ValueError("top and n must be >= 1")
+    counts = (
+        _char_gram_rows(df, text_col, n, [F.col(id_col)])
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    local = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy(id_col, "__pid").orderBy(
+                    F.desc("__c"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("__lr") <= top)
+    )
+    doc_prof = (
+        local.withColumn(
+            "__dr",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("__c"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("__dr") <= top)
+        .select(id_col, "gram", "__dr")
+    )
+    joined = doc_prof.join(F.broadcast(profiles), "gram", "left")
+    dist = (
+        joined.filter(F.col("lang").isNotNull())
+        .select(
+            id_col,
+            "lang",
+            F.abs(F.col("__dr") - F.col("rank")).cast("long").alias("__d"),
+            F.lit(1).alias("__hit"),
+        )
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum("__d").alias("__dsum"), F.sum("__hit").alias("__nhits")
+        )
+    )
+    # per-doc gram total rides a tiny aggregate; misses cost `top`
+    # each: dist(lang) = dsum + (n_grams_doc - nhits) * top
+    totals = doc_prof.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ng")
+    )
+    scored = dist.join(totals, id_col).select(
+        id_col,
+        "lang",
+        (
+            F.col("__dsum")
+            + (F.col("__ng") - F.col("__nhits")) * F.lit(int(top))
+        ).alias("__dist"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by("lang", F.struct("__dist", "lang")).alias("__pred"),
+        F.min("__dist").alias("__best_dist"),
+    )
+    return (
+        df.join(best, id_col, "left")
+        .withColumn(out_col, F.coalesce("__pred", F.lit("und")))
+        .drop("__pred")
+        .withColumnRenamed("__best_dist", "lang_dist")
+    )
 
 
 def template_lines(

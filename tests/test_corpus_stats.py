@@ -1755,3 +1755,136 @@ class TestSpanCorrupt:
             span_corrupt(df, start_permille=1001)
         with _pytest.raises(ValueError):
             span_corrupt(df, span=0)
+
+
+class TestLangidNgram:
+    EN = ["the quick brown fox jumps over the lazy dog and runs away",
+          "it is a truth universally acknowledged that a single man",
+          "all happy families are alike in the usual manner of things"]
+    DE = ["der schnelle braune fuchs springt ueber den faulen hund",
+          "es ist eine allgemein anerkannte wahrheit dass ein mann",
+          "alle gluecklichen familien aehneln einander in der weise"]
+
+    @staticmethod
+    def _replay(train, score_texts, top=200, n=3):
+        """Independent Python recomputation of the Cavnar-Trenkle
+        pipeline (normalized text, ranked profiles, out-of-place
+        distance with `top` penalty, lang-asc tiebreaks)."""
+        import re
+
+        def norm(t):
+            return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+        def grams(t):
+            t = norm(t)
+            return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+        def profile(gs):
+            c = {}
+            for g in gs:
+                c[g] = c.get(g, 0) + 1
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+            return {g: r + 1 for r, (g, _) in enumerate(ranked)}
+
+        profs = {
+            lang: profile([g for t in texts for g in grams(t)])
+            for lang, texts in train.items()
+        }
+        out = []
+        for t in score_texts:
+            dp = profile(grams(t))
+            if not dp:
+                out.append(("und", None))
+                continue
+            best = None
+            for lang, lp in profs.items():
+                hits = [g for g in dp if g in lp]
+                if not hits:
+                    continue
+                d = sum(abs(dp[g] - lp[g]) for g in hits)
+                d += (len(dp) - len(hits)) * top
+                if best is None or (d, lang) < best:
+                    best = (d, lang)
+            out.append((best[1], best[0]) if best else ("und", None))
+        return out
+
+    def _frames(self, spark):
+        rows = [(i, "en", t) for i, t in enumerate(self.EN)]
+        rows += [(100 + i, "de", t) for i, t in enumerate(self.DE)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_classifies_held_out_text(self, spark):
+        from energy_pandas_spark.operators.text import (
+            langid_ngram,
+            train_langid_profiles,
+        )
+
+        profiles = train_langid_profiles(self._frames(spark))
+        docs = spark.createDataFrame(
+            [(0, "the man jumps over the dog"),
+             (1, "der mann springt ueber den hund"),
+             (2, "ab")],  # sub-3-char after norm -> no grams
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred
+               for r in langid_ngram(docs, profiles).collect()}
+        assert got == {0: "en", 1: "de", 2: "und"}
+
+    def test_matches_python_replay(self, spark):
+        from energy_pandas_spark.operators.text import (
+            langid_ngram,
+            train_langid_profiles,
+        )
+
+        score = [
+            "the quick dog runs",
+            "der faule hund",
+            "families are alike und aehneln",  # mixed
+            "zzz qqq xxx",                     # gram misses everywhere
+            "",
+        ]
+        profiles = train_langid_profiles(self._frames(spark), top=50)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.lang_pred, r.lang_dist)
+            for r in langid_ngram(docs, profiles, top=50).collect()
+        }
+        want = dict(enumerate(self._replay(
+            {"en": self.EN, "de": self.DE}, score, top=50
+        )))
+        assert got == want
+
+    def test_profile_shape_and_determinism(self, spark):
+        from energy_pandas_spark.operators.text import train_langid_profiles
+
+        p = train_langid_profiles(self._frames(spark), top=30)
+        rows = p.collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r.rank)
+        for lang, ranks in by_lang.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 30
+        # rerun-stable
+        again = {(r.lang, r.gram, r.rank) for r in
+                 train_langid_profiles(self._frames(spark), top=30).collect()}
+        assert again == {(r.lang, r.gram, r.rank) for r in rows}
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from energy_pandas_spark.operators.text import (
+            langid_ngram,
+            train_langid_profiles,
+        )
+
+        from pyspark.sql import functions as F
+
+        df = self._frames(spark)
+        with _pt.raises(ValueError):
+            train_langid_profiles(df, top=0)
+        with _pt.raises(ValueError):
+            langid_ngram(df, df.select("lang", F.lit("abc").alias("gram"),
+                                       F.lit(1).alias("rank")), n=0)
