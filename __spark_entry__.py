@@ -10944,6 +10944,83 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_MIX_WEIGHTS = {f"src{i}": (900 if i == 0 else 50) for i in range(20)}
+
+
+def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture solver (operators/sampling.py:
+    mixture_plan): src0 carries an 18x weight against a 20k-token
+    budget at <=1.5 epochs, so it clamps to its cap and the deficit
+    redistributes over the other nineteen sources — the integer
+    cross-multiplication clamp test over prefix sums, exact on both
+    engines (the double cap/w ratio orders only). Windows run over
+    the 20-row source table."""
+    _prep(spark)
+    from energy_pandas_spark.functions.textfns import tokens
+    from energy_pandas_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").alias("n_tokens"))
+    )
+    return mixture_plan(
+        counts, budget=20_000, weights=_MIX_WEIGHTS, max_rate_permille=1500
+    ).orderBy("source")
+
+
+_MIX_WEIGHT_VALUES = ", ".join(
+    f"('src{i}', {900 if i == 0 else 50})" for i in range(20)
+)
+
+_MIXTURE_PLAN_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         x -> x != ''))::BIGINT AS nt
+  FROM documents
+), cnt AS (
+  SELECT source, sum(nt)::BIGINT AS n_tokens FROM tok GROUP BY 1
+), w(source, w) AS (
+  VALUES {_MIX_WEIGHT_VALUES}
+), base AS (
+  SELECT c.source, c.n_tokens, w.w,
+         ((c.n_tokens * 1500) // 1000)::BIGINT AS cap
+  FROM cnt c JOIN w USING (source)
+), staged AS (
+  SELECT *,
+         coalesce(sum(cap) OVER (
+           ORDER BY cap::DOUBLE / w::DOUBLE, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+         coalesce(sum(w) OVER (
+           ORDER BY cap::DOUBLE / w::DOUBLE, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+         sum(w) OVER () AS wtot
+  FROM base
+), c2 AS (
+  SELECT *,
+         (cap * (wtot - cumw) < w * (20000 - cumcap)) AS clamped
+  FROM staged
+), rem AS (
+  SELECT coalesce(sum(CASE WHEN clamped THEN cap END), 0) AS capsum,
+         coalesce(sum(CASE WHEN NOT clamped THEN w END), 0) AS wrem
+  FROM c2
+), takes AS (
+  SELECT c2.source, c2.n_tokens, c2.cap, c2.clamped,
+         least(CASE WHEN c2.clamped THEN c2.cap
+                    ELSE (c2.w * (20000 - rem.capsum))
+                         // greatest(rem.wrem, 1) END,
+               c2.cap)::BIGINT AS take
+  FROM c2 CROSS JOIN rem
+)
+SELECT source, n_tokens, cap, take, clamped,
+       ((take * 10000) // greatest(n_tokens, 1))::BIGINT AS rate_bp
+FROM takes ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -11127,6 +11204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selection_curve_docs": selection_curve_docs,
         "web_corpus_docs": web_corpus_docs,
         "langid_ngram_docs": langid_ngram_docs,
+        "mixture_plan_docs": mixture_plan_docs,
         # -- driver-green in round 1 only ------------------------------
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -11365,6 +11443,7 @@ def oracle_sql() -> dict[str, str]:
         "selection_curve_docs": _SELECTION_CURVE_SQL,
         "web_corpus_docs": _WEB_CORPUS_SQL,
         "langid_ngram_docs": _LANGID_NGRAM_SQL,
+        "mixture_plan_docs": _MIXTURE_PLAN_SQL,
         "dsir_select_docs": _DSIR_SQL,
         "dsir_resample_docs": _DSIR_RESAMPLE_SQL,
         "dsir_bigram_select_docs": _DSIR_BIGRAM_SQL,

@@ -177,6 +177,7 @@ HEADLINE = [
     "selection_curve_docs",
     "web_corpus_docs",
     "langid_ngram_docs",
+    "mixture_plan_docs",
 ]
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "split_leakage_stats",
     "leakage_safe_split",
     "selection_curve",
+    "mixture_plan",
     "epoch_order",
 ]
 
@@ -601,6 +602,110 @@ def selection_curve(
         .drop("__total")
         .orderBy("bin")
     )
+
+
+def mixture_plan(
+    counts: DataFrame,
+    budget: int,
+    weights: Mapping[str, int],
+    max_rate_permille: int = 1000,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling mixture solver: turn a target mixture into
+    per-source token takes that RESPECT what each source actually has.
+
+    ``weights`` are integer shares (any scale — permille is
+    conventional); the ideal take for source i is ``w_i/W * budget``
+    tokens, but a source can supply at most ``cap_i = n_tokens *
+    max_rate_permille div 1000`` (``1000`` = no upsampling; ``3000``
+    = up to 3 epochs). Scarce sources clamp to their cap and the
+    deficit redistributes over the others proportionally to weight —
+    the standard water-filling: sort by ``cap/w`` ascending (the
+    clamp order), and a source is clamped iff its cap is below its
+    share of what remains when every scarcer source is clamped:
+    ``cap_i * W_rem < w_i * B_rem``, an INTEGER cross-multiplication
+    over prefix sums, exact on any engine (the double ``cap/w`` is a
+    single correctly-rounded division used for ORDERING only, with a
+    source-name tiebreak). Unclamped takes floor-divide the remaining
+    budget, so ``sum(take) <= budget`` within one token per source.
+
+    Returns one row per source: (source, n_tokens, cap, take,
+    clamped, rate_bp) where ``rate_bp`` = take per ten-thousand of
+    the source's tokens — the threshold :func:`hash_sample` /
+    :func:`weighted_mixture` consume (rate_bp > 10000 means epochs).
+    The windows run over the SOURCES table — bounded by the number of
+    sources, never by data."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if max_rate_permille < 1:
+        raise ValueError("max_rate_permille must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w < 1:
+            raise ValueError(f"weight for {s!r} must be >= 1, got {w}")
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in weights.items()],
+        f"{source_col} string, __w long",
+    )
+    base = (
+        counts.select(
+            F.col(source_col), F.col(tokens_col).cast("long").alias("__a")
+        )
+        .join(wdf, source_col)
+        .withColumn(
+            "__cap",
+            F.expr(f"(__a * {int(max_rate_permille)}) div 1000"),
+        )
+    )
+    order = Window.orderBy(
+        (F.col("__cap").cast("double") / F.col("__w").cast("double")).asc(),
+        F.col(source_col).asc(),
+    )
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        base.withColumn("__cumcap", F.coalesce(F.sum("__cap").over(prev), F.lit(0)))
+        .withColumn("__cumw", F.coalesce(F.sum("__w").over(prev), F.lit(0)))
+        .withColumn("__wtot", F.sum("__w").over(everything))
+        .withColumn(
+            "__clamped",
+            F.col("__cap") * (F.col("__wtot") - F.col("__cumw"))
+            < F.col("__w") * (F.lit(int(budget)) - F.col("__cumcap")),
+        )
+    )
+    # remaining budget/weight after ALL clamped sources (the clamp set
+    # is a prefix of the sort order — water-filling's structure)
+    rem = staged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__clamped"), F.col("__cap"))), F.lit(0)
+        ).alias("__capsum"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__clamped"), F.col("__w"))), F.lit(0)
+        ).alias("__wrem"),
+    )
+    take = F.when(F.col("__clamped"), F.col("__cap")).otherwise(
+        F.expr(f"(__w * ({int(budget)} - __capsum)) div greatest(__wrem, 1)")
+    )
+    out = (
+        staged.crossJoin(F.broadcast(rem))
+        .withColumn("take", F.least(take, F.col("__cap")))
+        .select(
+            source_col,
+            F.col("__a").alias(tokens_col),
+            F.col("__cap").alias("cap"),
+            "take",
+            F.col("__clamped").alias("clamped"),
+            F.expr("(take * 10000) div greatest(__a, 1)").alias("rate_bp"),
+        )
+    )
+    return out
 
 
 def leakage_safe_split(

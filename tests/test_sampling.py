@@ -577,3 +577,113 @@ class TestSelectionCurve:
         )
         out = selection_curve(df, "my score", lo=0, hi=10, n_bins=2)
         assert out.count() == 2
+
+
+class TestMixturePlan:
+    @staticmethod
+    def _replay(avail, weights, budget, max_rate_permille=1000):
+        """Exact Fraction water-filling: clamp the scarcest source,
+        redistribute, repeat; floor-divide final unclamped takes."""
+        from fractions import Fraction
+
+        caps = {s: a * max_rate_permille // 1000 for s, a in avail.items()}
+        clamped = {}
+        pool = dict(weights)
+        b = budget
+        while pool:
+            wtot = sum(pool.values())
+            lam = Fraction(b, wtot)
+            worst = min(
+                pool, key=lambda s: (Fraction(caps[s], pool[s]), s)
+            )
+            if Fraction(caps[worst], pool[worst]) < lam:
+                clamped[worst] = caps[worst]
+                b -= caps[worst]
+                del pool[worst]
+            else:
+                break
+        out = {}
+        wrem = sum(pool.values())
+        for s in avail:
+            if s in clamped:
+                out[s] = (clamped[s], True)
+            else:
+                out[s] = (min(pool[s] * b // max(wrem, 1), caps[s]), False)
+        return out
+
+    def _run(self, spark, avail, weights, budget, mrp=1000):
+        from energy_pandas_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            list(avail.items()), "source string, n_tokens long"
+        )
+        return {
+            r.source: r
+            for r in mixture_plan(
+                df, budget, weights, max_rate_permille=mrp
+            ).collect()
+        }
+
+    def test_no_clamping_splits_by_weight(self, spark):
+        got = self._run(
+            spark, {"web": 10_000, "code": 10_000}, {"web": 600, "code": 400},
+            budget=5_000,
+        )
+        assert got["web"].take == 3_000 and not got["web"].clamped
+        assert got["code"].take == 2_000 and not got["code"].clamped
+        assert got["web"].rate_bp == 3_000  # 30% of the source
+
+    def test_scarce_source_clamps_and_redistributes(self, spark):
+        # books wants 50% of 10k = 5k but only has 1k: web absorbs
+        got = self._run(
+            spark, {"web": 100_000, "books": 1_000},
+            {"web": 500, "books": 500}, budget=10_000,
+        )
+        assert got["books"].clamped and got["books"].take == 1_000
+        assert not got["web"].clamped and got["web"].take == 9_000
+
+    def test_upsampling_cap(self, spark):
+        # 2000 permille = 2 epochs max: cap doubles the take
+        got = self._run(
+            spark, {"web": 100_000, "books": 1_000},
+            {"web": 500, "books": 500}, budget=10_000, mrp=2_000,
+        )
+        assert got["books"].take == 2_000 and got["books"].rate_bp == 20_000
+        assert got["web"].take == 8_000
+
+    def test_underfilled_when_everything_clamps(self, spark):
+        got = self._run(
+            spark, {"a": 100, "b": 100}, {"a": 1, "b": 1}, budget=10_000
+        )
+        assert all(r.clamped for r in got.values())
+        assert sum(r.take for r in got.values()) == 200  # all there is
+
+    def test_matches_fraction_replay_randomized(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(6):
+            n = rng.randint(2, 6)
+            avail = {f"s{i}": rng.randint(10, 100_000) for i in range(n)}
+            weights = {f"s{i}": rng.randint(1, 900) for i in range(n)}
+            budget = rng.randint(100, 200_000)
+            mrp = rng.choice([500, 1000, 3000])
+            got = self._run(spark, avail, weights, budget, mrp)
+            want = self._replay(avail, weights, budget, mrp)
+            for s in avail:
+                assert (got[s].take, got[s].clamped) == want[s], (
+                    trial, s, avail, weights, budget, mrp)
+            assert sum(r.take for r in got.values()) <= budget or all(
+                r.clamped for r in got.values()
+            )
+
+    def test_validation(self, spark):
+        from energy_pandas_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame([("a", 10)], "source string, n_tokens long")
+        with pytest.raises(ValueError):
+            mixture_plan(df, -1, {"a": 1})
+        with pytest.raises(ValueError):
+            mixture_plan(df, 10, {})
+        with pytest.raises(ValueError):
+            mixture_plan(df, 10, {"a": 0})
