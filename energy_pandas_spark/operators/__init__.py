@@ -105,6 +105,7 @@ from energy_pandas_spark.operators.sampling import (
     epoch_order,
     leakage_safe_split,
     selection_curve,
+    mixture_plan,
 )
 from energy_pandas_spark.operators.packing import pack_sequences
 from energy_pandas_spark.operators.sketches import (
@@ -127,6 +128,8 @@ from energy_pandas_spark.operators.text import (
     strip_templates,
     kneser_ney_trigram_score,
     trigram_lm_train,
+    train_langid_profiles,
+    langid_ngram,
     chunk_fixed,
     chunk_sentences,
     split_sentences,
@@ -174,6 +177,24 @@ from energy_pandas_spark.operators.windows import (
 )
 
 __all__ = [
+    # session-10: hygiene / boilerplate / retrieval-fusion / splits
+    "prepare_web_corpus",
+    "clean_text",
+    "fix_mojibake",
+    "nfc_text",
+    "content_blocks",
+    "extract_main_content",
+    "template_lines",
+    "strip_templates",
+    "rrf_fuse",
+    "leakage_safe_split",
+    "selection_curve",
+    "mixture_plan",
+    "lsh_plan",
+    "kneser_ney_trigram_score",
+    "trigram_lm_train",
+    "train_langid_profiles",
+    "langid_ngram",
     # analytics (reference parity)
     "normalize",
     "ldc",

@@ -114,7 +114,7 @@ def prepare_web_corpus(
         text_col,
         id_col,
         out_col="__main",
-        stopwords=stopwords or DEFAULT_STOPWORDS,
+        stopwords=DEFAULT_STOPWORDS if stopwords is None else stopwords,
         min_words=min_words,
         max_link_permille=max_link_permille,
         min_stop_permille=min_stop_permille,

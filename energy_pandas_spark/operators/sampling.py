@@ -630,14 +630,24 @@ def mixture_plan(
     source-name tiebreak). Unclamped takes floor-divide the remaining
     budget, so ``sum(take) <= budget`` within one token per source.
 
-    Returns one row per source: (source, n_tokens, cap, take,
+    Returns one row per WEIGHTED source: (source, n_tokens, cap, take,
     clamped, rate_bp) where ``rate_bp`` = take per ten-thousand of
     the source's tokens — the threshold :func:`hash_sample` /
     :func:`weighted_mixture` consume (rate_bp > 10000 means epochs).
-    The windows run over the SOURCES table — bounded by the number of
-    sources, never by data."""
-    if budget < 0:
-        raise ValueError("budget must be >= 0")
+    A weighted source absent from ``counts`` (typo, or a source that
+    produced nothing this batch) appears as a VISIBLE zero-token
+    clamped row instead of silently shrinking the mixture; sources in
+    ``counts`` without a weight are excluded by definition (weights
+    define the plan). Bounds: ``sum(weights) <= 10^6`` and
+    ``budget <= 10^12`` keep the weight-side products inside int64
+    (scale the units — budget in thousands of tokens — beyond that);
+    the cap-side clamp test multiplies in DECIMAL(38,0) because caps
+    are data-sized. The windows run over the SOURCES table — bounded
+    by the number of sources, never by data."""
+    if not 0 <= budget <= 10**12:
+        raise ValueError(
+            f"budget must be in [0, 1e12] (scale the unit), got {budget}"
+        )
     if max_rate_permille < 1:
         raise ValueError("max_rate_permille must be >= 1")
     if not weights:
@@ -645,18 +655,25 @@ def mixture_plan(
     for s, w in weights.items():
         if w < 1:
             raise ValueError(f"weight for {s!r} must be >= 1, got {w}")
+    if sum(weights.values()) > 10**6:
+        raise ValueError("sum(weights) must be <= 1e6 (scale the shares)")
     from pyspark.sql import Window
 
     spark = counts.sparkSession
     wdf = spark.createDataFrame(
         [(s, int(w)) for s, w in weights.items()],
-        f"{source_col} string, __w long",
+        f"`{source_col}` string, __w long",
     )
     base = (
-        counts.select(
-            F.col(source_col), F.col(tokens_col).cast("long").alias("__a")
+        wdf.join(
+            counts.select(
+                F.col(source_col),
+                F.col(tokens_col).cast("long").alias("__a"),
+            ),
+            source_col,
+            "left",
         )
-        .join(wdf, source_col)
+        .withColumn("__a", F.coalesce("__a", F.lit(0)))
         .withColumn(
             "__cap",
             F.expr(f"(__a * {int(max_rate_permille)}) div 1000"),
@@ -676,8 +693,16 @@ def mixture_plan(
         .withColumn("__wtot", F.sum("__w").over(everything))
         .withColumn(
             "__clamped",
-            F.col("__cap") * (F.col("__wtot") - F.col("__cumw"))
-            < F.col("__w") * (F.lit(int(budget)) - F.col("__cumcap")),
+            # both sides in DECIMAL(38,0): caps and their prefix sums
+            # are data-sized (epochs x corpus tokens), so either
+            # product can overflow int64 at web scale. The final take
+            # division stays long: budget - capsum is in [0, budget]
+            # (clamped caps never exceed the budget they won) and
+            # w <= 1e6, so the product is <= 1e18.
+            F.col("__cap").cast("decimal(38,0)")
+            * (F.col("__wtot") - F.col("__cumw")).cast("decimal(38,0)")
+            < F.col("__w").cast("decimal(38,0)")
+            * (F.lit(int(budget)) - F.col("__cumcap")).cast("decimal(38,0)"),
         )
     )
     # remaining budget/weight after ALL clamped sources (the clamp set

@@ -2223,6 +2223,9 @@ def langid_ngram(
     ``sum |doc_rank - lang_rank|`` with a ``top`` penalty for grams
     absent from the language profile; argmin wins (ties break on lang
     asc). Documents shorter than ``n`` chars predict ``'und'``.
+    Output adds ``out_col`` and ``lang_dist`` (the winning distance,
+    NULL for ``'und'``); ``top``/``n`` must match the training call
+    (validated against the profile table's max rank).
     Integer-exact end to end (rank arithmetic only), so the driver
     query carries a full DuckDB oracle.
 
@@ -2233,6 +2236,16 @@ def langid_ngram(
     no per-language scan, no Python."""
     if top < 1 or n < 1:
         raise ValueError("top and n must be >= 1")
+    # the out-of-place distance only means anything when the document
+    # profile depth and miss penalty equal the TRAINED profile depth —
+    # a mismatch silently skews every distance. The profile table is
+    # broadcast-sized, so the 1-row check is cheap.
+    prof_top = profiles.agg(F.max("rank")).collect()[0][0]
+    if prof_top is not None and prof_top > top:
+        raise ValueError(
+            f"profiles were trained with top >= {prof_top} but scoring "
+            f"uses top={top}; pass the training value"
+        )
     counts = (
         _char_gram_rows(df, text_col, n, [F.col(id_col)])
         .groupBy(id_col, "gram")
@@ -2262,9 +2275,11 @@ def langid_ngram(
         .filter(F.col("__dr") <= top)
         .select(id_col, "gram", "__dr")
     )
-    joined = doc_prof.join(F.broadcast(profiles), "gram", "left")
+    # inner join: only in-profile grams accumulate rank displacement;
+    # the miss penalty is applied BELOW from the per-doc gram total
+    # ((__ng - __nhits) * top), not by this join
     dist = (
-        joined.filter(F.col("lang").isNotNull())
+        doc_prof.join(F.broadcast(profiles), "gram")
         .select(
             id_col,
             "lang",
@@ -2293,8 +2308,11 @@ def langid_ngram(
         F.min_by("lang", F.struct("__dist", "lang")).alias("__pred"),
         F.min("__dist").alias("__best_dist"),
     )
+    # lang_dist (the winning out-of-place distance, NULL for 'und') is
+    # overwritten if present — re-classification must not duplicate it
     return (
-        df.join(best, id_col, "left")
+        df.drop("lang_dist")
+        .join(best, id_col, "left")
         .withColumn(out_col, F.coalesce("__pred", F.lit("und")))
         .drop("__pred")
         .withColumnRenamed("__best_dist", "lang_dist")

@@ -1888,3 +1888,37 @@ class TestLangidNgram:
         with _pt.raises(ValueError):
             langid_ngram(df, df.select("lang", F.lit("abc").alias("gram"),
                                        F.lit(1).alias("rank")), n=0)
+
+
+def test_langid_ngram_top_mismatch_raises(spark):
+    import pytest as _pt
+
+    from energy_pandas_spark.operators.text import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "the quick brown fox jumps over the lazy dog ran")],
+        "doc_id long, lang string, text string",
+    )
+    profiles = train_langid_profiles(df, top=40)
+    with _pt.raises(ValueError):
+        langid_ngram(df, profiles, top=20)  # shallower than training
+
+
+def test_langid_ngram_rerun_overwrites_lang_dist(spark):
+    from energy_pandas_spark.operators.text import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "the quick brown fox jumps over the lazy dog ran")],
+        "doc_id long, lang string, text string",
+    )
+    profiles = train_langid_profiles(df, top=40)
+    once = langid_ngram(df, profiles, top=40)
+    twice = langid_ngram(once, profiles, top=40)
+    assert twice.columns.count("lang_dist") == 1
+    assert twice.collect()[0].lang_pred == "en"

@@ -687,3 +687,26 @@ class TestMixturePlan:
             mixture_plan(df, 10, {})
         with pytest.raises(ValueError):
             mixture_plan(df, 10, {"a": 0})
+
+    def test_missing_source_is_visible_zero_row(self, spark):
+        # a weighted source with no counts row must NOT silently
+        # shrink the mixture: it shows up clamped at zero
+        got = self._run(
+            spark, {"web": 10_000}, {"web": 500, "boks": 500}, budget=4_000
+        )
+        assert got["boks"].take == 0 and got["boks"].clamped
+        assert got["boks"].n_tokens == 0
+        assert got["web"].take == 4_000  # the full budget, visibly
+
+    def test_awkward_source_column_and_bounds(self, spark):
+        from energy_pandas_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            [("a", 100)], "`my source` string, n_tokens long"
+        )
+        out = mixture_plan(df, 50, {"a": 1}, source_col="my source")
+        assert out.count() == 1
+        with pytest.raises(ValueError):
+            mixture_plan(df, 10**13, {"a": 1}, source_col="my source")
+        with pytest.raises(ValueError):
+            mixture_plan(df, 10, {"a": 10**7}, source_col="my source")
