@@ -2251,20 +2251,13 @@ def langid_ngram(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    local = (
-        counts.withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__lr",
-            F.row_number().over(
-                Window.partitionBy(id_col, "__pid").orderBy(
-                    F.desc("__c"), F.asc("gram")
-                )
-            ),
-        )
-        .filter(F.col("__lr") <= top)
-    )
+    # a SINGLE per-doc window: unlike the per-LANGUAGE ranking in
+    # train_langid_profiles (corpus-sized partitions -> two-stage), a
+    # document's gram partition is bounded by the document's own
+    # length, so the local pre-prune would only add a second full
+    # window pass over the (doc, gram) table
     doc_prof = (
-        local.withColumn(
+        counts.withColumn(
             "__dr",
             F.row_number().over(
                 Window.partitionBy(id_col).orderBy(
