@@ -182,3 +182,55 @@ def test_crawl_to_corpus_chain(spark, tmp_path):
     # content-addressed doc_id — either record); b always survives
     assert "<urn:uuid:b>" in got and len(got) == 2
     assert len(got & {"<urn:uuid:a>", "<urn:uuid:d>"}) == 1
+
+
+def test_web_front_half_unmasks_cross_site_duplicates(spark):
+    """Two sites republish the SAME prose wrapped in different nav/
+    footer chrome and per-site boilerplate lines. On raw HTML, exact
+    dedup sees different byte streams and drops nothing; after
+    prepare_web_corpus (hygiene -> jusText extraction -> per-site
+    template strip) the pages reduce to identical prose and the
+    cross-site duplicate falls out of plain exact dedup — the whole
+    point of running the front half before fingerprinting."""
+    from energy_pandas_spark.operators.dedup import dedup_exact
+    from energy_pandas_spark.operators.pipeline import prepare_web_corpus
+
+    prose = ("It is the case that a good result of the work is in the "
+             "text and that it is for a test of the whole chain.")
+    uniq = [f"And it is also true that page {i} has its own words in it."
+            for i in range(8)]
+
+    def a_page(i, body):
+        return (
+            '<nav><a href="/">Home of site A</a> <a href="/x">All of A</a></nav>'
+            f"<p>\t {body}</p>"
+            "<p>A Corp all rights reserved forever and ever.</p>"
+        )
+
+    def b_page(i, body):
+        return (
+            '<div><a href="/b">B net navigation here</a></div>'
+            f"<p>{body}</p>"
+            "<p>The B net footer line of the site is here.</p>"
+        )
+
+    rows = [(1, "a.com", a_page(1, prose))]
+    rows += [(i, "a.com", a_page(i, uniq[i])) for i in (2, 3, 4)]
+    rows += [(5, "b.net", b_page(5, prose))]
+    rows += [(i, "b.net", b_page(i, uniq[i])) for i in (6, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    # raw HTML: byte streams all differ -> nothing to dedup
+    assert dedup_exact(df).count() == 7
+
+    prepared = prepare_web_corpus(df, "domain")
+    texts = {r.doc_id: r.text for r in prepared.collect()}
+    # chrome + per-site templates gone; shared prose now IDENTICAL
+    assert texts[1] == texts[5] == prose
+    assert "Home of site A" not in texts[2]
+    assert "rights reserved" not in texts[2]
+    assert "footer line" not in texts[6]
+    survivors = dedup_exact(prepared)
+    assert survivors.count() == 6  # the cross-site duplicate collapsed
+    ids = {r.doc_id for r in survivors.collect()}
+    assert 1 in ids and 5 not in ids  # smallest id wins the shared prose
