@@ -45,32 +45,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Exact-money arithmetic (VERDICT r3 #1): every money/measure column in
+# the testdata is a double sitting exactly on a 2-decimal grid (max
+# observed deviation from the grid ~1e-9 — pure float representation
+# error).  Casting each FACTOR to a tight DECIMAL before multiplying and
+# summing makes the aggregate exact and ORDER-FREE: partial-aggregation
+# order (partition count, AQE re-plans) can never flip a rounded digit,
+# where a float64 sum + round(,2) lands on half-cent boundaries
+# differently per engine (the r3 q10 red).  The DuckDB oracles carry the
+# same casts, so both engines compute the identical exact value; final
+# outputs cast back to DOUBLE so result schemas are unchanged.
+_DMONEY = "decimal(12,2)"  # prices / quantities / balances / event values
+_DRATE = "decimal(4,2)"    # discount / tax factors in [0, 2)
+
+
+def _m(name: str):
+    """Exact DECIMAL(12,2) of a 2-decimal-grid double column."""
+    return F.col(name).cast(_DMONEY)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem (scan -> filter ->
     hash agg with map-side partials; Catalyst pushes the shipdate filter
-    into the parquet scan)."""
+    into the parquet scan).  Money sums run in exact decimal (order-free);
+    avg_qty stays double because l_quantity is integral (exact anyway)."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    disc_f = (1 - F.col("l_discount")).cast(_DRATE)
+    tax_f = (1 + F.col("l_tax")).cast(_DRATE)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            F.round(F.sum(_m("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_m("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_m("l_extendedprice") * disc_f), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(_m("l_extendedprice") * disc_f * tax_f), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(_m("l_extendedprice")).cast("double") / n, 6).alias(
+                "avg_price"
+            ),
+            F.round(
+                F.sum(F.col("l_discount").cast(_DRATE)).cast("double") / n, 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -79,14 +103,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 6)                                          AS avg_qty,
-       round(avg(l_extendedprice), 6)                                     AS avg_price,
-       round(avg(l_discount), 6)                                          AS avg_disc,
-       count(*)                                                           AS count_order
+       round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE        AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE   AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)
+                 * (1 + l_tax)::DECIMAL(4,2)), 2)::DOUBLE      AS sum_charge,
+       round(avg(l_quantity), 6)                               AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE
+             / count(*), 6)                                    AS avg_price,
+       round(sum(l_discount::DECIMAL(4,2))::DOUBLE
+             / count(*), 6)                                    AS avg_disc,
+       count(*)                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -109,14 +138,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
-        )
+        .agg(F.sum(_rev()).alias("__rev"))
         .orderBy(F.desc("__rev"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select(
             "l_orderkey",
-            F.round("__rev", 4).alias("revenue"),
+            F.round("__rev", 4).cast("double").alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -124,10 +151,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q3_SQL = """
-SELECT l_orderkey, round(rev, 4) AS revenue, o_orderdate, o_orderpriority
+SELECT l_orderkey, round(rev, 4)::DOUBLE AS revenue, o_orderdate, o_orderpriority
 FROM (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         sum(l_extendedprice * (1 - l_discount)) AS rev
+         sum(l_extendedprice::DECIMAL(12,2)
+             * (1 - l_discount)::DECIMAL(4,2)) AS rev
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -160,9 +188,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -171,7 +197,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -202,16 +229,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(_m("l_extendedprice") * F.col("l_discount").cast(_DRATE)), 2
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                 * l_discount::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -230,7 +260,7 @@ def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__tp"))
+    spend = orders.groupBy("o_custkey").agg(F.sum(_m("o_totalprice")).alias("__tp"))
     joined = spend.join(
         F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -249,20 +279,20 @@ def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "c_custkey",
             "c_name",
-            F.round("__tp", 2).alias("total_spent"),
+            F.round("__tp", 2).cast("double").alias("total_spent"),
         )
         .orderBy("c_nationkey", "rank")
     )
 
 
 _TOPK_PER_NATION_SQL = """
-SELECT c_nationkey, rank, c_custkey, c_name, round(tp, 2) AS total_spent
+SELECT c_nationkey, rank, c_custkey, c_name, round(tp, 2)::DOUBLE AS total_spent
 FROM (
   SELECT c_nationkey, c_custkey, c_name, tp,
          row_number() OVER (PARTITION BY c_nationkey
                             ORDER BY tp DESC, c_custkey) AS rank
   FROM (
-    SELECT o_custkey, sum(o_totalprice) AS tp
+    SELECT o_custkey, sum(o_totalprice::DECIMAL(12,2)) AS tp
     FROM orders GROUP BY o_custkey
   )
   JOIN customer ON o_custkey = c_custkey
@@ -285,7 +315,9 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(o_totalprice, 2) AS price
         FROM orders_v o
         WHERE o_totalprice > 2 * (
-          SELECT avg(o2.o_totalprice) FROM orders_v o2
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*)
+          FROM orders_v o2
           WHERE o2.o_orderpriority = o.o_orderpriority
         )
         ORDER BY o_orderkey
@@ -297,7 +329,8 @@ _ABOVE_AVG_SQL = """
 SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
 FROM orders o
 WHERE o_totalprice > 2 * (
-  SELECT avg(o2.o_totalprice) FROM orders o2
+  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+  FROM orders o2
   WHERE o2.o_orderpriority = o.o_orderpriority
 )
 ORDER BY o_orderkey
@@ -317,8 +350,10 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(_m("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_m("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
@@ -328,8 +363,8 @@ _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
        count(*) AS n_rows,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price
+       round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
@@ -346,7 +381,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(_m("o_totalprice")), 2).cast("double").alias("sum_price"),
         )
         .orderBy("gid", "o_orderpriority", "o_orderstatus")
     )
@@ -356,7 +391,7 @@ _CUBE_SQL = """
 SELECT o_orderpriority, o_orderstatus,
        GROUPING(o_orderpriority, o_orderstatus) AS gid,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price
+       round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY gid, o_orderpriority, o_orderstatus
@@ -395,20 +430,27 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("__tp"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.sum(_m("o_totalprice")).alias("__tp"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .orderBy(F.desc("__tp"), "o_custkey")
         .limit(10)
         .select(
-            "c_custkey", "c_name", F.round("__tp", 2).alias("total_spent"), "n_orders"
+            "c_custkey",
+            "c_name",
+            F.round("__tp", 2).cast("double").alias("total_spent"),
+            "n_orders",
         )
     )
 
 
 _TOP_CUSTOMERS_SQL = """
-SELECT c_custkey, c_name, round(tp, 2) AS total_spent, n_orders
+SELECT c_custkey, c_name, round(tp, 2)::DOUBLE AS total_spent, n_orders
 FROM (
-  SELECT o_custkey, sum(o_totalprice) AS tp, count(*) AS n_orders
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(12,2)) AS tp,
+         count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 )
 JOIN customer ON o_custkey = c_custkey
@@ -791,17 +833,19 @@ def reportdata_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("Hour"),
         F.minute("ts").alias("Minute"),
         F.lit(60).alias("Interval"),
-        F.col("value").alias("Value"),
+        F.col("value").cast(_DMONEY).alias("Value"),
         F.lit("J").alias("Units"),
         F.lit("Load").alias("Name"),
     )
     ef = from_reportdata(report, name="load", base_year=2024)
-    return ef.spark_df.select("ts", F.round("load", 6).alias("load")).orderBy("ts")
+    return ef.spark_df.select(
+        "ts", F.round("load", 6).cast("double").alias("load")
+    ).orderBy("ts")
 
 
 _REPORTDATA_SERIES_SQL = """
 SELECT date_trunc('minute', ts) - INTERVAL 60 MINUTE AS ts,
-       round(sum(value), 6) AS load
+       round(sum(value::DECIMAL(12,2)), 6)::DOUBLE AS load
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -822,7 +866,7 @@ def reportdata_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("Hour"),
         F.minute("ts").alias("Minute"),
         F.lit(60).alias("Interval"),
-        F.col("value").alias("Value"),
+        F.col("value").cast(_DMONEY).alias("Value"),
         F.lit("J").alias("Units"),
         F.col("event_type").alias("KeyValue"),
     )
@@ -832,17 +876,17 @@ def reportdata_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ef = from_reportdata_pivot(
         report, base_year=2024, key_values=_EVENT_TYPES, agg_func="sum"
     )
-    cols = [F.round(c, 6).alias(c) for c in _EVENT_TYPES]
+    cols = [F.round(c, 6).cast("double").alias(c) for c in _EVENT_TYPES]
     return ef.spark_df.select("ts", *cols).orderBy("ts")
 
 
 _REPORTDATA_PIVOT_SQL = """
 SELECT min(date_trunc('minute', ts) - INTERVAL 60 MINUTE) AS ts,
-       round(sum(value) FILTER (event_type = 'click'), 6)    AS click,
-       round(sum(value) FILTER (event_type = 'error'), 6)    AS error,
-       round(sum(value) FILTER (event_type = 'purchase'), 6) AS purchase,
-       round(sum(value) FILTER (event_type = 'signup'), 6)   AS signup,
-       round(sum(value) FILTER (event_type = 'view'), 6)     AS view
+       round(sum(value::DECIMAL(12,2)) FILTER (event_type = 'click'), 6)::DOUBLE    AS click,
+       round(sum(value::DECIMAL(12,2)) FILTER (event_type = 'error'), 6)::DOUBLE    AS error,
+       round(sum(value::DECIMAL(12,2)) FILTER (event_type = 'purchase'), 6)::DOUBLE AS purchase,
+       round(sum(value::DECIMAL(12,2)) FILTER (event_type = 'signup'), 6)::DOUBLE   AS signup,
+       round(sum(value::DECIMAL(12,2)) FILTER (event_type = 'view'), 6)::DOUBLE     AS view
 FROM events
 GROUP BY epoch_us(ts) // 3600000000
 ORDER BY ts
@@ -1143,7 +1187,10 @@ def interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join(ev, cal, ts_col="ts")
     return (
         out.groupBy("window_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_m("value")), 6).cast("double").alias("sum_value"),
+        )
         .orderBy("window_id")
     )
 
@@ -1168,7 +1215,10 @@ def interval_join_bucketed_windows(spark: SparkSession, sf_dir: str) -> DataFram
     out = interval_join_bucketed(ev, cal, ts_col="ts", grain="6 hours")
     return (
         out.groupBy("window_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_m("value")), 6).cast("double").alias("sum_value"),
+        )
         .orderBy("window_id")
     )
 
@@ -1180,7 +1230,8 @@ WITH cal AS (
   FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
                        INTERVAL 24 HOUR) t(w)
 )
-SELECT window_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+SELECT window_id, count(*) AS n_events,
+       round(sum(value::DECIMAL(12,2)), 6)::DOUBLE AS sum_value
 FROM events JOIN cal ON ts >= s AND ts < e
 GROUP BY 1 ORDER BY 1
 """
@@ -1195,18 +1246,25 @@ def rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.operators.windows import rolling_aggregate
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    out = rolling_aggregate(ev, "ts", "value", 3600, by="user_id", aggs=("avg", "count"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", _m("value").alias("value")
+    )
+    out = rolling_aggregate(
+        ev, "ts", "value", 3600, by="user_id", aggs=("sum", "count")
+    )
     return out.select(
         "event_id",
-        F.round("rolling_avg", 6).alias("rolling_avg"),
+        F.round(
+            F.col("rolling_sum").cast("double") / F.col("rolling_count"), 6
+        ).alias("rolling_avg"),
         F.col("rolling_count").alias("rolling_n"),
     ).orderBy("event_id")
 
 
 _ROLLING_SQL = """
 SELECT event_id,
-       round(avg(value) OVER w, 6) AS rolling_avg,
+       round(CAST(sum(value::DECIMAL(12,2)) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS rolling_avg,
        count(value) OVER w AS rolling_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1220,17 +1278,20 @@ def cumulative_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.operators.windows import cumulative_aggregate
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", _m("value").alias("value")
+    )
     out = cumulative_aggregate(ev, "ts", "value", by="user_id")
     return out.select(
-        "event_id", F.round("cum_sum", 6).alias("cum_value")
+        "event_id", F.round("cum_sum", 6).cast("double").alias("cum_value")
     ).orderBy("event_id")
 
 
 _CUMULATIVE_SQL = """
 SELECT event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+       round(sum(value::DECIMAL(12,2)) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)::DOUBLE
+         AS cum_value
 FROM events ORDER BY event_id
 """
 
@@ -1244,25 +1305,26 @@ def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.streaming.events import windowed_aggregate
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", _m("value"))
     out = windowed_aggregate(ev, "1 hour")
-    # avg derived from the ROUNDED sum: raw avg differs from DuckDB in
-    # the last ulp when partial sums combine in a different order, which
-    # flips round(.., 6) at the boundary (seen at sf0.1)
+    # exact decimal sum (order-free across partial-agg combines); avg
+    # derives from the exact sum as identical doubles on both engines
     return out.select(
         "window_start",
         "event_type",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
-        F.round(F.round("sum_value", 6) / F.col("n_events"), 6).alias("avg_value"),
+        F.round("sum_value", 6).cast("double").alias("sum_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_events"), 6
+        ).alias("avg_value"),
     ).orderBy("window_start", "event_type")
 
 
 _TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(round(sum(value), 6) / count(*), 6) AS avg_value
+       round(sum(value::DECIMAL(12,2)), 6)::DOUBLE AS sum_value,
+       round(sum(value::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1332,13 +1394,13 @@ def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.streaming.events import sessionize
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", _m("value"))
     out = sessionize(ev, "30 minutes")
     return out.select(
         "session_start",
         "user_id",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        F.round("sum_value", 6).cast("double").alias("sum_value"),
     ).orderBy("user_id", "session_start")
 
 
@@ -1356,7 +1418,8 @@ WITH marked AS (
   FROM marked
 )
 SELECT min(ts) AS session_start, user_id,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(12,2)), 6)::DOUBLE AS sum_value
 FROM numbered GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
@@ -1397,9 +1460,7 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -1408,7 +1469,8 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_JOIN_SQL = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
@@ -3321,15 +3383,23 @@ def encode_docs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-indexed encoding: top-100 doc-freq vocabulary (ids by
     integer-exact rank), docs encoded to ordered token-id arrays via a
     broadcast vocab join + per-doc positional re-assembly (struct
-    array_sort — per-doc, never global)."""
+    array_sort — per-doc, never global).  The driver row ships a SCALAR
+    md5 of the space-joined id sequence instead of the raw array (the
+    driver's pandas canonicalizer cannot sort list cells — r3 red);
+    the element-wise array compare lives in the local pytest gate."""
     _prep(spark)
     from energy_pandas_spark.operators.text import encode_docs, vocab_index
 
     docs = _t(spark, sf_dir, "documents")
     vocab = vocab_index(docs, size=100)
     out = encode_docs(docs, vocab)
+    ids_str = F.concat_ws(
+        " ", F.transform("token_ids", lambda x: x.cast("string"))
+    )
     return out.select(
-        "doc_id", "token_ids", F.size("token_ids").alias("n_ids")
+        "doc_id",
+        F.md5(ids_str).alias("ids_md5"),
+        F.size("token_ids").alias("n_ids"),
     ).orderBy("doc_id")
 
 
@@ -3359,7 +3429,7 @@ enc AS (
   FROM pos LEFT JOIN vocab v USING (term) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(enc.token_ids, []::INT[]) AS token_ids,
+       md5(array_to_string(coalesce(enc.token_ids, []::INT[]), ' ')) AS ids_md5,
        len(coalesce(enc.token_ids, []::INT[])) AS n_ids
 FROM documents d LEFT JOIN enc USING (doc_id)
 ORDER BY d.doc_id
@@ -6995,15 +7065,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity").between(20, 30))
     )
     return j.filter(arm1 | arm2 | arm3).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -7032,7 +7101,7 @@ def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("measure")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.sum(_m("value")), 2).cast("double").alias("total"),
             F.round(F.min("value"), 2).alias("vmin"),
             F.round(F.max("value"), 2).alias("vmax"),
         )
@@ -7041,7 +7110,8 @@ def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MELT_SQL = """
-SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+SELECT measure, count(*) AS n,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total,
        round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
 FROM (
   SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
@@ -7114,7 +7184,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.round(F.sum(_m("l_quantity")), 2).cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
     orders = _t(spark, sf_dir, "orders")
@@ -7136,8 +7206,10 @@ SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        round(o_totalprice, 2) AS o_totalprice, sum_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300
+  SELECT l_orderkey,
+         round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE > 300
 ) big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
@@ -7673,7 +7745,9 @@ FROM stripped ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def _rev():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """Exact revenue factor: (12,2) x (4,2) -> DECIMAL(17,4), order-free
+    under sum (see the decimal-money note above q1)."""
+    return _m("l_extendedprice") * (1 - F.col("l_discount")).cast(_DRATE)
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7711,7 +7785,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(F.round(F.sum("__vol"), 2).alias("revenue"))
+        .agg(F.round(F.sum("__vol"), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -7719,7 +7793,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -7783,8 +7858,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_2", F.col("__vol")).otherwise(0.0))
-                / F.sum("__vol"),
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_2", F.col("__vol"))
+                ).cast("double")
+                / F.sum("__vol").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -7795,8 +7872,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_SQL = """
 SELECT year(o_orderdate) AS o_year,
        round(sum(CASE WHEN n2.n_name = 'NATION_2'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+                      THEN l_extendedprice::DECIMAL(12,2)
+                           * (1 - l_discount)::DECIMAL(4,2) END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount)::DECIMAL(4,2))::DOUBLE, 6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -7840,18 +7919,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    amount = F.col("__rev") - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    amount = F.col("__rev") - F.lit("0.6").cast("decimal(2,1)") * _m(
+        "p_retailprice"
+    ) * _m("l_quantity")
     return (
         j.groupBy("nation", "o_year")
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount)::DECIMAL(4,2)
+                 - 0.6 * p_retailprice::DECIMAL(12,2)
+                       * l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -7893,7 +7976,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round("__tp", 2).alias("revenue"),
+            F.round("__tp", 2).cast("double").alias("revenue"),
             F.round("c_acctbal", 2).alias("c_acctbal"),
             "n_name",
         )
@@ -7901,10 +7984,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q10_SQL = """
-SELECT c_custkey, c_name, round(rev, 2) AS revenue,
+SELECT c_custkey, c_name, round(rev, 2)::DOUBLE AS revenue,
        round(c_acctbal, 2) AS c_acctbal, n_name
 FROM (
-  SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT o_custkey, sum(l_extendedprice::DECIMAL(12,2)
+                        * (1 - l_discount)::DECIMAL(4,2)) AS rev
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
     AND o_orderdate >= TIMESTAMP '1996-01-01'
@@ -7932,8 +8016,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("__rev")).otherwise(0.0))
-            / F.sum("__rev"),
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("__rev"))
+            ).cast("double")
+            / F.sum("__rev").cast("double"),
             6,
         ).alias("promo_revenue")
     )
@@ -7941,9 +8027,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_SQL = """
 SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+                              THEN l_extendedprice::DECIMAL(12,2)
+                                   * (1 - l_discount)::DECIMAL(4,2)
+                         END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount)::DECIMAL(4,2))::DOUBLE, 6) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -7967,7 +8055,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     ).select("l_suppkey", _rev().alias("__rev"))
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(F.sum("__rev"), 2).alias("total_revenue")
+        F.round(F.sum("__rev"), 2).cast("double").alias("total_revenue")
     ).persist()
     top = revenue.agg(F.max("total_revenue").alias("__mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -7981,7 +8069,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_SQL = """
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+  SELECT l_suppkey, round(sum(l_extendedprice::DECIMAL(12,2)
+                              * (1 - l_discount)::DECIMAL(4,2)), 2)::DOUBLE
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -8015,12 +8104,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("__thresh", thresh)
         .filter(F.col("l_quantity") < F.col("__thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(_m("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
 _Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#5'
   AND l_quantity < (
@@ -8102,7 +8195,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").isin(codes)
     ).select("c_custkey", "c_nationkey", "c_acctbal")
     avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (F.sum(_m("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__avg")
     )
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
@@ -8114,7 +8207,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_m("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -8122,11 +8215,11 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_SQL = """
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS totacctbal
 FROM customer
 WHERE c_nationkey IN (0, 1, 2, 3, 4)
   AND c_acctbal > (
-    SELECT avg(c_acctbal) FROM customer
+    SELECT sum(c_acctbal::DECIMAL(12,2))::DOUBLE / count(*) FROM customer
     WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4)
   )
   AND NOT EXISTS (
@@ -8219,19 +8312,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("__v")
+        "l_partkey",
+        "l_suppkey",
+        (_m("l_extendedprice") * _m("l_quantity")).alias("__v"),
     )
     vals = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum("__v").alias("__value"))
     ).persist()
-    total = vals.agg((F.sum("__value") / 1000.0).alias("__cut"))
+    total = vals.agg((F.sum("__value").cast("double") / 1000.0).alias("__cut"))
     return (
-        vals.join(F.broadcast(total), F.col("__value") > F.col("__cut"))
+        vals.join(
+            F.broadcast(total), F.col("__value").cast("double") > F.col("__cut")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("__value", 2).alias("part_value"),
+            F.round("__value", 2).cast("double").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
@@ -8239,14 +8336,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_SQL = """
 WITH vals AS (
-  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  SELECT l_partkey, sum(l_extendedprice::DECIMAL(12,2)
+                        * l_quantity::DECIMAL(12,2)) AS value
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 7
   GROUP BY 1
 )
-SELECT l_partkey AS p_partkey, round(value, 2) AS part_value
+SELECT l_partkey AS p_partkey, round(value, 2)::DOUBLE AS part_value
 FROM vals
-WHERE value > (SELECT sum(value) / 1000.0 FROM vals)
+WHERE value::DOUBLE > (SELECT sum(value)::DOUBLE / 1000.0 FROM vals)
 ORDER BY part_value DESC, p_partkey
 """
 
