@@ -226,23 +226,31 @@ def main() -> None:
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
             timings[name] = round(best, 3)
+            # incremental per-query line on stderr: partial timings
+            # survive a crash / kill, and stdout stays one-line clean
+            print(f"# {name} {best:.3f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # report per-query failures, keep going
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-queries wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline-queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # durable artifact FIRST (r3's BENCH_r03.json came back "parsed":
+    # null — the 150-query stdout line fell out of the driver's tail
+    # capture window; the file survives any tail truncation), then the
+    # one-line stdout contract, flushed as the very last write.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -27,17 +27,28 @@ def normalized_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+def sep_pattern(sep: str) -> str:
+    """Regex-escape a LITERAL line separator for ``F.split`` (a Java
+    regex): the line operators rejoin with the same ``sep`` as a
+    literal, so a metacharacter sep ('|', '.') must split literally
+    or the text cannot round-trip."""
+    import re as _re
+
+    return _re.escape(sep)
+
+
 def normalized_distinct_lines(col: Column | str, sep: str = "\n") -> Column:
     """Per-document DISTINCT normalized non-blank lines, materialized
     in-array (map-side — no distinct shuffle): the shared line-identity
     used by template detection in both its batch
     (operators/text.py:template_lines) and streaming
     (streaming/templates.py) forms. One definition so the store's
-    counts can never drift from the batch detector's."""
+    counts can never drift from the batch detector's.  ``sep`` is a
+    literal (regex-escaped before the split)."""
     return F.array_distinct(
         F.filter(
             F.transform(
-                F.split(F.coalesce(_c(col), F.lit("")), sep),
+                F.split(F.coalesce(_c(col), F.lit("")), sep_pattern(sep)),
                 lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " ")),
             ),
             lambda x: x != F.lit(""),

@@ -130,6 +130,7 @@ from energy_pandas_spark.operators.text import (
     trigram_lm_train,
     train_langid_profiles,
     langid_ngram,
+    langid_ngram_selftrain,
     chunk_fixed,
     chunk_sentences,
     split_sentences,
@@ -195,6 +196,7 @@ __all__ = [
     "trigram_lm_train",
     "train_langid_profiles",
     "langid_ngram",
+    "langid_ngram_selftrain",
     # analytics (reference parity)
     "normalize",
     "ldc",

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from energy_pandas_spark.functions.textfns import (
     char_shingles_of_text,
     normalized_text,
+    sep_pattern,
     tokens,
     word_shingles_of_tokens,
 )
@@ -1630,7 +1631,13 @@ def kneser_ney_trigram_score(
     from ``lm`` (persisted — one tokenize) and are vocab-sized; the
     candidate trigram stream hash-joins them (NOT broadcast — corpus
     LM tables are huge; AQE downgrades when small); the total is a
-    broadcast 1-row aggregate; one final per-doc aggregate."""
+    broadcast 1-row aggregate; one final per-doc aggregate.
+
+    Cache ownership: ``lm`` and the internal continuation table are
+    persisted (multi-consumer, vocab-sized) and the LAZY result pins
+    them — the caller owns release after materializing (e.g.
+    ``spark.catalog.clearCache()`` or re-calling with an unpersisted
+    lm) in long-lived sessions that score many corpora."""
     dn, dd = discount
     if not (0 < dn < dd):
         raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
@@ -2000,9 +2007,9 @@ def _line_rows(df: DataFrame, text_col: str, id_col: str, sep: str) -> DataFrame
     return (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
-                "idx", "line"
-            ),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern(sep))
+            ).alias("idx", "line"),
         )
         .withColumn("key", F.when(norm != "", norm))
     )
@@ -2181,6 +2188,14 @@ def train_langid_profiles(
         .groupBy("lang", "gram")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return _rank_profiles(counts, top)
+
+
+def _rank_profiles(counts: DataFrame, top: int) -> DataFrame:
+    """(lang, gram, __c) counts -> (lang, gram, rank<=top) via the
+    bounded two-stage top-k (local per-partition row_number pre-prune,
+    then the per-language ranking over at most partitions*top rows —
+    the hottest language never becomes one unbounded window task)."""
     local = (
         counts.withColumn("__pid", F.spark_partition_id())
         .withColumn(
@@ -2246,6 +2261,19 @@ def langid_ngram(
             f"profiles were trained with top >= {prof_top} but scoring "
             f"uses top={top}; pass the training value"
         )
+    if prof_top is not None and prof_top < top:
+        # Cannot raise: a language with fewer than `top` distinct grams
+        # legitimately yields max rank < top. But a profile TRAINED
+        # with a smaller top scores with a skewed miss penalty, so
+        # surface the asymmetry instead of passing silently.
+        import warnings
+
+        warnings.warn(
+            f"profile table max rank {prof_top} < scoring top={top}: "
+            "either the corpus has few grams (fine) or the profiles "
+            "were trained with a smaller top (skews the miss penalty)",
+            stacklevel=2,
+        )
     counts = (
         _char_gram_rows(df, text_col, n, [F.col(id_col)])
         .groupBy(id_col, "gram")
@@ -2268,9 +2296,26 @@ def langid_ngram(
         .filter(F.col("__dr") <= top)
         .select(id_col, "gram", "__dr")
     )
-    # inner join: only in-profile grams accumulate rank displacement;
-    # the miss penalty is applied BELOW from the per-doc gram total
-    # ((__ng - __nhits) * top), not by this join
+    best = _ct_best(doc_prof, profiles, id_col, top)
+    # lang_dist (the winning out-of-place distance, NULL for 'und') is
+    # overwritten if present — re-classification must not duplicate it
+    return (
+        df.drop("lang_dist")
+        .join(best, id_col, "left")
+        .withColumn(out_col, F.coalesce("__pred", F.lit("und")))
+        .drop("__pred")
+        .withColumnRenamed("__best_dist", "lang_dist")
+    )
+
+
+def _ct_best(
+    doc_prof: DataFrame, profiles: DataFrame, id_col: str, top: int
+) -> DataFrame:
+    """Out-of-place argmin: (id, gram, __dr) ranked doc profiles x the
+    broadcast (lang, gram, rank) profile table -> (id, __pred,
+    __best_dist).  Inner join: only in-profile grams accumulate rank
+    displacement; misses cost ``top`` each via the per-doc gram total
+    ((__ng - __nhits) * top), not a join."""
     dist = (
         doc_prof.join(F.broadcast(profiles), "gram")
         .select(
@@ -2284,8 +2329,6 @@ def langid_ngram(
             F.sum("__d").alias("__dsum"), F.sum("__hit").alias("__nhits")
         )
     )
-    # per-doc gram total rides a tiny aggregate; misses cost `top`
-    # each: dist(lang) = dsum + (n_grams_doc - nhits) * top
     totals = doc_prof.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__ng")
     )
@@ -2297,19 +2340,76 @@ def langid_ngram(
             + (F.col("__ng") - F.col("__nhits")) * F.lit(int(top))
         ).alias("__dist"),
     )
-    best = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.min_by("lang", F.struct("__dist", "lang")).alias("__pred"),
         F.min("__dist").alias("__best_dist"),
     )
-    # lang_dist (the winning out-of-place distance, NULL for 'und') is
-    # overwritten if present — re-classification must not duplicate it
-    return (
-        df.drop("lang_dist")
-        .join(best, id_col, "left")
+
+
+def langid_ngram_selftrain(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    top: int = 200,
+    n: int = 3,
+    eager: bool = True,
+) -> DataFrame:
+    """Train Cavnar-Trenkle profiles on the corpus's own labels AND
+    classify the same corpus in ONE tokenization pass (the separate
+    :func:`train_langid_profiles` + :func:`langid_ngram` composition
+    explodes the full char-gram stream twice — at corpus scale that is
+    2x the dominant cost).  The per-(doc, lang, gram) counts are
+    materialized once (persist); the LANGUAGE counts are those doc
+    counts re-aggregated (sum over docs == the direct per-language
+    count), and the per-document ranking reads the same cache.
+
+    Returns (id_col, lang_col, out_col, lang_dist) — join back to the
+    corpus on ``id_col`` for the full-row variant.  ``eager=True``
+    (default) materializes the n_docs-row result via localCheckpoint
+    and RELEASES the cache (the retrieval ``_finish`` hygiene);
+    ``eager=False`` returns lazily and the caller owns the leaked
+    persist."""
+    if top < 1 or n < 1:
+        raise ValueError("top and n must be >= 1")
+    doc_counts = (
+        _char_gram_rows(
+            df, text_col, n, [F.col(id_col), F.col(lang_col).alias("lang")]
+        )
+        .groupBy(id_col, "lang", "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    lang_counts = doc_counts.groupBy("lang", "gram").agg(
+        F.sum("__c").alias("__c")
+    )
+    profiles = _rank_profiles(lang_counts, top)
+    doc_prof = (
+        doc_counts.withColumn(
+            "__dr",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("__c"), F.asc("gram")
+                )
+            ),
+        )
+        .filter(F.col("__dr") <= top)
+        .select(id_col, "gram", "__dr")
+    )
+    best = _ct_best(doc_prof, profiles, id_col, top)
+    labels = df.select(id_col, F.col(lang_col).alias("lang"))
+    out = (
+        labels.join(best, id_col, "left")
         .withColumn(out_col, F.coalesce("__pred", F.lit("und")))
         .drop("__pred")
         .withColumnRenamed("__best_dist", "lang_dist")
+        .select(id_col, "lang", out_col, "lang_dist")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        doc_counts.unpersist()
+    return out
 
 
 def template_lines(
@@ -2420,7 +2520,7 @@ def strip_templates(
         F.col(group_col),
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pattern(sep))
         ).alias("idx", "line"),
     ).withColumn(
         "h",
@@ -2868,7 +2968,7 @@ def line_dedup_in_doc(
     row, fine for any real document). Composes into any scan."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     norm = lambda l: F.trim(F.regexp_replace(F.lower(l), r"\s+", " "))  # noqa: E731
-    tmp = df.withColumn("__lines", F.split(t, sep)).withColumn(
+    tmp = df.withColumn("__lines", F.split(t, sep_pattern(sep))).withColumn(
         "__norms", F.transform("__lines", norm)
     )
     kept = F.filter(

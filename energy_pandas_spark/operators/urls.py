@@ -365,7 +365,6 @@ def extract_anchor_texts(
 def anchor_text_summary(
     links: DataFrame,
     k: int = 3,
-    extra_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-target anchor profile over :func:`extract_anchor_texts`
     output: ``(url, n_links, n_unique_anchors, top_anchors)`` with the
@@ -378,7 +377,11 @@ def anchor_text_summary(
     bounded two-stage top-k per url (local row_number per partition
     first, never a whole-URL window task — a hub page with 10^9
     inlinks stays splittable); the per-url rollup joins counts from
-    the SAME aggregate, so the link table is read once."""
+    the SAME aggregate, so the link table is read once.
+
+    Cache ownership: the (url, anchor) count table is persisted
+    (two consumers) and the LAZY result pins it — the caller owns
+    release after materializing in long-lived sessions."""
     if k < 1:
         raise ValueError("k must be >= 1")
     counts = (

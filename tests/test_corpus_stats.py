@@ -1922,3 +1922,117 @@ def test_langid_ngram_rerun_overwrites_lang_dist(spark):
     twice = langid_ngram(once, profiles, top=40)
     assert twice.columns.count("lang_dist") == 1
     assert twice.collect()[0].lang_pred == "en"
+
+
+def _langid_corpus(spark):
+    rows = []
+    en = [
+        "the quick brown fox jumps over the lazy dog and then runs home",
+        "there is a house in new orleans they call the rising sun",
+        "all the world is a stage and all the men and women players",
+        "to be or not to be that is the question for the ages",
+    ]
+    fr = [
+        "le chat noir dort sur le tapis rouge dans la maison",
+        "il etait une fois une petite fille qui vivait dans la foret",
+        "tous les chemins menent a rome et les routes sont longues",
+        "la vie est belle quand le soleil brille sur les champs",
+    ]
+    for i, t in enumerate(en):
+        rows.append((i, "en", t))
+    for i, t in enumerate(fr):
+        rows.append((100 + i, "fr", t))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_langid_selftrain_matches_two_pass_composition(spark):
+    """The single-tokenize selftrain (VERDICT r3 #6) must be bit-equal
+    to the train_langid_profiles + langid_ngram composition it
+    replaces: the per-language counts are the persisted per-doc counts
+    re-summed, so predictions AND distances agree exactly."""
+    from energy_pandas_spark.operators.text import (
+        langid_ngram,
+        langid_ngram_selftrain,
+        train_langid_profiles,
+    )
+
+    df = _langid_corpus(spark)
+    compose = {
+        (r.doc_id, r.lang, r.lang_pred, r.lang_dist)
+        for r in langid_ngram(
+            df, train_langid_profiles(df, top=50), top=50
+        ).select("doc_id", "lang", "lang_pred", "lang_dist").collect()
+    }
+    fused = {
+        (r.doc_id, r.lang, r.lang_pred, r.lang_dist)
+        for r in langid_ngram_selftrain(df, top=50).collect()
+    }
+    assert fused == compose
+    # every doc classified correctly on this trivially separable corpus
+    assert all(lang == pred for (_, lang, pred, _) in fused)
+
+
+def test_langid_selftrain_single_gram_explode(spark):
+    """Plan lock for the r3 #6 fix: both the language profiles and the
+    per-doc profiles must read the SAME persisted char-gram count
+    relation — the lazy plan shows >=2 InMemoryTableScan consumers and
+    exactly one Generate (the explode) inside the cached build."""
+    from energy_pandas_spark.operators.text import langid_ngram_selftrain
+
+    out = langid_ngram_selftrain(_langid_corpus(spark), top=50, eager=False)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_langid_ngram_prof_top_smaller_warns(spark):
+    """ADVICE r3: profiles trained with a SMALLER top than the scoring
+    top must not pass silently (skewed miss penalty)."""
+    import warnings
+
+    from energy_pandas_spark.operators.text import (
+        langid_ngram,
+        train_langid_profiles,
+    )
+
+    df = _langid_corpus(spark)
+    profiles = train_langid_profiles(df, top=5)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        langid_ngram(df, profiles, top=60).collect()
+    assert any("miss penalty" in str(w.message) for w in caught)
+
+
+def test_strip_templates_metachar_sep_roundtrips(spark):
+    """ADVICE r3: sep is documented as a LITERAL separator but was
+    passed raw to F.split (a Java regex). A '|' sep must split
+    literally and round-trip non-template lines."""
+    from energy_pandas_spark.operators.text import strip_templates
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "COMMON FOOTER|unique one a.b"),
+            (2, "s", "COMMON FOOTER|unique two c.d"),
+        ],
+        "doc_id long, site string, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in strip_templates(df, "site", sep="|").collect()
+    }
+    assert out == {1: "unique one a.b", 2: "unique two c.d"}
+
+
+def test_line_dedup_metachar_sep(spark):
+    """line_dedup with a regex-metachar sep ('.') treats it literally:
+    identical sentences dedup across docs and survivors rejoin with
+    the same literal sep."""
+    from energy_pandas_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared line.first unique"), (2, "shared line.second unique")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in line_dedup(df, sep=".").collect()}
+    assert out[1] == "shared line.first unique"
+    assert out[2] == "second unique"
