@@ -417,3 +417,59 @@ def test_image_dedup_transitive_chain(spark):
     # smallest id (0) survives its cluster; 3 is unrelated and kept
     assert 0 not in drops and 3 not in drops
     assert drops <= {1, 2} and len(drops) >= 1
+
+
+def test_png_mixed_filters_per_row():
+    """Rows cycling through all five filters in one image: exercises
+    prev-row interactions between the vectorized (0/1/2) and
+    Python-loop (3/4) unfilter paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from energy_pandas_spark.operators.codecs import decode_png
+
+    img = _rand_img(25, 17, 3, seed=99)
+    h, w, c = img.shape
+    stride, bpp = w * c, c
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines, prev = [], np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        filt = y % 5
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filt == 0:
+            enc = cur
+        elif filt == 1:
+            enc = (cur - left) % 256
+        elif filt == 2:
+            enc = (cur - prev) % 256
+        elif filt == 3:
+            enc = (cur - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
