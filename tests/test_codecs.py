@@ -473,3 +473,97 @@ def test_png_mixed_filters_per_row():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(png), img)
+
+
+class TestCodecProperties:
+    """Hypothesis round-trips: pure-Python codecs, no Spark — generous
+    example counts are cheap here."""
+
+    def test_gif_roundtrip_random_frames(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import (
+            encode_gif,
+            gif_frames,
+        )
+
+        @given(
+            n=st.integers(1, 4),
+            h=st.integers(1, 17),
+            w=st.integers(1, 19),
+            ncol=st.sampled_from([2, 4, 8]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        @settings(max_examples=40, deadline=None)
+        def prop(n, h, w, ncol, seed):
+            rng = np.random.default_rng(seed)
+            palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+            # distinct palette entries: encode maps pixels via a
+            # color->index lut, so duplicate colors alias indices
+            palette[:, 0] = np.arange(ncol) * (256 // ncol)
+            idx = rng.integers(0, ncol, (n, h, w))
+            frames = palette[idx]
+            assert np.array_equal(
+                gif_frames(encode_gif(frames, palette=palette)), frames
+            )
+
+        prop()
+
+    def test_png_roundtrip_random(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        @given(
+            h=st.integers(1, 23),
+            w=st.integers(1, 23),
+            c=st.sampled_from([1, 2, 3, 4]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        @settings(max_examples=40, deadline=None)
+        def prop(h, w, c, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+        prop()
+
+    def test_wav_roundtrip_random(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+
+        @given(
+            n=st.integers(1, 2000),
+            rate=st.sampled_from([8000, 16000, 44100]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        @settings(max_examples=40, deadline=None)
+        def prop(n, rate, seed):
+            rng = np.random.default_rng(seed)
+            # the contract is float [-1, 1] -> 16-bit PCM -> float:
+            # round-trip must agree within one quantization step
+            samples = rng.uniform(-1.0, 1.0, n)
+            got, got_rate = decode_wav(encode_wav(samples, rate))
+            assert got_rate == rate
+            assert got.shape == (n, 1)
+            # decoded = round(x*32767)/32768: |err| <= (|x| + 0.5)/32768
+            err = np.abs(got.ravel() - samples)
+            assert err.max() <= 1.5 / 32768 + 1e-9
+
+        prop()
