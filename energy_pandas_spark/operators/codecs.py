@@ -324,7 +324,14 @@ def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
 def audio_features(
     samples: np.ndarray, rate: int, dim: int = FEATURE_DIM
 ) -> np.ndarray:
-    """Log-RMS energy profile over ``dim`` equal time windows (mono mix)."""
+    """Log-RMS energy profile over ``dim`` equal time windows (mono mix).
+
+    ``rate`` is part of the decoder-output interface (every audio
+    decoder returns ``(samples, rate)`` and feature extractors accept
+    both) but deliberately does not affect the profile: windows are
+    equal SAMPLE-count slices, so the same waveform at a different
+    sample rate yields the same fingerprint — which is what the
+    near-dup use wants."""
     x = np.asarray(samples, np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)

@@ -244,7 +244,6 @@ def content_blocks(
 def extract_main_content(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "main_content",
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
     min_words: int = 5,

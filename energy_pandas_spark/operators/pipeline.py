@@ -112,7 +112,6 @@ def prepare_web_corpus(
     out = extract_main_content(
         out,
         text_col,
-        id_col,
         out_col="__main",
         stopwords=DEFAULT_STOPWORDS if stopwords is None else stopwords,
         min_words=min_words,
@@ -189,7 +188,6 @@ def prepare_training_corpus(
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     lang_col: str | None = "lang",
     source_col: str | None = "source",
 ) -> DataFrame:
@@ -433,7 +431,7 @@ def corpus_health(
     from energy_pandas_spark.operators.analytics import gini_concentration
     from energy_pandas_spark.operators.text import ngram_novelty, zipf_fit
 
-    z = zipf_fit(df, text_col, id_col).select(
+    z = zipf_fit(df, text_col).select(
         "n_terms", "total_tokens", F.col("slope").alias("zipf_slope")
     )
     g = gini_concentration(

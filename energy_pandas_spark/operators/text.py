@@ -673,7 +673,6 @@ def contamination_overlap(
 def hashed_embedding(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     dim: int = 64,
     salt: str = "emb-v1",
     out_col: str = "embedding",
@@ -980,7 +979,6 @@ _DOMAIN_RE = r"https?://([A-Za-z0-9.\-]+)"
 def url_stats(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document link statistics — the URL-density quality filter and
     domain extraction pass of a web-corpus pipeline.
@@ -1850,6 +1848,11 @@ def span_dup_stats(
     join back to span occurrences reuses that same hash partitioning;
     the per-doc re-aggregation is the only other exchange. Docs
     shorter than ``k`` tokens contribute no spans and score 0.0.
+
+    Caches the hashed span occurrences (ids + longs, two consumers);
+    the return is lazy, so the CALLER owns cache release — materialize
+    the result, then ``spark.catalog.clearCache()`` (or ignore it:
+    MEMORY_AND_DISK blocks evict under pressure).
     """
     from energy_pandas_spark.util import spread_partitions
 
@@ -2784,7 +2787,6 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -2881,13 +2883,12 @@ def gopher_rules(
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     **thresholds,
 ) -> DataFrame:
     """Keep only documents passing every Gopher rule; same input
     column set out (the rule columns are projected away). Map-only —
     the filter composes into any downstream scan."""
-    scored = gopher_rules(df, text_col, id_col, **thresholds)
+    scored = gopher_rules(df, text_col, **thresholds)
     return scored.filter(F.col("passes_gopher")).select(*df.columns)
 
 
@@ -2951,7 +2952,6 @@ def dsir_resample(
 def line_dedup_in_doc(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     sep: str = "\n",
     drop_empty: bool = False,
 ) -> DataFrame:
@@ -3903,7 +3903,6 @@ def related_terms(
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     quant: int = 1024,
 ) -> DataFrame:
     """Zipf-law diagnostics for the corpus: least-squares slope and

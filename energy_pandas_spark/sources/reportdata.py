@@ -125,7 +125,9 @@ def from_reportdata_pivot(
     aggregate name, like the series variant's ``agg_func``,
     energypandas.py:290-291). Passing ``key_values`` (the expected
     pivot columns) keeps the plan single-pass; otherwise Spark runs a
-    small distinct job to discover them."""
+    small distinct job to discover them. ``name`` lands in the frame's
+    ``meta`` — the reference passes it to the EnergyDataFrame ctor
+    (energypandas.py:939)."""
     from energy_pandas_spark.core.frame import EnergyFrame
     from energy_pandas_spark.operators import analytics
 
@@ -146,6 +148,7 @@ def from_reportdata_pivot(
         out,
         units={c: unit for c in value_cols} if unit else None,
         index_col="ts",
+        meta={"name": name} if name is not None else None,
         value_cols=value_cols,
     )
     if to_units:

@@ -40,7 +40,6 @@ def decontaminate_stream(
     stream: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
