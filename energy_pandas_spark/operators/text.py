@@ -2163,7 +2163,11 @@ def _char_gram_rows(
     grams = F.filter(
         char_shingles_of_text("__norm", n), lambda g: F.length(g) == n
     )
-    return norm.select(*keep, F.explode(grams).alias("gram"))
+    # reference keep columns by their OUTPUT names: re-applying the
+    # expressions would break any aliasing keep column (e.g.
+    # F.col("language").alias("lang") — the input name is gone here)
+    kept = norm.columns[:-1]
+    return norm.select(*kept, F.explode(grams).alias("gram"))
 
 
 def train_langid_profiles(
@@ -2401,13 +2405,13 @@ def langid_ngram_selftrain(
         .select(id_col, "gram", "__dr")
     )
     best = _ct_best(doc_prof, profiles, id_col, top)
-    labels = df.select(id_col, F.col(lang_col).alias("lang"))
+    labels = df.select(id_col, lang_col)
     out = (
         labels.join(best, id_col, "left")
         .withColumn(out_col, F.coalesce("__pred", F.lit("und")))
         .drop("__pred")
         .withColumnRenamed("__best_dist", "lang_dist")
-        .select(id_col, "lang", out_col, "lang_dist")
+        .select(id_col, lang_col, out_col, "lang_dist")
     )
     if eager:
         out = out.localCheckpoint(eager=True)

@@ -8,15 +8,14 @@ row/column/value agreement. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from tests.test_entry import _norm_rows
+from tests.oracle_compare import compare_to_oracle, ddb_connect
 
 
 def main() -> None:
@@ -33,16 +32,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
+    con = ddb_connect(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     head = list(queries)[:n]
@@ -51,29 +41,15 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             spdf = queries[name](spark, sf_dir).toPandas()
-            scols = list(spdf.columns)
-            srows = list(spdf.itertuples(index=False, name=None))
             if name not in oracles:
-                print(f"  {name}: rows-only ({len(srows)} rows)")
+                print(f"  {name}: rows-only ({len(spdf)} rows)")
                 continue
-            odf = con.execute(oracles[name]).fetch_df()
-            ocols = list(odf.columns)
-            orows = list(odf.itertuples(index=False, name=None))
-            ok_cols = sorted(scols) == sorted(ocols)
-            ok_rows = len(srows) == len(orows)
-            ok_vals = (
-                ok_cols
-                and ok_rows
-                and _norm_rows(scols, srows) == _norm_rows(ocols, orows)
-            )
-            status = "OK" if ok_vals else "MISMATCH"
+            compare_to_oracle(name, spdf, con.execute(oracles[name]))
             el = time.perf_counter() - t0
-            print(
-                f"  {name}: {status} rows={len(srows)}/{len(orows)} "
-                f"cols={ok_cols} {el:.2f}s"
-            )
-            if not ok_vals:
-                bad.append(name)
+            print(f"  {name}: OK rows={len(spdf)} {el:.2f}s")
+        except AssertionError as exc:
+            print(f"  {name}: MISMATCH {exc}")
+            bad.append(name)
         except Exception as exc:  # noqa: BLE001 — report and continue
             print(f"  {name}: ERROR {exc}")
             bad.append(name)

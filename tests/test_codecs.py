@@ -251,6 +251,48 @@ class TestGif:
         assert decoded.shape == (3, 11, 17, 3)
         assert (decoded == frames).all()
 
+    def test_gif_interlaced_frame(self):
+        """Interlace coverage for the fancy-index deinterlace scatter:
+        encode_gif never emits interlaced streams, so build one by
+        encoding the frame with its rows pre-permuted into GIF pass
+        order (pass starts/steps 0/8, 4/8, 2/4, 1/2) and flipping the
+        image-descriptor interlace bit — decoding must undo the
+        permutation exactly. h=13 exercises all four passes with
+        uneven pass lengths."""
+        import numpy as np
+
+        from energy_pandas_spark.operators.codecs import (
+            _GIF_INTERLACE_PASSES,
+            encode_gif,
+            gif_frames,
+        )
+
+        rng = np.random.RandomState(13)
+        palette = np.array(
+            [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+        )
+        h, w = 13, 5
+        img = palette[rng.randint(0, 4, size=(h, w))]
+        order = [
+            r
+            for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, h, step)
+        ]
+        assert sorted(order) == list(range(h))
+        data = bytearray(encode_gif(img[np.array(order)]))
+        # encode_gif writes the GCE (8 bytes) then the 0x2C image
+        # descriptor at a fixed offset:
+        # 6 (header) + 7 (LSD) + 3*table_n (palette) + 8 (GCE)
+        table_n = 2 ** (((data[10] & 0x07) + 1))
+        sep = 6 + 7 + 3 * table_n + 8
+        assert data[sep] == 0x2C
+        packed_at = sep + 9
+        assert data[packed_at] == 0
+        data[packed_at] |= 0x40  # set the interlace flag
+        decoded = gif_frames(bytes(data))
+        assert decoded.shape == (1, h, w, 3)
+        assert (decoded[0] == img).all()
+
     def test_gif_single_frame_and_many_colors(self):
         import numpy as np
 

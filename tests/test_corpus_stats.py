@@ -1972,6 +1972,20 @@ def test_langid_selftrain_matches_two_pass_composition(spark):
     assert all(lang == pred for (_, lang, pred, _) in fused)
 
 
+def test_langid_selftrain_custom_lang_col(spark):
+    """The returned label column keeps the CALLER's name — the
+    docstring promises (id_col, lang_col, out_col, lang_dist), so a
+    corpus labeled 'language' must come back as 'language', not a
+    hard-coded 'lang'."""
+    from energy_pandas_spark.operators.text import langid_ngram_selftrain
+
+    df = _langid_corpus(spark).withColumnRenamed("lang", "language")
+    out = langid_ngram_selftrain(df, lang_col="language", top=50)
+    assert out.columns == ["doc_id", "language", "lang_pred", "lang_dist"]
+    rows = out.collect()
+    assert all(r.language == r.lang_pred for r in rows)
+
+
 def test_langid_selftrain_single_gram_explode(spark):
     """Plan lock for the r3 #6 fix: both the language profiles and the
     per-doc profiles must read the SAME persisted char-gram count

@@ -6,15 +6,13 @@ rows sorted) — a local replica of the driver's correctness gate.
 
 from __future__ import annotations
 
-import datetime
-import math
-
-import duckdb
-import numpy as np
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
+from tests.oracle_compare import (  # shared driver-gate replica
+    compare_to_oracle,
+    ddb_connect,
+)
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
@@ -22,50 +20,7 @@ QUERIES = entrymod.queries()
 
 @pytest.fixture(scope="module")
 def ddb(sf_dir):
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
-
-
-def _norm_cell(x):
-    # Type-STRICT normalization (mirrors the driver's hash, which goes
-    # through pandas and serializes dtype+value): an integral 870 and a
-    # floating 870.0 must NOT compare equal — that leniency is exactly how
-    # the round-2 DuckDB-HUGEINT-vs-Spark-BIGINT oracle bug slipped past
-    # this gate (VERDICT r2 "What's wrong" #1/#2).
-    if x is None or x is pd.NaT or (isinstance(x, float) and math.isnan(x)):
-        return ("null",)
-    if isinstance(x, (bool, np.bool_)):
-        return ("b", bool(x))
-    if isinstance(x, (float, np.floating)):
-        return ("f", round(float(x), 6))
-    if isinstance(x, (int, np.integer)):
-        return ("i", int(x))
-    if isinstance(x, datetime.datetime):  # includes pd.Timestamp
-        x = x.replace(tzinfo=None)
-        # DuckDB's pandas path promotes DATE to datetime64 midnight while
-        # Spark keeps DateType; the driver accepts that pairing (r1/r2
-        # green rows prove it), so fold midnight ts and date together.
-        if x.time() == datetime.time(0, 0):
-            return ("d", x.date().isoformat())
-        return ("ts", x.isoformat())
-    if isinstance(x, datetime.date):
-        return ("d", x.isoformat())
-    if isinstance(x, (list, tuple, np.ndarray)):
-        return ("a", tuple(_norm_cell(e) for e in x))
-    return ("s", str(x)) if not isinstance(x, str) else ("s", x)
-
-
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+    return ddb_connect(sf_dir)
 
 
 def test_oracle_keys_subset_of_queries():
@@ -84,25 +39,7 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     # Both sides go through pandas, like the driver: DuckDB HUGEINT and
     # NULL-bearing int columns surface as float64 here, so a dtype drift
     # the driver would flag fails locally too.
-    spdf = sdf.toPandas()
-    srows = list(spdf.itertuples(index=False, name=None))
-    scols = list(spdf.columns)
-    res = ddb.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    otypes = [str(d[1]) for d in res.description]
-    # The driver compares dtypes strictly: a DuckDB TIMESTAMP WITH TIME
-    # ZONE (e.g. from to_timestamp()) never matches Spark's naive
-    # TimestampType.  Use make_timestamp()/date_trunc() in oracles.
-    assert not any("TZ" in t or "TIME ZONE" in t for t in otypes), (
-        f"{name}: oracle emits tz-aware column(s) {list(zip(ocols, otypes))}"
-    )
-    odf = res.fetch_df()
-    orows = list(odf.itertuples(index=False, name=None))
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
-    a, b = _norm_rows(scols, srows), _norm_rows(ocols, orows)
-    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-    assert a == b, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
+    compare_to_oracle(name, sdf.toPandas(), ddb.execute(ORACLES[name]))
 
 
 @pytest.mark.parametrize(

@@ -14,11 +14,10 @@ from __future__ import annotations
 import os
 import re
 
-import duckdb
 import pytest
 
-import __spark_entry__ as entrymod
-from tests.test_entry import ORACLES, QUERIES, _norm_rows
+from tests.test_entry import ORACLES, QUERIES
+from tests.oracle_compare import compare_to_oracle, ddb_connect
 
 SF01_DIR = "/root/testdata/sf0.01"
 
@@ -57,16 +56,7 @@ SF01_NAMES = sorted(
 
 @pytest.fixture(scope="module")
 def ddb01():
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF01_DIR}/{t}.parquet')"
-        )
-    return con
+    return ddb_connect(SF01_DIR)
 
 
 pytestmark = pytest.mark.skipif(
@@ -77,17 +67,4 @@ pytestmark = pytest.mark.skipif(
 @pytest.mark.parametrize("name", SF01_NAMES)
 def test_query_matches_oracle_at_driver_scale(spark, ddb01, name):
     sdf = QUERIES[name](spark, SF01_DIR)
-    spdf = sdf.toPandas()
-    srows = list(spdf.itertuples(index=False, name=None))
-    scols = list(spdf.columns)
-    res = ddb01.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    odf = res.fetch_df()
-    orows = list(odf.itertuples(index=False, name=None))
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    assert len(srows) == len(orows), (
-        f"{name}: row count {len(srows)} vs {len(orows)}"
-    )
-    a, b = _norm_rows(scols, srows), _norm_rows(ocols, orows)
-    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
-    assert a == b, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
+    compare_to_oracle(name, sdf.toPandas(), ddb01.execute(ORACLES[name]))
