@@ -4217,17 +4217,34 @@ def rolling_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly additive), so every sliding frame spans ~24 bucket rows
     instead of tens of thousands of events — Spark rebuilds range-frame
     buffers per row, making the per-row form O(window cardinality)
-    per row."""
+    per row.
+
+    EXACT sufficient statistics (the sf0.1 sweep caught the float
+    form flipping a 6th-decimal digit vs DuckDB — window-sum order
+    differs between engines): x is integer MILLISECOND ticks, y is
+    integer CENT ticks, so every windowed sum is an exact integer and
+    both engines compute bit-identical doubles for the closed-form
+    solve; the slope rescales to value-per-day after (864000 =
+    86_400_000 ms/day / 100 cents/value)."""
     _prep(spark)
     from energy_pandas_spark.operators.analytics import rolling_fit
 
     ev = _t(spark, sf_dir, "events")
-    t0 = F.lit("2024-01-01").cast("timestamp")
     pts = ev.select(
         "event_type",
         "ts",
-        ((F.unix_micros("ts") - F.unix_micros(t0)) / F.lit(86400e6)).alias("x"),
-        F.col("value").alias("y"),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01')) DIV 1000"
+        )
+        .cast("decimal(14,0)")
+        .alias("x"),
+        # floor(value*100): value*100 is one correctly-rounded IEEE op
+        # (identical on both engines) and floor of identical doubles is
+        # identical — unlike a double->DECIMAL(12,2) cast, which Spark
+        # rounds on the decimal REPR (half-up) and DuckDB on the binary
+        # value, flipping near half-cent boundaries for the ~11% of
+        # event values that sit off the 2-decimal grid.
+        F.floor(F.col("value") * F.lit(100.0)).cast("decimal(15,0)").alias("y"),
     )
     out = rolling_fit(
         pts,
@@ -4237,12 +4254,13 @@ def rolling_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_seconds=21600,
         by="event_type",
         bucket_seconds=900,
+        exact=True,
     )
     return out.select(
         "event_type",
         "ts",
         "n_window",
-        F.round("slope", 6).alias("slope"),
+        F.round(F.col("slope") * F.lit(864000.0), 6).alias("slope"),
         F.round("r2", 6).alias("r2"),
     ).orderBy("event_type", "ts")
 
@@ -4251,9 +4269,9 @@ _ROLLING_TREND_SQL = """
 WITH pts AS (
   SELECT event_type,
          make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bts,
-         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
+         ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000)::HUGEINT
            AS x,
-         value AS y
+         CAST(floor(value * 100) AS HUGEINT) AS y
   FROM events
 ),
 b AS (
@@ -4264,24 +4282,34 @@ b AS (
 wsum AS (
   SELECT event_type, bts,
          sum(bn) OVER w AS nw,
-         sum(bn) OVER w::DOUBLE AS n,
          sum(bsx) OVER w AS sx, sum(bsy) OVER w AS sy,
          sum(bsxy) OVER w AS sxy, sum(bsxx) OVER w AS sxx,
          sum(bsyy) OVER w AS syy
   FROM b
   WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(bts)
                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+),
+cm AS (
+  -- centered co-moments in EXACT integer arithmetic (HUGEINT): the
+  -- cancellation happens before any cast, so the int->double cast
+  -- error is relative 1e-16 on the small centered value (DuckDB's
+  -- HUGEINT->DOUBLE is 1 ulp off correctly-rounded; a raw-sum cast
+  -- would amplify that ~1e5x through float cancellation)
+  SELECT event_type, bts, nw,
+         (nw * sxy - sx * sy) AS num,
+         (nw * sxx - sx * sx) AS den,
+         (nw * syy - sy * sy) AS deny
+  FROM wsum
 )
 SELECT event_type, bts AS ts, nw::BIGINT AS n_window,
-       round(CASE WHEN nw >= 2 AND sxx - sx * sx / n <> 0
-                  THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6)
+       round(CASE WHEN nw >= 2 AND den <> 0
+                  THEN num::DOUBLE / den::DOUBLE * 864000.0 END, 6)
          AS slope,
-       round(CASE WHEN nw >= 2 AND sxx - sx * sx / n <> 0
-                       AND syy - sy * sy / n <> 0
-                  THEN ((sxy - sx * sy / n) * (sxy - sx * sy / n))
-                         / ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6)
+       round(CASE WHEN nw >= 2 AND den <> 0 AND deny <> 0
+                  THEN (num::DOUBLE * num::DOUBLE)
+                         / (den::DOUBLE * deny::DOUBLE) END, 6)
          AS r2
-FROM wsum
+FROM cm
 ORDER BY event_type, ts
 """
 

@@ -786,6 +786,7 @@ def rolling_fit(
     window_seconds: int,
     by: str | Sequence[str] | None = None,
     bucket_seconds: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Rolling OLS over a trailing time window: slope/intercept/r2 of
     y on x across the last ``window_seconds`` of the key's history —
@@ -806,9 +807,21 @@ def rolling_fit(
     ``x_col`` must be pre-centered to modest magnitudes (the
     linear_fit cancellation caveat applies per window). Degenerate
     windows (n < 2 or zero x-variance) yield NULL slope/r2.
+
+    ``exact=True`` computes the sufficient statistics in the columns'
+    OWN types instead of casting to double — pass INTEGER-valued
+    decimal columns (e.g. millisecond ticks and cent-quantized values)
+    and every sum is an exact integer, so the window aggregation is
+    order-free and bit-identical across engines/partitionings; only
+    the final closed-form solve runs in double, on identical inputs.
+    The caller owns tick scaling (slope comes back in y-ticks per
+    x-tick) and magnitudes (products must stay inside DECIMAL(38)).
     """
     keys = [by] if isinstance(by, str) else list(by or [])
-    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    if exact:
+        x, y = F.col(x_col), F.col(y_col)
+    else:
+        x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
     if bucket_seconds is None:
         base = df
         w = (
@@ -816,7 +829,7 @@ def rolling_fit(
             .orderBy(epoch_micros(df, ts_col))
             .rangeBetween(-window_seconds * 1_000_000, 0)
         )
-        n = F.count(F.lit(1)).over(w).cast("double")
+        nn = F.count(F.lit(1)).over(w)
         sx, sy = F.sum(x).over(w), F.sum(y).over(w)
         sxy = F.sum(x * y).over(w)
         sxx = F.sum(x * x).over(w)
@@ -841,21 +854,38 @@ def rolling_fit(
             .orderBy(epoch_micros(base, ts_col))
             .rangeBetween(-window_seconds * 1_000_000, 0)
         )
-        n = F.sum("__n").over(w).cast("double")
+        nn = F.sum("__n").over(w)
         sx, sy = F.sum("__sx").over(w), F.sum("__sy").over(w)
         sxy = F.sum("__sxy").over(w)
         sxx = F.sum("__sxx").over(w)
         syy = F.sum("__syy").over(w)
         out_cols = [*keys, ts_col]
-    sxx_c = sxx - sx * sx / n
-    sxy_c = sxy - sx * sy / n
-    syy_c = syy - sy * sy / n
-    slope = F.when((n >= 2) & (sxx_c != 0.0), sxy_c / sxx_c)
-    intercept = (sy - slope * sx) / n
-    r2 = F.when(
-        (n >= 2) & (sxx_c != 0.0) & (syy_c != 0.0),
-        (sxy_c * sxy_c) / (sxx_c * syy_c),
-    )
+    n = nn.cast("double")
+    if exact:
+        # centered CO-MOMENTS in exact integer arithmetic: n*sxy-sx*sy
+        # etc. cancel EXACTLY before any cast, so the (engine-specific,
+        # DuckDB is 1-ulp-off) int->double cast error is 1e-16 RELATIVE
+        # on the small centered value, never a raw-sum ulp amplified
+        # 1e5x by float cancellation.
+        num = (nn * sxy - sx * sy).cast("double")
+        den = nn * sxx - sx * sx
+        deny = nn * syy - sy * sy
+        slope = F.when((nn >= 2) & (den != F.lit(0)), num / den.cast("double"))
+        intercept = (sy.cast("double") - slope * sx.cast("double")) / n
+        r2 = F.when(
+            (nn >= 2) & (den != F.lit(0)) & (deny != F.lit(0)),
+            (num * num) / (den.cast("double") * deny.cast("double")),
+        )
+    else:
+        sxx_c = sxx - sx * sx / n
+        sxy_c = sxy - sx * sy / n
+        syy_c = syy - sy * sy / n
+        slope = F.when((n >= 2) & (sxx_c != 0.0), sxy_c / sxx_c)
+        intercept = (sy - slope * sx) / n
+        r2 = F.when(
+            (n >= 2) & (sxx_c != 0.0) & (syy_c != 0.0),
+            (sxy_c * sxy_c) / (sxx_c * syy_c),
+        )
     return base.select(
         *out_cols,
         n.cast("long").alias("n_window"),
