@@ -11182,6 +11182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_dist": hash_split_dist,
         "stratified_sample_langs": stratified_sample_langs,
         "vocab_top100": vocab_top100,
+        # r1 red (schema mismatch), fixed but never driver-re-proven —
+        # surfaced by scripts/rotation_report.py; heads with the other
+        # fixed-red rows until a green driver row lands
+        "resample_6h": resample_6h,
         # -- Section-2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
         "reportdata_series": reportdata_series,
@@ -11360,7 +11364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers_by_type": zscore_outliers_by_type,
         "users_view_no_purchase": users_view_no_purchase,
         "doc_fingerprint": doc_fingerprint,
-        "resample_6h": resample_6h,
         "minhash_dedup_drop": minhash_dedup_drop,
         "top_customers": top_customers,
         "q6_forecast_revenue": q6_forecast_revenue,

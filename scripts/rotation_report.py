@@ -1,0 +1,97 @@
+"""Driver-window rotation report (VERDICT r3 #10): the driver
+hash-checks the FIRST ~50 ``queries()`` entries each round, so registry
+ORDER is the verification-rotation policy. This reports, from the
+accumulated CORRECTNESS_r*.json artifacts, each oracle-backed query's
+last driver-checked round and suggests the next round's head:
+
+    1. the 5 permanent §2 reference-parity canaries,
+    2. every oracle-backed query the driver has NEVER checked,
+    3. the stalest-checked remainder (oldest green round first),
+
+so the backlog drains monotonically and every oracle re-verifies at
+least every ceil(registry / window) rounds. Usage:
+
+    python scripts/rotation_report.py [window_size]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CANARIES = [
+    "with_timeindex",
+    "reportdata_series",
+    "to_units_kelvin",
+    "ldc",
+    "series_align_arithmetic",
+]
+
+
+def main() -> None:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entrymod
+
+    queries = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+
+    last_green: dict[str, int] = {}
+    last_red: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                name not in oracles and row.get("rows_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            else:
+                last_red[name] = max(last_red.get(name, 0), rnd)
+
+    oracle_backed = [q for q in queries if q in oracles]
+    never = [q for q in oracle_backed if q not in last_green]
+    stale = sorted(
+        (q for q in oracle_backed if q in last_green),
+        key=lambda q: (last_green[q], queries.index(q)),
+    )
+    red_unproven = [
+        q for q in never if q in last_red
+    ]  # red once, fixed, never re-proven — highest priority
+
+    print(f"registry: {len(queries)} queries / {len(oracle_backed)} oracles")
+    print(f"driver-checked at least once: {len(last_green)}")
+    print(f"never checked: {len(never)} (backlog; window={window})")
+    if red_unproven:
+        print(f"RED-but-unproven fixes (head these): {red_unproven}")
+
+    head = list(
+        dict.fromkeys(
+            red_unproven
+            + CANARIES
+            + [q for q in never if q not in red_unproven]
+            + stale
+        )
+    )[:window]
+    print("\nsuggested next-round head (reorder queries() to match):")
+    for i, q in enumerate(head, 1):
+        tag = (
+            "RED-UNPROVEN"
+            if q in red_unproven
+            else "canary"
+            if q in CANARIES
+            else "never"
+            if q in never
+            else f"green r{last_green[q]}"
+        )
+        print(f"  {i:3d}. {q}  [{tag}]")
+
+
+if __name__ == "__main__":
+    main()
