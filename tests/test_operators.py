@@ -590,6 +590,60 @@ def test_rolling_fit_exact_line_in_window(spark):
     assert max(r["n_window"] for r in out) == 4
 
 
+def test_rolling_fit_exact_mode_matches_float_mode(spark):
+    """exact=True (integer-tick sufficient stats + centered co-moments
+    in exact arithmetic) is the same MATH as the float path — on
+    integer-valued inputs the two modes must agree to float noise, and
+    the exact mode must survive a perfect-line window (den exactly 0
+    on duplicate x would be NULL, not a crash)."""
+    import random
+
+    from energy_pandas_spark.operators.analytics import rolling_fit
+
+    rng = random.Random(11)
+    rows = [
+        (
+            "a",
+            f"2024-01-01 00:{m:02d}:{rng.randrange(60):02d}",
+            float(m * 60),            # second ticks — integer-valued
+            float(rng.randrange(-10_000, 10_000)),  # cent ticks
+        )
+        for m in range(30)
+    ]
+    fdf = spark.createDataFrame(
+        rows, "k string, ts string, x double, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    edf = fdf.select(
+        "k",
+        "ts",
+        F.col("x").cast("decimal(14,0)").alias("x"),
+        F.col("y").cast("decimal(15,0)").alias("y"),
+    )
+    for kwargs in ({}, {"bucket_seconds": 120}):
+        flo = {
+            str(r["ts"]): (r["n_window"], r["slope"], r["r2"])
+            for r in rolling_fit(
+                fdf, "ts", "x", "y", 600, by="k", **kwargs
+            ).collect()
+        }
+        exa = {
+            str(r["ts"]): (r["n_window"], r["slope"], r["r2"])
+            for r in rolling_fit(
+                edf, "ts", "x", "y", 600, by="k", exact=True, **kwargs
+            ).collect()
+        }
+        assert flo.keys() == exa.keys()
+        for ts, (nf, sf, rf) in flo.items():
+            ne, se, re_ = exa[ts]
+            assert nf == ne
+            if sf is None:
+                assert se is None
+            else:
+                assert abs(sf - se) <= 1e-6 * max(1.0, abs(sf)), (ts, sf, se)
+            if rf is not None and re_ is not None:
+                assert abs(rf - re_) <= 1e-6
+
+
 def test_rolling_fit_bucketed_equals_perrow_at_boundaries(spark):
     """The bucketed sufficient-stats path must reproduce the per-row
     fit exactly when anchored at bucket-boundary timestamps."""
