@@ -4240,10 +4240,14 @@ def rolling_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         # floor(value*100): value*100 is one correctly-rounded IEEE op
         # (identical on both engines) and floor of identical doubles is
-        # identical — unlike a double->DECIMAL(12,2) cast, which Spark
-        # rounds on the decimal REPR (half-up) and DuckDB on the binary
-        # value, flipping near half-cent boundaries for the ~11% of
-        # event values that sit off the 2-decimal grid.
+        # identical on ANY input — round() has a residual .5-boundary
+        # class (Spark rounds the decimal repr, DuckDB the binary
+        # value) and a double->DECIMAL cast the same. value is
+        # 2-decimal-grid-aligned, so value*100 sits within ~1e-9 of an
+        # integer and floor may pick the cent BELOW for the ~11% whose
+        # float error is downward — identically on both engines, and a
+        # sub-cent quantization offset in y is irrelevant to a trend
+        # slope/r2.
         F.floor(F.col("value") * F.lit(100.0)).cast("decimal(15,0)").alias("y"),
     )
     out = rolling_fit(

@@ -636,11 +636,14 @@ def test_rolling_fit_exact_mode_matches_float_mode(spark):
         for ts, (nf, sf, rf) in flo.items():
             ne, se, re_ = exa[ts]
             assert nf == ne
-            if sf is None:
-                assert se is None
-            else:
+            # NULL-ness must agree BOTH ways — a one-sided NULL (e.g.
+            # a guard firing in only one mode) is a regression, not a
+            # skip
+            assert (sf is None) == (se is None), (ts, sf, se)
+            if sf is not None:
                 assert abs(sf - se) <= 1e-6 * max(1.0, abs(sf)), (ts, sf, se)
-            if rf is not None and re_ is not None:
+            assert (rf is None) == (re_ is None), (ts, rf, re_)
+            if rf is not None:
                 assert abs(rf - re_) <= 1e-6
 
 
