@@ -698,6 +698,21 @@ def test_rolling_fit_bucketed_plan_two_exchanges(spark):
     # bucket aggregate + key window — nothing else, no SinglePartition
     assert plan.count("Exchange") == 2
     assert "SinglePartition" not in plan
+    # exact mode must keep the identical physical shape (decimal sums
+    # change the aggregate BUFFER, never the exchanges)
+    eplan = (
+        rolling_fit(
+            df.select(
+                "k", "ts",
+                F.col("x").cast("decimal(14,0)").alias("x"),
+                F.col("y").cast("decimal(15,0)").alias("y"),
+            ),
+            "ts", "x", "y", 3600, by="k", bucket_seconds=60, exact=True,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert eplan.count("Exchange") == 2
+    assert "SinglePartition" not in eplan
 
 
 def test_minhash_dedup_keep_best(spark):
