@@ -122,6 +122,12 @@ def decode_features(
     the default uses the deterministic fake so the downstream pipeline
     (dedup/similarity over features) stays exercisable end-to-end.
 
+    A registered decoder that RAISES on its input (corrupt/truncated
+    bytes) fails the job under ``strict=True``; with the default
+    ``strict=False`` the row emits NULL features — the honest
+    "undecodable" marker (a fake vector here would fabricate a
+    signature for garbage bytes and could near-dup-match real media).
+
     Decoder vectors are truncated / zero-padded to ``dim`` so mixed
     modalities land in one fixed-length ``array<float>`` column."""
     # snapshot at plan time: the closure must carry the registry state
@@ -137,7 +143,15 @@ def decode_features(
                     (f for p, f in decoders if mime.startswith(p)), None
                 )
                 if decoder is not None:
-                    vec = np.asarray(decoder(content, meta), dtype=np.float64)
+                    try:
+                        vec = np.asarray(
+                            decoder(content, meta), dtype=np.float64
+                        )
+                    except Exception:
+                        if strict:
+                            raise
+                        feats.append(None)  # undecodable bytes -> NULL
+                        continue
                 elif strict:
                     raise NotImplementedError(
                         f"no decoder registered for mime {mime!r}; "

@@ -69,6 +69,17 @@ def _make_cusum_fn(kq: int, hq: int, quant: int):
         out_ts, out_v, out_c, out_a = [], [], [], []
         for ts, v in zip(pdf["ts"], pdf["value"]):
             v = float(v)
+            if v != v:  # NULL/NaN: must not enter the accumulator —
+                # int(nan) raises and would kill the whole query; the
+                # batch twin's F.round(quant*value).cast('long') yields
+                # NULL, which the prefix window SUM skips, so the row
+                # scores at the UNCHANGED running statistic.
+                s = p - mp
+                out_ts.append(ts)
+                out_v.append(v)
+                out_c.append(s / quant)
+                out_a.append(s >= hq)
+                continue
             p += _round_half_away(quant * v) - kq
             mp = min(mp, p)  # mp starts at 0, so min(0, min P) for free
             s = p - mp

@@ -99,7 +99,9 @@ def decontaminate_stream(
                     [np.asarray(a, dtype=np.int64) for a in pdf["__gh"]]
                 )
                 idx = np.searchsorted(bench, flat)
-                idx[idx == len(bench)] = 0 if len(bench) else 0
+                # out-of-range probe (gram > bench[-1]): clamp to 0 —
+                # safe, bench[0] can never equal such a gram
+                idx[idx == len(bench)] = 0
                 hit = (
                     bench[idx] == flat
                     if len(bench)

@@ -159,6 +159,33 @@ def frontier_ingest(
     return writer.start()
 
 
-def read_frontier(spark: SparkSession, frontier_path: str) -> DataFrame:
-    """Pending frontier entries (without batch bookkeeping)."""
-    return spark.read.parquet(frontier_path).drop("__batch_id")
+def read_frontier(
+    spark: SparkSession,
+    frontier_path: str,
+    fetched: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier entries (without batch bookkeeping). A row persists
+    after its URL is fetched — the seen store prevents RE-EMISSION but
+    cannot mark fetch completion (emitted and fetched hashes share one
+    key space by design) — so a crawler driving itself off this table
+    must subtract its own fetch log or it re-enqueues forever. Pass
+    ``fetched`` (any frame with a ``url_col`` of fetched page URLs,
+    e.g. the crawled-pages table) and the rows anti-join out here, on
+    the same canonical-hash key the writer uses."""
+    from energy_pandas_spark.operators.urls import canonical_url
+
+    out = spark.read.parquet(frontier_path).drop("__batch_id")
+    if fetched is not None:
+        done = (
+            fetched.select(canonical_url(F.col(url_col)).alias("__curl"))
+            .filter(F.col("__curl").isNotNull())
+            .select(F.xxhash64(F.lit("url-v1"), F.col("__curl")).alias("__h"))
+            .distinct()
+        )
+        # the stored url IS canonical (the writer emits __curl), so the
+        # key hashes it directly — no re-canonicalization round-trip
+        out = out.withColumn(
+            "__h", F.xxhash64(F.lit("url-v1"), F.col("url"))
+        ).join(done, "__h", "left_anti").drop("__h")
+    return out

@@ -77,12 +77,18 @@ def _make_hh_fn(capacity: int):
             }
         else:
             sketch, total = {}, 0
-        for pdf in pdfs:
+        # concat the WHOLE micro-batch before counting (the sibling
+        # cusum/anomaly kernels do the same): per-chunk processing
+        # would make eviction order depend on Arrow chunk boundaries,
+        # which vary across retries/replays — the sketch must be a
+        # function of the batch CONTENT only
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
             # batch pre-aggregation: SpaceSaving is order-insensitive
             # within a batch for already-tracked items; for new items we
             # still insert occurrence-by-occurrence logically, but a
             # whole batch of the same item collapses to one update
-            vc = pdf["item"].value_counts()
+            vc = whole["item"].value_counts()
             # deterministic order: by item string, so replays and
             # partition orderings produce identical sketches
             for item in sorted(vc.index):

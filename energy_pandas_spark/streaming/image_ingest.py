@@ -69,19 +69,22 @@ def make_image_ingest_writer(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
-        sigs = (
-            perceptual_hash(
-                decode_features(
-                    batch, dim=64, id_col=id_col,
-                    content_col=content_col, meta_col=meta_col,
-                    strict=strict,
-                ),
-                "features",
-                id_col,
-            )
-            .filter(F.col("phash").isNotNull())
-            .persist()
-        )
+        phashed = perceptual_hash(
+            decode_features(
+                batch, dim=64, id_col=id_col,
+                content_col=content_col, meta_col=meta_col,
+                strict=strict,
+            ),
+            "features",
+            id_col,
+        ).persist()
+        # strict=False leaves phash NULL for images the decoder cannot
+        # handle: those rows are KEPT in the media corpus (an
+        # undecodable input is not evidence of duplication — the same
+        # posture as url_ingest's NULL-canonical rows) but contribute
+        # no signature to the store.
+        sigs = phashed.filter(F.col("phash").isNotNull())
+        undecodable = phashed.filter(F.col("phash").isNull()).select(id_col)
         try:
             # 1. in-batch near-dup clusters, smallest id survives
             pairs = hamming_neardup_pairs(
@@ -115,7 +118,9 @@ def make_image_ingest_writer(
             # their signatures, each overwriting exactly this batch's
             # partition
             accepted = batch.join(
-                fresh_sigs.select(id_col), id_col, "left_semi"
+                fresh_sigs.select(id_col).unionByName(undecodable),
+                id_col,
+                "left_semi",
             ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
             (
                 accepted.write.mode("overwrite")
@@ -131,7 +136,7 @@ def make_image_ingest_writer(
             )
             fresh_sigs.unpersist()
         finally:
-            sigs.unpersist()
+            phashed.unpersist()
             batch.unpersist()
 
     return write_batch

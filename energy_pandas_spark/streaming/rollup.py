@@ -20,9 +20,11 @@ partitions the batch touched and overwrites those partitions
   whole partitions before/after, never mid-write (parquet committers
   swap directories atomically enough for batch readers).
 
-The aggregate itself is the SAME ``windowed_aggregate`` used on batch
-tables (streaming/events.py), so batch backfill and streaming
-maintenance produce byte-identical rollups.
+The aggregate uses the same expressions as ``windowed_aggregate``
+(streaming/events.py) plus ``n_values`` (the null-skipping avg
+denominator the partition merge needs), so batch backfill via
+:func:`rollup_batch` and streaming maintenance produce byte-identical
+rollups.
 """
 
 from __future__ import annotations
@@ -31,16 +33,35 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from energy_pandas_spark.streaming.events import windowed_aggregate
-
 __all__ = ["continuous_rollup", "make_rollup_writer", "rollup_batch"]
 
 
 def rollup_batch(batch: DataFrame, window: str = "1 hour") -> DataFrame:
     """One micro-batch -> its windowed aggregate with the date partition
-    column attached."""
-    return windowed_aggregate(batch, window=window).withColumn(
-        "day", F.to_date("window_start")
+    column attached, plus ``n_values`` (the NON-NULL value count) —
+    ``avg_value`` is ``F.avg``, which skips nulls, so an exact avg
+    merge needs the null-skipping denominator, not ``n_events``."""
+    # same expressions as windowed_aggregate plus n_values in the SAME
+    # grouped pass (a second aggregate would scan the batch twice);
+    # the shared columns stay byte-identical to a batch backfill
+    return (
+        batch.groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_values"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_values",
+            "sum_value",
+            "avg_value",
+        )
+        .withColumn("day", F.to_date("window_start"))
     )
 
 
@@ -71,62 +92,122 @@ def make_rollup_writer(
             last = -1
         if batch_id <= last:
             return
-        fresh = agg_fn(batch)
-        days = [r[0] for r in fresh.select("day").distinct().collect()]
-        if not days:
-            write_marker(spark, batch_id)
-            return
+        # persisted: feeds the days collect AND the merge union (the
+        # sibling ingest writers persist for the same multi-consumer
+        # reason — without it an availableNow file source re-reads and
+        # re-aggregates the batch input per consumer)
+        fresh = agg_fn(batch).persist()
         try:
-            existing = spark.read.parquet(path).filter(F.col("day").isin(days))
-            if "__batch_id" not in existing.columns:  # pre-stamp table
-                existing = existing.withColumn(
-                    "__batch_id", F.lit(-1).cast("long")
-                )
-        except Exception:  # first batch: nothing to merge
-            existing = None
-        if existing is not None:
-            # replay guard: whole partitions are swapped atomically, so a
-            # day stamped with this batch's id (or a later one) already
-            # contains this batch's contribution — leave it untouched.
-            # Days the crashed attempt did NOT swap merge normally.
-            done = {
-                r[0]
-                for r in existing.filter(F.col("__batch_id") >= batch_id)
-                .select("day")
-                .distinct()
-                .collect()
-            }
-            todo = [d for d in days if d not in done]
-            if not todo:
+            days = [r[0] for r in fresh.select("day").distinct().collect()]
+            if not days:
                 write_marker(spark, batch_id)
                 return
-            # merge: stored grain == query grain, so union + re-aggregate
-            # on the window key is an exact combine of partial counts/sums
-            merged = (
-                existing.filter(F.col("day").isin(todo))
-                .drop("__batch_id")
-                .unionByName(fresh.filter(F.col("day").isin(todo)))
-                .groupBy("window_start", "window_end", "event_type", "day")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
+            # the mergeable measures: summed on re-aggregate; every
+            # other non-stamp column is a GROUPING KEY, so a custom
+            # ``accumulate`` with different dimensions (no event_type,
+            # extra columns) merges correctly as long as it emits
+            # measure columns from this set
+            measures = [
+                c
+                for c in ("n_events", "n_values", "sum_value")
+                if c in fresh.columns
+            ]
+            derived = [c for c in ("avg_value",) if c in fresh.columns]
+            if "avg_value" in derived and not (
+                "sum_value" in measures
+                and ("n_values" in measures or "n_events" in measures)
+            ):
+                raise ValueError(
+                    "accumulate() emits avg_value without sum_value + "
+                    "n_values (or n_events): the partition merge cannot "
+                    "recombine an average without its sufficient "
+                    "statistics"
                 )
-                .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
-                .select(
-                    "window_start", "window_end", "event_type",
-                    "n_events", "sum_value", "avg_value", "day",
+            keys = [
+                c
+                for c in fresh.columns
+                if c not in measures and c not in derived and c != "__batch_id"
+            ]
+            try:
+                existing = spark.read.parquet(path).filter(
+                    F.col("day").isin(days)
                 )
+                if "__batch_id" not in existing.columns:  # pre-stamp table
+                    existing = existing.withColumn(
+                        "__batch_id", F.lit(-1).cast("long")
+                    )
+                # pre-n_values tables: fall back to the old all-rows
+                # denominator (exact when value has no nulls — the old
+                # behavior, kept for the rows that predate the column)
+                if "n_values" in measures and "n_values" not in existing.columns:
+                    existing = existing.withColumn(
+                        "n_values", F.col("n_events")
+                    )
+            except Exception:  # first batch: nothing to merge
+                existing = None
+            if existing is not None:
+                # replay guard: whole partitions are swapped atomically,
+                # so a day stamped with this batch's id (or a later one)
+                # already contains this batch's contribution — leave it
+                # untouched. Days the crashed attempt did NOT swap merge
+                # normally.
+                done = {
+                    r[0]
+                    for r in existing.filter(F.col("__batch_id") >= batch_id)
+                    .select("day")
+                    .distinct()
+                    .collect()
+                }
+                todo = [d for d in days if d not in done]
+                if not todo:
+                    write_marker(spark, batch_id)
+                    return
+                # merge: stored grain == query grain, so union +
+                # re-aggregate on the grouping keys is an exact combine
+                # of partial counts/sums; avg recomputes from the
+                # null-skipping denominator
+                merged = (
+                    existing.filter(F.col("day").isin(todo))
+                    .drop("__batch_id")
+                    .select(*keys, *measures, *derived)
+                    .unionByName(
+                        fresh.filter(F.col("day").isin(todo)).select(
+                            *keys, *measures, *derived
+                        )
+                    )
+                    .groupBy(*keys)
+                    .agg(*[F.sum(m).alias(m) for m in measures])
+                )
+                if "avg_value" in derived:
+                    denom = (
+                        "n_values" if "n_values" in measures else "n_events"
+                    )
+                    merged = merged.withColumn(
+                        "avg_value",
+                        F.col("sum_value")
+                        / F.nullif(F.col(denom), F.lit(0)),
+                    )
+                merged = merged.select(*fresh.columns)
+            else:
+                merged = fresh
+            merged = merged.withColumn(
+                "__batch_id", F.lit(batch_id).cast("long")
             )
-        else:
-            merged = fresh
-        merged = merged.withColumn("__batch_id", F.lit(batch_id).cast("long"))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("day").parquet(path)
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                merged.write.mode("overwrite").partitionBy("day").parquet(path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            write_marker(spark, batch_id)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        write_marker(spark, batch_id)
+            fresh.unpersist()
 
     return write_batch
 

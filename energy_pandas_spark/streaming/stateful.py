@@ -76,12 +76,18 @@ def _make_dedup_fn(horizon_ms: int):
         max_ts: pd.Timestamp | None = None
         for pdf in pdfs:
             n += len(pdf)
-            pdf = pdf.sort_values("ts")
+            # stable sort + doc_id tiebreak: ts ties must pick ONE
+            # deterministic winner, or a task retry/replay could emit a
+            # different "first seen" doc_id than the original attempt
+            # (batch dedup ties on id the same way)
+            pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
             cand = pdf.iloc[:1]
             first = (
                 cand
                 if first is None
-                else pd.concat([first, cand]).sort_values("ts").iloc[:1]
+                else pd.concat([first, cand])
+                .sort_values(["ts", "doc_id"], kind="mergesort")
+                .iloc[:1]
             )
             batch_max = pdf["ts"].iloc[-1]
             max_ts = batch_max if max_ts is None else max(max_ts, batch_max)

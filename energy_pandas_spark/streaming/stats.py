@@ -407,5 +407,11 @@ def read_portable_hll(
         hll_merge,
     )
 
-    regs = spark.read.parquet(path)
+    # through _read_table like every other sketch reader: recovers the
+    # __backup left by a writer that crashed between the two _swap
+    # renames (a bare spark.read.parquet would raise PATH_NOT_FOUND in
+    # exactly that window)
+    regs = _read_table(spark, path)
+    if regs is None:
+        raise FileNotFoundError(f"no portable-HLL table at {path}")
     return hll_estimate(hll_merge(regs, by=by), by=by, lgm=lgm)

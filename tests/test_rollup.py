@@ -585,3 +585,82 @@ def test_continuous_portable_hll_merges_and_survives_replay(spark, tmp_path):
     # global rollup reads off the same table (view ⊂ click -> 75)
     total = read_portable_hll(spark, path).collect()[0]
     assert abs(total.est_distinct - 75) / 75 < 0.15
+
+
+def test_rollup_merge_null_values_avg_matches_backfill(spark, tmp_path):
+    """A merged partition's avg_value must use the null-skipping
+    denominator: nulls in `value` arriving across two batches for one
+    window previously deflated the merged avg (sum / n_events) vs a
+    batch backfill (F.avg skips nulls)."""
+    src = str(tmp_path / "srcn")
+    out = str(tmp_path / "rollupn")
+    chk = str(tmp_path / "chkn")
+    _write_batchfile(
+        spark,
+        [
+            (0, "2024-01-01 10:00:00", 1, "click", 2.0, "{}"),
+            (1, "2024-01-01 10:10:00", 1, "click", None, "{}"),
+        ],
+        src + "/b1",
+    )
+    _write_batchfile(
+        spark,
+        [
+            (2, "2024-01-01 10:40:00", 1, "click", 4.0, "{}"),
+            (3, "2024-01-01 10:50:00", 1, "click", None, "{}"),
+        ],
+        src + "/b2",
+    )
+    from energy_pandas_spark.streaming.events import EVENTS_SCHEMA
+    from energy_pandas_spark.streaming.rollup import rollup_batch
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = continuous_rollup(stream, out, chk)
+    assert q.awaitTermination(120)
+
+    [row] = spark.read.parquet(out).collect()
+    assert row.n_events == 4 and row.n_values == 2
+    assert row.sum_value == 6.0 and row.avg_value == 3.0  # null-skipping
+
+    [back] = rollup_batch(spark.read.parquet(src + "/*")).collect()
+    assert (row.n_events, row.n_values, row.sum_value, row.avg_value) == (
+        back.n_events, back.n_values, back.sum_value, back.avg_value
+    )
+
+
+def test_read_portable_hll_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between _swap's backup rename and the staging
+    rename: the table exists only as ``__backup``. Every sketch reader
+    must restore it — read_portable_hll used to bypass _read_table and
+    raise PATH_NOT_FOUND here."""
+    import os
+
+    from energy_pandas_spark.streaming.stats import (
+        make_portable_hll_writer,
+        read_portable_hll,
+    )
+
+    path = str(tmp_path / "phll_crash")
+    w = make_portable_hll_writer(path, ["event_type"], "user_id")
+    w(
+        spark.createDataFrame(
+            [("click", i) for i in range(40)],
+            "event_type string, user_id long",
+        ),
+        0,
+    )
+    before = {
+        r.event_type: r.est_distinct
+        for r in read_portable_hll(spark, path, by="event_type").collect()
+    }
+    # simulate the crash window: table renamed to __backup, no staging
+    os.rename(path, path + "__backup")
+    after = {
+        r.event_type: r.est_distinct
+        for r in read_portable_hll(spark, path, by="event_type").collect()
+    }
+    assert after == before

@@ -64,3 +64,44 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert len(rows) == 3
     assert 1 not in emitted and 3 not in emitted
     assert set(emitted) == {0, 2, 4}
+
+
+def test_streaming_dedup_ts_tie_breaks_on_doc_id(spark, tmp_path):
+    """Two copies of one digest with IDENTICAL timestamps in one batch:
+    the emitted first-seen row must be the smallest doc_id — a
+    deterministic winner across retries/replays, not shuffle order."""
+    from pyspark.sql import functions as F
+
+    from energy_pandas_spark.streaming.stateful import (
+        streaming_dedup,
+        with_digest,
+    )
+
+    src = str(tmp_path / "tiesrc")
+    chk = str(tmp_path / "tiechk")
+    (
+        spark.createDataFrame(
+            [(9, "2024-01-01 10:00:00", "same text"),
+             (3, "2024-01-01 10:00:00", "same text"),
+             (5, "2024-01-01 10:00:00", "same text")],
+            "doc_id long, ts_s string, text string",
+        )
+        .select("doc_id", F.to_timestamp("ts_s").alias("ts"), "text")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    q = (
+        streaming_dedup(with_digest(stream))
+        .writeStream.format("memory")
+        .queryName("dedup_tie")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = spark.sql("select * from dedup_tie").collect()
+    assert len(rows) == 1 and rows[0].doc_id == 3

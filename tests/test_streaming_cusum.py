@@ -74,3 +74,40 @@ def test_drained_stream_equals_batch_exactly(spark, tmp_path):
     # the shifted key alarms eventually; the calm key never does
     assert any(a for (k, _), (_, _, a) in streamed.items() if k == "a")
     assert not any(a for (k, _), (_, _, a) in streamed.items() if k == "b")
+
+
+def test_null_value_does_not_kill_the_query(spark, tmp_path):
+    """A NULL value must not crash the kernel (int(nan) raises) nor
+    poison the accumulator: the row scores at the unchanged running
+    statistic, exactly like the batch twin whose quantized NULL is
+    skipped by the prefix window sum."""
+    src = str(tmp_path / "srcn")
+    chk = str(tmp_path / "chkn")
+    rows = [("a", "2024-01-01 10:00:00", 5.0),
+            ("a", "2024-01-01 10:01:00", None),
+            ("a", "2024-01-01 10:02:00", 5.0)]
+    _write(spark, rows, src + "/b1")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_cusum(stream, target=1.0, threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("cusums_null")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        str(r["ts"]): (r["cusum"], r["alarm"])
+        for r in spark.sql("select * from cusums_null").collect()
+    }
+    assert len(got) == 3
+    # NULL row carries the statistic forward unchanged (s after row 1
+    # is 4.0; the NULL row repeats it; row 3 adds another +4)
+    assert got["2024-01-01 10:00:00"] == (4.0, True)
+    assert got["2024-01-01 10:01:00"] == (4.0, True)
+    assert got["2024-01-01 10:02:00"] == (8.0, True)

@@ -190,3 +190,31 @@ def test_frontier_with_robots_gate(spark, tmp_path):
     open_writer(b1, 1)
     after = {r.url for r in read_frontier(spark, frontier).collect()}
     assert after == {"https://b.io/ok", "https://b.io/private/secret"}
+
+
+def test_read_frontier_subtracts_fetch_log(spark, writer_and_paths):
+    """Frontier rows persist after fetch (the seen store only blocks
+    re-EMISSION); passing the crawler's fetch log anti-joins fetched
+    URLs out so a self-driving crawler never re-enqueues them."""
+    w, frontier, seen = writer_and_paths
+    w(
+        _pages(
+            spark,
+            [(1, "https://a.io/1",
+              '<a href="https://b.io/x">l</a><a href="https://b.io/y">r</a>')],
+        ),
+        0,
+    )
+    fetched = spark.createDataFrame(
+        # tracking-tagged variant: canonicalization must still match
+        [("https://b.io/x?utm_source=f",)], "url string"
+    )
+    left = {
+        r.url
+        for r in read_frontier(spark, frontier, fetched=fetched).collect()
+    }
+    assert left == {"https://b.io/y"}
+    # without the fetch log both rows remain (documented behavior)
+    assert {
+        r.url for r in read_frontier(spark, frontier).collect()
+    } == {"https://b.io/x", "https://b.io/y"}

@@ -85,3 +85,26 @@ def test_replay_is_idempotent(spark, writer_and_paths):
     assert {
         r.media_id for r in spark.read.parquet(media_path).collect()
     } == {0, 1, 10}
+
+
+def test_undecodable_image_is_kept_not_silently_dropped(spark, writer_and_paths):
+    """strict=False decode failures (phash NULL) must land in the
+    media corpus — an undecodable input is not evidence of duplication
+    (the url_ingest posture for NULL-canonical rows) — while
+    contributing no signature to the store."""
+    w, media_path, phash_path = writer_and_paths
+
+    broken = spark.createDataFrame(
+        [(7, bytearray(b"not a png at all"),
+          ("image/png", 16, 16, None))],
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    w(_media(spark, [(0, IMG_A)]).unionByName(broken), 0)
+
+    media_ids = {r.media_id for r in spark.read.parquet(media_path).collect()}
+    assert media_ids == {0, 7}  # broken image kept in the corpus
+    store_ids = {
+        r.media_id for r in read_phash_store(spark, phash_path).collect()
+    }
+    assert store_ids == {0}  # ...but contributes no signature
