@@ -11171,73 +11171,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail (the local pytest gate still runs every entry every time).
     return {
         # ORDER MATTERS: the driver hash-checks the first ~50 entries
-        # per round.  Round-4 window = the two r3 reds (fixed) + the
-        # three r2 reds (fixed in r3, never re-proven) + five Section-2
-        # reference-parity canaries (kept permanently at the head so
-        # reference fidelity cannot silently regress while the window
-        # rotates) + 40 never-driver-checked oracles, riskiest
-        # families first (retrieval, pagerank, crawl hygiene,
-        # sketches).  Remaining backlog queues right behind; driver-
-        # green queries park at the tail (the local pytest gate still
-        # runs every entry every time).
-        # -- r3/r2 reds, re-proven this round --
-        "q10_returned_items": q10_returned_items,
-        "encode_docs_vocab": encode_docs_vocab,
-        "hash_split_dist": hash_split_dist,
-        "stratified_sample_langs": stratified_sample_langs,
-        "vocab_top100": vocab_top100,
-        # r1 red (schema mismatch), fixed but never driver-re-proven —
-        # surfaced by scripts/rotation_report.py; heads with the other
-        # fixed-red rows until a green driver row lands
-        "resample_6h": resample_6h,
+        # per round.  Round-5 window (per scripts/rotation_report.py,
+        # VERDICT r4 #1) = six Section-2 reference-parity canaries
+        # (kept permanently at the head so reference fidelity cannot
+        # silently regress while the window rotates; reportdata_pivot
+        # promoted to canary per VERDICT r4 #9) + the 44 highest-
+        # priority never-driver-checked oracles (line-dedup family,
+        # DSIR, containment, curate/diff compositions, diagnostics,
+        # events analytics).  The remaining never-checked backlog
+        # queues right behind for the round-6 drain; driver-green
+        # queries park at the tail (the local pytest gate still runs
+        # every entry every time).
         # -- Section-2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
         "reportdata_series": reportdata_series,
         "to_units_kelvin": to_units_kelvin,
         "ldc": ldc,
         "series_align_arithmetic": series_align_arithmetic,
-        # -- never driver-checked: riskiest families --
-        "search_topk_docs": search_topk_docs,
-        "bm25_topk_docs": bm25_topk_docs,
-        "rrf_fuse_docs": rrf_fuse_docs,
-        "search_all_terms_docs": search_all_terms_docs,
-        "domain_rank_docs": domain_rank_docs,
-        "event_graph_rank": event_graph_rank,
-        "link_graph_docs": link_graph_docs,
-        "link_degrees_docs": link_degrees_docs,
-        "url_canonical_docs": url_canonical_docs,
-        "url_dedup_docs": url_dedup_docs,
-        "domain_stats_docs": domain_stats_docs,
-        "domain_cap_docs": domain_cap_docs,
-        "blocklist_docs": blocklist_docs,
-        "robots_rules_docs": robots_rules_docs,
-        "robots_gate_docs": robots_gate_docs,
-        "fetch_waves_docs": fetch_waves_docs,
-        "html_extract_docs": html_extract_docs,
-        "anchor_texts_docs": anchor_texts_docs,
-        "content_blocks_docs": content_blocks_docs,
-        "main_content_docs": main_content_docs,
-        "domain_templates_docs": domain_templates_docs,
-        "strip_templates_docs": strip_templates_docs,
-        "clean_text_docs": clean_text_docs,
-        "mojibake_stats_docs": mojibake_stats_docs,
-        "fix_mojibake_docs": fix_mojibake_docs,
-        "nfc_docs": nfc_docs,
-        "hll_distinct_docs": hll_distinct_docs,
-        "cm_term_counts_docs": cm_term_counts_docs,
-        "langid_ngram_docs": langid_ngram_docs,
-        "length_weighted_sample_docs": length_weighted_sample_docs,
-        "balanced_cap_docs": balanced_cap_docs,
-        "dedup_keep_best_docs": dedup_keep_best_docs,
-        "split_leakage_docs": split_leakage_docs,
-        "vocab_coverage_docs": vocab_coverage_docs,
-        "boilerplate_docs": boilerplate_docs,
-        "token_budget_select_docs": token_budget_select_docs,
-        "contamination_bloom_docs": contamination_bloom_docs,
-        "corpus_report_docs": corpus_report_docs,
-        "chunk_docs_cdc": chunk_docs_cdc,
+        "reportdata_pivot": reportdata_pivot,
+        # -- never driver-checked: round-5 window --
         "temperature_mixture_docs": temperature_mixture_docs,
-        # -- never driver-checked: next in rotation --
         "doc_hashed_embedding": doc_hashed_embedding,
         "line_dedup_docs": line_dedup_docs,
         "line_dup_stats_docs": line_dup_stats_docs,
@@ -11308,6 +11261,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selection_curve_docs": selection_curve_docs,
         "web_corpus_docs": web_corpus_docs,
         "mixture_plan_docs": mixture_plan_docs,
+        # -- driver-green in round 4 --
+        "q10_returned_items": q10_returned_items,
+        "encode_docs_vocab": encode_docs_vocab,
+        "hash_split_dist": hash_split_dist,
+        "stratified_sample_langs": stratified_sample_langs,
+        "vocab_top100": vocab_top100,
+        "resample_6h": resample_6h,
+        "search_topk_docs": search_topk_docs,
+        "bm25_topk_docs": bm25_topk_docs,
+        "rrf_fuse_docs": rrf_fuse_docs,
+        "search_all_terms_docs": search_all_terms_docs,
+        "domain_rank_docs": domain_rank_docs,
+        "event_graph_rank": event_graph_rank,
+        "link_graph_docs": link_graph_docs,
+        "link_degrees_docs": link_degrees_docs,
+        "url_canonical_docs": url_canonical_docs,
+        "url_dedup_docs": url_dedup_docs,
+        "domain_stats_docs": domain_stats_docs,
+        "domain_cap_docs": domain_cap_docs,
+        "blocklist_docs": blocklist_docs,
+        "robots_rules_docs": robots_rules_docs,
+        "robots_gate_docs": robots_gate_docs,
+        "fetch_waves_docs": fetch_waves_docs,
+        "html_extract_docs": html_extract_docs,
+        "anchor_texts_docs": anchor_texts_docs,
+        "content_blocks_docs": content_blocks_docs,
+        "main_content_docs": main_content_docs,
+        "domain_templates_docs": domain_templates_docs,
+        "strip_templates_docs": strip_templates_docs,
+        "clean_text_docs": clean_text_docs,
+        "mojibake_stats_docs": mojibake_stats_docs,
+        "fix_mojibake_docs": fix_mojibake_docs,
+        "nfc_docs": nfc_docs,
+        "hll_distinct_docs": hll_distinct_docs,
+        "cm_term_counts_docs": cm_term_counts_docs,
+        "langid_ngram_docs": langid_ngram_docs,
+        "length_weighted_sample_docs": length_weighted_sample_docs,
+        "balanced_cap_docs": balanced_cap_docs,
+        "dedup_keep_best_docs": dedup_keep_best_docs,
+        "split_leakage_docs": split_leakage_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "boilerplate_docs": boilerplate_docs,
+        "token_budget_select_docs": token_budget_select_docs,
+        "contamination_bloom_docs": contamination_bloom_docs,
+        "corpus_report_docs": corpus_report_docs,
+        "chunk_docs_cdc": chunk_docs_cdc,
         # -- driver-green in earlier rounds / rows-only --
         "benchmark_contamination": benchmark_contamination,
         "q4_late_orders": q4_late_orders,
@@ -11390,7 +11389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": above_avg_orders,
         "source_side": source_side,
         "rowwise_mean": rowwise_mean,
-        "reportdata_pivot": reportdata_pivot,
         "unstack_periods": unstack_periods,
         "asof_join_hourly": asof_join_hourly,
         "interval_join_windows": interval_join_windows,

@@ -49,7 +49,15 @@ CUSUM_OUTPUT_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType(
-    [StructField("p", LongType()), StructField("mp", LongType())]
+    [
+        StructField("p", LongType()),
+        StructField("mp", LongType()),
+        # 0 until the key's first non-null value: the batch twin's
+        # prefix SUM over zero non-null deviations is NULL, so leading
+        # all-null rows must emit NULL cusum/alarm, not the
+        # zero-initialized statistic (ADVICE r4).
+        StructField("seen", LongType()),
+    ]
 )
 
 
@@ -63,7 +71,7 @@ def _make_cusum_fn(kq: int, hq: int, quant: int):
         if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
             state.remove()
             return
-        p, mp = state.get if state.exists else (0, 0)
+        p, mp, seen = state.get if state.exists else (0, 0, 0)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values("ts", kind="mergesort")
         out_ts, out_v, out_c, out_a = [], [], [], []
@@ -73,13 +81,21 @@ def _make_cusum_fn(kq: int, hq: int, quant: int):
                 # int(nan) raises and would kill the whole query; the
                 # batch twin's F.round(quant*value).cast('long') yields
                 # NULL, which the prefix window SUM skips, so the row
-                # scores at the UNCHANGED running statistic.
-                s = p - mp
+                # scores at the UNCHANGED running statistic — which is
+                # NULL (not 0) while the key has seen no non-null
+                # value at all, because SUM over zero non-null rows is
+                # NULL in the batch twin.
                 out_ts.append(ts)
                 out_v.append(v)
-                out_c.append(s / quant)
-                out_a.append(s >= hq)
+                if seen:
+                    s = p - mp
+                    out_c.append(s / quant)
+                    out_a.append(s >= hq)
+                else:
+                    out_c.append(None)
+                    out_a.append(None)
                 continue
+            seen = 1
             p += _round_half_away(quant * v) - kq
             mp = min(mp, p)  # mp starts at 0, so min(0, min P) for free
             s = p - mp
@@ -87,7 +103,7 @@ def _make_cusum_fn(kq: int, hq: int, quant: int):
             out_v.append(v)
             out_c.append(s / quant)
             out_a.append(s >= hq)
-        state.update((p, mp))
+        state.update((p, mp, seen))
         yield pd.DataFrame(
             {
                 "key": [key[0]] * len(out_v),

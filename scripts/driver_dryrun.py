@@ -34,7 +34,11 @@ def _execute_with_timeout(con, sql: str, seconds: float | None):
     done = threading.Event()
 
     def watchdog() -> None:
-        if not done.wait(seconds):
+        if not done.wait(seconds) and not done.is_set():
+            # Re-check immediately before interrupting: if execute()
+            # returned right as the wait expired, an interrupt on the
+            # now-idle connection could leave a pending cancel flag
+            # that spuriously kills the NEXT oracle (ADVICE r4).
             con.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)

@@ -29,6 +29,9 @@ CANARIES = [
     "to_units_kelvin",
     "ldc",
     "series_align_arithmetic",
+    # VERDICT r4 #9: the only §2 oracle not re-proven since r2 —
+    # promoted to permanent canary so it re-proves every round.
+    "reportdata_pivot",
 ]
 
 

@@ -111,3 +111,59 @@ def test_null_value_does_not_kill_the_query(spark, tmp_path):
     assert got["2024-01-01 10:00:00"] == (4.0, True)
     assert got["2024-01-01 10:01:00"] == (4.0, True)
     assert got["2024-01-01 10:02:00"] == (8.0, True)
+
+
+def test_leading_nulls_emit_null_like_batch(spark, tmp_path):
+    """A key whose rows so far are ALL null must emit NULL cusum/alarm
+    (the batch twin's prefix SUM over zero non-null deviations is
+    NULL), not the zero-initialized statistic — including across a
+    micro-batch boundary, where the 'seen' flag rides the state
+    (ADVICE r4). Once the first non-null lands, later NULL rows carry
+    the running statistic as before. Pinned as a full batch/stream
+    equality, not just spot values."""
+    src = str(tmp_path / "srcln")
+    chk = str(tmp_path / "chkln")
+    # batch 1: key a starts with two NULLs; key b starts non-null
+    _write(spark, [("a", "2024-01-01 10:00:00", None),
+                   ("a", "2024-01-01 10:01:00", None),
+                   ("b", "2024-01-01 10:00:00", 5.0)], src + "/b1")
+    # batch 2: key a is STILL all-null at its head (flag must have
+    # crossed the checkpoint), then gets its first value
+    _write(spark, [("a", "2024-01-01 11:00:00", None),
+                   ("a", "2024-01-01 11:01:00", 5.0),
+                   ("a", "2024-01-01 11:02:00", None),
+                   ("b", "2024-01-01 11:00:00", None)], src + "/b2")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_cusum(stream, target=1.0, threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("cusums_lnull")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        (r["key"], str(r["ts"])): (r["cusum"], r["alarm"])
+        for r in spark.sql("select * from cusums_lnull").collect()
+    }
+    batch = {
+        (r["event_type"], str(r["ts"])): (r["cusum"], r["alarm"])
+        for r in cusum_alarms(
+            spark.read.parquet(src + "/*"), "ts", "value",
+            by="event_type", target=1.0, threshold=3.0,
+        ).collect()
+    }
+    assert streamed == batch
+    # and the shape is what the batch semantics dictate: NULLs until
+    # first value, running statistic after
+    assert streamed[("a", "2024-01-01 10:00:00")] == (None, None)
+    assert streamed[("a", "2024-01-01 11:00:00")] == (None, None)
+    assert streamed[("a", "2024-01-01 11:01:00")] == (4.0, True)
+    assert streamed[("a", "2024-01-01 11:02:00")] == (4.0, True)
+    assert streamed[("b", "2024-01-01 11:00:00")] == (4.0, True)
