@@ -65,15 +65,42 @@ def rollup_batch(batch: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+#: merge function per built-in measure column; a custom ``accumulate``
+#: extends this via the ``measures`` argument
+_BUILTIN_MEASURES = {"n_events": "sum", "n_values": "sum", "sum_value": "sum"}
+_MERGE_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
 def make_rollup_writer(
     path: str,
     window: str = "1 hour",
     accumulate: Callable[[DataFrame], DataFrame] | None = None,
+    measures: dict[str, str] | list[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the idempotent per-micro-batch writer (exposed separately
     from :func:`continuous_rollup` so crash/replay behavior is testable
-    without driving a real stream)."""
+    without driving a real stream).
+
+    ``measures`` declares EXTRA mergeable measure columns a custom
+    ``accumulate`` emits beyond the built-in set — a list (all merged
+    with ``sum``) or a ``{column: "sum"|"max"|"min"}`` dict. Every
+    non-stamp column that is neither a measure nor ``avg_value`` is a
+    GROUPING KEY on merge; an undeclared fractional-numeric column
+    raises instead of silently becoming a key (which would duplicate
+    rows per window on replay-merge — ADVICE r4)."""
     agg_fn = accumulate or (lambda b: rollup_batch(b, window))
+    extra = (
+        {m: "sum" for m in measures}
+        if isinstance(measures, (list, tuple))
+        else dict(measures or {})
+    )
+    bad_fn = {m: f for m, f in extra.items() if f not in _MERGE_FNS}
+    if bad_fn:
+        raise ValueError(
+            f"unsupported merge function(s) {bad_fn}: each custom "
+            f"measure must merge with one of {sorted(_MERGE_FNS)}"
+        )
+    measure_fns = {**_BUILTIN_MEASURES, **extra}
 
     marker = path.rstrip("/") + "__high_water"
 
@@ -102,16 +129,12 @@ def make_rollup_writer(
             if not days:
                 write_marker(spark, batch_id)
                 return
-            # the mergeable measures: summed on re-aggregate; every
-            # other non-stamp column is a GROUPING KEY, so a custom
-            # ``accumulate`` with different dimensions (no event_type,
-            # extra columns) merges correctly as long as it emits
-            # measure columns from this set
-            measures = [
-                c
-                for c in ("n_events", "n_values", "sum_value")
-                if c in fresh.columns
-            ]
+            # the mergeable measures: re-aggregated with their declared
+            # merge fn; every other non-stamp column is a GROUPING KEY,
+            # so a custom ``accumulate`` with different dimensions (no
+            # event_type, extra columns) merges correctly as long as
+            # every measure it emits is declared
+            measures = [c for c in fresh.columns if c in measure_fns]
             derived = [c for c in ("avg_value",) if c in fresh.columns]
             if "avg_value" in derived and not (
                 "sum_value" in measures
@@ -128,6 +151,30 @@ def make_rollup_writer(
                 for c in fresh.columns
                 if c not in measures and c not in derived and c != "__batch_id"
             ]
+            # an undeclared fractional-numeric column is almost
+            # certainly a measure, and grouping by it silently emits
+            # duplicate rows per window on merge (existing vs fresh
+            # rows differ in the value, so they group apart) — fail
+            # loud instead, mirroring the avg_value sufficiency check
+            fractional = {"double", "float"}
+            suspicious = [
+                f.name
+                for f in fresh.schema.fields
+                if f.name in keys
+                and (
+                    f.dataType.typeName() in fractional
+                    or f.dataType.typeName().startswith("decimal")
+                )
+            ]
+            if suspicious:
+                raise ValueError(
+                    f"accumulate() emits fractional-numeric column(s) "
+                    f"{suspicious} outside the mergeable measure set "
+                    f"{sorted(measure_fns)}: declare them via "
+                    f"measures={{'col': 'sum'|'max'|'min'}} or they "
+                    f"would be treated as grouping keys and duplicate "
+                    f"rows per window on merge"
+                )
             try:
                 existing = spark.read.parquet(path).filter(
                     F.col("day").isin(days)
@@ -176,7 +223,12 @@ def make_rollup_writer(
                         )
                     )
                     .groupBy(*keys)
-                    .agg(*[F.sum(m).alias(m) for m in measures])
+                    .agg(
+                        *[
+                            _MERGE_FNS[measure_fns[m]](m).alias(m)
+                            for m in measures
+                        ]
+                    )
                 )
                 if "avg_value" in derived:
                     denom = (
@@ -219,6 +271,7 @@ def continuous_rollup(
     window: str = "1 hour",
     trigger_available_now: bool = True,
     accumulate: Callable[[DataFrame], DataFrame] | None = None,
+    measures: dict[str, str] | list[str] | None = None,
 ):
     """Start the maintenance query; returns the StreamingQuery.
 
@@ -229,7 +282,7 @@ def continuous_rollup(
     would be the purist path — here windows re-aggregate from the
     union, which is exact because the stored grain equals the query
     grain)."""
-    write_batch = make_rollup_writer(path, window, accumulate)
+    write_batch = make_rollup_writer(path, window, accumulate, measures)
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )

@@ -632,6 +632,96 @@ def test_rollup_merge_null_values_avg_matches_backfill(spark, tmp_path):
     )
 
 
+def _max_accumulate(batch):
+    """Custom accumulate emitting a measure OUTSIDE the built-in set."""
+    return (
+        batch.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "max_value",
+        )
+        .withColumn("day", F.to_date("window_start"))
+    )
+
+
+def test_undeclared_custom_measure_raises_not_duplicates(spark, tmp_path):
+    """An accumulate emitting a fractional measure (max_value) that is
+    NOT declared via ``measures`` must raise on merge instead of
+    silently grouping by the measure and emitting duplicate rows per
+    window (ADVICE r4)."""
+    import pytest
+
+    from energy_pandas_spark.streaming.rollup import make_rollup_writer
+
+    src = str(tmp_path / "srcu")
+    out = str(tmp_path / "rollupu")
+    _write_batchfile(
+        spark, [(0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")], src + "/b1"
+    )
+    _write_batchfile(
+        spark, [(1, "2024-01-01 10:30:00", 1, "click", 9.0, "{}")], src + "/b2"
+    )
+    writer = make_rollup_writer(out, accumulate=_max_accumulate)
+    # fails on the very first batch — before any mis-grouped rows land
+    with pytest.raises(ValueError, match="max_value"):
+        writer(spark.read.parquet(src + "/b1"), 0)
+    # bogus merge fn rejected up front
+    with pytest.raises(ValueError, match="merge function"):
+        make_rollup_writer(out, measures={"max_value": "median"})
+
+
+def test_declared_custom_measure_merges_exactly(spark, tmp_path):
+    """With ``measures={'max_value': 'max'}`` the custom measure merges
+    across micro-batches to the batch-recompute value, one row per
+    window, and survives replay."""
+    from energy_pandas_spark.streaming.rollup import make_rollup_writer
+
+    src = str(tmp_path / "srcd")
+    out = str(tmp_path / "rollupd")
+    _write_batchfile(
+        spark,
+        [
+            (0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 10:10:00", 2, "view", 7.0, "{}"),
+        ],
+        src + "/b1",
+    )
+    _write_batchfile(
+        spark,
+        [
+            (2, "2024-01-01 10:30:00", 1, "click", 9.0, "{}"),
+            (3, "2024-01-01 10:40:00", 2, "view", 2.0, "{}"),
+        ],
+        src + "/b2",
+    )
+    writer = make_rollup_writer(
+        out, accumulate=_max_accumulate, measures={"max_value": "max"}
+    )
+    writer(spark.read.parquet(src + "/b1"), 0)
+    writer(spark.read.parquet(src + "/b2"), 1)
+    got = {
+        r.event_type: (r.n_events, r.max_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"click": (2, 9.0), "view": (2, 7.0)}
+    # replayed batch (marker wiped): per-partition stamp still guards
+    import shutil
+
+    shutil.rmtree(out.rstrip("/") + "__high_water", ignore_errors=True)
+    writer(spark.read.parquet(src + "/b2"), 1)
+    again = {
+        r.event_type: (r.n_events, r.max_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+
+
 def test_read_portable_hll_recovers_interrupted_swap(spark, tmp_path):
     """Crash window between _swap's backup rename and the staging
     rename: the table exists only as ``__backup``. Every sketch reader
