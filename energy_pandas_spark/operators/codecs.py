@@ -60,16 +60,136 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # ---------------------------------------------------------------------------
 
 
+def _unfilter_avg_paeth_loop(
+    lines: np.ndarray,
+    filters: np.ndarray,
+    out: np.ndarray,
+    prev: np.ndarray,
+    y0: int,
+    y1: int,
+    bpp: int,
+) -> None:
+    """Scalar unfilter for a run of Average/Paeth rows — the small-image
+    path, where Python-int loops over a bytearray beat numpy's per-call
+    overhead (no scalar boxing)."""
+    stride = out.shape[1]
+    for y in range(y0, y1):
+        cur = bytearray(lines[y].tobytes())
+        pv = prev.tolist()
+        if filters[y] == 3:  # Average
+            for x in range(bpp):
+                cur[x] = (cur[x] + (pv[x] >> 1)) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + ((cur[x - bpp] + pv[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            for x in range(bpp):
+                # a = c = 0 -> the Paeth predictor reduces to b
+                cur[x] = (cur[x] + pv[x]) & 0xFF
+            for x in range(bpp, stride):
+                a = cur[x - bpp]
+                b = pv[x]
+                c = pv[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        out[y] = np.frombuffer(cur, np.uint8)
+        prev = out[y]
+
+
+def _unfilter_avg_paeth_wavefront(
+    lines: np.ndarray,
+    filters: np.ndarray,
+    out: np.ndarray,
+    prev: np.ndarray,
+    y0: int,
+    y1: int,
+    w: int,
+    bpp: int,
+) -> None:
+    """Exact anti-diagonal vectorization for a run of Average/Paeth
+    rows. Both filters depend on (left, up, up-left) at PIXEL
+    granularity, so every pixel (r, g) on anti-diagonal r + g = d is
+    independent given diagonal d-1 — the run unfilters in
+    ``rows + width - 1`` numpy steps instead of ``rows × width × bpp``
+    Python-int iterations, bit-identical (pure int32 arithmetic).
+    Mixed runs are fine: each row applies ITS filter's predictor."""
+    R, G = y1 - y0, w
+    # SKEWED + TRANSPOSED storage so every diagonal is one CONTIGUOUS
+    # slice: T[(r + g) + 2, r + 1] = decoded pixel-group (row y0+r,
+    # group g). Column index r=0 carries the previous scanline (the
+    # up-border); the two extra leading diagonals hold the spec's zero
+    # left/up-left borders, which no pixel write ever touches.
+    D = R + G - 1
+    T = np.zeros((D + 2, R + 1, bpp), np.int32)
+    T[1 : G + 1, 0] = prev.reshape(G, bpp)
+    rawT = np.zeros_like(T)
+    raw = lines[y0:y1].reshape(R, G, bpp)
+    for r in range(R):
+        rawT[r + 2 : r + 2 + G, r + 1] = raw[r]
+    is_avg = (filters[y0:y1] == 3)
+    n_avg = int(is_avg.sum())
+    pure_avg, pure_paeth = n_avg == R, n_avg == 0
+    # preallocated scratch: every per-diagonal temporary writes into a
+    # view of these, so the hot loop allocates nothing
+    m = min(R, G)
+    s1, s2, s3, s4 = (np.empty((m, bpp), np.int32) for _ in range(4))
+    b1, b2 = (np.empty((m, bpp), bool) for _ in range(2))
+    for d in range(D):
+        lo = 0 if d < G else d - G + 1
+        hi = min(R - 1, d)
+        n = hi - lo + 1
+        a = T[d + 1, lo + 1 : hi + 2]  # left
+        b = T[d + 1, lo : hi + 1]  # up
+        c = T[d, lo : hi + 1]  # up-left
+        cur = T[d + 2, lo + 1 : hi + 2]
+        if pure_avg:
+            np.add(a, b, out=cur)
+            cur >>= 1
+        else:
+            # pa = |p - a| = |b - c|, pb = |p - b| = |a - c|,
+            # pc = |p - c| = |a + b - 2c|
+            pa = np.abs(np.subtract(b, c, out=s1[:n]), out=s1[:n])
+            pb = np.abs(np.subtract(a, c, out=s2[:n]), out=s2[:n])
+            pc = np.add(a, b, out=s3[:n])
+            pc -= c
+            pc -= c
+            np.abs(pc, out=pc)
+            pred = s4[:n]
+            np.copyto(pred, c)
+            np.less_equal(pb, pc, out=b1[:n])
+            np.copyto(pred, b, where=b1[:n])
+            np.less_equal(pa, pb, out=b1[:n])
+            np.less_equal(pa, pc, out=b2[:n])
+            b1[:n] &= b2[:n]
+            np.copyto(pred, a, where=b1[:n])
+            if not pure_paeth:  # mixed run: per-row filter choice
+                np.add(a, b, out=s2[:n])
+                s2[:n] >>= 1
+                np.copyto(pred, s2[:n], where=is_avg[lo : hi + 1, None])
+            np.copyto(cur, pred)
+        cur += rawT[d + 2, lo + 1 : hi + 2]
+        cur &= 0xFF
+    dest = out[y0:y1].reshape(R, G, bpp)
+    for r in range(R):
+        dest[r] = T[r + 2 : r + 2 + G, r + 1]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to a ``(h, w, c)`` uint8 array.
 
-    Pure spec implementation: chunk walk -> IDAT inflate -> per-scanline
-    unfilter (None/Sub/Up/Average/Paeth). Filters 0/1/2 unfilter fully
-    vectorized (Sub is a per-channel prefix sum mod 256 -> cumsum; Up is
-    a wrapping uint8 add); Average/Paeth carry a true left-to-right data
-    dependency, so those rows run a Python-int loop over a bytearray
-    (~8x faster than per-element numpy indexing — no scalar boxing).
-    Register a PIL/turbo codec for decode-bound workloads."""
+    Pure spec implementation: chunk walk -> IDAT inflate -> unfilter
+    (None/Sub/Up/Average/Paeth) over maximal RUNS of same-class rows:
+    a run of None rows is one slice copy, a run of Up rows is one
+    column-wise cumsum mod 256, Sub rows are per-row channel cumsums,
+    and runs of Average/Paeth rows — the truly left-dependent filters —
+    unfilter on an exact anti-diagonal WAVEFRONT (rows+width numpy
+    steps) when the run is large enough to amortize numpy call
+    overhead, else a Python-int loop. All paths are bit-identical pure
+    integer arithmetic. Register a PIL/turbo codec via ``set_decoder``
+    for decode-bound production workloads."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos, idat = 8, []
@@ -98,52 +218,61 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG pixel data")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    lines = arr[:, 1:]
+    if filters.max(initial=0) > 4:
+        bad = int(filters[filters > 4][0])
+        raise ValueError(f"bad PNG filter {bad}")
+    if not filters.any():  # all-None (our own encoder's output): 1 copy
+        return np.ascontiguousarray(lines).reshape(h, w, channels)
     out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
     bpp = channels
-    for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1)
-        if f == 0:
-            out[y] = line
-        elif f == 2:  # Up: wrapping uint8 add, fully vectorized
-            np.add(line, prev, out=out[y])
+    y = 0
+    while y < h:
+        f = filters[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:  # run of None rows: one slice copy
+            y2 = y + 1
+            while y2 < h and filters[y2] == 0:
+                y2 += 1
+            out[y:y2] = lines[y:y2]
+        elif f == 2:  # run of Up rows: one column cumsum mod 256
+            y2 = y + 1
+            while y2 < h and filters[y2] == 2:
+                y2 += 1
+            block = lines[y:y2].cumsum(axis=0, dtype=np.int64)
+            block += prev
+            out[y:y2] = block & 0xFF
         elif f == 1:  # Sub: per-channel prefix sum mod 256
+            y2 = y + 1
             out[y] = (
-                line.reshape(w, bpp)
+                lines[y]
+                .reshape(w, bpp)
                 .cumsum(axis=0, dtype=np.int64)
                 .reshape(stride)
                 & 0xFF
             )
-        elif f == 3:  # Average: sequential left dep -> Python-int loop
-            cur = bytearray(line.tobytes())
-            pv = prev.tolist()
-            for x in range(bpp):
-                cur[x] = (cur[x] + (pv[x] >> 1)) & 0xFF
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + ((cur[x - bpp] + pv[x]) >> 1)) & 0xFF
-            out[y] = np.frombuffer(cur, np.uint8)
-        elif f == 4:  # Paeth: sequential left dep -> Python-int loop
-            cur = bytearray(line.tobytes())
-            pv = prev.tolist()
-            for x in range(bpp):
-                # a = c = 0 -> the Paeth predictor reduces to b
-                cur[x] = (cur[x] + pv[x]) & 0xFF
-            for x in range(bpp, stride):
-                a = cur[x - bpp]
-                b = pv[x]
-                c = pv[x - bpp]
-                p = a + b - c
-                pa = p - a if p >= a else a - p
-                pb = p - b if p >= b else b - p
-                pc = p - c if p >= c else c - p
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-            out[y] = np.frombuffer(cur, np.uint8)
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        prev = out[y]
+        else:  # run of Average/Paeth rows (mixed runs allowed)
+            y2 = y + 1
+            while y2 < h and filters[y2] in (3, 4):
+                y2 += 1
+            # wavefront pays (rows+width) numpy-call overheads to save
+            # rows*width*bpp Python iterations — only a win once the
+            # diagonals are wide (min(rows, width)*bpp elements) AND
+            # the run is big enough overall
+            if (
+                min(y2 - y, w) * bpp >= 256
+                and (y2 - y) * stride >= 8192
+            ):
+                _unfilter_avg_paeth_wavefront(
+                    lines, filters, out, prev, y, y2, w, bpp
+                )
+            else:
+                _unfilter_avg_paeth_loop(
+                    lines, filters, out, prev, y, y2, bpp
+                )
+        y = y2
     return out.reshape(h, w, channels)
 
 

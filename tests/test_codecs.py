@@ -517,6 +517,84 @@ def test_png_mixed_filters_per_row():
     assert np.array_equal(decode_png(png), img)
 
 
+def _filtered_png(img, filts):
+    """Hand-filter an image per the PNG spec with a per-row filter list."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    stride, bpp = w * c, c
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines, prev = [], np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        filt = int(filts[y])
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filt == 0:
+            enc = cur
+        elif filt == 1:
+            enc = (cur - left) % 256
+        elif filt == 2:
+            enc = (cur - prev) % 256
+        elif filt == 3:
+            enc = (cur - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_wavefront_paths_bit_identical():
+    """Large Average/Paeth runs take the anti-diagonal WAVEFRONT
+    unfilter (the numpy fast path for real-world Paeth-heavy PNGs);
+    small runs take the scalar loop. Both must reconstruct exactly —
+    pinned through the public decoder on images big enough to cross
+    the dispatch thresholds, including a mixed 3/4 run and run
+    boundaries against vectorized 0/1/2 rows."""
+    import numpy as np
+
+    from energy_pandas_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(123)
+    h, w = 130, 120
+    for c, mode in [(3, "paeth"), (3, "avg"), (3, "mix"), (1, "paeth")]:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        if mode == "paeth":
+            filts = np.full(h, 4)
+        elif mode == "avg":
+            filts = np.full(h, 3)
+        else:
+            filts = rng.integers(3, 5, h)
+        # break the run with vectorized-path rows at both ends
+        filts[0], filts[h // 2], filts[-1] = 2, 1, 0
+        got = decode_png(_filtered_png(img, filts))
+        assert np.array_equal(got, img), (c, mode)
+
+
 class TestCodecProperties:
     """Hypothesis round-trips: pure-Python codecs, no Spark — generous
     example counts are cheap here."""
