@@ -1599,13 +1599,20 @@ FROM documents ORDER BY doc_id
 
 
 def doc_min_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-flavored rolling fingerprint (min xxhash64 over char
-    5-shingles) — rows-only (xxhash64 has no DuckDB twin)."""
+    """Winnowing-flavored rolling fingerprint (operators/text.py:
+    minhash_fingerprint): min hash over char 5-shingles of the
+    normalized text. Uses the engine-portable md5 hasher so the DuckDB
+    oracle replays the fingerprint bit-for-bit (the cm/hll hash-gate
+    idiom) — promoted from rows-only in r5 (VERDICT r4 #6)."""
     _prep(spark)
     from energy_pandas_spark.operators.text import minhash_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_fingerprint(docs).select("doc_id", "min_fp").orderBy("doc_id")
+    return (
+        minhash_fingerprint(docs, hasher="md5")
+        .select("doc_id", "min_fp")
+        .orderBy("doc_id")
+    )
 
 
 _TOKEN_COUNT_SQL = """
@@ -3898,13 +3905,19 @@ ORDER BY query_id, rank
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, the standard 64-bit
-    near-dup threshold -> 4 bands with guaranteed candidate recall) —
-    rows-only."""
+    near-dup threshold -> 4 bands with guaranteed candidate recall).
+    Uses the engine-portable md5 token hasher so the DuckDB oracle
+    replays the signatures AND the pair set exactly (banding recall is
+    guaranteed by pigeonhole, so LSH pairs == brute-force pairs unless
+    a bucket cap fires — and the oracle would expose that) — promoted
+    from rows-only in r5 (VERDICT r4 #6)."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_neardup_pairs(docs, max_hamming=3, hasher="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4176,21 +4189,25 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical distinct-count rollup WITHOUT rescans: per
-    (type, day) HLL sketches reduce the events table once; the
-    per-type and global levels merge sketch bytes only. Rows-only
-    check (approximate by design; error bounds asserted in tests)."""
+    (type, day) portable-HLL register tables reduce the events table
+    once; the per-type level merges registers only (one integer max —
+    bit-equal to building over the union, so the DuckDB oracle replays
+    the merged sketch from raw rows exactly, collisions included).
+    Promoted from rows-only in r5 (VERDICT r4 #6) by switching from
+    the DataSketches HLL to the engine-portable md5-register sketch
+    with the quantized estimate (the hll_distinct_docs idiom)."""
     _prep(spark)
     from energy_pandas_spark.operators.sketches import (
-        cardinality_sketches,
-        merge_cardinality,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
     )
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    daily = cardinality_sketches(ev, "user_id", by=["event_type", "day"])
-    return (
-        merge_cardinality(daily, by="event_type")
-        .select("event_type", "approx_distinct")
-        .orderBy("event_type")
+    daily = hll_registers(ev, "user_id", by=["event_type", "day"], lgm=8)
+    merged = hll_merge(daily, by="event_type")
+    return hll_estimate(merged, by="event_type", lgm=8, quantize=1024).orderBy(
+        "event_type"
     )
 
 
@@ -9452,10 +9469,13 @@ def hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs, by="lang", lgm=8, quantize=1024).orderBy("lang")
 
 
-def _hll_distinct_sql(lgm: int = 8, quantize: int = 1024) -> str:
-    """Oracle: replay the md5 registers, the exact integer harmonic
-    state, and the SAME linear-counting lookup table hll_estimate
-    builds (both sides derive it from Python libm once)."""
+def _hll_oracle_sql(
+    src: str, key: str, lgm: int = 8, quantize: int = 1024
+) -> str:
+    """Shared portable-HLL oracle body: replay the md5 registers, the
+    exact integer harmonic state, and the SAME linear-counting lookup
+    table hll_estimate builds (both sides derive it from Python libm
+    once). ``src`` is a CTE body yielding (``key``, val VARCHAR)."""
     import math
 
     from energy_pandas_spark.util import round_half_away
@@ -9468,40 +9488,122 @@ def _hll_distinct_sql(lgm: int = 8, quantize: int = 1024) -> str:
     )
     scale = repr(float(m * m * (1 << (b + 1))))
     return rf"""
-WITH tok AS (
-  SELECT lang,
-         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
-                                               '\s+'), x -> x != '')) AS term
-  FROM documents
+WITH src AS (
+{src}
 ), h AS (
-  SELECT lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS v FROM tok
+  SELECT {key}, ('0x' || substr(md5(val), 1, 15))::BIGINT AS v FROM src
 ), br AS (
-  SELECT lang, (v % {m})::INT AS bucket,
+  SELECT {key}, (v % {m})::INT AS bucket,
          (CASE WHEN (v >> {lgm}) = 0 THEN {b + 1}
                ELSE {b} - (length(bin(v >> {lgm})) - 1) END)::INT AS rho
   FROM h
 ), regs AS (
-  SELECT lang, bucket, max(rho) AS r FROM br GROUP BY 1, 2
+  SELECT {key}, bucket, max(rho) AS r FROM br GROUP BY 1, 2
 ), agg AS (
-  SELECT lang, count(*)::BIGINT AS present,
+  SELECT {key}, count(*)::BIGINT AS present,
          sum(1::BIGINT << ({b + 1} - r))::BIGINT AS zp
   FROM regs GROUP BY 1
 ), st AS (
-  SELECT lang, ({m} - present)::BIGINT AS n_zero,
+  SELECT {key}, ({m} - present)::BIGINT AS n_zero,
          (zp + ({m} - present) * (1::BIGINT << {b + 1}))::BIGINT AS z_scaled
   FROM agg
 ), est AS (
-  SELECT lang, n_zero, z_scaled,
+  SELECT {key}, n_zero, z_scaled,
          (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {float(m)!r}::DOUBLE))
            * {scale} / z_scaled::DOUBLE AS raw
   FROM st
 )
-SELECT lang, {m} AS m, n_zero, z_scaled,
+SELECT {key}, {m} AS m, n_zero, z_scaled,
        CASE WHEN raw <= {2.5 * m!r} AND n_zero > 0
             THEN ([{table}])[n_zero::INT]::BIGINT
             ELSE round(raw * {float(quantize)!r})::BIGINT
        END AS est_distinct_q
-FROM est ORDER BY lang
+FROM est ORDER BY {key}
+"""
+
+
+def _hll_distinct_sql(lgm: int = 8, quantize: int = 1024) -> str:
+    """Oracle for hll_distinct_docs: distinct terms per language."""
+    return _hll_oracle_sql(
+        r"""  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\s+'), x -> x != '')) AS val
+  FROM documents""",
+        key="lang",
+        lgm=lgm,
+        quantize=quantize,
+    )
+
+
+def _sketch_rollup_sql(lgm: int = 8, quantize: int = 1024) -> str:
+    """Oracle for sketch_rollup_users: the per-type merge of per-day
+    register tables is one integer max on (type, bucket) — bit-equal
+    to building the register table per type from raw rows, so the
+    oracle skips the day level entirely and replays the merged sketch
+    directly."""
+    return _hll_oracle_sql(
+        "  SELECT event_type, user_id::VARCHAR AS val FROM events",
+        key="event_type",
+        lgm=lgm,
+        quantize=quantize,
+    )
+
+
+# Oracle for doc_min_fingerprint: replay normalization (lower,
+# collapse \s+, trim), char 5-shingles (whole string when shorter),
+# and the portable 60-bit md5 hash; min per doc; NULL text -> NULL.
+_DOC_MIN_FP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+), sh AS (
+  SELECT doc_id, substr(s, i, 5) AS g
+  FROM norm, unnest(range(1, length(s) - 3)) AS t(i)
+  WHERE length(s) >= 5
+  UNION ALL
+  SELECT doc_id, s AS g FROM norm WHERE s IS NOT NULL AND length(s) < 5
+), fp AS (
+  SELECT doc_id, min(('0x' || substr(md5(g), 1, 15))::BIGINT) AS min_fp
+  FROM sh GROUP BY 1
+)
+SELECT d.doc_id, fp.min_fp
+FROM documents d LEFT JOIN fp USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# Oracle for simhash_pairs: replay the md5-token SimHash (bit votes
+# over the 60 hash bits; token-less docs sign 0) and brute-force ALL
+# pairs at hamming <= 3 — banding recall is pigeonhole-guaranteed, so
+# the LSH pair set must equal the brute-force set (a fired bucket cap
+# would surface here as a missing pair).
+_SIMHASH_PAIRS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS t
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS v FROM tok
+), votes AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE 0 END)::BIGINT AS ones,
+         count(*)::BIGINT AS n
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+  GROUP BY 1, 2
+), sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << bit)
+                  ELSE 0::BIGINT END)::BIGINT AS sh
+  FROM votes GROUP BY 1
+), sigs AS (
+  SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS sh
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
 """
 
 
@@ -11251,6 +11353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selection_curve_docs": selection_curve_docs,
         "web_corpus_docs": web_corpus_docs,
         "mixture_plan_docs": mixture_plan_docs,
+        # promoted from rows-only to oracle-backed in r5 (md5-hasher
+        # variants + exact sketch replay): never hash-checked, queue
+        # for the r6 window
+        "sketch_rollup_users": sketch_rollup_users,
+        "doc_min_fingerprint": doc_min_fingerprint,
+        "simhash_pairs": simhash_pairs,
         # -- driver-green in round 4 --
         "q10_returned_items": q10_returned_items,
         "encode_docs_vocab": encode_docs_vocab,
@@ -11407,9 +11515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top100": ngram_top100,
         "redact_pii_docs": redact_pii_docs,
         "compression_ratio_docs": compression_ratio_docs,
-        "sketch_rollup_users": sketch_rollup_users,
-        "doc_min_fingerprint": doc_min_fingerprint,
-        "simhash_pairs": simhash_pairs,
         "embedding_neardup": embedding_neardup,
         "ivf_topk": ivf_topk,
         "media_features": media_features,
@@ -11555,6 +11660,9 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate_docs": _ROBOTS_GATE_SQL,
         "fetch_waves_docs": _FETCH_WAVES_SQL,
         "hll_distinct_docs": _hll_distinct_sql(),
+        "sketch_rollup_users": _sketch_rollup_sql(),
+        "doc_min_fingerprint": _DOC_MIN_FP_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "pack_stats_docs": _PACK_STATS_SQL,
         "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
         "kn_lm_score_docs": _KN_LM_SCORE_SQL,

@@ -619,6 +619,7 @@ def simhash64(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "simhash",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens — zero shuffle.
 
@@ -633,7 +634,23 @@ def simhash64(
     This replaced a 64-column vote hash-aggregate (explode + groupBy):
     that shape shuffled 65 longs/doc and cost ~10x the tokenize+hash
     time in the 64 per-row sum updates; the map-side kernel removes
-    the exchange entirely, so the operator scales with the scan."""
+    the exchange entirely, so the operator scales with the scan.
+
+    ``hasher="md5"`` swaps the token hash for the engine-portable
+    60-bit md5-hex-prefix (the hash-gate idiom shared with the
+    HLL/Count-Min sketches): token hashes then occupy bits 0..59, the
+    top 4 signature bits stay 0 (no token ever votes them), and an
+    external SQL engine can replay the signature — and the near-dup
+    pairs built on it — bit-for-bit."""
+    if hasher == "xxhash64":
+        hfn = lambda t: F.xxhash64(t)  # noqa: E731 - transform() rejects
+        # xxhash64's *cols signature (VAR_POSITIONAL), a lambda is fine
+    elif hasher == "md5":
+        hfn = lambda t: F.conv(  # noqa: E731 - mirrors sketches.py
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     # NULL text -> NULL token array (split/filter/transform all propagate
     # NULL); coalesce to an empty array so token-less docs get signature 0
@@ -641,7 +658,7 @@ def simhash64(
     hashed = _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.coalesce(
-            F.transform(toks, lambda t: F.xxhash64(t)),
+            F.transform(toks, hfn),
             F.array().cast("array<bigint>"),
         ).alias("__hs"),
     )
@@ -693,6 +710,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: the 64-bit signature splits into
     ``max_hamming + 1`` near-equal-width bands (pigeonhole: a pair
@@ -703,7 +721,7 @@ def simhash_neardup_pairs(
     the same bucket-grouped double-explode as MinHash (one shuffle, no
     self-join); verification runs inside the bucket before the pair
     distinct, so only true near-dups reach the final shuffle."""
-    sh = simhash64(df, text_col, id_col)
+    sh = simhash64(df, text_col, id_col, hasher=hasher)
     return hamming_neardup_pairs(
         sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,
         max_bucket=max_bucket,

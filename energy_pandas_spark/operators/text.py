@@ -355,16 +355,32 @@ def minhash_fingerprint(
     text_col: str = "text",
     out_col: str = "min_fp",
     shingle_size: int = 5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-flavored rolling fingerprint: the minimum 64-bit hash
     over the document's character shingles — robust to small edits,
-    computed as array_min(transform(shingles, xxhash64)). The normalized
+    computed as array_min(transform(shingles, hash)). The normalized
     text materializes in its own projection so the regex normalization
-    runs once per document, not once per shingle position."""
+    runs once per document, not once per shingle position.
+
+    ``hasher="xxhash64"`` (default) is the fast JVM path;
+    ``hasher="md5"`` uses the engine-portable 60-bit md5-hex-prefix
+    hash every other sketch in the engine exposes, so an external SQL
+    engine can replay the fingerprint bit-for-bit (the hash-gate
+    idiom)."""
+    if hasher == "xxhash64":
+        hfn = lambda s: F.xxhash64(s)  # noqa: E731 - transform() rejects
+        # xxhash64's *cols signature (VAR_POSITIONAL), a lambda is fine
+    elif hasher == "md5":
+        hfn = lambda s: F.conv(  # noqa: E731 - mirrors sketches.py
+            F.substring(F.md5(s), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     norm = df.withColumn("__norm", normalized_text(text_col))
     sh = char_shingles_of_text("__norm", shingle_size)
     return norm.withColumn(
-        out_col, F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+        out_col, F.array_min(F.transform(sh, hfn))
     ).drop("__norm")
 
 
