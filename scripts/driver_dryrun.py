@@ -51,7 +51,15 @@ def _execute_with_timeout(con, sql: str, seconds: float | None):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    # first arg: head size N, or an explicit comma-separated query-name
+    # list (for targeted probes, e.g. the top-cost family at sf1)
+    names = None
+    n = 50
+    if len(sys.argv) > 1:
+        try:
+            n = int(sys.argv[1])
+        except ValueError:
+            names = [q for q in sys.argv[1].split(",") if q]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     oracle_timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
@@ -70,7 +78,13 @@ def main() -> None:
     con = ddb_connect(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    head = list(queries)[:n]
+    if names:
+        unknown = [q for q in names if q not in queries]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
+        head = names
+    else:
+        head = list(queries)[:n]
     bad = []
     timed_out = []
     for name in head:
