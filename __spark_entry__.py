@@ -11264,16 +11264,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver hash-checks the first ~50 entries
         # per round.  Round-5 window (per scripts/rotation_report.py,
-        # VERDICT r4 #1) = six Section-2 reference-parity canaries
+        # VERDICT r4 #1) = doc_min_fingerprint FIRST (the single
+        # RED-but-unproven row left from r1 — it was no_oracle then,
+        # promoted to a bit-exact md5 oracle in r5, so the driver can
+        # finally prove it), six Section-2 reference-parity canaries
         # (kept permanently at the head so reference fidelity cannot
         # silently regress while the window rotates; reportdata_pivot
-        # promoted to canary per VERDICT r4 #9) + the 44 highest-
+        # promoted to canary per VERDICT r4 #9), then the 43 highest-
         # priority never-driver-checked oracles (line-dedup family,
         # DSIR, containment, curate/diff compositions, diagnostics,
         # events analytics).  The remaining never-checked backlog
         # queues right behind for the round-6 drain; driver-green
         # queries park at the tail (the local pytest gate still runs
         # every entry every time).
+        # -- RED-unproven head (rotation_report rule: fixed-but-never-
+        #    re-proven rows outrank everything) --
+        "doc_min_fingerprint": doc_min_fingerprint,
         # -- Section-2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
         "reportdata_series": reportdata_series,
@@ -11355,9 +11361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_docs": mixture_plan_docs,
         # promoted from rows-only to oracle-backed in r5 (md5-hasher
         # variants + exact sketch replay): never hash-checked, queue
-        # for the r6 window
+        # for the r6 window (doc_min_fingerprint, the third promotion,
+        # heads the r5 window above as the sole RED-unproven row)
         "sketch_rollup_users": sketch_rollup_users,
-        "doc_min_fingerprint": doc_min_fingerprint,
         "simhash_pairs": simhash_pairs,
         # -- driver-green in round 4 --
         "q10_returned_items": q10_returned_items,

@@ -31,23 +31,36 @@ def _execute_with_timeout(con, sql: str, seconds: float | None):
         return con.execute(sql)
     import threading
 
-    done = threading.Event()
+    import duckdb
 
-    def watchdog() -> None:
-        if not done.wait(seconds) and not done.is_set():
-            # Re-check immediately before interrupting: if execute()
-            # returned right as the wait expired, an interrupt on the
-            # now-idle connection could leave a pending cancel flag
-            # that spuriously kills the NEXT oracle (ADVICE r4).
-            con.interrupt()
+    # Two layers of defense against the completion/timeout race
+    # (ADVICE r4): the watchdog re-checks done right before
+    # interrupting, and — because an interrupt can still land on an
+    # idle connection in the window between execute() returning and
+    # done.set(), leaving a pending cancel flag that kills the NEXT
+    # oracle — an InterruptException whose OWN watchdog never fired is
+    # treated as stale and retried once.
+    for attempt in (0, 1):
+        done = threading.Event()
+        fired = threading.Event()
 
-    t = threading.Thread(target=watchdog, daemon=True)
-    t.start()
-    try:
-        return con.execute(sql)
-    finally:
-        done.set()
-        t.join()
+        def watchdog() -> None:
+            if not done.wait(seconds) and not done.is_set():
+                fired.set()
+                con.interrupt()
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return con.execute(sql)
+        except duckdb.InterruptException:
+            if fired.is_set() or attempt == 1:
+                raise
+            # stale interrupt from a prior oracle's watchdog; the flag
+            # is now consumed — run this oracle again
+        finally:
+            done.set()
+            t.join()
 
 
 def main() -> None:
