@@ -48,7 +48,7 @@ KEYS = {
     },
     "events": {"event_id": 10**9, "user_id": 10**7},
     "documents": {"doc_id": 10**8},
-    "embeddings": {"id": 10**8},
+    "embeddings": {"vec_id": 10**8},
 }
 
 
@@ -117,7 +117,7 @@ def main() -> None:
                             x.cast("double")
                             + (
                                 F.pmod(
-                                    F.xxhash64(F.col("id"), i, F.lit(k)),
+                                    F.xxhash64(F.col("vec_id"), i, F.lit(k)),
                                     F.lit(1000),
                                 ).cast("double")
                                 / F.lit(2000.0)
