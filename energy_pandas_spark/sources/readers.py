@@ -18,6 +18,7 @@ import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 __all__ = ["load_table", "load_tables", "TABLE_NAMES"]
 
@@ -55,6 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
+        # nanosAsLong only applies when Spark infers the schema from
+        # the parquet footer: files that carry Spark's own row-metadata
+        # (e.g. the Spark-written sf1 scale probe) resolve the column
+        # straight to TimestampType, so gate the rebuild on the ACTUAL
+        # read dtype — rebuilding a TimestampType column would be a
+        # type error, and it needs no repair.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # integer `div`, NOT double division: ns values exceed the 2^53
         # exact-double range, so a float path rounds the microsecond
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -21,11 +21,18 @@ from energy_pandas_spark.sources.readers import TABLE_NAMES
 def ddb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """A DuckDB connection with every test table registered as a view
     over the same parquet files the Spark queries read."""
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # driver testdata ships <table>.parquet as a single FILE; the
+        # locally-generated scale probes are Spark-written DIRECTORIES
+        # of part files — glob accordingly so both layouts register
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
