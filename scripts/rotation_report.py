@@ -35,8 +35,11 @@ CANARIES = [
 ]
 
 
-def main() -> None:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+def rotation_state(window: int = 50) -> dict:
+    """Compute the rotation bookkeeping from the accumulated
+    CORRECTNESS artifacts. Shared by the report CLI and the
+    head-ordering enforcement test (tests/test_rotation.py), so the
+    policy and its check cannot drift."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     import __spark_entry__ as entrymod
@@ -67,13 +70,6 @@ def main() -> None:
     red_unproven = [
         q for q in never if q in last_red
     ]  # red once, fixed, never re-proven — highest priority
-
-    print(f"registry: {len(queries)} queries / {len(oracle_backed)} oracles")
-    print(f"driver-checked at least once: {len(last_green)}")
-    print(f"never checked: {len(never)} (backlog; window={window})")
-    if red_unproven:
-        print(f"RED-but-unproven fixes (head these): {red_unproven}")
-
     head = list(
         dict.fromkeys(
             red_unproven
@@ -82,6 +78,34 @@ def main() -> None:
             + stale
         )
     )[:window]
+    return {
+        "window": window,
+        "queries": queries,
+        "oracle_backed": oracle_backed,
+        "last_green": last_green,
+        "never": never,
+        "stale": stale,
+        "red_unproven": red_unproven,
+        "head": head,
+    }
+
+
+def main() -> None:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    st = rotation_state(window)
+    queries = st["queries"]
+    oracle_backed = st["oracle_backed"]
+    last_green = st["last_green"]
+    never = st["never"]
+    red_unproven = st["red_unproven"]
+
+    print(f"registry: {len(queries)} queries / {len(oracle_backed)} oracles")
+    print(f"driver-checked at least once: {len(last_green)}")
+    print(f"never checked: {len(never)} (backlog; window={window})")
+    if red_unproven:
+        print(f"RED-but-unproven fixes (head these): {red_unproven}")
+
+    head = st["head"]
     print("\nsuggested next-round head (reorder queries() to match):")
     for i, q in enumerate(head, 1):
         tag = (
