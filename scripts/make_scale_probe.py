@@ -51,6 +51,16 @@ KEYS = {
     "embeddings": {"vec_id": 10**8},
 }
 
+# name columns bijective with a key in the source data (TPC-H names
+# embed the key): suffix them per copy k>0, or ten distinct keys would
+# share one name and any name-grouping oracle (e.g. q21's GROUP BY
+# s_name) would merge rows the key-grouping plan keeps apart
+NAME_COLS = {
+    "supplier": ["s_name"],
+    "customer": ["c_name"],
+    "part": ["p_name"],
+}
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -86,6 +96,11 @@ def main() -> None:
             c = base
             for col, space in keys.items():
                 c = c.withColumn(col, F.col(col) + F.lit(k * space))
+            if k > 0:
+                for col in NAME_COLS.get(t, ()):
+                    c = c.withColumn(
+                        col, F.concat(F.col(col), F.lit(f"~{k}"))
+                    )
             if k > 0 and t == "documents":
                 toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                 c = c.withColumn(
