@@ -4047,30 +4047,37 @@ def doc_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier: one codegen'd
-    projection (tokenize -> md5-bucket weights -> sequential fold),
-    zero shuffles."""
+    projection (tokenize -> md5-bucket weights -> one map-combined
+    aggregate). Ships the EXACT integer micro-score
+    ``(S * 1e6) div (1024 * n)`` rather than ``round(score, 6)``: the
+    sf1 probe caught a document whose dyadic score was exactly
+    -0.0628125 — a decimal half where Spark's HALF_UP round and
+    DuckDB's ties-to-even disagree. Integer `div` truncates toward
+    zero on BOTH engines, so the micro-score has no rounding anywhere
+    on its path."""
     _prep(spark)
     from energy_pandas_spark.operators.text import classifier_score
 
     docs = _t(spark, sf_dir, "documents")
     return (
         classifier_score(docs)
-        .select("doc_id", "score", "label_pred")
+        .select("doc_id", "score_micro", "label_pred")
         .orderBy("doc_id")
     )
 
 
 _CLASSIFIER_SQL = r"""
 SELECT doc_id,
-       round(CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE s / len(toks) END, 6) AS score,
-       (CASE WHEN len(toks) = 0 THEN 0.0 ELSE s / len(toks) END
-          > 0.0)::INT AS label_pred
+       (CASE WHEN len(toks) = 0 THEN 0
+             ELSE (sq * 1000000) // (1024 * len(toks)) END)::BIGINT
+         AS score_micro,
+       (CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE sq / 1024.0 / len(toks) END > 0.0)::INT AS label_pred
 FROM (
   SELECT doc_id, toks,
          list_sum(list_transform(toks, t ->
-           (('0x' || substr(md5('clf-v1' || t), 1, 15))::BIGINT % 2049
-              - 1024) / 1024.0)) AS s
+           ('0x' || substr(md5('clf-v1' || t), 1, 15))::BIGINT % 2049
+              - 1024))::BIGINT AS sq
   FROM (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'),

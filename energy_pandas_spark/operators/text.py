@@ -54,6 +54,7 @@ __all__ = [
     "compression_ratio",
     "collocations",
     "hashed_feature_weight",
+    "hashed_feature_weight_q",
     "classifier_score",
     "hashed_doc_features",
     "train_text_classifier",
@@ -1069,11 +1070,25 @@ def hashed_feature_weight(
     representable in a double, making the fold order-independent —
     scores are bit-identical across engines AND across summation
     orders (partial aggregation, re-partitioning)."""
+    half = (resolution - 1) // 2
+    return hashed_feature_weight_q(token, salt, resolution) / F.lit(
+        float(half)
+    )
+
+
+def hashed_feature_weight_q(
+    token: Column, salt: str = "clf-v1", resolution: int = 2049
+) -> Column:
+    """The INTEGER numerator of :func:`hashed_feature_weight` (the
+    weight is this over ``(resolution - 1) // 2``). Summing these
+    longs instead of the dyadic doubles lets callers derive
+    engine-portable integer quantizations (micro-scores) with no
+    float rounding anywhere on the path."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), token)), 1, 15), 16, 10
     ).cast("long")
     half = (resolution - 1) // 2
-    return (h % F.lit(resolution) - F.lit(half)) / F.lit(float(half))
+    return (h % F.lit(resolution) - F.lit(half)).cast("long")
 
 
 def classifier_score(
@@ -1096,19 +1111,36 @@ def classifier_score(
     weights are dyadic rationals every partial sum is exact, so the
     exploded aggregation order produces bit-identical scores to any
     sequential fold (and to the DuckDB oracle)."""
+    resolution = 2049
+    half = (resolution - 1) // 2
+    w_q = hashed_feature_weight_q(F.col("__t"), salt, resolution)
     src = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     per_doc = src.groupBy(id_col).agg(
-        F.sum(hashed_feature_weight(F.col("__t"), salt)).alias("__total"),
+        F.sum(w_q).alias("__sq"),
         F.count(F.lit(1)).alias("__n"),
     )
+    total = F.col("__sq") / F.lit(float(half))
     score = F.when(
         F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(bias)
-    ).otherwise(F.col("__total") / F.col("__n") + F.lit(bias))
+    ).otherwise(total / F.col("__n") + F.lit(bias))
+    # Exact integer micro-score: (S * 1e6) div (half * n) (+ quantized
+    # bias), pure BIGINT arithmetic — Spark `div` and DuckDB `//` both
+    # truncate toward zero, so the value is engine-portable even where
+    # round(score, 6) lands on an exact decimal half (the sf1 probe
+    # caught Spark's HALF_UP vs DuckDB's ties-to-even disagreeing on
+    # score -0.0628125; a dyadic S/(1024*n) can BE such a tie).
+    bias_micro = int(round(bias * 1_000_000))
+    micro = F.when(
+        F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(bias_micro)
+    ).otherwise(
+        F.expr(f"(__sq * 1000000L) div ({half}L * __n)") + F.lit(bias_micro)
+    )
     return (
         df.join(per_doc, id_col, "left")
         .withColumn("score", F.round(score, 6))
+        .withColumn("score_micro", micro.cast("long"))
         .withColumn("label_pred", (score > F.lit(threshold)).cast("int"))
-        .drop("__total", "__n")
+        .drop("__sq", "__n")
     )
 
 

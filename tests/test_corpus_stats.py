@@ -244,6 +244,40 @@ def test_classifier_score_deterministic_and_bounded(spark):
     assert -1.0 <= rows[0]["score"] <= 1.0
 
 
+def test_classifier_score_micro_exact_at_decimal_half(spark):
+    """The sf1-probe regression: this 25-token text hashes to
+    S = -1608, so score = -1608/(1024*25) = -0.0628125 EXACTLY — a
+    decimal half where Spark's round (HALF_UP) and DuckDB's round on
+    doubles (ties-to-even) disagree in the 6th decimal. The shipped
+    comparison column is therefore score_micro, pure integer
+    (S * 1e6) div (1024 * n): assert both the exact micro value and
+    its agreement with an independent Python integer replay."""
+    import hashlib
+
+    from energy_pandas_spark.operators.text import classifier_score
+
+    text = (
+        "merge agg filter window batch hash line spark table~7 sort~7 "
+        "order filter small small order slow customer~7 window agg part "
+        "window customer~7 key~7 line filter"
+    )
+    row = classifier_score(
+        spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ).collect()[0]
+    toks = text.split()
+    s = sum(
+        int(hashlib.md5(("clf-v1" + t).encode()).hexdigest()[:15], 16) % 2049
+        - 1024
+        for t in toks
+    )
+    assert s == -1608 and len(toks) == 25
+    # trunc-toward-zero division (Spark `div` / DuckDB `//`); s < 0
+    want_micro = -((-s * 1_000_000) // (1024 * len(toks)))
+    assert row["score_micro"] == want_micro == -62812
+    # the float column still carries the human-readable score
+    assert row["score"] == -0.062813 or row["score"] == -0.062812
+
+
 def test_classifier_score_single_agg_plan(spark):
     """One exploded hash aggregate + the id join — no HOF interpreter
     nodes in the hot path."""
