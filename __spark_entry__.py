@@ -67,13 +67,21 @@ def _m(name: str):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem (scan -> filter ->
     hash agg with map-side partials; Catalyst pushes the shipdate filter
-    into the parquet scan).  Money sums run in exact decimal (order-free);
-    avg_qty stays double because l_quantity is integral (exact anyway)."""
+    into the parquet scan).  Money sums run in exact decimal (order-free).
+    The averages ship as micro-quantized BIGINTs
+    ``(cents * 10^4) div n`` — a ratio of a 2-dp decimal over a count
+    CAN be an exact decimal half (the tumbling_1h sf1 precedent:
+    13911.30/320 = 43.4728125) where Spark's HALF_UP round and DuckDB's
+    ties-to-even disagree; integer `div` truncates toward zero
+    identically on both engines."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     disc_f = (1 - F.col("l_discount")).cast(_DRATE)
     tax_f = (1 + F.col("l_tax")).cast(_DRATE)
     n = F.count(F.lit(1))
+    qty_cents = (F.sum(_m("l_quantity")) * 100).cast("long")
+    price_cents = (F.sum(_m("l_extendedprice")) * 100).cast("long")
+    disc_cents = (F.sum(F.col("l_discount").cast(_DRATE)) * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -88,14 +96,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_m("l_extendedprice") * disc_f * tax_f), 2)
             .cast("double")
             .alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.sum(_m("l_extendedprice")).cast("double") / n, 6).alias(
-                "avg_price"
-            ),
-            F.round(
-                F.sum(F.col("l_discount").cast(_DRATE)).cast("double") / n, 6
-            ).alias("avg_disc"),
+            (qty_cents * 10000).alias("__qc"),
+            (price_cents * 10000).alias("__pc"),
+            (disc_cents * 10000).alias("__dc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.expr("__qc div count_order").alias("avg_qty_micro"),
+            F.expr("__pc div count_order").alias("avg_price_micro"),
+            F.expr("__dc div count_order").alias("avg_disc_micro"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -110,11 +126,12 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice::DECIMAL(12,2)
                  * (1 - l_discount)::DECIMAL(4,2)
                  * (1 + l_tax)::DECIMAL(4,2)), 2)::DOUBLE      AS sum_charge,
-       round(avg(l_quantity), 6)                               AS avg_qty,
-       round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE
-             / count(*), 6)                                    AS avg_price,
-       round(sum(l_discount::DECIMAL(4,2))::DOUBLE
-             / count(*), 6)                                    AS avg_disc,
+       ((sum(l_quantity::DECIMAL(12,2)) * 100)::BIGINT
+         * 10000 // count(*))::BIGINT                          AS avg_qty_micro,
+       ((sum(l_extendedprice::DECIMAL(12,2)) * 100)::BIGINT
+         * 10000 // count(*))::BIGINT                          AS avg_price_micro,
+       ((sum(l_discount::DECIMAL(4,2)) * 100)::BIGINT
+         * 10000 // count(*))::BIGINT                          AS avg_disc_micro,
        count(*)                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1252,19 +1269,22 @@ def rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rolling_aggregate(
         ev, "ts", "value", 3600, by="user_id", aggs=("sum", "count")
     )
+    # micro-quantized avg: a decimal-sum/count ratio can be an exact
+    # decimal half where cross-engine round(,6) tie-breaking diverges
+    # (the tumbling_1h sf1 precedent)
     return out.select(
         "event_id",
-        F.round(
-            F.col("rolling_sum").cast("double") / F.col("rolling_count"), 6
-        ).alias("rolling_avg"),
+        F.expr(
+            "(CAST(rolling_sum * 100 AS BIGINT) * 10000L) div rolling_count"
+        ).alias("rolling_avg_micro"),
         F.col("rolling_count").alias("rolling_n"),
     ).orderBy("event_id")
 
 
 _ROLLING_SQL = """
 SELECT event_id,
-       round(CAST(sum(value::DECIMAL(12,2)) OVER w AS DOUBLE)
-             / count(value) OVER w, 6) AS rolling_avg,
+       ((sum(value::DECIMAL(12,2)) OVER w * 100)::BIGINT
+         * 10000 // count(value) OVER w)::BIGINT AS rolling_avg_micro,
        count(value) OVER w AS rolling_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1307,16 +1327,18 @@ def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").withColumn("value", _m("value"))
     out = windowed_aggregate(ev, "1 hour")
-    # exact decimal sum (order-free across partial-agg combines); avg
-    # derives from the exact sum as identical doubles on both engines
+    # exact decimal sum (order-free across partial-agg combines); the
+    # avg ships micro-quantized — the sf1 probe caught a window whose
+    # exact avg was 13911.30/320 = 43.4728125, a decimal half where
+    # Spark's HALF_UP round and DuckDB's ties-to-even disagree
     return out.select(
         "window_start",
         "event_type",
         "n_events",
         F.round("sum_value", 6).cast("double").alias("sum_value"),
-        F.round(
-            F.col("sum_value").cast("double") / F.col("n_events"), 6
-        ).alias("avg_value"),
+        F.expr(
+            "(CAST(sum_value * 100 AS BIGINT) * 10000L) div n_events"
+        ).alias("avg_value_micro"),
     ).orderBy("window_start", "event_type")
 
 
@@ -1324,7 +1346,8 @@ _TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        round(sum(value::DECIMAL(12,2)), 6)::DOUBLE AS sum_value,
-       round(sum(value::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_value
+       ((sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000 // count(*))::BIGINT
+         AS avg_value_micro
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -4894,13 +4917,17 @@ def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free hashed-BOW document embeddings (operators/text.py:
     hashed_embedding): ±1 feature hashing into 16 components,
     L2-normalized — deterministic text→vector with an exact SQL twin
-    (md5 buckets + correctly-rounded sqrt)."""
+    (md5 buckets + correctly-rounded sqrt). Ships micro-quantized
+    integer components floor((x * 1e6) / norm): both engines floor the
+    IDENTICAL correctly-rounded double, where round(,6) would be
+    tie-ambiguous whenever the sum of squares is a perfect square
+    (rational component = possible exact decimal half)."""
     _prep(spark)
     from energy_pandas_spark.operators.text import hashed_embedding
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        hashed_embedding(docs, dim=16)
+        hashed_embedding(docs, dim=16, micro=True)
         .select("doc_id", "embedding")
         .orderBy("doc_id")
     )
@@ -4931,8 +4958,9 @@ WITH t AS (
 )
 SELECT doc_id,
        CASE WHEN nrm > 0
-            THEN [round(x::DOUBLE / nrm, 6) FOR x IN raw]
-            ELSE [0.0 FOR x IN raw] END AS embedding
+            THEN [CAST(floor(x::DOUBLE * 1000000 / nrm) AS BIGINT)
+                  FOR x IN raw]
+            ELSE [0::BIGINT FOR x IN raw] END AS embedding
 FROM n ORDER BY doc_id
 """
 
@@ -5763,7 +5791,7 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            "mean_word_len",
+            "mean_word_len_micro",
             "n_symbol_chars",
             "n_alpha_words",
             "n_stopword_hits",
@@ -5806,8 +5834,9 @@ WITH c AS (
 )
 SELECT doc_id,
        n_words::BIGINT AS n_words,
-       CASE WHEN n_words = 0 THEN 0.0
-            ELSE round(word_chars / n_words, 6) END AS mean_word_len,
+       (CASE WHEN n_words = 0 THEN 0
+             ELSE (word_chars * 1000000) // n_words END)::BIGINT
+         AS mean_word_len_micro,
        symbols AS n_symbol_chars,
        alpha_words::BIGINT AS n_alpha_words,
        stop_hits::BIGINT AS n_stopword_hits,
@@ -6865,8 +6894,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = docs.filter(F.col("__b") < 500)
     train = docs.filter(F.col("__b") >= 500)
-    return contamination_overlap(train, bench, n=5, threshold=0.5).orderBy(
-        "doc_id"
+    return (
+        contamination_overlap(train, bench, n=5, threshold=0.5)
+        # overlap_micro (integer `div`) instead of the rounded float:
+        # n_hits/n_grams can be an exact decimal half where
+        # cross-engine round(,6) tie-breaking diverges
+        .select("doc_id", "n_grams", "n_hits", "overlap_micro", "contaminated")
+        .orderBy("doc_id")
     )
 
 
@@ -6885,9 +6919,11 @@ def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = docs.filter(F.col("__b") < 500)
     train = docs.filter(F.col("__b") >= 500)
-    return contamination_overlap_bloom(
-        train, bench, n=5, threshold=0.5
-    ).orderBy("doc_id")
+    return (
+        contamination_overlap_bloom(train, bench, n=5, threshold=0.5)
+        .select("doc_id", "n_grams", "n_hits", "overlap_micro", "contaminated")
+        .orderBy("doc_id")
+    )
 
 
 _CONTAMINATION_SQL = r"""
@@ -6921,8 +6957,8 @@ WITH bucketed AS (
 SELECT doc_id,
        count(*) AS n_grams,
        sum(hit)::BIGINT AS n_hits,
-       round(sum(hit)::DOUBLE / count(*), 6) AS overlap,
-       round(sum(hit)::DOUBLE / count(*), 6) >= 0.5 AS contaminated
+       ((sum(hit)::BIGINT * 1000000) // count(*))::BIGINT AS overlap_micro,
+       (sum(hit)::BIGINT * 1000000 >= 500000 * count(*)) AS contaminated
 FROM probe GROUP BY 1 ORDER BY 1
 """
 

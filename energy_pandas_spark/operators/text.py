@@ -629,6 +629,32 @@ def redact_pii(
     return df.withColumns({**counts, out_col: out})
 
 
+def _overlap_projection(
+    agg: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared overlap output: the human-readable rounded ratio, an
+    engine-exact integer micro twin, and an integer-exact contamination
+    flag. n_hits/n_grams is a ratio of integers, so round(,6) can land
+    on an exact decimal half where Spark's HALF_UP and DuckDB's
+    ties-to-even disagree (the classifier sf1 precedent) — the gated
+    comparison and the flag ride pure BIGINT arithmetic instead."""
+    overlap = F.round(
+        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    thr_micro = int(round(threshold * 1_000_000))
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        overlap.alias("overlap"),
+        F.expr("(n_hits * 1000000L) div n_grams").alias("overlap_micro"),
+        (
+            F.col("n_hits") * F.lit(1_000_000)
+            >= F.lit(thr_micro) * F.col("n_grams")
+        ).alias("contaminated"),
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     benchmark: DataFrame,
@@ -675,16 +701,7 @@ def contamination_overlap(
         F.count(F.lit(1)).alias("n_grams"),
         F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
     )
-    overlap = F.round(
-        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
-    )
-    return agg.select(
-        id_col,
-        "n_grams",
-        "n_hits",
-        overlap.alias("overlap"),
-        (overlap >= F.lit(threshold)).alias("contaminated"),
-    )
+    return _overlap_projection(agg, id_col, threshold)
 
 
 def hashed_embedding(
@@ -693,6 +710,7 @@ def hashed_embedding(
     dim: int = 64,
     salt: str = "emb-v1",
     out_col: str = "embedding",
+    micro: bool = False,
 ) -> DataFrame:
     """Deterministic model-free document embeddings: the classic
     hashing-trick BOW projection (feature hashing with a ±1 sign hash,
@@ -757,10 +775,31 @@ def hashed_embedding(
             "__raw", F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).cast("double")
     )
-    vec = F.when(
-        norm > 0,
-        F.transform("__raw", lambda x: F.round(x.cast("double") / norm, 6)),
-    ).otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
+    if micro:
+        # engine-exact integer quantization: floor((x * 1e6) / norm).
+        # x * 1e6 is exact in a double (|x| <= n_tokens), the division
+        # is correctly rounded, so both engines floor the IDENTICAL
+        # double — no tie ambiguity. round(x / norm, 6) is NOT safe:
+        # when norm is rational (perfect-square sum of squares) the
+        # component can be an exact decimal half, where Spark's
+        # HALF_UP and DuckDB's ties-to-even disagree (the classifier
+        # sf1 precedent).
+        vec = F.when(
+            norm > 0,
+            F.transform(
+                "__raw",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1000000.0) / norm
+                ).cast("long"),
+            ),
+        ).otherwise(F.transform("__raw", lambda x: F.lit(0).cast("long")))
+    else:
+        vec = F.when(
+            norm > 0,
+            F.transform(
+                "__raw", lambda x: F.round(x.cast("double") / norm, 6)
+            ),
+        ).otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
     return with_toks.withColumn(out_col, vec).drop(
         "__toks", "__pairs", "__raw"
     )
@@ -909,16 +948,7 @@ def contamination_overlap_bloom(
     agg = counts.join(hits, id_col, "left").withColumn(
         "n_hits", F.coalesce("n_hits", F.lit(0)).cast("long")
     )
-    overlap = F.round(
-        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
-    )
-    return agg.select(
-        id_col,
-        "n_grams",
-        "n_hits",
-        overlap.alias("overlap"),
-        (overlap >= F.lit(threshold)).alias("contaminated"),
-    )
+    return _overlap_projection(agg, id_col, threshold)
 
 
 def repetition_stats(
@@ -2917,6 +2947,7 @@ def gopher_rules(
         {
             "n_words": n_words.cast("long"),
             "mean_word_len": F.round(mean_wl, 6),
+            "__wc": word_chars.cast("long"),
             "n_symbol_chars": symbols,
             "n_bullet_lines": bullet_lines.cast("long"),
             "n_ellipsis_lines": ellipsis_lines.cast("long"),
@@ -2925,6 +2956,18 @@ def gopher_rules(
             **rules,
         }
     )
+    # engine-exact integer twin of mean_word_len: word_chars/n_words is
+    # an integer ratio, so round(,6) can land on an exact decimal half
+    # where Spark's HALF_UP and DuckDB's ties-to-even disagree (the
+    # classifier sf1 precedent); `div` truncates toward zero
+    # identically on both engines
+    out = out.withColumn(
+        "mean_word_len_micro",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (__wc * 1000000L) div n_words "
+            "ELSE 0L END"
+        ),
+    ).drop("__wc")
     passes = None
     for name in rules:
         c = F.col(name)
