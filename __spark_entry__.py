@@ -3186,7 +3186,14 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return mixed_language_stats(injected).orderBy("doc_id")
+    return (
+        mixed_language_stats(injected)
+        .select(
+            "doc_id", "n_lines", "n_langs", "majority_lang",
+            "majority_lines", "majority_share_micro", "is_mixed",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _mixed_language_sql() -> str:
@@ -3235,8 +3242,9 @@ SELECT d.doc_id,
        coalesce(per.n_langs, 0)::BIGINT AS n_langs,
        coalesce(mj.majority_lang, 'und') AS majority_lang,
        coalesce(mj.majority_lines, 0)::BIGINT AS majority_lines,
-       round(coalesce(mj.majority_lines, 0)
-             / greatest(coalesce(per.n_lines, 0), 1), 6) AS majority_share,
+       (coalesce(mj.majority_lines, 0) * 1000000
+        // greatest(coalesce(per.n_lines, 0), 1))::BIGINT
+         AS majority_share_micro,
        (coalesce(per.n_langs, 0) >= 2
         AND coalesce(mj.majority_lines, 0) * 1000
             < 700 * coalesce(per.n_lines, 0)) AS is_mixed
@@ -3404,8 +3412,12 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).orderBy(
-        "id_a", "id_b"
+    return (
+        minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+        # jaccard_micro (integer div) instead of the rounded float:
+        # round-at-tie class (SURVEY r5 addendum)
+        .select("id_a", "id_b", "jaccard_micro")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -3482,9 +3494,13 @@ def crosscorpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") >= 250)
     store = docs.filter(F.col("doc_id") < 250)
-    return crosscorpus_neardup_pairs(
-        new, store, threshold=0.5, num_hashes=64, bands=32
-    ).orderBy("id_new", "id_store")
+    return (
+        crosscorpus_neardup_pairs(
+            new, store, threshold=0.5, num_hashes=64, bands=32
+        )
+        .select("id_new", "id_store", "jaccard_micro")
+        .orderBy("id_new", "id_store")
+    )
 
 
 _CROSSCORPUS_SQL = r"""
@@ -3498,13 +3514,17 @@ WITH sh AS (
     FROM documents
   )
 )
-SELECT id_new, id_store, jaccard FROM (
+SELECT id_new, id_store,
+       (CASE WHEN u = 0 THEN 0 ELSE i * 1000000 // u END)::BIGINT
+         AS jaccard_micro
+FROM (
   SELECT a.doc_id AS id_new, b.doc_id AS id_store,
-         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         len(list_intersect(a.grams, b.grams))::BIGINT AS i,
+         len(list_distinct(list_concat(a.grams, b.grams)))::BIGINT AS u
   FROM sh a JOIN sh b ON a.doc_id >= 250 AND b.doc_id < 250
 )
-WHERE jaccard >= 0.5
+WHERE CASE WHEN u = 0 THEN 0 >= 500000
+           ELSE i * 1000000 >= 500000 * u END
 ORDER BY id_new, id_store
 """
 
@@ -3513,6 +3533,7 @@ def _brute_jaccard_sql(threshold: float) -> str:
     # word-3-gram shingles exactly as functions.textfns.word_shingles:
     # docs shorter than 3 tokens contribute their full join (the i=1
     # slice of a short list IS the whole list)
+    t_micro = int(round(threshold * 1_000_000))
     return rf"""
 WITH sh AS (
   SELECT doc_id, list_distinct([
@@ -3524,13 +3545,17 @@ WITH sh AS (
     FROM documents
   )
 )
-SELECT id_a, id_b, jaccard FROM (
+SELECT id_a, id_b,
+       (CASE WHEN u = 0 THEN 0 ELSE i * 1000000 // u END)::BIGINT
+         AS jaccard_micro
+FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         len(list_intersect(a.grams, b.grams))::BIGINT AS i,
+         len(list_distinct(list_concat(a.grams, b.grams)))::BIGINT AS u
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
-WHERE jaccard >= {threshold}
+WHERE CASE WHEN u = 0 THEN 0 >= {t_micro}
+           ELSE i * 1000000 >= {t_micro} * u END
 ORDER BY id_a, id_b
 """
 
@@ -3711,8 +3736,13 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return containment_pairs(docs, threshold=0.6, shingle_size=3).orderBy(
-        "id_a", "id_b"
+    return (
+        containment_pairs(docs, threshold=0.6, shingle_size=3)
+        .select(
+            "id_a", "id_b", "size_a", "size_b", "n_inter",
+            "containment_micro",
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -3734,9 +3764,10 @@ WITH sh AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, size_a, size_b, n_inter,
-       round(n_inter / least(size_a, size_b), 6) AS containment
+       (n_inter * 1000000 // least(size_a, size_b))::BIGINT
+         AS containment_micro
 FROM pairs
-WHERE n_inter >= 0.6 * least(size_a, size_b)
+WHERE n_inter * 1000000 >= 600000 * least(size_a, size_b)
 ORDER BY id_a, id_b
 """
 
@@ -3950,7 +3981,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.35).orderBy("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+        .select("id_a", "id_b", "jaccard_micro")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4137,7 +4172,11 @@ def key_skew_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.analytics import skew_stats
 
     ev = _t(spark, sf_dir, "events")
-    return skew_stats(ev, "event_type", top=5)
+    # micro integer ratios instead of rounded floats (round-at-tie
+    # class, SURVEY r5 addendum)
+    return skew_stats(ev, "event_type", top=5).select(
+        "event_type", "n_rows", "row_share_micro", "skew_factor_micro"
+    )
 
 
 _SKEW_SQL = """
@@ -4146,8 +4185,8 @@ WITH counts AS (
 ),
 tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
 SELECT event_type, n_rows,
-       round(n_rows / total::DOUBLE, 6) AS row_share,
-       round(n_rows * n_keys / total::DOUBLE, 6) AS skew_factor
+       (n_rows * 1000000 // total)::BIGINT AS row_share_micro,
+       (n_rows * n_keys * 1000000 // total)::BIGINT AS skew_factor_micro
 FROM counts, tot
 ORDER BY n_rows DESC, event_type
 LIMIT 5
@@ -4250,11 +4289,19 @@ def value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # floor((x * 1e6)) of the window-function double: both engines
+    # compute the identical (r-1)/(n-1) and k/n doubles, and floor of
+    # one double is unambiguous — round(,6) is tie-ambiguous when the
+    # partition size makes the rank ratio an exact decimal half
     return ev.select(
         "event_id",
         "event_type",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * F.lit(1000000.0)).alias(
+            "pct_rank_micro"
+        ),
+        F.floor(F.cume_dist().over(w) * F.lit(1000000.0)).alias(
+            "cume_micro"
+        ),
     ).orderBy("event_id")
 
 
@@ -4367,8 +4414,9 @@ ORDER BY event_type, ts
 
 _RANK_STATS_SQL = """
 SELECT event_id, event_type,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+         AS pct_rank_micro,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_micro
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 ORDER BY event_id
@@ -4384,7 +4432,11 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import span_dup_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return span_dup_stats(docs, k=8).orderBy("doc_id")
+    return (
+        span_dup_stats(docs, k=8)
+        .select("doc_id", "n_spans", "n_dup_spans", "dup_frac_micro")
+        .orderBy("doc_id")
+    )
 
 
 _DUP_SPANS_SQL = r"""
@@ -4407,8 +4459,9 @@ per AS (
 SELECT d.doc_id,
        coalesce(per.n_spans, 0) AS n_spans,
        coalesce(per.n_dup, 0) AS n_dup_spans,
-       round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
-                  ELSE per.n_dup / per.n_spans::DOUBLE END, 6) AS dup_frac
+       (CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0
+             ELSE coalesce(per.n_dup, 0) * 1000000 // per.n_spans
+        END)::BIGINT AS dup_frac_micro
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id
 """
@@ -5039,7 +5092,14 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import source_vocab_overlap
 
     docs = _t(spark, sf_dir, "documents")
-    return source_vocab_overlap(docs).orderBy("source_a", "source_b")
+    return (
+        source_vocab_overlap(docs)
+        .select(
+            "source_a", "source_b", "vocab_a", "vocab_b", "n_shared",
+            "jaccard_micro",
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 _SOURCE_OVERLAP_SQL = r"""
@@ -5059,7 +5119,8 @@ SELECT s.source_a, s.source_b,
        sa.n_terms::BIGINT AS vocab_a,
        sb.n_terms::BIGINT AS vocab_b,
        s.n_shared::BIGINT AS n_shared,
-       round(s.n_shared / (sa.n_terms + sb.n_terms - s.n_shared), 6) AS jaccard
+       (s.n_shared * 1000000
+        // (sa.n_terms + sb.n_terms - s.n_shared))::BIGINT AS jaccard_micro
 FROM shared s
 JOIN sizes sa ON sa.source = s.source_a
 JOIN sizes sb ON sb.source = s.source_b
@@ -5545,7 +5606,10 @@ def line_dup_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("text"),
     )
-    return line_dup_stats(lined)
+    return line_dup_stats(lined).select(
+        "n_lines", "n_distinct_lines", "n_dup_lines",
+        "dup_occurrence_micro", "n_blank_lines",
+    )
 
 
 _LINE_DUP_STATS_SQL = r"""
@@ -5568,8 +5632,8 @@ WITH tk AS (
 SELECT coalesce(sum(c), 0)::BIGINT AS n_lines,
        count(*)::BIGINT AS n_distinct_lines,
        coalesce(sum((c >= 2)::INT), 0)::BIGINT AS n_dup_lines,
-       round(coalesce(sum(c - 1), 0)
-             / greatest(coalesce(sum(c), 0), 1), 6) AS dup_occurrence_frac,
+       (coalesce(sum(c - 1), 0) * 1000000
+        // greatest(coalesce(sum(c), 0), 1))::BIGINT AS dup_occurrence_micro,
        (SELECT count(*) FROM keyed WHERE key IS NULL)::BIGINT AS n_blank_lines
 FROM per
 """
@@ -5914,7 +5978,13 @@ def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.pipeline import corpus_report
 
     docs = _t(spark, sf_dir, "documents")
-    return corpus_report(docs)
+    # micro integer ratios instead of rounded floats (round-at-tie
+    # class, SURVEY r5 addendum)
+    return corpus_report(docs).select(
+        "n_docs", "total_tokens", "total_chars", "n_unique_contents",
+        "n_empty_docs", "n_langs", "n_sources",
+        "dup_ratio_micro", "avg_tokens_micro",
+    )
 
 
 _CORPUS_REPORT_SQL = """
@@ -5929,11 +5999,12 @@ SELECT count(*) AS n_docs,
          AS n_empty_docs,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
-       round((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),
-                 '\\s+', ' ', 'g'))))) / greatest(count(*), 1), 6) AS dup_ratio,
-       round(coalesce(sum(len(list_filter(string_split_regex(lower(text),
-                 '\\s+'), x -> x != ''))), 0) / greatest(count(*), 1), 6)
-         AS avg_tokens
+       ((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g'))))) * 1000000
+        // greatest(count(*), 1))::BIGINT AS dup_ratio_micro,
+       (coalesce(sum(len(list_filter(string_split_regex(lower(text),
+                 '\\s+'), x -> x != ''))), 0) * 1000000
+        // greatest(count(*), 1))::BIGINT AS avg_tokens_micro
 FROM documents
 """
 
@@ -6502,7 +6573,9 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import vocab_coverage
 
     docs = _t(spark, sf_dir, "documents")
-    return vocab_coverage(docs, top=100)
+    return vocab_coverage(docs, top=100).select(
+        "vocab_size", "covered_tokens", "total_tokens", "coverage_micro"
+    )
 
 
 _VOCAB_COVERAGE_SQL = """
@@ -6528,7 +6601,8 @@ WITH tf AS (
   FROM documents
 )
 SELECT vocab_size, covered_tokens, total_tokens,
-       round(covered_tokens / greatest(total_tokens, 1), 6) AS coverage
+       (covered_tokens * 1000000 // greatest(total_tokens, 1))::BIGINT
+         AS coverage_micro
 FROM cov, tot
 """
 
@@ -6545,7 +6619,13 @@ def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import boilerplate_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return boilerplate_stats(docs, df_ratio=0.78).orderBy("doc_id")
+    return (
+        boilerplate_stats(docs, df_ratio=0.78)
+        .select(
+            "doc_id", "n_tokens", "boilerplate_tokens", "boilerplate_micro"
+        )
+        .orderBy("doc_id")
+    )
 
 
 _BOILERPLATE_SQL = """
@@ -6572,8 +6652,8 @@ WITH tf AS (
 SELECT d.doc_id,
        coalesce(n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(boilerplate_tokens, 0)::BIGINT AS boilerplate_tokens,
-       round(coalesce(boilerplate_tokens, 0)
-             / greatest(coalesce(n_tokens, 0), 1), 6) AS boilerplate_fraction
+       (coalesce(boilerplate_tokens, 0) * 1000000
+        // greatest(coalesce(n_tokens, 0), 1))::BIGINT AS boilerplate_micro
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY doc_id
 """
@@ -7011,7 +7091,14 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.operators.text import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return (
+        repetition_stats(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", "top_gram_count", "n_top_grams", "dup_gram_count",
+            "n_dup_grams", "top_gram_micro", "dup_gram_micro",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _REPETITION_SQL = r"""
@@ -7038,10 +7125,13 @@ SELECT doc_id,
        coalesce(sum(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt END), 0)::BIGINT
          AS dup_gram_count,
        sum(CASE WHEN tag = 'dup' THEN cnt END)::BIGINT AS n_dup_grams,
-       round(max(CASE WHEN tag = 'top' THEN cnt END)::DOUBLE
-             / sum(CASE WHEN tag = 'top' THEN cnt END), 6) AS top_gram_frac,
-       round(coalesce(sum(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt END), 0)::DOUBLE
-             / sum(CASE WHEN tag = 'dup' THEN cnt END), 6) AS dup_gram_frac
+       (max(CASE WHEN tag = 'top' THEN cnt END)::BIGINT * 1000000
+        // greatest(sum(CASE WHEN tag = 'top' THEN cnt END), 1))::BIGINT
+         AS top_gram_micro,
+       (coalesce(sum(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt END), 0)::BIGINT
+          * 1000000
+        // greatest(sum(CASE WHEN tag = 'dup' THEN cnt END), 1))::BIGINT
+         AS dup_gram_micro
 FROM c GROUP BY 1 ORDER BY 1
 """
 
@@ -7423,7 +7513,7 @@ def url_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_urls",
             "n_domains",
-            "link_density",
+            "link_density_micro",
             F.array_join("domains", ",").alias("domains"),
         )
         .orderBy("doc_id")
@@ -7451,8 +7541,8 @@ WITH injected AS (
 SELECT doc_id,
        len(urls)::BIGINT AS n_urls,
        len(doms)::BIGINT AS n_domains,
-       round(coalesce(list_sum(list_transform(urls, x -> len(x))), 0)::DOUBLE
-             / greatest(len(t), 1), 6) AS link_density,
+       (coalesce(list_sum(list_transform(urls, x -> len(x))), 0)::BIGINT
+          * 1000000 // greatest(len(t), 1))::BIGINT AS link_density_micro,
        array_to_string(doms, ',') AS domains
 FROM ex ORDER BY doc_id
 """
@@ -7728,7 +7818,7 @@ def blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return blocklist_stats(docs, _BLOCKLIST_TERMS).select(
-        "doc_id", "n_blocklist_hits", "n_blocklist_terms", "blocklist_frac"
+        "doc_id", "n_blocklist_hits", "n_blocklist_terms", "blocklist_micro"
     ).orderBy("doc_id")
 
 
@@ -7744,8 +7834,9 @@ SELECT doc_id,
          ::BIGINT AS n_blocklist_hits,
        len(list_intersect(list_distinct(toks), ['dup', 'slow', 'the']))
          ::BIGINT AS n_blocklist_terms,
-       round(len(list_filter(toks, t -> list_contains(['dup', 'slow', 'the'], t)))
-             / greatest(len(toks), 1), 6) AS blocklist_frac
+       (len(list_filter(toks, t -> list_contains(['dup', 'slow', 'the'], t)))
+          ::BIGINT * 1000000 // greatest(len(toks), 1))::BIGINT
+         AS blocklist_micro
 FROM tok ORDER BY doc_id
 """
 

@@ -772,6 +772,14 @@ def skew_stats(
             F.round(
                 F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 6
             ).alias("skew_factor"),
+            # engine-exact integer twins (round-at-tie class, SURVEY r5
+            # addendum): pure-BIGINT div, identical on Spark and DuckDB
+            F.expr("(n_rows * 1000000L) div __total").alias(
+                "row_share_micro"
+            ),
+            F.expr("(n_rows * __n_keys * 1000000L) div __total").alias(
+                "skew_factor_micro"
+            ),
         )
         .orderBy(F.desc("n_rows"), *keys)
         .limit(top)

@@ -490,12 +490,41 @@ def minhash_lsh_pairs(
         _restricted_to_candidates(df, cand, id_col),
         text_col, id_col, shingle_size,
     )
+    # exact integer verify: shingle arrays are distinct sets, so
+    # intersection/union sizes are exact longs. The threshold test and
+    # the emitted similarity both run in pure integer arithmetic —
+    # `round(i/u, 6) >= t` is NOT engine-portable when i/u lands on an
+    # exact decimal half (round-at-tie, the r5 sf1 class), and a tie at
+    # the threshold would flip pair MEMBERSHIP, not just a value.
+    t_micro = int(round(threshold * 1_000_000))
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), "id_b")
-        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "__i", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn("__u", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
+        .filter(
+            F.when(
+                F.col("__u") == 0, F.lit(0) >= F.lit(t_micro)
+            ).otherwise(
+                F.col("__i") * F.lit(1_000_000)
+                >= F.lit(t_micro) * F.col("__u")
+            )
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("__u") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("__i") / F.col("__u"), 6)
+            ),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.when(F.col("__u") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("(__i * 1000000L) div __u")
+            ),
+        )
+        .select("id_a", "id_b", "jaccard", "jaccard_micro")
     )
     return verified
 
@@ -1255,9 +1284,34 @@ def crosscorpus_neardup_pairs(
             shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}),
             "id_store",
         )
-        .withColumn("jaccard", F.round(jaccard("sh_n", "sh_s"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_new", "id_store", "jaccard")
+        .withColumn(
+            "__i", F.size(F.array_intersect("sh_n", "sh_s")).cast("long")
+        )
+        .withColumn("__u", F.size(F.array_union("sh_n", "sh_s")).cast("long"))
+        # integer-exact threshold + micro similarity (round-at-tie
+        # class; see minhash_lsh_pairs)
+        .filter(
+            F.when(
+                F.col("__u") == 0,
+                F.lit(0) >= F.lit(int(round(threshold * 1_000_000))),
+            ).otherwise(
+                F.col("__i") * F.lit(1_000_000)
+                >= F.lit(int(round(threshold * 1_000_000))) * F.col("__u")
+            )
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("__u") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("__i") / F.col("__u"), 6)
+            ),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.when(F.col("__u") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("(__i * 1000000L) div __u")
+            ),
+        )
+        .select("id_new", "id_store", "jaccard", "jaccard_micro")
     )
 
 
@@ -1436,11 +1490,23 @@ def containment_pairs(
                 6,
             ),
         )
-        .filter(
-            F.col("n_inter")
-            >= F.lit(threshold) * F.least("size_a", "size_b").cast("double")
+        # integer-exact threshold and micro similarity: the float
+        # product `threshold * least` is off the true rational by an
+        # ulp (0.6 * 5 = 3.0000000000000004 excludes an exact-boundary
+        # pair), and round(ratio, 6) is tie-ambiguous cross-engine
+        .withColumn(
+            "containment_micro",
+            F.expr("(n_inter * 1000000L) div least(size_a, size_b)"),
         )
-        .select("id_a", "id_b", "size_a", "size_b", "n_inter", "containment")
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.lit(int(round(threshold * 1_000_000)))
+            * F.least("size_a", "size_b")
+        )
+        .select(
+            "id_a", "id_b", "size_a", "size_b", "n_inter",
+            "containment", "containment_micro",
+        )
     )
 
 

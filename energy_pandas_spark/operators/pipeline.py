@@ -232,6 +232,14 @@ def corpus_report(
         F.round(
             F.col("total_tokens") / F.greatest(F.col("n_docs"), F.lit(1)), 6
         ).alias("avg_tokens"),
+        # engine-exact integer twins (round-at-tie class)
+        F.expr(
+            "((n_docs - n_unique_contents) * 1000000L)"
+            " div greatest(n_docs, 1L)"
+        ).alias("dup_ratio_micro"),
+        F.expr(
+            "(total_tokens * 1000000L) div greatest(n_docs, 1L)"
+        ).alias("avg_tokens_micro"),
     )
 
 

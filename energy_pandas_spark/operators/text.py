@@ -470,6 +470,10 @@ def vocab_coverage(
         F.round(
             F.col("covered_tokens") / F.greatest("total_tokens", F.lit(1)), 6
         ).alias("coverage"),
+        # engine-exact integer twin (round-at-tie class)
+        F.expr(
+            "(covered_tokens * 1000000L) div greatest(total_tokens, 1L)"
+        ).alias("coverage_micro"),
     )
 
 
@@ -524,13 +528,20 @@ def boilerplate_stats(
         ).cast("long")
     else:
         boiler_count = F.lit(0).cast("long")
-    return df.select(
+    out = df.select(
         id_col,
         n_tokens.alias("n_tokens"),
         boiler_count.alias("boilerplate_tokens"),
         F.round(
             boiler_count / F.greatest(n_tokens, F.lit(1)), 6
         ).alias("boilerplate_fraction"),
+    )
+    # engine-exact integer twin (round-at-tie class)
+    return out.withColumn(
+        "boilerplate_micro",
+        F.expr(
+            "(boilerplate_tokens * 1000000L) div greatest(n_tokens, 1L)"
+        ),
     )
 
 
@@ -1015,6 +1026,13 @@ def repetition_stats(
             "dup_gram_frac": F.round(
                 F.col("dup_gram_count") / F.col("n_dup_grams").cast("double"), 6
             ),
+            # engine-exact integer twins (round-at-tie class)
+            "top_gram_micro": F.expr(
+                "(top_gram_count * 1000000L) div greatest(n_top_grams, 1L)"
+            ),
+            "dup_gram_micro": F.expr(
+                "(dup_gram_count * 1000000L) div greatest(n_dup_grams, 1L)"
+            ),
         }
     )
 
@@ -1054,9 +1072,15 @@ def url_stats(
                 / F.when(n_chars == 0, 1).otherwise(n_chars).cast("double"),
                 6,
             ),
+            "__uc": url_chars,
+            "__nc": n_chars.cast("long"),
             "domains": domains,
         }
-    )
+    ).withColumn(
+        # engine-exact integer twin (round-at-tie class)
+        "link_density_micro",
+        F.expr("(__uc * 1000000L) div greatest(__nc, 1L)"),
+    ).drop("__uc", "__nc")
 
 
 def ngram_counts(
@@ -1980,6 +2004,12 @@ def span_dup_stats(
             ),
             6,
         ).alias("dup_frac"),
+        # engine-exact integer twin (round-at-tie class, SURVEY r5
+        # addendum)
+        F.expr(
+            "CASE WHEN coalesce(n_spans, 0) = 0 THEN 0L "
+            "ELSE (coalesce(n_dup_spans, 0L) * 1000000L) div n_spans END"
+        ).alias("dup_frac_micro"),
     )
 
 
@@ -2129,6 +2159,11 @@ def line_dup_stats(
             / F.greatest(F.coalesce(F.sum("c"), F.lit(0)), F.lit(1)).cast("double"),
             6,
         ).alias("dup_occurrence_frac"),
+        # engine-exact integer twin (round-at-tie class)
+        F.expr(
+            "(coalesce(sum(c - 1), 0L) * 1000000L)"
+            " div greatest(coalesce(sum(c), 0L), 1L)"
+        ).alias("dup_occurrence_micro"),
     ).withColumn("n_blank_lines", F.lit(blanks).cast("long"))
 
 
@@ -3213,8 +3248,15 @@ def blocklist_stats(
                 / F.greatest(F.size(toks), F.lit(1)).cast("double"),
                 6,
             ),
+            "__bl_ntoks": F.size(toks).cast("long"),
         }
-    )
+    ).withColumn(
+        # engine-exact integer twin (round-at-tie class)
+        "blocklist_micro",
+        F.expr(
+            "(n_blocklist_hits * 1000000L) div greatest(__bl_ntoks, 1L)"
+        ),
+    ).drop("__bl_ntoks")
 
 
 def blocklist_filter(
@@ -3502,6 +3544,11 @@ def source_vocab_overlap(
                 ),
                 6,
             ).alias("jaccard"),
+            # engine-exact integer twin (round-at-tie class)
+            F.expr(
+                "(n_shared * 1000000L)"
+                " div (vocab_a + vocab_b - n_shared)"
+            ).alias("jaccard_micro"),
         )
     )
 
@@ -3740,6 +3787,10 @@ def mixed_language_stats(
             / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"),
             6,
         ).alias("majority_share"),
+        # engine-exact integer twin (round-at-tie class)
+        F.expr(
+            "(majority_lines * 1000000L) div greatest(n_lines, 1)"
+        ).alias("majority_share_micro"),
         (
             (F.col("n_langs") >= 2)
             & (
