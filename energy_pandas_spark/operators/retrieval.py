@@ -207,17 +207,37 @@ def bm25_topk(
     are quantized to integer 1/1024 units BEFORE the sum, so document
     scores are order-free BIGINT sums; the only cross-engine hazard is
     a 1-ulp ``ln`` difference landing exactly on a rounding boundary
-    (the DSIR oracle's documented caveat). Returns (query_id, doc_id,
-    score_q, rank)."""
+    (the DSIR oracle's documented caveat). A caller-supplied
+    ``postings`` frame must cover the FULL corpus (it supplies avgdl
+    via ``sum(tf)``) — pass a pruned subset only through
+    :func:`search_topk`, which needs no length stats. Returns
+    (query_id, doc_id, score_q, rank)."""
     _, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
-    # N and avgdl must cover ALL docs, not just matched postings — one
-    # map-only scan folding to a single broadcastable stats row
-    full_stats = docs.select(
-        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long").alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("__dl"), F.lit(0)).alias("total_tokens"),
-    )
+    # N and avgdl must cover ALL docs, not just matched postings.
+    if postings is not None:
+        # a caller-supplied postings frame (typically persisted and
+        # shared across scorers, the rrf_fuse composition) already
+        # holds the corpus token mass: sum(tf) over all postings ==
+        # sum of per-doc lengths, exactly, as longs — so the stats
+        # fold reads the cache instead of re-tokenizing the corpus
+        # (docs with empty/NULL text have no postings rows but DO
+        # count in n_docs, which comes from the cheap count-star)
+        full_stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            postings.agg(
+                F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_tokens")
+            )
+        )
+    else:
+        # no postings to reuse: one map-only tokenize scan folding to a
+        # single broadcastable stats row (cheaper than aggregating the
+        # freshly-built postings, which would pay the explode+agg
+        # shuffle a second time)
+        full_stats = docs.select(
+            F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long").alias("__dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).alias("total_tokens"),
+        )
     idf = dfreq.crossJoin(F.broadcast(full_stats)).select(
         "term",
         "n_docs",

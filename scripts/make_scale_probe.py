@@ -22,7 +22,12 @@ results embed exactly):
 - events.ts keeps its window (10x density, same span — the realistic
   scale direction for an event stream); value/props unchanged.
 
-Usage: python scripts/make_scale_probe.py [src_sf_dir] [dest_dir]
+An optional third argument sets the copy count (default 10), so the
+same generator builds the sf10 probe (100 copies of sf0.1 = 100x bench
+scale) — the key offsets below leave headroom for k up to ~99 without
+collision (largest composite key: l_orderkey 99 * 10^9 < 2^63).
+
+Usage: python scripts/make_scale_probe.py [src_sf_dir] [dest_dir] [n_copies]
 """
 
 from __future__ import annotations
@@ -63,11 +68,14 @@ NAME_COLS = {
 
 
 def main() -> None:
+    global N_COPIES
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dest = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         repo, ".scale", "sf1"
     )
+    if len(sys.argv) > 3:
+        N_COPIES = int(sys.argv[3])
     os.makedirs(dest, exist_ok=True)
 
     from pyspark.sql import functions as F
