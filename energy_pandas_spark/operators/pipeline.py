@@ -153,7 +153,15 @@ def prepare_training_corpus(
     the ALREADY-REDUCED corpus — filters run early, text is scanned
     once per hashing stage and never shuffled as raw strings. Every
     predicate compares integer-ratio doubles or dyadic sums, so the
-    kept set is engine-exact end to end."""
+    kept set is engine-exact end to end.
+
+    Cache ownership: the returned plan depends on an internal persist
+    of the classifier-gated frame (it feeds both the span stats and
+    the final join). The CALLER owns release — materialize the result
+    (write / localCheckpoint / collect), then
+    ``spark.catalog.clearCache()`` or keep a long-lived pipeline
+    session aware that the gated frame stays registered (the
+    kneser_ney / anchor_text_summary contract)."""
     from energy_pandas_spark.operators.text import (
         classifier_score,
         span_dup_stats,
