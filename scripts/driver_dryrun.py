@@ -88,7 +88,17 @@ def main() -> None:
 
     import duckdb
 
-    con = ddb_connect(sf_dir)
+    def _connect(d: str):
+        c = ddb_connect(d)
+        # bounded pool: a hungry oracle must fail INSIDE DuckDB (a
+        # recoverable OutOfMemoryException) instead of driving the
+        # whole process toward system allocation failure — the sf10
+        # sweep measured one oracle ballooning the process to ~94 GB,
+        # after which even thread creation raised MemoryError
+        c.execute("SET memory_limit='48GiB'")
+        return c
+
+    con = _connect(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if names:
@@ -100,6 +110,7 @@ def main() -> None:
         head = list(queries)[:n]
     bad = []
     timed_out = []
+    oracle_oom = []
     for name in head:
         t0 = time.perf_counter()
         try:
@@ -107,7 +118,34 @@ def main() -> None:
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(spdf)} rows)")
                 continue
-            res = _execute_with_timeout(con, oracles[name], oracle_timeout)
+            try:
+                res = _execute_with_timeout(con, oracles[name], oracle_timeout)
+            except duckdb.OutOfMemoryException:
+                # a hungry oracle can fill the shared connection's
+                # buffer pool and cascade failures onto its NEIGHBORS
+                # (observed in the sf10 sweep: one ~90 GB list-agg
+                # oracle OOM'd, then three cheap oracles failed on the
+                # same connection). Retry once on a FRESH connection so
+                # only the truly resource-bound oracle is reported.
+                con.close()
+                con = _connect(sf_dir)
+                try:
+                    res = _execute_with_timeout(
+                        con, oracles[name], oracle_timeout
+                    )
+                except duckdb.OutOfMemoryException:
+                    # genuinely resource-bound at this sf: the ORACLE
+                    # ran out, not the engine — same category as an
+                    # oracle timeout (brute-force replies sized for the
+                    # driver's sf), so don't fail the sweep on it
+                    oracle_oom.append(name)
+                    con.close()
+                    con = _connect(sf_dir)
+                    print(
+                        f"  {name}: ORACLE-OOM at this sf (spark side "
+                        "ran; value-checked at driver scale)"
+                    )
+                    continue
             compare_to_oracle(name, spdf, res)
             el = time.perf_counter() - t0
             print(f"  {name}: OK rows={len(spdf)} {el:.2f}s")
@@ -123,9 +161,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             print(f"  {name}: ERROR {exc}")
             bad.append(name)
+    n_soft = len(bad) + len(timed_out) + len(oracle_oom)
     print(
-        f"\n{len(head) - len(bad) - len(timed_out)}/{len(head)} clean; "
-        f"failures: {bad}; oracle-timeouts: {timed_out}"
+        f"\n{len(head) - n_soft}/{len(head)} clean; "
+        f"failures: {bad}; oracle-timeouts: {timed_out}; "
+        f"oracle-ooms: {oracle_oom}"
     )
     spark.stop()
     sys.exit(1 if bad else 0)
