@@ -963,7 +963,13 @@ SELECT ord // 24 AS period, """
 def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 index-alignment arithmetic: two hourly series (click vs view
     mean value) outer-joined on the time index, then subtracted — the
-    Spark form of pandas' implicit index alignment."""
+    Spark form of pandas' implicit index alignment. The diff ships as
+    the exact integer micro-quantization (tumbling_1h's idiom): the
+    sf10 probe caught hour buckets whose avg difference landed on a
+    6th-decimal half (…8125), where Spark's HALF_UP-of-shortest-repr
+    and DuckDB's round-of-product disagree — avgs are 2-dp-decimal /
+    count ratios, so ties are structurally reachable (the round-at-tie
+    criterion)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
 
@@ -971,26 +977,38 @@ def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             ev.filter(F.col("event_type") == kind)
             .groupBy(F.date_trunc("hour", "ts").alias("ts"))
-            .agg(F.avg("value").alias(kind))
+            .agg(
+                F.sum(F.col("value").cast("decimal(12,2)")).alias(
+                    f"__s_{kind}"
+                ),
+                F.count(F.lit(1)).alias(f"__n_{kind}"),
+            )
         )
 
     a, b = series("click"), series("view")
+    micro = (
+        "(CAST(__s_click * 100 AS BIGINT) * 10000L) div __n_click"
+        " - (CAST(__s_view * 100 AS BIGINT) * 10000L) div __n_view"
+    )
     return (
         a.join(b, "ts", "outer")
-        .select("ts", F.round(F.col("click") - F.col("view"), 6).alias("diff"))
+        .select("ts", F.expr(micro).alias("diff_micro"))
         .orderBy("ts")
     )
 
 
 _SERIES_ALIGN_SQL = """
 WITH a AS (
-  SELECT date_trunc('hour', ts) AS ts, avg(value) AS click
+  SELECT date_trunc('hour', ts) AS ts,
+         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(*) AS n
   FROM events WHERE event_type = 'click' GROUP BY 1
 ), b AS (
-  SELECT date_trunc('hour', ts) AS ts, avg(value) AS view
+  SELECT date_trunc('hour', ts) AS ts,
+         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(*) AS n
   FROM events WHERE event_type = 'view' GROUP BY 1
 )
-SELECT COALESCE(a.ts, b.ts) AS ts, round(a.click - b.view, 6) AS diff
+SELECT COALESCE(a.ts, b.ts) AS ts,
+       ((a.s * 10000 // a.n) - (b.s * 10000 // b.n))::BIGINT AS diff_micro
 FROM a FULL OUTER JOIN b ON a.ts = b.ts
 ORDER BY 1
 """
