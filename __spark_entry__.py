@@ -8806,7 +8806,10 @@ def _clean_corpus_sql() -> str:
 def prepare_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composed pipeline: clean (lang/quality/exact-dedup) ->
     classifier gate -> span-dedup filter, one lazy plan, engine-exact
-    at every predicate."""
+    at every predicate. Ships integer micro-ratios (score_micro,
+    dup_frac_micro) — both are exact integer ratios whose round(x, 6)
+    can land on a decimal half (the sf10 probe observed dup_frac
+    0.0640625 tie-breaking differently across engines)."""
     _prep(spark)
     from energy_pandas_spark.operators.pipeline import prepare_training_corpus
 
@@ -8816,10 +8819,10 @@ def prepare_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang_pred",
         "n_tokens",
-        "score",
+        "score_micro",
         "n_spans",
         "n_dup_spans",
-        F.round("dup_frac", 6).alias("dup_frac"),
+        "dup_frac_micro",
     ).orderBy("doc_id")
 
 
@@ -8827,13 +8830,17 @@ def _prepare_corpus_sql() -> str:
     return f"""
 WITH cleaned AS ({_clean_corpus_core()}),
 clf AS (
+  -- exact integer micro-score (the engine's gate and ship column):
+  -- (S * 1e6) // (1024 * n) on BIGINTs — no float, no round, no tie
   SELECT doc_id,
-         CASE WHEN len(toks) = 0 THEN 0.0 ELSE s / len(toks) END AS score
+         (CASE WHEN len(toks) = 0 THEN 0
+               ELSE (sq * 1000000) // (1024 * len(toks)) END)::BIGINT
+           AS score_micro
   FROM (
     SELECT doc_id, toks,
            list_sum(list_transform(toks, tk ->
              (('0x' || substr(md5('clf-v1' || tk), 1, 15))::BIGINT % 2049
-                - 1024) / 1024.0)) AS s
+                - 1024)))::BIGINT AS sq
     FROM (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -8843,10 +8850,9 @@ clf AS (
   )
 ),
 gated AS (
-  -- the engine gates on the ROUNDED score column; compare identically
-  SELECT c.doc_id, c.text, c.lang_pred, c.n_tokens, clf.score
+  SELECT c.doc_id, c.text, c.lang_pred, c.n_tokens, clf.score_micro
   FROM cleaned c JOIN clf USING (doc_id)
-  WHERE round(clf.score, 6) >= -0.05
+  WHERE clf.score_micro >= -50000
 ),
 gtoks AS (
   SELECT doc_id,
@@ -8864,14 +8870,15 @@ per AS (
          sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
   FROM grams JOIN dup USING (g) GROUP BY 1
 )
-SELECT g.doc_id, g.lang_pred, g.n_tokens, round(g.score, 6) AS score,
+SELECT g.doc_id, g.lang_pred, g.n_tokens, g.score_micro,
        coalesce(per.n_spans, 0) AS n_spans,
        coalesce(per.n_dup, 0) AS n_dup_spans,
-       round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
-                  ELSE per.n_dup / per.n_spans::DOUBLE END, 6) AS dup_frac
+       (CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0
+             ELSE (per.n_dup * 1000000) // per.n_spans END)::BIGINT
+         AS dup_frac_micro
 FROM gated g LEFT JOIN per USING (doc_id)
-WHERE round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
-                 ELSE per.n_dup / per.n_spans::DOUBLE END, 6) <= 0.5
+WHERE (CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0
+            ELSE (per.n_dup * 1000000) // per.n_spans END) <= 500000
 ORDER BY g.doc_id
 """
 

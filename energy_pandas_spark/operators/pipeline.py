@@ -178,18 +178,33 @@ def prepare_training_corpus(
     )
     from pyspark import StorageLevel
 
+    from energy_pandas_spark.util import round_half_away
+
     # gated feeds BOTH the span-stats input and the final join's left
     # side; without a persist the whole clean+classify chain (two text
-    # scans, a window, an aggregate) runs twice
+    # scans, a window, an aggregate) runs twice.
+    # The gate compares the EXACT integer micro-score (BIGINT div,
+    # truncation identical on any engine), never the rounded float
+    # `score` column — a rounded dyadic score can land on a 6-decimal
+    # half where engines' round() tie-breaks differ, and a gate riding
+    # the rounded value would flip WITH the tie (the contamination-
+    # threshold precedent; observed live by the sf10 probe).
     gated = (
         classifier_score(cleaned, text_col, id_col)
-        .filter(F.col("score") >= min_score)
+        .filter(F.col("score_micro") >= round_half_away(min_score * 1e6))
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     stats = span_dup_stats(gated, text_col, id_col, span_k)
-    keep = stats.filter(F.col("dup_frac") <= max_dup_frac)
+    # same tie-safety rule as the classifier gate: compare the exact
+    # integer micro-ratio, not the rounded float
+    keep = stats.filter(
+        F.col("dup_frac_micro") <= round_half_away(max_dup_frac * 1e6)
+    )
     return gated.join(
-        keep.select(id_col, "n_spans", "n_dup_spans", "dup_frac"), id_col
+        keep.select(
+            id_col, "n_spans", "n_dup_spans", "dup_frac", "dup_frac_micro"
+        ),
+        id_col,
     )
 
 
