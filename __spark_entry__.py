@@ -597,14 +597,15 @@ def monthly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.last_day(F.date_trunc("month", "ts")).alias("month_end"))
-        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .agg(F.expr(_AVG_MICRO).alias("value_micro"))
         .orderBy("month_end")
     )
 
 
 _MONTHLY_SQL = """
 SELECT last_day(date_trunc('month', ts)) AS month_end,
-       round(avg(value), 6) AS value
+       ((sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+          // count(value))::BIGINT AS value_micro
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -616,16 +617,28 @@ def resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from energy_pandas_spark.operators.analytics import resample
 
-    ev = _t(spark, sf_dir, "events").select("ts", "value")
-    out = resample(ev, "ts", "6 hours", ["value"], agg="avg")
+    # two-column resample: exact decimal sum + non-null count ride ONE
+    # aggregation, and the shipped average is the exact integer micro
+    # (round(avg, 6) is tie-ambiguous — the daily_profile sf10 find)
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+        F.col("value").isNotNull().cast("long").alias("n"),
+    )
+    out = resample(ev, "ts", "6 hours", ["value", "n"], agg="sum")
     return out.select(
-        F.col("ts").alias("bucket"), F.round("value", 6).alias("avg_value")
+        F.col("ts").alias("bucket"),
+        F.expr(
+            "CASE WHEN n = 0 THEN NULL"
+            " ELSE (CAST(value * 100 AS BIGINT) * 10000L) div n END"
+        ).alias("avg_value_micro"),
     ).orderBy("bucket")
 
 
 _RESAMPLE_SQL = """
 SELECT make_timestamp((floor(epoch(ts) / 21600) * 21600)::BIGINT * 1000000) AS bucket,
-       round(avg(value), 6) AS avg_value
+       ((sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+          // count(value))::BIGINT AS avg_value_micro
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -646,7 +659,7 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.floor(F.unix_timestamp("ts") / 3600)).cast("long") * 3600
             ).alias("h"),
         )
-        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .agg(F.expr(_AVG_MICRO).alias("v"))
     )
     out = fill_gaps(hourly, "h", "1 hour", "v", by="user_id", method="ffill")
     return out.select("user_id", "h", "v", "is_gap").orderBy("user_id", "h")
@@ -656,7 +669,9 @@ _GAP_FILL_SQL = """
 WITH hourly AS (
   SELECT user_id,
          make_timestamp((floor(epoch(ts) / 3600) * 3600)::BIGINT * 1000000) AS h,
-         round(avg(value), 6) AS v
+         (CASE WHEN count(value) = 0 THEN NULL
+               ELSE (sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+                      // count(value) END)::BIGINT AS v
   FROM events WHERE user_id < 40 GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
@@ -757,13 +772,22 @@ def capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: mean/max in one partial+final aggregation."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
+    # exact integer micro: avg/max = S_cents / (n * max_cents) — an
+    # exact rational (2-dp values), so round(,6) is tie-ambiguous
     return ev.agg(
-        F.round(F.avg("value") / F.max("value"), 6).alias("capacity_factor")
+        F.expr(
+            "(CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)"
+            " * 1000000L) div (count(value)"
+            " * CAST(max(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT))"
+        ).alias("capacity_factor_micro")
     )
 
 
 _CAPACITY_FACTOR_SQL = """
-SELECT round(avg(value) / max(value), 6) AS capacity_factor FROM events
+SELECT ((sum(value::DECIMAL(12,2)) * 100)::BIGINT * 1000000
+          // (count(value) * (max(value::DECIMAL(12,2)) * 100)::BIGINT)
+       )::BIGINT AS capacity_factor_micro
+FROM events
 """
 
 
@@ -910,37 +934,59 @@ ORDER BY ts
 """
 
 
+#: exact micro-average of the 2-dp ``value`` column: (cents * 10^4)
+#: div n — pure BIGINT, engine-portable. round(avg(value), 6) is
+#: tie-ambiguous: the sf10 probe observed hourly means landing exactly
+#: on …1875 / …8125 6th-decimal halves (avg of 2-dp decimals IS an
+#: exact rational whose denominator can carry 2-adic valuation 7).
+_AVG_MICRO = (
+    "CASE WHEN count(value) = 0 THEN NULL"
+    " ELSE (CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)"
+    " * 10000L) div count(value) END"
+)
+
+
 def daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: unstack-to-periods — (day x hour) matrix of mean load."""
+    """O3: unstack-to-periods — (day x hour) matrix of mean load,
+    each cell the exact integer micro-mean (see ``_AVG_MICRO``)."""
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
     ev2 = ev.withColumn("__h", F.hour("ts"))
     pivoted = (
         ev2.groupBy(F.to_date("ts").alias("day"))
         .pivot("__h", list(range(24)))
-        .agg(F.round(F.avg("value"), 6))
+        .agg(F.expr(_AVG_MICRO))
     )
     renames = {str(h): f"h{h}" for h in range(24)}
     return pivoted.withColumnsRenamed(renames).orderBy("day")
 
 
+def _avg_micro_sql(filt: str) -> str:
+    return (
+        f"CASE WHEN count(value) FILTER ({filt}) = 0 THEN NULL"
+        f" ELSE (sum(value::DECIMAL(12,2)) FILTER ({filt}) * 100)::BIGINT"
+        f" * 10000 // count(value) FILTER ({filt}) END"
+    )
+
+
 _DAILY_PROFILE_SQL = "SELECT CAST(ts AS DATE) AS day, " + ", ".join(
-    f"round(avg(value) FILTER (EXTRACT(hour FROM ts) = {h}), 6) AS h{h}"
+    f"({_avg_micro_sql(f'EXTRACT(hour FROM ts) = {h}')})::BIGINT AS h{h}"
     for h in range(24)
 ) + " FROM events GROUP BY 1 ORDER BY 1"
 
 
 def unstack_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 proper: tsam-style ``unstackToPeriods`` — the hourly mean
-    series reshaped to one row per 24-step period by grid ordinal
-    ((ts - min ts) / step), not calendar position; gaps stay null.
-    Per-row math against a broadcast global min + one pivot shuffle."""
+    """O3 proper: tsam-style ``unstackToPeriods`` — the hourly
+    micro-mean series (exact BIGINT, see ``_AVG_MICRO``) reshaped to
+    one row per 24-step period by grid ordinal ((ts - min ts) / step),
+    not calendar position; gaps stay null. Per-row math against a
+    broadcast global min + one pivot shuffle."""
     _prep(spark)
     from energy_pandas_spark.operators.reshape import unstack_to_periods
 
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("ts")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        F.expr(_AVG_MICRO).alias("v")
     )
     return unstack_to_periods(hourly, "ts", "v", 24, step_seconds=3600)
 
@@ -948,7 +994,10 @@ def unstack_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNSTACK_PERIODS_SQL = (
     """
 WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS ts, round(avg(value), 6) AS v
+  SELECT date_trunc('hour', ts) AS ts,
+         ("""
+    + _avg_micro_sql("TRUE")
+    + """)::BIGINT AS v
   FROM events GROUP BY 1
 ), o AS (
   SELECT CAST(floor((epoch(ts) - (SELECT min(epoch(ts)) FROM hourly)) / 3600) AS BIGINT) AS ord, v
@@ -1024,7 +1073,7 @@ def asof_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
-        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+        .agg(F.expr(_AVG_MICRO).alias("hr_avg"))
     )
     out = asof_join(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
     return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
@@ -1034,7 +1083,9 @@ _ASOF_SQL = """
 SELECT l.event_id, l.user_id, r.hr_avg
 FROM events l
 ASOF LEFT JOIN (
-  SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 6) AS hr_avg
+  SELECT user_id, date_trunc('hour', ts) AS ts, (CASE WHEN count(value) = 0 THEN NULL
+             ELSE (sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+                    // count(value) END)::BIGINT AS hr_avg
   FROM events GROUP BY 1, 2
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
@@ -1051,7 +1102,7 @@ def asof_join_tolerance_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
-        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+        .agg(F.expr(_AVG_MICRO).alias("hr_avg"))
     )
     out = asof_join(
         ev,
@@ -1074,7 +1125,9 @@ FROM (
   FROM events l
   ASOF LEFT JOIN (
     SELECT user_id, date_trunc('hour', ts) AS ts,
-           round(avg(value), 6) AS hr_avg
+           (CASE WHEN count(value) = 0 THEN NULL
+             ELSE (sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+                    // count(value) END)::BIGINT AS hr_avg
     FROM events GROUP BY 1, 2
   ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 )
@@ -1093,7 +1146,7 @@ def asof_join_broadcast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
-        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+        .agg(F.expr(_AVG_MICRO).alias("hr_avg"))
     )
     out = asof_join_broadcast(ev, hourly, on="ts", by="user_id", right_cols=["hr_avg"])
     return out.select("event_id", "user_id", "hr_avg").orderBy("event_id")
@@ -7414,19 +7467,22 @@ def degree_days_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.analytics import degree_days
 
     ev = _t(spark, sf_dir, "events")
-    out = degree_days(ev, "ts", "value", base=18.0)
+    out = degree_days(ev, "ts", "value", base=18.0, exact_micro=True)
     return out.select(
-        "day",
-        F.round("t_avg", 6).alias("t_avg"),
-        F.round("hdd", 6).alias("hdd"),
-        F.round("cdd", 6).alias("cdd"),
+        "day", "t_avg_micro", "hdd_micro", "cdd_micro"
     ).orderBy("day")
 
 
 _DEGREE_DAYS_SQL = """
-SELECT ts::DATE AS day, round(avg(value), 6) AS t_avg,
-       round(greatest(0, 18.0 - avg(value)), 6) AS hdd,
-       round(greatest(0, avg(value) - 18.0), 6) AS cdd
+SELECT ts::DATE AS day,
+       ((sum(value::DECIMAL(12,2)) * 100)::BIGINT * 10000
+          // count(value))::BIGINT AS t_avg_micro,
+       greatest(0, (1800 * count(value)
+                      - (sum(value::DECIMAL(12,2)) * 100)::BIGINT) * 10000
+                   // count(value))::BIGINT AS hdd_micro,
+       greatest(0, ((sum(value::DECIMAL(12,2)) * 100)::BIGINT
+                      - 1800 * count(value)) * 10000
+                   // count(value))::BIGINT AS cdd_micro
 FROM events GROUP BY 1 ORDER BY 1
 """
 

@@ -548,6 +548,7 @@ def degree_days(
     temp_col: str,
     base: float = 18.0,
     by: str | Sequence[str] | None = None,
+    exact_micro: bool = False,
 ) -> DataFrame:
     """Heating / cooling degree days from a temperature series — the
     standard energy-demand weather normalization (daily-mean method:
@@ -557,18 +558,65 @@ def degree_days(
     One partial+final aggregation keyed on (keys..., day): the daily
     mean and both clamps are plain column arithmetic. Output: one row
     per (keys..., day) with ``t_avg``, ``hdd``, ``cdd``.
+
+    ``exact_micro=True`` adds ``t_avg_micro`` / ``hdd_micro`` /
+    ``cdd_micro`` BIGINT columns computed from the exact decimal sum
+    in the SAME aggregate — ``((S_cents [- base_cents*n]) * 10^4) div
+    n`` — for engine-exact comparisons: a daily mean of 2-dp readings
+    is an exact rational that can land on a 6-decimal half where
+    ``round(t_avg, 6)`` tie-breaks differently across engines (the
+    round-at-tie class; requires an integral-cent ``base``).
     """
     keys = [by] if isinstance(by, str) else list(by or [])
     day = F.to_date(ts_col).alias("day")
-    daily = df.groupBy(*keys, day).agg(F.avg(temp_col).alias("t_avg"))
+    aggs = [F.avg(temp_col).alias("t_avg")]
+    if exact_micro:
+        aggs += [
+            F.sum(F.col(temp_col).cast("decimal(12,2)")).alias("__s"),
+            F.count(temp_col).alias("__n"),
+        ]
+    daily = df.groupBy(*keys, day).agg(*aggs)
     zero = F.lit(0.0)
     b = F.lit(float(base))
-    return daily.withColumns(
+    out = daily.withColumns(
         {
             "hdd": F.greatest(zero, b - F.col("t_avg")),
             "cdd": F.greatest(zero, F.col("t_avg") - b),
         }
     )
+    if exact_micro:
+        base_cents = int(round(base * 100))
+        if abs(base * 100 - base_cents) > 1e-9:
+            raise ValueError(
+                f"exact_micro needs an integral-cent base, got {base}"
+            )
+        zl = F.lit(0).cast("long")
+        sc = "CAST(__s * 100 AS BIGINT)"
+        out = out.withColumns(
+            {
+                "t_avg_micro": F.expr(
+                    f"CASE WHEN __n = 0 THEN NULL"
+                    f" ELSE ({sc} * 10000L) div __n END"
+                ),
+                "hdd_micro": F.greatest(
+                    zl,
+                    F.expr(
+                        f"CASE WHEN __n = 0 THEN NULL ELSE"
+                        f" (({base_cents}L * __n - {sc}) * 10000L) div __n"
+                        f" END"
+                    ),
+                ),
+                "cdd_micro": F.greatest(
+                    zl,
+                    F.expr(
+                        f"CASE WHEN __n = 0 THEN NULL ELSE"
+                        f" (({sc} - {base_cents}L * __n) * 10000L) div __n"
+                        f" END"
+                    ),
+                ),
+            }
+        ).drop("__s", "__n")
+    return out
 
 
 def time_weighted_avg(
