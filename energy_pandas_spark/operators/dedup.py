@@ -497,9 +497,26 @@ def minhash_lsh_pairs(
     # exact decimal half (round-at-tie, the r5 sf1 class), and a tie at
     # the threshold would flip pair MEMBERSHIP, not just a value.
     t_micro = int(round(threshold * 1_000_000))
+    # merge-join hint on the shingle-array sides: Catalyst's static
+    # size estimate through the semi-join + shingle projection is low
+    # enough that at 100x bench scale it compiled these as driver-side
+    # BROADCASTS of multi-KB array rows (the sf10 probe's broadcast
+    # OOM in minhash_keep_best_drop). Array-payload builds should
+    # never broadcast — sort-merge on the id shuffles arrays once and
+    # scales with the candidate set.
     verified = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), "id_b")
+        cand.join(
+            sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}).hint(
+                "merge"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}).hint(
+                "merge"
+            ),
+            "id_b",
+        )
         .withColumn(
             "__i", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
@@ -1277,11 +1294,17 @@ def crosscorpus_neardup_pairs(
     )
     return (
         cand.join(
-            shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}),
+            # merge hint: array-payload sides must not broadcast on a
+            # static misestimate (see minhash_lsh_pairs' verify join)
+            shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}).hint(
+                "merge"
+            ),
             "id_new",
         )
         .join(
-            shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}),
+            shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}).hint(
+                "merge"
+            ),
             "id_store",
         )
         .withColumn(
@@ -1430,6 +1453,16 @@ def containment_pairs(
         .filter(F.size("grams") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    # materialize EAGERLY: Catalyst's static size estimate through the
+    # un-materialized cached plan (scan -> tokenize -> shingle arrays)
+    # underestimates so badly that at 100x bench scale it still compiled
+    # every downstream corpus-sized join — including the verify joins
+    # carrying the full shingle ARRAYS — as driver-side BROADCASTS (the
+    # sf10 probe's "not enough memory to build and broadcast" OOM).
+    # Once the cache is materialized, InMemoryRelation reports its TRUE
+    # size and the planner picks shuffle joins at scale while still
+    # broadcasting genuinely small inputs.
+    grams.count()
     rows = grams.select(
         F.col(id_col), F.explode("grams").alias("g")
     ).withColumn("h", F.xxhash64(F.lit("cont-v1"), F.col("g")))
@@ -1438,8 +1471,9 @@ def containment_pairs(
 
     # (row ⋈ df) feeds both the rank input and the postings — share it
     # instead of joining the corpus-sized row stream against the gram
-    # table twice
+    # table twice; eager for the same stats-accuracy reason as `grams`
     rows_df = rows.join(dfreq, "h").persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    rows_df.count()
     sized = rows_df.join(
         grams.select(F.col(id_col), F.size("grams").alias("sz")), id_col
     )
@@ -1473,8 +1507,14 @@ def containment_pairs(
         )
         .distinct()
     )
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
+    # merge hints: the shingle-array sides must never broadcast (the
+    # sf10 probe's driver OOM class; see minhash_lsh_pairs' verify)
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
+    ).hint("merge")
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
+    ).hint("merge")
     inter = F.size(F.array_intersect("__ga", "__gb"))
     return (
         cands.join(ga, "id_a")
