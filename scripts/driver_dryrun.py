@@ -161,6 +161,20 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             print(f"  {name}: ERROR {exc}")
             bad.append(name)
+            # a FATAL DuckDB error (e.g. a system-level bad_alloc, as
+            # opposed to the recoverable OutOfMemoryException) poisons
+            # the connection — without a reconnect every later oracle
+            # dies with "Connection has already been closed" (observed
+            # in the sf10 chunk-3 sweep). Health-check and reconnect.
+            try:
+                con.execute("SELECT 1")
+            except Exception:
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = _connect(sf_dir)
+                print("    (oracle connection poisoned; reconnected)")
     n_soft = len(bad) + len(timed_out) + len(oracle_oom)
     print(
         f"\n{len(head) - n_soft}/{len(head)} clean; "
