@@ -497,24 +497,27 @@ def minhash_lsh_pairs(
     # exact decimal half (round-at-tie, the r5 sf1 class), and a tie at
     # the threshold would flip pair MEMBERSHIP, not just a value.
     t_micro = int(round(threshold * 1_000_000))
-    # merge-join hint on the shingle-array sides: Catalyst's static
-    # size estimate through the semi-join + shingle projection is low
-    # enough that at 100x bench scale it compiled these as driver-side
-    # BROADCASTS of multi-KB array rows (the sf10 probe's broadcast
-    # OOM in minhash_keep_best_drop). Array-payload builds should
-    # never broadcast — sort-merge on the id shuffles arrays once and
-    # scales with the candidate set.
+    # the candidate shingle table feeds BOTH verify sides — persist and
+    # materialize EAGERLY. Besides running the semi-join + shingling
+    # once instead of twice, the materialized cache gives Catalyst the
+    # TRUE size of this array-payload side: its static estimate through
+    # the lazy semi-join is low enough that at 100x bench scale it
+    # compiled both verify joins as driver-side BROADCASTS of multi-KB
+    # array rows (the sf10 probe's broadcast OOM in
+    # minhash_keep_best_drop). With accurate stats the planner
+    # broadcasts only when the candidate set genuinely fits and
+    # shuffle-joins at scale.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    sh.count()
     verified = (
         cand.join(
-            sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}).hint(
-                "merge"
-            ),
+            sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}),
             "id_a",
         )
         .join(
-            sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}).hint(
-                "merge"
-            ),
+            sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}),
             "id_b",
         )
         .withColumn(
@@ -1292,19 +1295,22 @@ def crosscorpus_neardup_pairs(
         id_col,
         shingle_size,
     )
+    # eager-materialize both array-payload sides so the planner sees
+    # TRUE sizes (see minhash_lsh_pairs' verify join): broadcasts only
+    # when a side genuinely fits, shuffle-joins at scale
+    from pyspark import StorageLevel
+
+    shn = shn.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    shn.count()
+    shs = shs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    shs.count()
     return (
         cand.join(
-            # merge hint: array-payload sides must not broadcast on a
-            # static misestimate (see minhash_lsh_pairs' verify join)
-            shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}).hint(
-                "merge"
-            ),
+            shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}),
             "id_new",
         )
         .join(
-            shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}).hint(
-                "merge"
-            ),
+            shs.withColumnsRenamed({id_col: "id_store", "__sh": "sh_s"}),
             "id_store",
         )
         .withColumn(
@@ -1507,14 +1513,16 @@ def containment_pairs(
         )
         .distinct()
     )
-    # merge hints: the shingle-array sides must never broadcast (the
-    # sf10 probe's driver OOM class; see minhash_lsh_pairs' verify)
+    # grams is persisted AND eagerly materialized above, so the planner
+    # sees the true (array-payload) size of both verify sides —
+    # broadcast only when the corpus genuinely fits, shuffle at scale
+    # (the sf10 probe's driver-OOM class; see minhash_lsh_pairs)
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("__ga")
-    ).hint("merge")
+    )
     gb = grams.select(
         F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
-    ).hint("merge")
+    )
     inter = F.size(F.array_intersect("__ga", "__gb"))
     return (
         cands.join(ga, "id_a")
