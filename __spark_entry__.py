@@ -5045,16 +5045,22 @@ def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer components floor((x * 1e6) / norm): both engines floor the
     IDENTICAL correctly-rounded double, where round(,6) would be
     tie-ambiguous whenever the sum of squares is a perfect square
-    (rational component = possible exact decimal half)."""
+    (rational component = possible exact decimal half).
+
+    Output is posexploded to scalar (doc_id, i, component) rows: the
+    driver canonicalizer sorts a pandas frame over ALL columns, and an
+    ARRAY column makes that sort raise (unhashable list) — the r5 red.
+    """
     _prep(spark)
     from energy_pandas_spark.operators.text import hashed_embedding
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        hashed_embedding(docs, dim=16, micro=True)
-        .select("doc_id", "embedding")
-        .orderBy("doc_id")
+    emb = hashed_embedding(docs, dim=16, micro=True).select(
+        "doc_id", "embedding"
     )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "component")
+    ).orderBy("doc_id", "i")
 
 
 _HASHED_EMB_SQL = r"""
@@ -5079,13 +5085,18 @@ WITH t AS (
   SELECT doc_id, raw,
          sqrt(list_sum([x * x FOR x IN raw])::DOUBLE) AS nrm
   FROM r
+), e AS (
+  SELECT doc_id,
+         CASE WHEN nrm > 0
+              THEN [CAST(floor(x::DOUBLE * 1000000 / nrm) AS BIGINT)
+                    FOR x IN raw]
+              ELSE [0::BIGINT FOR x IN raw] END AS embedding
+  FROM n
 )
-SELECT doc_id,
-       CASE WHEN nrm > 0
-            THEN [CAST(floor(x::DOUBLE * 1000000 / nrm) AS BIGINT)
-                  FOR x IN raw]
-            ELSE [0::BIGINT FOR x IN raw] END AS embedding
-FROM n ORDER BY doc_id
+SELECT e.doc_id, CAST(t.i AS INTEGER) AS i,
+       e.embedding[t.i + 1] AS component
+FROM e, range(0, 16) t(i)
+ORDER BY doc_id, i
 """
 
 
@@ -11478,23 +11489,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail (the local pytest gate still runs every entry every time).
     return {
         # ORDER MATTERS: the driver hash-checks the first ~50 entries
-        # per round.  Round-5 window (per scripts/rotation_report.py,
-        # VERDICT r4 #1) = doc_min_fingerprint FIRST (the single
-        # RED-but-unproven row left from r1 — it was no_oracle then,
-        # promoted to a bit-exact md5 oracle in r5, so the driver can
-        # finally prove it), six Section-2 reference-parity canaries
-        # (kept permanently at the head so reference fidelity cannot
-        # silently regress while the window rotates; reportdata_pivot
-        # promoted to canary per VERDICT r4 #9), then the 43 highest-
-        # priority never-driver-checked oracles (line-dedup family,
-        # DSIR, containment, curate/diff compositions, diagnostics,
-        # events analytics).  The remaining never-checked backlog
-        # queues right behind for the round-6 drain; driver-green
-        # queries park at the tail (the local pytest gate still runs
-        # every entry every time).
+        # per round.  Round-6 window (per scripts/rotation_report.py,
+        # VERDICT r5 #1) = doc_hashed_embedding FIRST (the r5 red —
+        # array-output canon crash, now posexploded to scalar rows so
+        # the driver can finally value-check it), six Section-2
+        # reference-parity canaries (permanent head), then the FULL
+        # remaining never-driver-checked backlog (30: events stats,
+        # embeddings evals, shards/packing, KN-LM, wet-roundtrip,
+        # calibration, plus the two r5 oracle promotions
+        # sketch_rollup_users / simhash_pairs) — after this window the
+        # backlog is ZERO — and the 13 stalest r1/r2 greens to fill 50.
+        # Driver-green queries park at the tail (the local pytest gate
+        # still runs every entry every time).
         # -- RED-unproven head (rotation_report rule: fixed-but-never-
         #    re-proven rows outrank everything) --
-        "doc_min_fingerprint": doc_min_fingerprint,
+        "doc_hashed_embedding": doc_hashed_embedding,
         # -- Section-2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
         "reportdata_series": reportdata_series,
@@ -11502,9 +11511,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldc": ldc,
         "series_align_arithmetic": series_align_arithmetic,
         "reportdata_pivot": reportdata_pivot,
-        # -- never driver-checked: round-5 window --
+        # -- never driver-checked: round-6 window drains the backlog --
+        "ccf_click_error_events": ccf_click_error_events,
+        "trimmed_mean_events": trimmed_mean_events,
+        "chi2_type_hour_events": chi2_type_hour_events,
+        "frequent_pairs_events": frequent_pairs_events,
+        "token_entropy_docs": token_entropy_docs,
+        "pool_embeddings_label": pool_embeddings_label,
+        "centroid_eval_embeddings": centroid_eval_embeddings,
+        "score_agreement_docs": score_agreement_docs,
+        "source_concentration_docs": source_concentration_docs,
+        "wet_roundtrip_docs": wet_roundtrip_docs,
+        "skew_card_events": skew_card_events,
+        "hot_users_events": hot_users_events,
+        "validate_docs": validate_docs,
+        "readability_docs": readability_docs,
+        "shard_plan_docs": shard_plan_docs,
+        "shard_manifest_docs": shard_manifest_docs,
+        "pack_stats_docs": pack_stats_docs,
+        "token_length_hist_docs": token_length_hist_docs,
+        "kn_lm_score_docs": kn_lm_score_docs,
+        "corpus_delta_docs": corpus_delta_docs,
+        "neardup_eval_docs": neardup_eval_docs,
+        "span_corrupt_docs": span_corrupt_docs,
+        "calibration_docs": calibration_docs,
+        "leakage_safe_split_docs": leakage_safe_split_docs,
+        "kn3_lm_score_docs": kn3_lm_score_docs,
+        "selection_curve_docs": selection_curve_docs,
+        "web_corpus_docs": web_corpus_docs,
+        "mixture_plan_docs": mixture_plan_docs,
+        "sketch_rollup_users": sketch_rollup_users,
+        "simhash_pairs": simhash_pairs,
+        # -- stalest greens (r1/r2) refresh the window to 50 --
+        "capacity_factor": capacity_factor,
+        "zscore_outliers_by_type": zscore_outliers_by_type,
+        "users_view_no_purchase": users_view_no_purchase,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_dedup_drop": minhash_dedup_drop,
+        "top_customers": top_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "daily_profile": daily_profile,
+        "to_units_degr_mixed": to_units_degr_mixed,
+        "ldc_source": ldc_source,
+        "sliding_2h_1h": sliding_2h_1h,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "q1_pricing_summary": q1_pricing_summary,
+        # -- driver-green in round 5 (parked) --
+        "doc_min_fingerprint": doc_min_fingerprint,
         "temperature_mixture_docs": temperature_mixture_docs,
-        "doc_hashed_embedding": doc_hashed_embedding,
         "line_dedup_docs": line_dedup_docs,
         "line_dup_stats_docs": line_dup_stats_docs,
         "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
@@ -11546,40 +11600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_users_events": rfm_users_events,
         "js_divergence_docs": js_divergence_docs,
         "acf_hourly_events": acf_hourly_events,
-        "ccf_click_error_events": ccf_click_error_events,
-        "trimmed_mean_events": trimmed_mean_events,
-        "chi2_type_hour_events": chi2_type_hour_events,
-        "frequent_pairs_events": frequent_pairs_events,
-        "token_entropy_docs": token_entropy_docs,
-        "pool_embeddings_label": pool_embeddings_label,
-        "centroid_eval_embeddings": centroid_eval_embeddings,
-        "score_agreement_docs": score_agreement_docs,
-        "source_concentration_docs": source_concentration_docs,
-        "wet_roundtrip_docs": wet_roundtrip_docs,
-        "skew_card_events": skew_card_events,
-        "hot_users_events": hot_users_events,
-        "validate_docs": validate_docs,
-        "readability_docs": readability_docs,
-        "shard_plan_docs": shard_plan_docs,
-        "shard_manifest_docs": shard_manifest_docs,
-        "pack_stats_docs": pack_stats_docs,
-        "token_length_hist_docs": token_length_hist_docs,
-        "kn_lm_score_docs": kn_lm_score_docs,
-        "corpus_delta_docs": corpus_delta_docs,
-        "neardup_eval_docs": neardup_eval_docs,
-        "span_corrupt_docs": span_corrupt_docs,
-        "calibration_docs": calibration_docs,
-        "leakage_safe_split_docs": leakage_safe_split_docs,
-        "kn3_lm_score_docs": kn3_lm_score_docs,
-        "selection_curve_docs": selection_curve_docs,
-        "web_corpus_docs": web_corpus_docs,
-        "mixture_plan_docs": mixture_plan_docs,
-        # promoted from rows-only to oracle-backed in r5 (md5-hasher
-        # variants + exact sketch replay): never hash-checked, queue
-        # for the r6 window (doc_min_fingerprint, the third promotion,
-        # heads the r5 window above as the sole RED-unproven row)
-        "sketch_rollup_users": sketch_rollup_users,
-        "simhash_pairs": simhash_pairs,
         # -- driver-green in round 4 --
         "q10_returned_items": q10_returned_items,
         "encode_docs_vocab": encode_docs_vocab,
@@ -11682,19 +11702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": bpe_merges_docs,
         "unigram_vocab_docs": unigram_vocab_docs,
         "wordpiece_merges_docs": wordpiece_merges_docs,
-        "capacity_factor": capacity_factor,
-        "zscore_outliers_by_type": zscore_outliers_by_type,
-        "users_view_no_purchase": users_view_no_purchase,
-        "doc_fingerprint": doc_fingerprint,
-        "minhash_dedup_drop": minhash_dedup_drop,
-        "top_customers": top_customers,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "daily_profile": daily_profile,
-        "to_units_degr_mixed": to_units_degr_mixed,
-        "ldc_source": ldc_source,
-        "sliding_2h_1h": sliding_2h_1h,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "top_spenders_per_nation": top_spenders_per_nation,

@@ -82,6 +82,25 @@ def compare_to_oracle(name: str, spdf: pd.DataFrame, res) -> None:
 
     Raises AssertionError with the first mismatches on any failure.
     """
+    # Driver-fidelity contract (r5 red `doc_hashed_embedding`): the
+    # driver canonicalizes with pandas `sort_values` over ALL columns,
+    # which raises `TypeError: unhashable type: 'list'` on any
+    # array-valued column — so an oracle-backed query must never emit
+    # one. Reproduce that as a loud local failure instead of the old
+    # tuple-based leniency that let the array shape slip to the driver.
+    for c in spdf.columns:
+        col = spdf[c]
+        if col.dtype == object:
+            sample = col.dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], (list, tuple, np.ndarray, dict)
+            ):
+                raise AssertionError(
+                    f"{name}: column {c!r} is array/struct-valued — the "
+                    "driver's pandas sort_values canonicalizer cannot "
+                    "sort it (r5 doc_hashed_embedding class); posexplode "
+                    "to scalar rows or serialize to a canonical string"
+                )
     srows = list(spdf.itertuples(index=False, name=None))
     scols = list(spdf.columns)
     ocols = [d[0] for d in res.description]

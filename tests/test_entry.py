@@ -27,6 +27,24 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_array_valued_output_rejected():
+    """Pin the driver-fidelity contract (r5 red `doc_hashed_embedding`):
+    the driver's pandas sort_values canonicalizer crashes on list-valued
+    columns, so compare_to_oracle must reject them loudly — the pre-fix
+    (doc_id, embedding ARRAY<BIGINT>) shape must reproduce RED locally.
+    """
+    import duckdb
+    import pandas as pd
+
+    spdf = pd.DataFrame({"doc_id": [1, 2], "embedding": [[1, 2], [3, 4]]})
+    res = duckdb.connect().execute(
+        "SELECT * FROM (VALUES (1, [1, 2]), (2, [3, 4]))"
+        " t(doc_id, embedding)"
+    )
+    with pytest.raises(AssertionError, match="array/struct-valued"):
+        compare_to_oracle("arrcheck", spdf, res)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
