@@ -1030,7 +1030,11 @@ def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(12,2)")).alias(
                     f"__s_{kind}"
                 ),
-                F.count(F.lit(1)).alias(f"__n_{kind}"),
+                # count(value), not count(*): sum() skips NULLs, so the
+                # divisor must too or a NULL-bearing hour silently
+                # deflates the mean (ADVICE r5; both engines NULL out
+                # the div-by-zero all-NULL bucket identically)
+                F.count("value").alias(f"__n_{kind}"),
             )
         )
 
@@ -1049,11 +1053,11 @@ def series_align_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERIES_ALIGN_SQL = """
 WITH a AS (
   SELECT date_trunc('hour', ts) AS ts,
-         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(*) AS n
+         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(value) AS n
   FROM events WHERE event_type = 'click' GROUP BY 1
 ), b AS (
   SELECT date_trunc('hour', ts) AS ts,
-         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(*) AS n
+         (sum(value::DECIMAL(12,2)) * 100)::BIGINT AS s, count(value) AS n
   FROM events WHERE event_type = 'view' GROUP BY 1
 )
 SELECT COALESCE(a.ts, b.ts) AS ts,
@@ -2609,12 +2613,25 @@ def pool_embeddings_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-label centroid pooling (operators/similarity.py:
     pool_embeddings): posexplode to (label, dim) integer-quantized
     sums, one correctly-rounded division per component, array
-    reassembly from the d-bounded dim set."""
+    reassembly from the d-bounded dim set. The query ships the pooled
+    array posexploded back to scalar (label, dim, component,
+    n_vectors) rows — array columns crash the driver's pandas
+    sort_values canonicalizer (the r5 doc_hashed_embedding class; the
+    local gate now rejects them)."""
     _prep(spark)
     from energy_pandas_spark.operators.similarity import pool_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pool_embeddings(emb, "label").orderBy("label")
+    pooled = pool_embeddings(emb, "label")
+    return (
+        pooled.select(
+            "label",
+            "n_vectors",
+            F.posexplode("pooled").alias("dim", "component"),
+        )
+        .select("label", "dim", "component", "n_vectors")
+        .orderBy("label", "dim")
+    )
 
 
 _POOL_EMBEDDINGS_SQL = r"""
@@ -2629,9 +2646,10 @@ WITH ex AS (
   FROM ex GROUP BY 1, 2
 )
 SELECT label,
-       array_agg(sq::DOUBLE / (1048576 * c)::DOUBLE ORDER BY dim) AS pooled,
-       max(c)::BIGINT AS n_vectors
-FROM agg GROUP BY label ORDER BY label
+       CAST(dim AS INTEGER) AS dim,
+       sq::DOUBLE / (1048576 * c)::DOUBLE AS component,
+       (max(c) OVER (PARTITION BY label))::BIGINT AS n_vectors
+FROM agg ORDER BY label, dim
 """
 
 

@@ -468,6 +468,20 @@ def _restricted_to_candidates(
     return df.join(cand_ids, id_col, "left_semi")
 
 
+def _release_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """retrieval._finish's cache-hygiene pattern for the dedup verify
+    pipelines: materialize the pairs-sized result eagerly
+    (localCheckpoint truncates the lineage off the persisted inputs)
+    and RELEASE the caches — a leaked persist pins executor memory for
+    the session AND substitutes into any later query whose logical
+    plan matches (Spark swaps in the InMemoryRelation), which made
+    full-registry plan audits registry-order-dependent (ADVICE r5)."""
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -477,12 +491,18 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with true
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
     and jaccard >= threshold. The verify re-joins shingle arrays by id
     for candidate documents only (see ``_restricted_to_candidates``)
-    instead of carrying shingles through the band explosion."""
+    instead of carrying shingles through the band explosion.
+
+    ``eager=True`` (default) materializes the verified pairs and
+    releases the internal shingle/candidate caches before returning;
+    ``eager=False`` returns the lazy plan — the caller then owns
+    unpersisting (plan-inspection/tests use this)."""
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_size, max_bucket
     )
@@ -546,7 +566,7 @@ def minhash_lsh_pairs(
         )
         .select("id_a", "id_b", "jaccard", "jaccard_micro")
     )
-    return verified
+    return _release_caches(verified, sh, cand) if eager else verified
 
 
 def edit_distance_pairs(
@@ -1233,6 +1253,7 @@ def crosscorpus_neardup_pairs(
     max_bucket: int = 1000,
     seed: int = 13,
     store_bands: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora — "dedup the new crawl
     against the historical store at near-dup level" (exact-digest
@@ -1304,7 +1325,7 @@ def crosscorpus_neardup_pairs(
     shn.count()
     shs = shs.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     shs.count()
-    return (
+    verified = (
         cand.join(
             shn.withColumnsRenamed({id_col: "id_new", "__sh": "sh_n"}),
             "id_new",
@@ -1341,6 +1362,9 @@ def crosscorpus_neardup_pairs(
             ),
         )
         .select("id_new", "id_store", "jaccard", "jaccard_micro")
+    )
+    return (
+        _release_caches(verified, cand, shn, shs) if eager else verified
     )
 
 
@@ -1418,6 +1442,7 @@ def containment_pairs(
     threshold: float = 0.8,
     shingle_size: int = 3,
     max_df: int = 1000,
+    eager: bool = True,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs: emit (a, b) when
     ``|A∩B| / min(|A|, |B|) >= threshold`` over distinct word
@@ -1524,7 +1549,7 @@ def containment_pairs(
         F.col(id_col).alias("id_b"), F.col("grams").alias("__gb")
     )
     inter = F.size(F.array_intersect("__ga", "__gb"))
-    return (
+    verified = (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("n_inter", inter.cast("long"))
@@ -1556,6 +1581,7 @@ def containment_pairs(
             "containment", "containment_micro",
         )
     )
+    return _release_caches(verified, grams, rows_df) if eager else verified
 
 
 def containment_dedup(

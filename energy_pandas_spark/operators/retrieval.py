@@ -200,6 +200,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     eager: bool = True,
+    full_postings: bool = True,
 ) -> DataFrame:
     """BM25 top-k (Robertson/Sparck Jones, the Lucene-default scoring).
 
@@ -207,14 +208,18 @@ def bm25_topk(
     are quantized to integer 1/1024 units BEFORE the sum, so document
     scores are order-free BIGINT sums; the only cross-engine hazard is
     a 1-ulp ``ln`` difference landing exactly on a rounding boundary
-    (the DSIR oracle's documented caveat). A caller-supplied
-    ``postings`` frame must cover the FULL corpus (it supplies avgdl
-    via ``sum(tf)``) — pass a pruned subset only through
-    :func:`search_topk`, which needs no length stats. Returns
+    (the DSIR oracle's documented caveat).
+
+    A caller-supplied ``postings`` frame supplies avgdl via ``sum(tf)``
+    ONLY when it covers the full corpus. If yours is pruned/filtered
+    (e.g. a term-bucket slice from ``search_index``), pass
+    ``full_postings=False`` — the length stats are then recomputed from
+    ``docs`` with one map-only tokenize scan instead of silently
+    deflating avgdl (and every score) from the subset. Returns
     (query_id, doc_id, score_q, rank)."""
     _, matched, dfreq = _matched(docs, qterms, text_col, id_col, postings)
     # N and avgdl must cover ALL docs, not just matched postings.
-    if postings is not None:
+    if postings is not None and full_postings:
         # a caller-supplied postings frame (typically persisted and
         # shared across scorers, the rrf_fuse composition) already
         # holds the corpus token mass: sum(tf) over all postings ==

@@ -88,14 +88,24 @@ def main() -> None:
 
     import duckdb
 
+    # bounded pool: a hungry oracle must fail INSIDE DuckDB (a
+    # recoverable OutOfMemoryException) instead of driving the whole
+    # process toward system allocation failure — the sf10 sweep
+    # measured one oracle ballooning the process to ~94 GB, after
+    # which even thread creation raised MemoryError. Derive the cap
+    # from the host's actual RAM (60%, ceilinged at 48GiB) so smaller
+    # hosts keep the fail-inside-DuckDB property (ADVICE r5).
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+        cap_gib = max(1, min(48, int(total_gib * 0.6)))
+    except (ValueError, OSError):
+        cap_gib = 48
+
     def _connect(d: str):
         c = ddb_connect(d)
-        # bounded pool: a hungry oracle must fail INSIDE DuckDB (a
-        # recoverable OutOfMemoryException) instead of driving the
-        # whole process toward system allocation failure — the sf10
-        # sweep measured one oracle ballooning the process to ~94 GB,
-        # after which even thread creation raised MemoryError
-        c.execute("SET memory_limit='48GiB'")
+        c.execute(f"SET memory_limit='{cap_gib}GiB'")
         return c
 
     con = _connect(sf_dir)
