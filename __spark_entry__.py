@@ -6042,15 +6042,64 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py:train_bpe):
     the corpus is scanned ONCE for word counts; 16 merge iterations
     then run on the vocab-sized word table with a deterministic
-    (count desc, pair asc) argmax. Rows-only BY DESIGN: the trainer is
-    iterative (argmax + rebuild per round), outside single-statement
-    SQL — correctness is pinned instead by tests/test_bpe.py, which
-    asserts bit-exact equality with a pure-Python reference trainer."""
+    (count desc, pair asc) argmax. PROMOTED to oracle-backed in r6
+    (the domain_rank unrolled-CTE idiom): all 16 rounds replay in one
+    DuckDB statement — per round, a pair-count aggregate, the argmax,
+    and the greedy left-to-right non-overlapping merge as a
+    list_reduce over singleton-wrapped symbols (the accumulator must
+    be LIST<VARCHAR>, and DuckDB's list_reduce types the accumulator
+    as the element type). Every CTE is MATERIALIZED: the chain
+    references each state twice, and DuckDB's default inlining makes
+    that 2^16 copies of the corpus scan. tests/test_bpe.py separately
+    pins both trainer paths against a pure-Python reference."""
     _prep(spark)
     from energy_pandas_spark.operators.bpe import train_bpe
 
     docs = _t(spark, sf_dir, "documents")
     return train_bpe(docs, num_merges=16).orderBy("rank")
+
+
+def _bpe_merges_sql(num_merges: int = 16) -> str:
+    """Unrolled-CTE replay of the BPE trainer (see bpe_merges_docs)."""
+    parts = [
+        r"""
+WITH wc AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT string_split(word, '') || ['</w>'] AS syms, cnt FROM wc
+)"""
+    ]
+    for i in range(num_merges):
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT t.u.l AS l, t.u.r AS r, sum(cnt)::BIGINT AS c
+  FROM s{i}, unnest([{{'l': syms[j], 'r': syms[j+1]}}
+                     FOR j IN range(1, len(syms))]) AS t(u)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, c FROM p{i} WHERE c >= 2
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+), s{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b.l IS NULL THEN s.syms
+         ELSE list_reduce([[x] FOR x IN s.syms],
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                               AND x[1] = b.r
+                          THEN acc[:len(acc)-1] || [b.l || b.r]
+                          ELSE acc || x END)
+         END AS syms, s.cnt AS cnt
+  FROM s{i} s LEFT JOIN b{i} b ON TRUE
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right",'
+        f" l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    parts.append("\n" + sel + "\nORDER BY rank")
+    return "".join(parts)
 
 
 def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6059,16 +6108,76 @@ def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BPE/unigram/WordPiece trio): one corpus scan for word counts,
     then 16 likelihood-scored merge iterations on the vocab-sized
     word table (score = count(pair)/(count(l)*count(r)), one shared
-    IEEE expression, argmax tiebroken (left, right) asc). Rows-only
-    BY DESIGN (iterative); correctness pinned by tests/
-    test_wordpiece.py — bit-exact equality between the distributed
-    loop, the bounded driver twin, and an independent pure-Python
-    reference."""
+    IEEE expression, argmax tiebroken (left, right) asc). PROMOTED to
+    oracle-backed in r6 (the same unrolled-MATERIALIZED-CTE replay as
+    bpe_merges_docs, plus a per-round symbol-count aggregate feeding
+    the likelihood score — a single division of exact integers, so
+    the double is correctly rounded identically on both engines).
+    tests/test_wordpiece.py separately pins both trainer paths
+    against an independent pure-Python reference."""
     _prep(spark)
     from energy_pandas_spark.operators.wordpiece import train_wordpiece
 
     docs = _t(spark, sf_dir, "documents")
     return train_wordpiece(docs, num_merges=16).orderBy("rank")
+
+
+def _wordpiece_merges_sql(num_merges: int = 16) -> str:
+    """Unrolled-CTE replay of the WordPiece trainer (see
+    wordpiece_merges_docs)."""
+    parts = [
+        r"""
+WITH wc AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT CASE WHEN length(word) <= 1 THEN [word]
+         ELSE [substr(word, 1, 1)]
+              || ['##' || c FOR c IN string_split(substr(word, 2), '')]
+         END AS syms, cnt
+  FROM wc
+)"""
+    ]
+    for i in range(num_merges):
+        parts.append(f""", u{i} AS MATERIALIZED (
+  SELECT t.s AS sym, sum(cnt)::BIGINT AS c
+  FROM s{i}, unnest(syms) AS t(s) GROUP BY 1
+), p{i} AS MATERIALIZED (
+  SELECT t.u.l AS l, t.u.r AS r, sum(cnt)::BIGINT AS c
+  FROM s{i}, unnest([{{'l': syms[j], 'r': syms[j+1]}}
+                     FOR j IN range(1, len(syms))]) AS t(u)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT p.l, p.r, p.c,
+         p.c::DOUBLE / (ul.c::DOUBLE * ur.c::DOUBLE) AS score,
+         p.l || (CASE WHEN p.r LIKE '##%' THEN substr(p.r, 3)
+                      ELSE p.r END) AS m
+  FROM p{i} p
+  JOIN u{i} ul ON ul.sym = p.l
+  JOIN u{i} ur ON ur.sym = p.r
+  WHERE p.c >= 2
+  ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1
+), s{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b.l IS NULL THEN s.syms
+         ELSE list_reduce([[x] FOR x IN s.syms],
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                               AND x[1] = b.r
+                          THEN acc[:len(acc)-1] || [b.m]
+                          ELSE acc || x END)
+         END AS syms, s.cnt AS cnt
+  FROM s{i} s LEFT JOIN b{i} b ON TRUE
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right",'
+        f" m AS merged, c AS pair_count, score FROM b{i}"
+        for i in range(num_merges)
+    )
+    parts.append("\n" + sel + "\nORDER BY rank")
+    return "".join(parts)
 
 
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11560,6 +11669,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_docs": mixture_plan_docs,
         "sketch_rollup_users": sketch_rollup_users,
         "simhash_pairs": simhash_pairs,
+        # r6 promotions (unrolled-MATERIALIZED-CTE trainer replays):
+        # never hash-checked, so they take window slots ahead of
+        # stale greens (rotation policy: never-checked > green)
+        "bpe_merges_docs": bpe_merges_docs,
+        "wordpiece_merges_docs": wordpiece_merges_docs,
         # -- stalest greens (r1/r2) refresh the window to 50 --
         "capacity_factor": capacity_factor,
         "zscore_outliers_by_type": zscore_outliers_by_type,
@@ -11572,8 +11686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_units_degr_mixed": to_units_degr_mixed,
         "ldc_source": ldc_source,
         "sliding_2h_1h": sliding_2h_1h,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "q1_pricing_summary": q1_pricing_summary,
         # -- driver-green in round 5 (parked) --
         "doc_min_fingerprint": doc_min_fingerprint,
         "temperature_mixture_docs": temperature_mixture_docs,
@@ -11717,9 +11829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_trained": doc_classifier_trained,
         "audio_features_media": audio_features_media,
         "text_semantic_neardup": text_semantic_neardup,
-        "bpe_merges_docs": bpe_merges_docs,
         "unigram_vocab_docs": unigram_vocab_docs,
-        "wordpiece_merges_docs": wordpiece_merges_docs,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "top_spenders_per_nation": top_spenders_per_nation,
@@ -11909,6 +12021,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_rollup_users": _sketch_rollup_sql(),
         "doc_min_fingerprint": _DOC_MIN_FP_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "bpe_merges_docs": _bpe_merges_sql(),
+        "wordpiece_merges_docs": _wordpiece_merges_sql(),
         "pack_stats_docs": _PACK_STATS_SQL,
         "token_length_hist_docs": _TOKEN_LENGTH_HIST_SQL,
         "kn_lm_score_docs": _KN_LM_SCORE_SQL,
