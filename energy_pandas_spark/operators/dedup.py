@@ -789,7 +789,16 @@ def simhash_neardup_pairs(
     with ``bit_count(a XOR b) <= max_hamming``. Candidates come from
     the same bucket-grouped double-explode as MinHash (one shuffle, no
     self-join); verification runs inside the bucket before the pair
-    distinct, so only true near-dups reach the final shuffle."""
+    distinct, so only true near-dups reach the final shuffle.
+
+    Capacity (measured, r5 sf10 probe — a 500k-doc corpus built by
+    100-copy replication, the adversarial low-diversity case): the
+    uncapped run reproduced brute force EXACTLY (920,542 pairs);
+    ``max_bucket=1000`` returned 762,831 (83% recall) because the
+    replicated near-identical signatures concentrate in a few huge
+    buckets. On natural corpora buckets stay small and the cap is
+    inert; raise it (or pre-dedup exact copies first) when the corpus
+    is known to be heavily replicated."""
     sh = simhash64(df, text_col, id_col, hasher=hasher)
     return hamming_neardup_pairs(
         sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,
@@ -1461,6 +1470,13 @@ def containment_pairs(
     (shingles in 1000+ docs) from candidate generation, the same
     documented skew guard as every LSH bucket cap — a miss then
     requires even the rarest witness shingle to be corpus-boilerplate.
+
+    Capacity (measured, r5 sf10 probe — 500k docs via 100-copy
+    replication, so EVERY rare shingle lands in ~100 docs): raw
+    candidates were 1.59B at ``max_df=1000``, 55.8M at 300, 5.96M at
+    100 — candidate volume is Σ df² over surviving shingles, so a
+    low-diversity corpus needs a lower ``max_df`` (at sf0.1, natural
+    diversity, the same default produced just 723,825 candidates).
 
     Plan: one DF aggregate over exploded shingles, a per-document
     rank window (doc-sized partitions, never global), the prefix ×
