@@ -1789,6 +1789,7 @@ def neardup_eval(
     shingle_size: int = 3,
     sample_permille: int = 150,
     denominator: int = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """One-row precision/recall card for a candidate near-dup pair set
     (any of the ``*_pairs`` operators) against EXACT shingle-Jaccard
@@ -1871,7 +1872,7 @@ def neardup_eval(
         .alias("tp"),
     )
     n_sample = sample.agg(F.count(F.lit(1)).alias("n_sample"))
-    return (
+    card = (
         counts.join(F.broadcast(n_sample))
         .withColumns(
             {
@@ -1896,3 +1897,4 @@ def neardup_eval(
             "recall_permille",
         )
     )
+    return _release_caches(card, sh) if eager else card

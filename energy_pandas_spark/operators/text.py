@@ -1527,7 +1527,11 @@ def bigram_lm_score(
     bigram / left token (deliberately NOT broadcast — a 100 TB corpus
     LM table is huge; AQE picks broadcast when it is not). Integer
     counts + exactly-rounded division keep the per-bigram p identical
-    across engines."""
+    across engines.
+
+    Cache ownership: ``lm`` is persisted here (three consumers) and
+    the lazy result pins it — the CALLER owns release after
+    materializing (same contract as the Kneser-Ney scorers)."""
     # lm feeds three consumers (the pair join, c1, V); persist so the
     # training corpus is tokenized once, not three times
     lm = lm.persist()

@@ -56,9 +56,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    oracle_backed = set(entrymod.oracle_sql())
     cartesian: list[str] = []
     batch_eval: list[str] = []
     single_part: list[str] = []
+    array_outputs: list[str] = []
     arrow_crossings: dict[str, int] = {}
     errors: dict[str, str] = {}
     t0 = time.time()
@@ -69,6 +71,16 @@ def main() -> None:
         except Exception as exc:  # compile failure IS a finding
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
+        # driver-canon contract (the r5 doc_hashed_embedding red): an
+        # oracle-backed query must never ship an array/map/struct
+        # column — the driver's pandas sort_values canonicalizer
+        # cannot sort it. Schema-level twin of the execution-time
+        # guard in tests/oracle_compare.py.
+        if name in oracle_backed and any(
+            t.dataType.typeName() in ("array", "map", "struct")
+            for t in df.schema.fields
+        ):
+            array_outputs.append(name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
@@ -97,6 +109,7 @@ def main() -> None:
         "cartesian_product": sorted(cartesian),
         "batch_eval_python": sorted(batch_eval),
         "single_partition": sorted(single_part),
+        "array_outputs_on_oracle_backed": sorted(array_outputs),
         "arrow_crossings": dict(sorted(arrow_crossings.items())),
         "compile_errors": errors,
         "seconds": round(time.time() - t0, 1),
@@ -125,6 +138,11 @@ def main() -> None:
         failures.append(f"CartesianProduct in: {cartesian}")
     if batch_eval:
         failures.append(f"BatchEvalPython in: {batch_eval}")
+    if array_outputs:
+        failures.append(
+            "array/map/struct output on oracle-backed queries "
+            f"(driver canon cannot sort): {array_outputs}"
+        )
     if errors:
         failures.append(f"compile errors: {sorted(errors)}")
     if new_funnels and not rebaseline:

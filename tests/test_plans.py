@@ -84,11 +84,21 @@ class TestScalabilitySmells:
 
     def test_minhash_path_is_jvm_only_with_partial_agg(self, spark, sf_dir):
         # the dedup sketch path must stay whole-JVM (no Arrow/Python
-        # eval nodes) and aggregate map-side before its one shuffle
-        df = entrymod.minhash_pairs(spark, sf_dir)
+        # eval nodes) and aggregate map-side before its one shuffle.
+        # eager=False keeps the LAZY verify plan inspectable (the
+        # default eagerly checkpoints the result and releases caches,
+        # which collapses the inspected plan to a checkpoint scan);
+        # the caller owns the caches on this path — release after.
+        from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
         from energy_pandas_spark.plans.explain import formatted_plan
+        from energy_pandas_spark.sources.readers import load_table
 
+        docs = load_table(spark, sf_dir, "documents")
+        df = minhash_lsh_pairs(
+            docs, threshold=0.5, num_hashes=64, bands=16, eager=False
+        )
         plan = formatted_plan(df)
+        spark.catalog.clearCache()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "partial" in plan.lower()
