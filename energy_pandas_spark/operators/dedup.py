@@ -419,7 +419,12 @@ def minhash_lsh_candidates(
     ONE shuffle on (band, bucket-hash) with bucket-grouped double
     explode (no self-join) -> pair distinct. Persisted because callers
     reference it multiple times (id extraction + per-side verify
-    joins); candidates are tiny relative to the corpus."""
+    joins); candidates are tiny relative to the corpus.
+
+    Cache ownership: the returned frame is persisted and the CALLER
+    owns release (``.unpersist()`` after the verify materializes).
+    The in-module verify pipelines (``minhash_lsh_pairs`` etc.)
+    release it on their default ``eager=True`` path."""
     banded = _banded_buckets(
         df, text_col, id_col, num_hashes, bands, shingle_size, seed, kind
     )
@@ -577,6 +582,7 @@ def edit_distance_pairs(
     prefix_len: int | None = None,
     method: str = "lsh",
     shingle_size: int = 3,
+    eager: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Fuzzy string matching: pairs whose normalized texts are within
@@ -592,6 +598,7 @@ def edit_distance_pairs(
     if prefix_len is not None:
         key = F.substring(key, 1, prefix_len)
     keyed = df.select(F.col(id_col), key.alias("__k"))
+    cand = None
     if method == "exact":
         a = keyed.select(F.col(id_col).alias("id_a"), F.col("__k").alias("k_a"))
         b = keyed.select(F.col(id_col).alias("id_b"), F.col("__k").alias("k_b"))
@@ -609,11 +616,14 @@ def edit_distance_pairs(
             kk.select(F.col(id_col).alias("id_b"), F.col("__k").alias("k_b")),
             "id_b",
         )
-    return (
+    out = (
         paired.withColumn("distance", F.levenshtein("k_a", "k_b"))
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+    if cand is not None and eager:
+        out = _release_caches(out, cand)
+    return out
 
 
 def minhash_dedup(
