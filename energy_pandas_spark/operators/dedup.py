@@ -243,10 +243,20 @@ def _minhash_agg(
     p = (1 << 31) - 1
     coeffs = _minhash_coeffs(num_hashes, seed)
     pl = F.lit(p).cast("long")
+    # hash each shingle INSIDE the array, then explode LONGS: exploding
+    # the shingle STRINGS materializes a corpus-of-text-sized row
+    # stream (one string copy per shingle row) that measured 10x the
+    # cost of the long explode at sf0.1 (3.8s -> 0.4s for the scan
+    # stage). Same xxhash64 of the same strings -> identical minima,
+    # buckets, candidates, results.
     exploded = (
         _shingle_sets(df, text_col, id_col, shingle_size, kind)
-        .select(id_col, F.explode("__sh").alias("__s"))
-        .select(id_col, F.pmod(F.xxhash64("__s"), pl).alias("__h"))
+        .select(
+            id_col,
+            F.explode(
+                F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), pl))
+            ).alias("__h"),
+        )
     )
     aggs = [
         F.min(
@@ -1473,7 +1483,7 @@ def containment_pairs(
     2008, public), not probabilistic LSH: if the smaller side A has
     containment >= t, then ANY ``floor((1-t)*|A|) + 1`` of A's
     shingles must hit B, so joining each document's that-many RAREST
-    shingles (global document-frequency order, ties by shingle) against
+    shingles (global document-frequency order, ties by shingle hash) against
     the full shingle postings finds every qualifying pair — an
     EXACTNESS guarantee, not a recall probability. Rarest-first keeps
     the posting lists short; ``max_df`` drops degenerate postings
@@ -1499,8 +1509,12 @@ def containment_pairs(
     # the shingle arrays feed SIX consumers (DF agg, rank join,
     # postings, both verify sides) — persist spill-safe or the text
     # scan + shingle explode re-runs per consumer (exchange-reuse rule)
+    # _spread first: a single-file corpus otherwise tokenizes and
+    # shingles on ONE scan partition (measured 3.7s single-threaded vs
+    # 0.6s spread at sf0.1 — the whole build was serialized)
     grams = (
-        df.select(F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"))
         .select(
             F.col(id_col),
             F.array_distinct(word_shingles_of_tokens("__tk", shingle_size)).alias(
@@ -1520,9 +1534,21 @@ def containment_pairs(
     # size and the planner picks shuffle joins at scale while still
     # broadcasting genuinely small inputs.
     grams.count()
+    # hash INSIDE the array, explode LONGS: the shingle-string explode
+    # was the scan stage's dominant cost (the minhash path measured
+    # 10x at sf0.1), and nothing downstream needs the string — the
+    # rank window tie-breaks on the hash (the prefix-exactness
+    # argument holds for ANY R-subset of a document's shingles, so the
+    # tiebreak is free to choose) and the verify join computes exact
+    # intersections on the original gram ARRAYS.
     rows = grams.select(
-        F.col(id_col), F.explode("grams").alias("g")
-    ).withColumn("h", F.xxhash64(F.lit("cont-v1"), F.col("g")))
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                "grams", lambda g: F.xxhash64(F.lit("cont-v1"), g)
+            )
+        ).alias("h"),
+    )
     dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
@@ -1534,7 +1560,7 @@ def containment_pairs(
     sized = rows_df.join(
         grams.select(F.col(id_col), F.size("grams").alias("sz")), id_col
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("g"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("h"))
     # prefix size derives from the SAME t*size expression the verify
     # filter uses (R = sz - ceil(t*sz) + 1): a pair passing verify has
     # n_inter >= ceil(t*sz), so B misses at most sz - ceil(t*sz) of
@@ -1841,7 +1867,9 @@ def neardup_eval(
     # quadratic per hot shingle (freq² pairs — the exactness cost, no
     # bucket cap allowed here), so the sample bound stays the contract.
     sh = (
-        _shingle_sets(sample, text_col, id_col, shingle_size)
+        # _spread: the hash-sampled slice of a single-file corpus
+        # otherwise shingles on one scan partition (see containment)
+        _shingle_sets(_spread(sample), text_col, id_col, shingle_size)
         .withColumn("__n", F.size("__sh").cast("long"))
         .persist()  # three consumers: both postings sides + sizes
     )
