@@ -84,9 +84,14 @@ def _encode_word(word: str, ranked: dict, cache: dict) -> list[str]:
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the whitespace-tokenized lowercased corpus —
-    the single corpus-scale pass of BPE training."""
+    the single corpus-scale pass of BPE training. ``spread_partitions``
+    first: a single-file corpus otherwise tokenizes on ONE scan
+    partition (no-op at real scale, where the scan has splits)."""
+    from energy_pandas_spark.util import spread_partitions
+
     return (
-        df.select(
+        spread_partitions(df.select(F.col(text_col)))
+        .select(
             F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("word")
         )
         .groupBy("word")
