@@ -5073,7 +5073,7 @@ def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import hashed_embedding
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hashed_embedding(docs, dim=16, micro=True).select(
+    emb = hashed_embedding(docs, dim=16, micro=True, id_col="doc_id").select(
         "doc_id", "embedding"
     )
     return emb.select(
@@ -5131,7 +5131,7 @@ def text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energy_pandas_spark.operators.text import hashed_embedding
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hashed_embedding(docs, dim=64).select(
+    emb = hashed_embedding(docs, dim=64, id_col="doc_id").select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     return embedding_neardup_pairs(

@@ -715,6 +715,76 @@ def contamination_overlap(
     return _overlap_projection(agg, id_col, threshold)
 
 
+def _hashed_embedding_agg(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    out_col: str,
+    micro: bool,
+    id_col: str,
+    pairs,
+) -> DataFrame:
+    """The distributed hashing-trick path (see :func:`hashed_embedding`
+    ``id_col=``): explode per-token (bucket, sign) INT pairs, one
+    map-combined hash aggregate per (id, bucket), dim-bounded array
+    rebuild, join back. Component sums are identical to the map-only
+    fold (same hashes, same ±1 additions — integer, order-free)."""
+    from energy_pandas_spark.util import spread_partitions
+
+    ex = (
+        spread_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn(
+            "__toks",
+            F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+        )
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+    )
+    agg = ex.groupBy(id_col, F.col("__p.b").alias("__b")).agg(
+        F.sum("__p.s").cast("long").alias("__v")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("__b", "__v")))
+    )
+    per_doc = agg.groupBy(id_col).agg(m.alias("__m")).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__m", i), F.lit(0).cast("long")
+            ),
+        ).alias("__raw"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "__raw", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    if micro:
+        vec = F.when(
+            norm > 0,
+            F.transform(
+                "__raw",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1000000.0) / norm
+                ).cast("long"),
+            ),
+        ).otherwise(F.transform("__raw", lambda x: F.lit(0).cast("long")))
+        zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    else:
+        vec = F.when(
+            norm > 0,
+            F.transform(
+                "__raw", lambda x: F.round(x.cast("double") / norm, 6)
+            ),
+        ).otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
+        zero = F.array_repeat(F.lit(0.0), dim)
+    emb = per_doc.select(F.col(id_col), vec.alias(out_col))
+    # tokenless docs have no exploded rows: left join + zero vector
+    return df.join(emb, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), zero)
+    )
+
+
 def hashed_embedding(
     df: DataFrame,
     text_col: str = "text",
@@ -722,6 +792,7 @@ def hashed_embedding(
     salt: str = "emb-v1",
     out_col: str = "embedding",
     micro: bool = False,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Deterministic model-free document embeddings: the classic
     hashing-trick BOW projection (feature hashing with a ±1 sign hash,
@@ -736,11 +807,26 @@ def hashed_embedding(
     Cosine of these vectors approximates token-multiset similarity —
     a cheap semantic-ish signal, not a learned embedding.
 
-    Scale shape: ONE map-only projection (O(dim * n_tokens) expression
-    work per doc, all JVM); no explode, no shuffle. Empty docs get the
-    zero vector. The token array materializes into a real column first
-    — inlining ``tokens()`` into the per-component lambdas would re-run
-    the split ``dim`` times per document."""
+    Scale shape: two paths, identical outputs (same per-bucket ±1
+    sums).
+
+    - ``id_col=None`` (default): ONE map-only projection, no shuffle —
+      but the per-component fold is O(dim * n_tokens) of INTERPRETED
+      higher-order-function work per doc (filter/aggregate lambdas get
+      no whole-stage codegen). Fine for small corpora and pipelines
+      that cannot name a key.
+    - ``id_col='doc_id'``: explode the per-token (bucket, sign) int
+      pairs and hash-aggregate per (id, bucket) — O(n_tokens) codegen'd
+      work plus one map-combined shuffle of (id, int, long) rows, then
+      a dim-bounded array rebuild and a join back onto ``df`` (all
+      original columns preserved; tokenless docs get the zero vector).
+      THIS is the 100 TB path: the r6 sf10 probe measured the map-only
+      fold at ~30 min/62k-doc task (dim=16, local[8]) where this path
+      is seconds.
+
+    The token array materializes into a real column first — inlining
+    ``tokens()`` into the per-component lambdas would re-run the split
+    ``dim`` times per document."""
 
     def bucket(t: Column) -> Column:
         return (
@@ -764,6 +850,11 @@ def hashed_embedding(
         "__toks",
         lambda t: F.struct(bucket(t).alias("b"), sign(t).alias("s")),
     )
+
+    if id_col is not None:
+        return _hashed_embedding_agg(
+            df, text_col, dim, out_col, micro, id_col, pairs
+        )
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.aggregate(

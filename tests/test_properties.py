@@ -288,6 +288,14 @@ def test_hashed_embedding_unit_norm_or_zero(spark, words, dim):
     assert len(v0) == dim and np.array_equal(v0, v1)
     nrm = np.linalg.norm(v0)
     assert nrm == 0.0 or abs(nrm - 1.0) < 1e-4
+    # the distributed explode+aggregate path (id_col=) must be
+    # bit-identical to the map-only fold — same hashes, same integer
+    # ±1 sums, same norm division (the r6 scale path)
+    agg = {
+        r.doc_id: r.embedding
+        for r in hashed_embedding(df, dim=dim, id_col="doc_id").collect()
+    }
+    assert agg == out
 
 
 _LINE_ALPHABET = ["dup one", "dup two", "alpha", "beta", "gamma", ""]
