@@ -11611,172 +11611,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver hash-checks the first ~50 entries per
-    # round, so entries the driver has NEVER verified go first; queries
-    # already green in an earlier round's CORRECTNESS file park at the
-    # tail (the local pytest gate still runs every entry every time).
+    # round, so registry order IS the verification-rotation policy
+    # (scripts/rotation_report.py; enforced by tests/test_rotation.py).
+    # Round-7 window (VERDICT r6 #1/#2): six §2 canaries, then the 13
+    # rows-only queries — their FIRST driver CORRECTNESS rows ever
+    # (rows_match; adjudicated rows-only-by-nature, SURVEY §8) — then
+    # doc_bpe_tokens (r1-stale) and the 30 stalest r2 greens. Tail =
+    # remaining greens, oldest check first (the local pytest gate
+    # still runs every entry every time).
     return {
-        # ORDER MATTERS: the driver hash-checks the first ~50 entries
-        # per round.  Round-6 window (per scripts/rotation_report.py,
-        # VERDICT r5 #1) = doc_hashed_embedding FIRST (the r5 red —
-        # array-output canon crash, now posexploded to scalar rows so
-        # the driver can finally value-check it), six Section-2
-        # reference-parity canaries (permanent head), then the FULL
-        # remaining never-driver-checked backlog (30: events stats,
-        # embeddings evals, shards/packing, KN-LM, wet-roundtrip,
-        # calibration, plus the two r5 oracle promotions
-        # sketch_rollup_users / simhash_pairs) — after this window the
-        # backlog is ZERO — and the 13 stalest r1/r2 greens to fill 50.
-        # Driver-green queries park at the tail (the local pytest gate
-        # still runs every entry every time).
-        # -- RED-unproven head (rotation_report rule: fixed-but-never-
-        #    re-proven rows outrank everything) --
-        "doc_hashed_embedding": doc_hashed_embedding,
-        # -- Section-2 reference-parity canaries (permanent head) --
+        # -- §2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
         "reportdata_series": reportdata_series,
         "to_units_kelvin": to_units_kelvin,
         "ldc": ldc,
         "series_align_arithmetic": series_align_arithmetic,
         "reportdata_pivot": reportdata_pivot,
-        # -- never driver-checked: round-6 window drains the backlog --
-        "ccf_click_error_events": ccf_click_error_events,
-        "trimmed_mean_events": trimmed_mean_events,
-        "chi2_type_hour_events": chi2_type_hour_events,
-        "frequent_pairs_events": frequent_pairs_events,
-        "token_entropy_docs": token_entropy_docs,
-        "pool_embeddings_label": pool_embeddings_label,
-        "centroid_eval_embeddings": centroid_eval_embeddings,
-        "score_agreement_docs": score_agreement_docs,
-        "source_concentration_docs": source_concentration_docs,
-        "wet_roundtrip_docs": wet_roundtrip_docs,
-        "skew_card_events": skew_card_events,
-        "hot_users_events": hot_users_events,
-        "validate_docs": validate_docs,
-        "readability_docs": readability_docs,
-        "shard_plan_docs": shard_plan_docs,
-        "shard_manifest_docs": shard_manifest_docs,
-        "pack_stats_docs": pack_stats_docs,
-        "token_length_hist_docs": token_length_hist_docs,
-        "kn_lm_score_docs": kn_lm_score_docs,
-        "corpus_delta_docs": corpus_delta_docs,
-        "neardup_eval_docs": neardup_eval_docs,
-        "span_corrupt_docs": span_corrupt_docs,
-        "calibration_docs": calibration_docs,
-        "leakage_safe_split_docs": leakage_safe_split_docs,
-        "kn3_lm_score_docs": kn3_lm_score_docs,
-        "selection_curve_docs": selection_curve_docs,
-        "web_corpus_docs": web_corpus_docs,
-        "mixture_plan_docs": mixture_plan_docs,
-        "sketch_rollup_users": sketch_rollup_users,
-        "simhash_pairs": simhash_pairs,
-        # r6 promotions (unrolled-MATERIALIZED-CTE trainer replays):
-        # never hash-checked, so they take window slots ahead of
-        # stale greens (rotation policy: never-checked > green)
-        "bpe_merges_docs": bpe_merges_docs,
-        "wordpiece_merges_docs": wordpiece_merges_docs,
-        # -- stalest greens (r1/r2) refresh the window to 50 --
-        "capacity_factor": capacity_factor,
-        "zscore_outliers_by_type": zscore_outliers_by_type,
-        "users_view_no_purchase": users_view_no_purchase,
-        "doc_fingerprint": doc_fingerprint,
-        "minhash_dedup_drop": minhash_dedup_drop,
-        "top_customers": top_customers,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "daily_profile": daily_profile,
-        "to_units_degr_mixed": to_units_degr_mixed,
-        "ldc_source": ldc_source,
-        "sliding_2h_1h": sliding_2h_1h,
-        # -- driver-green in round 5 (parked) --
-        "doc_min_fingerprint": doc_min_fingerprint,
-        "temperature_mixture_docs": temperature_mixture_docs,
-        "line_dedup_docs": line_dedup_docs,
-        "line_dup_stats_docs": line_dup_stats_docs,
-        "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
-        "minhash_keep_best_drop": minhash_keep_best_drop,
-        "curate_corpus_docs": curate_corpus_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "dsir_select_docs": dsir_select_docs,
-        "dsir_resample_docs": dsir_resample_docs,
-        "dsir_bigram_select_docs": dsir_bigram_select_docs,
-        "gopher_rules_docs": gopher_rules_docs,
-        "sample_per_source_docs": sample_per_source_docs,
-        "corpus_diff_docs": corpus_diff_docs,
-        "minhash_cluster_stats_docs": minhash_cluster_stats_docs,
-        "hard_negatives_topk": hard_negatives_topk,
-        "quantile_gate_docs": quantile_gate_docs,
-        "perplexity_buckets_docs": perplexity_buckets_docs,
-        "chunk_docs_fixed": chunk_docs_fixed,
-        "chunk_docs_sentences": chunk_docs_sentences,
-        "source_overlap_docs": source_overlap_docs,
-        "embedding_dim_stats_q": embedding_dim_stats_q,
-        "vocab_by_lang_docs": vocab_by_lang_docs,
-        "distribution_shift_docs": distribution_shift_docs,
-        "exact_substring_scrub_docs": exact_substring_scrub_docs,
-        "dedup_bursts_events": dedup_bursts_events,
-        "mixed_language_docs": mixed_language_docs,
-        "script_mix_docs": script_mix_docs,
-        "collocations_docs": collocations_docs,
-        "textrank_docs": textrank_docs,
-        "epoch_order_docs": epoch_order_docs,
-        "related_terms_docs": related_terms_docs,
-        "zipf_docs": zipf_docs,
-        "ngram_novelty_docs": ngram_novelty_docs,
-        "winnow_fp_docs": winnow_fp_docs,
-        "vocab_growth_docs": vocab_growth_docs,
-        "corpus_health_docs": corpus_health_docs,
-        "seasonal_profile_events": seasonal_profile_events,
-        "seasonal_backtest_events": seasonal_backtest_events,
-        "cusum_events": cusum_events,
-        "rfm_users_events": rfm_users_events,
-        "js_divergence_docs": js_divergence_docs,
-        "acf_hourly_events": acf_hourly_events,
-        # -- driver-green in round 4 --
-        "q10_returned_items": q10_returned_items,
-        "encode_docs_vocab": encode_docs_vocab,
-        "hash_split_dist": hash_split_dist,
-        "stratified_sample_langs": stratified_sample_langs,
-        "vocab_top100": vocab_top100,
-        "resample_6h": resample_6h,
-        "search_topk_docs": search_topk_docs,
-        "bm25_topk_docs": bm25_topk_docs,
-        "rrf_fuse_docs": rrf_fuse_docs,
-        "search_all_terms_docs": search_all_terms_docs,
-        "domain_rank_docs": domain_rank_docs,
-        "event_graph_rank": event_graph_rank,
-        "link_graph_docs": link_graph_docs,
-        "link_degrees_docs": link_degrees_docs,
-        "url_canonical_docs": url_canonical_docs,
-        "url_dedup_docs": url_dedup_docs,
-        "domain_stats_docs": domain_stats_docs,
-        "domain_cap_docs": domain_cap_docs,
-        "blocklist_docs": blocklist_docs,
-        "robots_rules_docs": robots_rules_docs,
-        "robots_gate_docs": robots_gate_docs,
-        "fetch_waves_docs": fetch_waves_docs,
-        "html_extract_docs": html_extract_docs,
-        "anchor_texts_docs": anchor_texts_docs,
-        "content_blocks_docs": content_blocks_docs,
-        "main_content_docs": main_content_docs,
-        "domain_templates_docs": domain_templates_docs,
-        "strip_templates_docs": strip_templates_docs,
-        "clean_text_docs": clean_text_docs,
-        "mojibake_stats_docs": mojibake_stats_docs,
-        "fix_mojibake_docs": fix_mojibake_docs,
-        "nfc_docs": nfc_docs,
-        "hll_distinct_docs": hll_distinct_docs,
-        "cm_term_counts_docs": cm_term_counts_docs,
-        "langid_ngram_docs": langid_ngram_docs,
-        "length_weighted_sample_docs": length_weighted_sample_docs,
-        "balanced_cap_docs": balanced_cap_docs,
-        "dedup_keep_best_docs": dedup_keep_best_docs,
-        "split_leakage_docs": split_leakage_docs,
-        "vocab_coverage_docs": vocab_coverage_docs,
-        "boilerplate_docs": boilerplate_docs,
-        "token_budget_select_docs": token_budget_select_docs,
-        "contamination_bloom_docs": contamination_bloom_docs,
-        "corpus_report_docs": corpus_report_docs,
-        "chunk_docs_cdc": chunk_docs_cdc,
-        # -- driver-green in earlier rounds / rows-only --
+        # -- rows-only queries: first-ever driver rows (r7 window) --
+        "pq_topk_embeddings": pq_topk_embeddings,
+        "doc_classifier_trained": doc_classifier_trained,
+        "audio_features_media": audio_features_media,
+        "text_semantic_neardup": text_semantic_neardup,
+        "unigram_vocab_docs": unigram_vocab_docs,
+        "compression_ratio_docs": compression_ratio_docs,
+        "embedding_neardup": embedding_neardup,
+        "ivf_topk": ivf_topk,
+        "media_features": media_features,
+        "image_neardup_media": image_neardup_media,
+        "video_features_media": video_features_media,
+        "discretize_typical_periods": discretize_typical_periods,
+        "corpus_sketch_stats": corpus_sketch_stats,
+        # -- stalest greens fill the window to 50 (green r1 →) --
+        "doc_bpe_tokens": doc_bpe_tokens,
+        # -- stalest greens fill the window to 50 (green r2 →) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "top_spenders_per_nation": top_spenders_per_nation,
+        "to_ip_watts": to_ip_watts,
+        "normalize_minmax": normalize_minmax,
+        "monthly_avg": monthly_avg,
+        "gap_fill_hourly": gap_fill_hourly,
+        "value_diff_per_user": value_diff_per_user,
+        "p_max_by_type": p_max_by_type,
+        "time_at_min": time_at_min,
+        "above_avg_orders": above_avg_orders,
+        "source_side": source_side,
+        "rowwise_mean": rowwise_mean,
+        "unstack_periods": unstack_periods,
+        "asof_join_hourly": asof_join_hourly,
+        "interval_join_windows": interval_join_windows,
+        "rolling_1h_avg": rolling_1h_avg,
+        "cumulative_user_spend": cumulative_user_spend,
+        "tumbling_1h": tumbling_1h,
+        "sessionize_30m": sessionize_30m,
+        "graph_components": graph_components,
+        "props_key_histogram": props_key_histogram,
+        "salted_join_priority_revenue": salted_join_priority_revenue,
+        "value_percentiles": value_percentiles,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "lang_distribution": lang_distribution,
+        "langid_heuristic": langid_heuristic,
+        "dedup_exact": dedup_exact,
+        # ==== below this line: outside the ~50-query driver window ====
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "fuzzy_pairs_prefix": fuzzy_pairs_prefix,
+        "minhash_pairs": minhash_pairs,
+        "rollup_sales": rollup_sales,
+        "ntile_quartiles": ntile_quartiles,
+        "corpus_cardinality": corpus_cardinality,
+        "cosine_topk": cosine_topk,
+        "embedding_norms": embedding_norms,
+        "tfidf_top3": tfidf_top3,
+        "ngram_top100": ngram_top100,
+        "redact_pii_docs": redact_pii_docs,
+        # -- parked: driver-green r3 --
         "benchmark_contamination": benchmark_contamination,
         "q4_late_orders": q4_late_orders,
         "doc_repetition": doc_repetition,
@@ -11825,61 +11735,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": cube_orders,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk_blas": cosine_topk_blas,
-        "pq_topk_embeddings": pq_topk_embeddings,
-        "doc_classifier_trained": doc_classifier_trained,
-        "audio_features_media": audio_features_media,
-        "text_semantic_neardup": text_semantic_neardup,
-        "unigram_vocab_docs": unigram_vocab_docs,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "top_spenders_per_nation": top_spenders_per_nation,
-        "to_ip_watts": to_ip_watts,
-        "normalize_minmax": normalize_minmax,
-        "monthly_avg": monthly_avg,
-        "gap_fill_hourly": gap_fill_hourly,
-        "value_diff_per_user": value_diff_per_user,
-        "p_max_by_type": p_max_by_type,
-        "time_at_min": time_at_min,
-        "above_avg_orders": above_avg_orders,
-        "source_side": source_side,
-        "rowwise_mean": rowwise_mean,
-        "unstack_periods": unstack_periods,
-        "asof_join_hourly": asof_join_hourly,
-        "interval_join_windows": interval_join_windows,
-        "rolling_1h_avg": rolling_1h_avg,
-        "cumulative_user_spend": cumulative_user_spend,
-        "tumbling_1h": tumbling_1h,
-        "sessionize_30m": sessionize_30m,
-        "graph_components": graph_components,
-        "props_key_histogram": props_key_histogram,
-        "salted_join_priority_revenue": salted_join_priority_revenue,
-        "value_percentiles": value_percentiles,
-        "doc_token_count": doc_token_count,
-        "doc_quality": doc_quality,
-        "lang_distribution": lang_distribution,
-        "langid_heuristic": langid_heuristic,
-        "dedup_exact": dedup_exact,
-        "incremental_dedup_docs": incremental_dedup_docs,
-        "fuzzy_pairs_prefix": fuzzy_pairs_prefix,
-        "minhash_pairs": minhash_pairs,
-        "rollup_sales": rollup_sales,
-        "ntile_quartiles": ntile_quartiles,
-        "corpus_cardinality": corpus_cardinality,
-        "cosine_topk": cosine_topk,
-        "embedding_norms": embedding_norms,
-        "tfidf_top3": tfidf_top3,
-        "ngram_top100": ngram_top100,
-        "redact_pii_docs": redact_pii_docs,
-        "compression_ratio_docs": compression_ratio_docs,
-        "embedding_neardup": embedding_neardup,
-        "ivf_topk": ivf_topk,
-        "media_features": media_features,
-        "image_neardup_media": image_neardup_media,
-        "video_features_media": video_features_media,
-        "discretize_typical_periods": discretize_typical_periods,
-        "corpus_sketch_stats": corpus_sketch_stats,
+        # -- parked: driver-green r4 --
+        "q10_returned_items": q10_returned_items,
+        "encode_docs_vocab": encode_docs_vocab,
+        "hash_split_dist": hash_split_dist,
+        "stratified_sample_langs": stratified_sample_langs,
+        "vocab_top100": vocab_top100,
+        "resample_6h": resample_6h,
+        "search_topk_docs": search_topk_docs,
+        "bm25_topk_docs": bm25_topk_docs,
+        "rrf_fuse_docs": rrf_fuse_docs,
+        "search_all_terms_docs": search_all_terms_docs,
+        "domain_rank_docs": domain_rank_docs,
+        "event_graph_rank": event_graph_rank,
+        "link_graph_docs": link_graph_docs,
+        "link_degrees_docs": link_degrees_docs,
+        "url_canonical_docs": url_canonical_docs,
+        "url_dedup_docs": url_dedup_docs,
+        "domain_stats_docs": domain_stats_docs,
+        "domain_cap_docs": domain_cap_docs,
+        "blocklist_docs": blocklist_docs,
+        "robots_rules_docs": robots_rules_docs,
+        "robots_gate_docs": robots_gate_docs,
+        "fetch_waves_docs": fetch_waves_docs,
+        "html_extract_docs": html_extract_docs,
+        "anchor_texts_docs": anchor_texts_docs,
+        "content_blocks_docs": content_blocks_docs,
+        "main_content_docs": main_content_docs,
+        "domain_templates_docs": domain_templates_docs,
+        "strip_templates_docs": strip_templates_docs,
+        "clean_text_docs": clean_text_docs,
+        "mojibake_stats_docs": mojibake_stats_docs,
+        "fix_mojibake_docs": fix_mojibake_docs,
+        "nfc_docs": nfc_docs,
+        "hll_distinct_docs": hll_distinct_docs,
+        "cm_term_counts_docs": cm_term_counts_docs,
+        "langid_ngram_docs": langid_ngram_docs,
+        "length_weighted_sample_docs": length_weighted_sample_docs,
+        "balanced_cap_docs": balanced_cap_docs,
+        "dedup_keep_best_docs": dedup_keep_best_docs,
+        "split_leakage_docs": split_leakage_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "boilerplate_docs": boilerplate_docs,
+        "token_budget_select_docs": token_budget_select_docs,
+        "contamination_bloom_docs": contamination_bloom_docs,
+        "corpus_report_docs": corpus_report_docs,
+        "chunk_docs_cdc": chunk_docs_cdc,
+        # -- parked: driver-green r5 --
+        "doc_min_fingerprint": doc_min_fingerprint,
+        "temperature_mixture_docs": temperature_mixture_docs,
+        "line_dedup_docs": line_dedup_docs,
+        "line_dup_stats_docs": line_dup_stats_docs,
+        "line_dedup_in_doc_docs": line_dedup_in_doc_docs,
+        "minhash_keep_best_drop": minhash_keep_best_drop,
+        "curate_corpus_docs": curate_corpus_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "dsir_resample_docs": dsir_resample_docs,
+        "dsir_bigram_select_docs": dsir_bigram_select_docs,
+        "gopher_rules_docs": gopher_rules_docs,
+        "sample_per_source_docs": sample_per_source_docs,
+        "corpus_diff_docs": corpus_diff_docs,
+        "minhash_cluster_stats_docs": minhash_cluster_stats_docs,
+        "hard_negatives_topk": hard_negatives_topk,
+        "quantile_gate_docs": quantile_gate_docs,
+        "perplexity_buckets_docs": perplexity_buckets_docs,
+        "chunk_docs_fixed": chunk_docs_fixed,
+        "chunk_docs_sentences": chunk_docs_sentences,
+        "source_overlap_docs": source_overlap_docs,
+        "embedding_dim_stats_q": embedding_dim_stats_q,
+        "vocab_by_lang_docs": vocab_by_lang_docs,
+        "distribution_shift_docs": distribution_shift_docs,
+        "exact_substring_scrub_docs": exact_substring_scrub_docs,
+        "dedup_bursts_events": dedup_bursts_events,
+        "mixed_language_docs": mixed_language_docs,
+        "script_mix_docs": script_mix_docs,
+        "collocations_docs": collocations_docs,
+        "textrank_docs": textrank_docs,
+        "epoch_order_docs": epoch_order_docs,
+        "related_terms_docs": related_terms_docs,
+        "zipf_docs": zipf_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
+        "winnow_fp_docs": winnow_fp_docs,
+        "vocab_growth_docs": vocab_growth_docs,
+        "corpus_health_docs": corpus_health_docs,
+        "seasonal_profile_events": seasonal_profile_events,
+        "seasonal_backtest_events": seasonal_backtest_events,
+        "cusum_events": cusum_events,
+        "rfm_users_events": rfm_users_events,
+        "js_divergence_docs": js_divergence_docs,
+        "acf_hourly_events": acf_hourly_events,
+        # -- parked: driver-green r6 --
+        "doc_hashed_embedding": doc_hashed_embedding,
+        "ccf_click_error_events": ccf_click_error_events,
+        "trimmed_mean_events": trimmed_mean_events,
+        "chi2_type_hour_events": chi2_type_hour_events,
+        "frequent_pairs_events": frequent_pairs_events,
+        "token_entropy_docs": token_entropy_docs,
+        "pool_embeddings_label": pool_embeddings_label,
+        "centroid_eval_embeddings": centroid_eval_embeddings,
+        "score_agreement_docs": score_agreement_docs,
+        "source_concentration_docs": source_concentration_docs,
+        "wet_roundtrip_docs": wet_roundtrip_docs,
+        "skew_card_events": skew_card_events,
+        "hot_users_events": hot_users_events,
+        "validate_docs": validate_docs,
+        "readability_docs": readability_docs,
+        "shard_plan_docs": shard_plan_docs,
+        "shard_manifest_docs": shard_manifest_docs,
+        "pack_stats_docs": pack_stats_docs,
+        "token_length_hist_docs": token_length_hist_docs,
+        "kn_lm_score_docs": kn_lm_score_docs,
+        "corpus_delta_docs": corpus_delta_docs,
+        "neardup_eval_docs": neardup_eval_docs,
+        "span_corrupt_docs": span_corrupt_docs,
+        "calibration_docs": calibration_docs,
+        "leakage_safe_split_docs": leakage_safe_split_docs,
+        "kn3_lm_score_docs": kn3_lm_score_docs,
+        "selection_curve_docs": selection_curve_docs,
+        "web_corpus_docs": web_corpus_docs,
+        "mixture_plan_docs": mixture_plan_docs,
+        "sketch_rollup_users": sketch_rollup_users,
+        "simhash_pairs": simhash_pairs,
+        "bpe_merges_docs": bpe_merges_docs,
+        "wordpiece_merges_docs": wordpiece_merges_docs,
+        "capacity_factor": capacity_factor,
+        "zscore_outliers_by_type": zscore_outliers_by_type,
+        "users_view_no_purchase": users_view_no_purchase,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_dedup_drop": minhash_dedup_drop,
+        "top_customers": top_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "daily_profile": daily_profile,
+        "to_units_degr_mixed": to_units_degr_mixed,
+        "ldc_source": ldc_source,
+        "sliding_2h_1h": sliding_2h_1h,
     }
 
 

@@ -1362,7 +1362,7 @@ def chi_square_independence(
     e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col(
         "__n"
     ).cast("double")
-    grid = ra.crossJoin(cb).join(cells, [col_a, col_b], "left").select(
+    grid = ra.crossJoin(F.broadcast(cb)).join(cells, [col_a, col_b], "left").select(
         col_a, col_b, "__ra", "__cb", F.coalesce("__o", F.lit(0)).alias("__o")
     )
     contrib = (

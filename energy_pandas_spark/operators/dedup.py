@@ -490,11 +490,33 @@ def _release_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
     and RELEASE the caches — a leaked persist pins executor memory for
     the session AND substitutes into any later query whose logical
     plan matches (Spark swaps in the InMemoryRelation), which made
-    full-registry plan audits registry-order-dependent (ADVICE r5)."""
+    full-registry plan audits registry-order-dependent (ADVICE r5).
+
+    Fault-tolerance caveat (ADVICE r6): ``localCheckpoint`` stores the
+    blocks on executors and TRUNCATES lineage, so on a real cluster
+    with dynamic allocation / executor loss the checkpointed result is
+    unrecoverable — the job fails instead of recomputing. That is a
+    deliberate trade here: the checkpointed frame is the PAIRS-sized
+    verify output (bounded by ``max_bucket``, orders of magnitude
+    smaller than the corpus), executed at call time, so the exposure
+    window is the caller's immediate consumption, not a long-lived
+    plan. Pipelines that need full lineage-based recovery (or lazy
+    composition) should pass ``eager=False`` and release the internal
+    persists themselves via :func:`release_caches`."""
     out = out.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out
+
+
+# ``eager=False`` twin of _release_caches + the caller-side release
+# handle (ADVICE r6) — canonical implementations live in util so
+# retrieval/text share them without import cycles; re-exported here
+# because the dedup pipelines are the primary eager= surface.
+from energy_pandas_spark.util import (  # noqa: E402
+    attach_caches as _attach_caches,
+    release_caches,
+)
 
 
 def minhash_lsh_pairs(
@@ -581,7 +603,11 @@ def minhash_lsh_pairs(
         )
         .select("id_a", "id_b", "jaccard", "jaccard_micro")
     )
-    return _release_caches(verified, sh, cand) if eager else verified
+    return (
+        _release_caches(verified, sh, cand)
+        if eager
+        else _attach_caches(verified, sh, cand)
+    )
 
 
 def edit_distance_pairs(
@@ -631,8 +657,12 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
-    if cand is not None and eager:
-        out = _release_caches(out, cand)
+    if cand is not None:
+        out = (
+            _release_caches(out, cand)
+            if eager
+            else _attach_caches(out, cand)
+        )
     return out
 
 
@@ -684,7 +714,7 @@ def minhash_cluster_stats(
     )
     singletons = (
         df.agg(F.count(F.lit(1)).alias("__t"))
-        .crossJoin(clusters.agg(F.count(F.lit(1)).alias("__c")))
+        .crossJoin(F.broadcast(clusters.agg(F.count(F.lit(1)).alias("__c"))))
         .select(
             F.lit(1).cast("long").alias("cluster_size"),
             (F.col("__t") - F.col("__c")).alias("n_clusters"),
@@ -1393,7 +1423,9 @@ def crosscorpus_neardup_pairs(
         .select("id_new", "id_store", "jaccard", "jaccard_micro")
     )
     return (
-        _release_caches(verified, cand, shn, shs) if eager else verified
+        _release_caches(verified, cand, shn, shs)
+        if eager
+        else _attach_caches(verified, cand, shn, shs)
     )
 
 
@@ -1633,7 +1665,11 @@ def containment_pairs(
             "containment", "containment_micro",
         )
     )
-    return _release_caches(verified, grams, rows_df) if eager else verified
+    return (
+        _release_caches(verified, grams, rows_df)
+        if eager
+        else _attach_caches(verified, grams, rows_df)
+    )
 
 
 def containment_dedup(
@@ -1935,4 +1971,4 @@ def neardup_eval(
             "recall_permille",
         )
     )
-    return _release_caches(card, sh) if eager else card
+    return _release_caches(card, sh) if eager else _attach_caches(card, sh)

@@ -48,7 +48,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from energy_pandas_spark.functions.textfns import tokens
-from energy_pandas_spark.util import spread_partitions
+from energy_pandas_spark.util import attach_caches, spread_partitions
 
 __all__ = [
     "build_postings",
@@ -133,7 +133,13 @@ def _finish(out: DataFrame, matched: DataFrame) -> DataFrame:
     (localCheckpoint truncates the lineage off the persisted matched
     postings) and RELEASE the cache — without this every search call
     would pin one persisted frame for the rest of the session (the
-    curation loop workload makes thousands of calls)."""
+    curation loop workload makes thousands of calls).
+
+    Fault-tolerance caveat (ADVICE r6): localCheckpoint truncates
+    lineage, so the blocks are unrecoverable under executor loss — an
+    acceptable trade for a (queries x k)-sized result consumed
+    immediately. Callers needing lineage keep ``eager=False`` and
+    release the attached cache via ``util.release_caches``."""
     out = out.localCheckpoint(eager=True)
     matched.unpersist()
     return out
@@ -187,7 +193,7 @@ def search_topk(
         )
     scored = scored.drop("__nt")
     out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
-    return _finish(out, matched) if eager else out
+    return _finish(out, matched) if eager else attach_caches(out, matched)
 
 
 def bm25_topk(
@@ -228,8 +234,12 @@ def bm25_topk(
         # (docs with empty/NULL text have no postings rows but DO
         # count in n_docs, which comes from the cheap count-star)
         full_stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-            postings.agg(
-                F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_tokens")
+            F.broadcast(
+                postings.agg(
+                    F.coalesce(F.sum("tf"), F.lit(0))
+                    .cast("long")
+                    .alias("total_tokens")
+                )
             )
         )
     else:
@@ -267,7 +277,7 @@ def bm25_topk(
         .agg(F.sum(contrib).alias("__score"))
     )
     out = _topk(scored, k, id_col).withColumnRenamed("__score", "score_q")
-    return _finish(out, matched) if eager else out
+    return _finish(out, matched) if eager else attach_caches(out, matched)
 
 
 #: RRF quantization: fused scores are sums of ``RRF_SCALE div

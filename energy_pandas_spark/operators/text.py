@@ -463,7 +463,7 @@ def vocab_coverage(
     total = terms.agg(
         F.coalesce(F.sum("total_count"), F.lit(0)).alias("total_tokens")
     )
-    return covered.crossJoin(total).select(
+    return covered.crossJoin(F.broadcast(total)).select(
         "vocab_size",
         "covered_tokens",
         "total_tokens",
@@ -728,7 +728,16 @@ def _hashed_embedding_agg(
     ``id_col=``): explode per-token (bucket, sign) INT pairs, one
     map-combined hash aggregate per (id, bucket), dim-bounded array
     rebuild, join back. Component sums are identical to the map-only
-    fold (same hashes, same ±1 additions — integer, order-free)."""
+    fold (same hashes, same ±1 additions — integer, order-free)
+    PROVIDED ``id_col`` is unique and non-null (ADVICE r6): this path
+    aggregates BY KEY, so duplicate ids sum their tokens into one
+    shared vector and NULL-id rows fall out of the left join back
+    (zero vector), where the map-only fold is strictly per-row. The
+    precondition is pinned in :func:`hashed_embedding`'s docstring; a
+    monotonic surrogate key was rejected deliberately — a
+    nondeterministic row id evaluated on both sides of a self-join is
+    not stable under task retry / AQE re-execution on a real cluster,
+    which is exactly where this path runs."""
     from energy_pandas_spark.util import spread_partitions
 
     ex = (
@@ -822,7 +831,11 @@ def hashed_embedding(
       original columns preserved; tokenless docs get the zero vector).
       THIS is the 100 TB path: the r6 sf10 probe measured the map-only
       fold at ~30 min/62k-doc task (dim=16, local[8]) where this path
-      is seconds.
+      is seconds. PRECONDITION: ``id_col`` values must be unique and
+      non-null — the keyed aggregate sums duplicate ids into one
+      shared vector and leaves NULL-id rows with the zero vector,
+      whereas the map-only path embeds every row independently. Rows
+      without a usable key should use ``id_col=None``.
 
     The token array materializes into a real column first — inlining
     ``tokens()`` into the per-component lambdas would re-run the split
@@ -1632,7 +1645,7 @@ def bigram_lm_score(
     scored = (
         bg.join(lm, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
-        .crossJoin(v)
+        .crossJoin(F.broadcast(v))
         .select(
             F.col(id_col),
             (
@@ -2584,8 +2597,8 @@ def langid_ngram_selftrain(
     corpus on ``id_col`` for the full-row variant.  ``eager=True``
     (default) materializes the n_docs-row result via localCheckpoint
     and RELEASES the cache (the retrieval ``_finish`` hygiene);
-    ``eager=False`` returns lazily and the caller owns the leaked
-    persist."""
+    ``eager=False`` returns lazily with the internal persist attached
+    — release it with ``util.release_caches(out)`` (ADVICE r6)."""
     if top < 1 or n < 1:
         raise ValueError("top and n must be >= 1")
     doc_counts = (
@@ -2624,6 +2637,10 @@ def langid_ngram_selftrain(
     if eager:
         out = out.localCheckpoint(eager=True)
         doc_counts.unpersist()
+    else:
+        from energy_pandas_spark.util import attach_caches
+
+        out = attach_caches(out, doc_counts)
     return out
 
 

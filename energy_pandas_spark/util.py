@@ -4,7 +4,35 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["spread_partitions", "epoch_micros", "round_half_away"]
+__all__ = [
+    "spread_partitions",
+    "epoch_micros",
+    "round_half_away",
+    "attach_caches",
+    "release_caches",
+]
+
+
+def attach_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """``eager=False`` twin of the localCheckpoint-and-unpersist hygiene
+    pattern (ADVICE r6): operators that persist internal frames and are
+    asked NOT to materialize eagerly return the lazy plan with those
+    persisted inputs attached (``_eps_caches``), so the caller can
+    release exactly these persists with :func:`release_caches` instead
+    of nuking the whole session via ``spark.catalog.clearCache()``."""
+    held = list(getattr(out, "_eps_caches", ())) + list(caches)
+    out._eps_caches = tuple(held)
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Release the internal persists attached to an ``eager=False``
+    result (see :func:`attach_caches`). Safe to call more than once and
+    on frames with nothing attached. The frame's plan remains valid
+    afterwards — recomputation just stops hitting the caches."""
+    for c in getattr(df, "_eps_caches", ()):
+        c.unpersist()
+    df._eps_caches = ()
 
 def epoch_micros(df: DataFrame, ts_col: str, col: Column | None = None) -> Column:
     """Microseconds since epoch, type-tolerant: ``unix_micros`` rejects
@@ -40,9 +68,23 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     expensive expression / Arrow-batch work behind it. At real scale the
     scan has plenty of splits and this is a no-op (the round-robin
     repartition only fires when the input has fewer partitions than the
-    cluster has slots)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cluster has slots).
+
+    Probe contract (ADVICE r6): ``df.rdd.getNumPartitions()`` forces a
+    logical→physical conversion, so callers pass the SCAN-STAGE frame
+    (a projection straight off the read) — planning a bare scan is
+    cheap; never call this on a deep plan mid-pipeline. Under Spark
+    Connect neither ``sparkContext`` nor ``df.rdd`` exists; the probe
+    degrades to a no-op there (the classic-mode single-file pathology
+    is a local-testing concern — Connect clusters read real multi-split
+    scans, and an unconditional repartition would tax every caller with
+    a shuffle to fix a case that does not occur)."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext / RDD API
+        return df
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -1,14 +1,19 @@
 """Driver-window rotation report (VERDICT r3 #10): the driver
 hash-checks the FIRST ~50 ``queries()`` entries each round, so registry
 ORDER is the verification-rotation policy. This reports, from the
-accumulated CORRECTNESS_r*.json artifacts, each oracle-backed query's
+accumulated CORRECTNESS_r*.json artifacts, each registry query's
 last driver-checked round and suggests the next round's head:
 
-    1. the 5 permanent §2 reference-parity canaries,
-    2. every oracle-backed query the driver has NEVER checked,
-    3. the stalest-checked remainder (oldest green round first),
+    1. fixed-but-never-re-proven queries (red once, never green since),
+    2. the 6 permanent §2 reference-parity canaries,
+    3. every registry query the driver has NEVER checked — oracle-backed
+       (rows+schema+hash) AND rows-only (rows_match is the weaker but
+       still real driver signal; VERDICT r6 #1 — the 13 rows-only
+       entries had never received ANY driver CORRECTNESS row because
+       earlier windows held only oracle-backed queries),
+    4. the stalest-checked remainder (oldest green round first),
 
-so the backlog drains monotonically and every oracle re-verifies at
+so the backlog drains monotonically and every query re-verifies at
 least every ceil(registry / window) rounds. Usage:
 
     python scripts/rotation_report.py [window_size]
@@ -62,9 +67,11 @@ def rotation_state(window: int = 50) -> dict:
                 last_red[name] = max(last_red.get(name, 0), rnd)
 
     oracle_backed = [q for q in queries if q in oracles]
-    never = [q for q in oracle_backed if q not in last_green]
+    # r7 policy extension (VERDICT r6 #1): rows-only queries rotate
+    # through the window too — rows_match is their driver signal.
+    never = [q for q in queries if q not in last_green]
     stale = sorted(
-        (q for q in oracle_backed if q in last_green),
+        (q for q in queries if q in last_green),
         key=lambda q: (last_green[q], queries.index(q)),
     )
     red_unproven = [

@@ -876,3 +876,33 @@ def test_dedup_bursts_semantics(spark):
         r.event_id for r in dedup_bursts(df, tolerance="2 minutes").collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_eager_false_attaches_releasable_caches(spark):
+    """ADVICE r6: eager=False must expose its internal persists as a
+    release handle (util.release_caches) instead of forcing callers to
+    spark.catalog.clearCache() — and the handle must actually empty the
+    cache manager while leaving the plan executable."""
+    from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
+    from energy_pandas_spark.util import release_caches
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox leaps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, "entirely unrelated catalyst text")],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(
+        df, num_hashes=64, bands=32, shingle_size=2, threshold=0.3,
+        eager=False,
+    )
+    caches = getattr(out, "_eps_caches", ())
+    assert len(caches) == 2, "lazy path must attach (shingles, candidates)"
+    out.count()  # materialize → internal persists populate
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty(), "persists should be live after execution"
+    release_caches(out)
+    assert jcm.isEmpty(), "release handle must drop exactly these persists"
+    assert out._eps_caches == ()  # idempotent second call is a no-op
+    release_caches(out)
+    assert out.count() >= 1  # plan still valid post-release
