@@ -4078,12 +4078,21 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH + exact-cosine verification — rows-only."""
+    """Random-hyperplane LSH + exact-cosine verification — rows-only.
+
+    collapse_exact + auto_bits (r7): exact-identical vectors collapse
+    to min-id representatives (the standard exact-then-near dedup
+    pipeline), and the band-key width grows with measured corpus
+    cardinality — fixed 8-bit keys degenerate every bucket past
+    ~256 * max_bucket uniques, silently returning zero rows at 100×
+    scale (the r7 ledger caught the class)."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs(
+        emb, threshold=0.3, collapse_exact=True, auto_bits=True
+    ).orderBy("id_a", "id_b")
 
 
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5125,7 +5134,16 @@ def text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     model anywhere (operators/text.py:hashed_embedding +
     operators/dedup.py:embedding_neardup_pairs). Rows-only (LSH
     banding has no SQL twin); exact-dup doc pairs must surface with
-    cosine 1.0."""
+    cosine 1.0.
+
+    collapse_exact + auto_bits (r7): the original 32-plane / 16-band
+    setup had 2-bit bucket keys — FOUR buckets per band — so any
+    corpus past ~4k docs degenerated every bucket beyond max_bucket
+    and the query silently returned zero rows at sf10 (the r7 ledger
+    caught it). Exact-identical vectors now collapse to
+    representatives first, and the band-key width grows with measured
+    corpus cardinality so bucket occupancy stays bounded at any
+    scale."""
     _prep(spark)
     from energy_pandas_spark.operators.dedup import embedding_neardup_pairs
     from energy_pandas_spark.operators.text import hashed_embedding
@@ -5135,7 +5153,8 @@ def text_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     return embedding_neardup_pairs(
-        emb, threshold=0.9, n_planes=32, bands=16, dim=64
+        emb, threshold=0.9, n_planes=64, bands=8, dim=64,
+        collapse_exact=True, auto_bits=True,
     ).orderBy("id_a", "id_b")
 
 

@@ -1008,6 +1008,8 @@ def embedding_neardup_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int = 1000,
+    collapse_exact: bool = False,
+    auto_bits: bool = False,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine: random-hyperplane sign-LSH
     buckets (planes generated driver-side with a fixed seed, embedded as
@@ -1020,13 +1022,53 @@ def embedding_neardup_pairs(
     list on a single task. Recall for such groups still comes from the
     other ``bands - 1`` buckets unless ALL of them degenerate, which at
     that point is an exact-dup group better handled by ``dedup_exact``
-    on a vector digest."""
+    on a vector digest.
+
+    ``collapse_exact=True`` applies that advice INSIDE the operator —
+    the standard near-dup pipeline shape (exact-dedup first, then
+    near-dup over uniques): identical vectors collapse to their min-id
+    representative (an exact group-by on the vector itself, no digest
+    collisions) and LSH+verify run over representatives only, so pairs
+    are (rep_a, rep_b). Found by the r7 sf10 ledger: a 100×-replicated
+    corpus turns EVERY bucket degenerate (each unique vector has ~100
+    exact copies, so every bucket exceeds ``max_bucket`` in every
+    band) and the uncollapsed query silently returns zero rows — the
+    collapse restores bucket occupancy proportional to UNIQUE content,
+    which is the quantity LSH parameters are sized against.
+
+    ``auto_bits=True`` closes the remaining capacity hole: fixed
+    ``n_planes // bands`` bits per band degenerate every bucket once
+    uniques outgrow ``2^bits * max_bucket`` — at 100 TB no fixed
+    parameter survives. The band-key width grows with measured corpus
+    cardinality (one count action) so expected occupancy stays ~
+    ``max_bucket/8``; exact-dup groups (identical sign patterns) are
+    found at any width, while distant-pair per-band recall decays as
+    ``p^bits`` — widen ``bands`` to compensate if low-threshold recall
+    matters more than cost."""
+    if collapse_exact:
+        # exact group-by on the vector column itself (Spark groups by
+        # array keys natively) — one corpus shuffle, zero collision
+        # risk, and every downstream stage sees unique vectors only
+        df = df.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
     if dim is None:
         first = df.select(F.size(vec_col)).limit(1).collect()
         dim = first[0][0] if first else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
     per_band = n_planes // bands
+    if auto_bits:
+        # size the band-key space to corpus CARDINALITY (the r7 scale
+        # lesson): expected bucket occupancy is n / 2^bits, so fixed
+        # bits silently degenerate every bucket past a corpus size —
+        # grow bits until expected occupancy ~ max_bucket/8 (the /8
+        # headroom absorbs bucket skew). The count is one cheap scan
+        # action; exact-dup (cosine-1.0) groups share every bucket at
+        # ANY bit width, so planted-dup recovery is bits-independent,
+        # while distant-pair per-band recall decays as p^bits — the
+        # standard LSH capacity/recall trade, now explicit.
+        n = df.count()
+        need = max(1, n // max(max_bucket // 8, 1))
+        per_band = min(max(per_band, (need - 1).bit_length()), 62)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * per_band, dim))
 
     # plane projections via one Arrow-batched matmul per batch: Spark's
     # higher-order functions are interpreted (not codegen'd), so 64

@@ -119,6 +119,68 @@ class TestDedup:
         assert (0, 1) in got
         assert (0, 2) not in got and (1, 2) not in got
 
+    def test_embedding_neardup_collapse_exact(self, spark):
+        """r7 sf10 ledger regression: a corpus where every unique
+        vector has many exact copies overflows EVERY bucket past
+        max_bucket, so the uncollapsed query silently returns zero
+        rows; collapse_exact restores the near-dup pair over min-id
+        representatives."""
+        base = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        ]
+        rows = [
+            (vid + 10 * rep, vec)
+            for rep in range(30)
+            for (vid, vec) in base
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        kw = dict(
+            threshold=0.95, n_planes=16, bands=8, dim=4, max_bucket=20
+        )
+        # every bucket holds >= 30 identical-vector members > max_bucket
+        assert embedding_neardup_pairs(df, **kw).count() == 0
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in embedding_neardup_pairs(
+                df, collapse_exact=True, **kw
+            ).collect()
+        }
+        # min-id representatives of the two near-dup groups
+        assert got == {(0, 1)}
+
+    def test_embedding_neardup_auto_bits(self, spark):
+        """r7 capacity fix: fixed band-key bits degenerate every
+        bucket once uniques outgrow 2^bits * max_bucket; auto_bits
+        grows the key width with measured cardinality, and exact-dup
+        (cosine 1.0) pairs survive at ANY width (identical sign
+        patterns share every bucket)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        X = rng.standard_normal((400, 8))
+        rows = [(i, [float(x) for x in X[i]]) for i in range(400)]
+        rows.append((1000, rows[0][1]))  # planted exact dup of vec 0
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # 1 bit/band -> 2 buckets/band -> all ~200-member buckets
+        # exceed max_bucket=50 -> the planted pair is silently lost
+        kw = dict(threshold=0.999, bands=4, dim=8, max_bucket=50)
+        assert (
+            embedding_neardup_pairs(df, n_planes=4, **kw).count() == 0
+        )
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in embedding_neardup_pairs(
+                df, n_planes=4, auto_bits=True, **kw
+            ).collect()
+        }
+        assert (0, 1000) in got
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
