@@ -848,7 +848,17 @@ def simhash_neardup_pairs(
     replicated near-identical signatures concentrate in a few huge
     buckets. On natural corpora buckets stay small and the cap is
     inert; raise it (or pre-dedup exact copies first) when the corpus
-    is known to be heavily replicated."""
+    is known to be heavily replicated.
+
+    Scale ceiling (r7 note): unlike sign-LSH (where ``auto_bits`` can
+    widen keys), the band width here is FIXED by the pigeonhole
+    construction — 64 bits / (max_hamming+1) bands ≈ 16-bit keys — so
+    expected occupancy is n / 65536 and the cap starts dropping
+    average-density buckets past ~65M docs per partition-disjoint
+    corpus slice. The 100 TB recipe is exact-dedup first (collapse
+    identical signatures), then band on the unique signatures; the
+    pigeonhole guarantee is unaffected because identical signatures
+    are hamming-0 members of their representative."""
     sh = simhash64(df, text_col, id_col, hasher=hasher)
     return hamming_neardup_pairs(
         sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,

@@ -24,7 +24,14 @@ Resumable: dispositions merge into the ledger file; already-recorded
 names are skipped, so an interrupted sweep continues where it left
 off. Usage:
 
-    python scripts/sf10_ledger.py [start:end] [sf_dir] [timeout_s]
+    python scripts/sf10_ledger.py [start:end] [sf_dir] [timeout_s] [ledger]
+
+Parallel sweeps: give each worker a DISJOINT [start:end] range and its
+OWN ledger file (4th arg) — save_ledger rewrites the whole dict, so
+two workers sharing one file would drop each other's records — then
+merge the shards (a dict union; ranges are disjoint). Env
+``SF10_LEDGER_MEMGIB`` overrides the per-worker DuckDB memory cap so
+two concurrent oracles cannot jointly exhaust the box.
 """
 
 from __future__ import annotations
@@ -46,6 +53,8 @@ LEDGER = os.path.join(
     ".scale",
     "ledger_r07_sf10.json",
 )
+if len(sys.argv) > 4:
+    LEDGER = sys.argv[4]
 
 # Quadratic brute-force oracle references, pinned from measured r5/r6
 # sf10 runs (Spark side completed in every one; the oracle is the
@@ -110,13 +119,16 @@ def main() -> None:
 
     import duckdb
 
-    try:
-        total_gib = (
-            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        ) / (1 << 30)
-        cap_gib = max(1, min(48, int(total_gib * 0.6)))
-    except (ValueError, OSError):
-        cap_gib = 48
+    if os.environ.get("SF10_LEDGER_MEMGIB"):
+        cap_gib = int(os.environ["SF10_LEDGER_MEMGIB"])
+    else:
+        try:
+            total_gib = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1 << 30)
+            cap_gib = max(1, min(48, int(total_gib * 0.6)))
+        except (ValueError, OSError):
+            cap_gib = 48
 
     def _connect():
         c = ddb_connect(sf_dir)
