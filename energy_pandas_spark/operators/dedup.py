@@ -652,9 +652,18 @@ def edit_distance_pairs(
             kk.select(F.col(id_col).alias("id_b"), F.col("__k").alias("k_b")),
             "id_b",
         )
+    # banded Levenshtein: the threshold arg short-circuits the DP once
+    # the running distance exceeds max_distance — O(threshold * len)
+    # per pair instead of O(len^2), returning -1 for pairs past the
+    # band. Output-identical to the unbounded form for every kept pair
+    # (distances <= threshold are exact), and the dominant cost of the
+    # exact method's all-pairs verify at scale (r7 sf10: a 1.25e9-pair
+    # comparison spent most of its runtime in full 50x50 DP tables
+    # whose distances were then filtered away).
+    dist = F.levenshtein("k_a", "k_b", int(max_distance))
     out = (
-        paired.withColumn("distance", F.levenshtein("k_a", "k_b"))
-        .filter(F.col("distance") <= max_distance)
+        paired.withColumn("distance", dist)
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
         .select("id_a", "id_b", "distance")
     )
     if cand is not None:
