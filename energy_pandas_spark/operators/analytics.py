@@ -180,9 +180,16 @@ def ldc(
         )
         .fillna({"__offset": 0})
     )
-    return part.join(F.broadcast(offsets), "__pid").select(
+    out = part.join(F.broadcast(offsets), "__pid").select(
         (F.col("__offset") + F.col("__rn")).alias(index_name), *cols
     )
+    # release handle (ADVICE r6 pattern): the persisted sorted projection
+    # otherwise outlives the call — pinned executor memory for the
+    # session and a warm-cache substitution hazard for later queries
+    # with a matching plan. Callers release via util.release_caches.
+    from energy_pandas_spark.util import attach_caches
+
+    return attach_caches(out, part)
 
 
 def ldc_source(

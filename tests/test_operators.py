@@ -886,6 +886,12 @@ def test_eager_false_attaches_releasable_caches(spark):
     from energy_pandas_spark.operators.dedup import minhash_lsh_pairs
     from energy_pandas_spark.util import release_caches
 
+    # isolate from persists leaked by earlier tests in the shared
+    # session: this test asserts cacheManager emptiness, which is only
+    # meaningful from a clean slate (the leak-audit script owns the
+    # "no operator leaks" property; this test owns the release handle)
+    spark.catalog.clearCache()
+
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = "the quick brown fox leaps over the lazy dog again and again today"
     df = spark.createDataFrame(
