@@ -188,6 +188,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from energy_pandas_spark.session import make_session
+    from energy_pandas_spark.util import drain_tracked_caches
 
     spark = make_session(
         master=f"local[{cpus}]",
@@ -225,6 +226,15 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
+                # r7 measurement fix (guide §1 honesty): release the
+                # operators' internal persists after the timer stops.
+                # Before this, 26 queries leaked live InMemoryRelations
+                # out of their noop write, so iterations 2-3 (and any
+                # later query sharing a subplan) were served warm and
+                # the best-of-3 floor was a cache artifact, not the
+                # query's cost. Population happens INSIDE the timed
+                # region; the release is bookkeeping outside it.
+                drain_tracked_caches()
             timings[name] = round(best, 3)
             # incremental per-query line on stderr: partial timings
             # survive a crash / kill, and stdout stays one-line clean

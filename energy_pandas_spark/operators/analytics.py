@@ -19,6 +19,7 @@ Scale notes (100 TB design):
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from typing import Iterable, Sequence
 
@@ -1016,6 +1017,7 @@ def global_order_index(
         .select(*cols, "__pid", "__rn")
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(part)
     offsets = (
         part.groupBy("__pid")
         .count()

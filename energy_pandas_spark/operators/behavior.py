@@ -7,6 +7,7 @@ more than one user.
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from typing import Sequence
 
@@ -204,6 +205,7 @@ def rfm_segments(
         )
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(base)
     n = base.count()
 
     def quintile(rank_col: str) -> F.Column:

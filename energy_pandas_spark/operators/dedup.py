@@ -25,6 +25,7 @@
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from typing import Iterator
 
@@ -467,7 +468,7 @@ def minhash_lsh_candidates(
     # Candidates are tiny relative to the corpus (bounded by
     # max_bucket), so the default MEMORY_AND_DISK level is safe at any
     # scale, and lineage stays intact for fault recovery.
-    return cand.persist()
+    return track_cache(cand.persist())
 
 
 def _restricted_to_candidates(

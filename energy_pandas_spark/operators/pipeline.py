@@ -11,6 +11,7 @@ without co-locating equal fingerprints once.
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -194,6 +195,7 @@ def prepare_training_corpus(
         .filter(F.col("score_micro") >= round_half_away(min_score * 1e6))
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(gated)
     stats = span_dup_stats(gated, text_col, id_col, span_k)
     # same tie-safety rule as the classifier gate: compare the exact
     # integer micro-ratio, not the rounded float

@@ -43,6 +43,7 @@ same documented caveat as the DSIR oracle).
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -121,8 +122,10 @@ def _matched(
         postings = build_postings(docs, text_col, id_col)
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = qterms.select("term").distinct()
-    matched = postings.join(F.broadcast(terms), "term").persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
+    matched = track_cache(
+        postings.join(F.broadcast(terms), "term").persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
     )
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return stats, matched, dfreq

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from energy_pandas_spark.util import track_cache
+
 from energy_pandas_spark.functions.textfns import (
     char_shingles_of_text,
     normalized_text,
@@ -452,6 +454,7 @@ def vocab_coverage(
         )
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(terms)
     covered = (
         terms.orderBy(F.desc("doc_freq"), F.asc("term"))
         .limit(top)
@@ -571,8 +574,10 @@ def tfidf_top_terms(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
+    tf = track_cache(
+        term_frequencies(df, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
     )
     # corpus size folds into the plan as a broadcast 1-row cross join —
     # no eager count job, no second scan at plan-build time
@@ -1048,6 +1053,7 @@ def contamination_overlap_bloom(
         )
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(grams_df)
     counts = grams_df.select(
         F.col(id_col), F.size("__grams").cast("long").alias("n_grams")
     )
@@ -1638,7 +1644,7 @@ def bigram_lm_score(
     materializing (same contract as the Kneser-Ney scorers)."""
     # lm feeds three consumers (the pair join, c1, V); persist so the
     # training corpus is tokenized once, not three times
-    lm = lm.persist()
+    lm = track_cache(lm.persist())
     c1 = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = lm.select(F.countDistinct("w1").alias("v"))
     bg = _doc_bigrams(df, text_col, id_col)
@@ -1710,7 +1716,7 @@ def kneser_ney_score(
     dn, dd = discount
     if not (0 < dn < dd):
         raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
-    lm = lm.persist()
+    lm = track_cache(lm.persist())
     ctx = lm.groupBy("w1").agg(
         F.sum("c12").alias("__c1"), F.count(F.lit(1)).alias("__n1p")
     )
@@ -1849,7 +1855,7 @@ def kneser_ney_trigram_score(
     dn, dd = discount
     if not (0 < dn < dd):
         raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
-    lm = lm.persist()
+    lm = track_cache(lm.persist())
     ctx3 = lm.groupBy("w1", "w2").agg(
         F.sum("c123").alias("__c12"), F.count(F.lit(1)).alias("__n3t")
     )
@@ -1861,6 +1867,7 @@ def kneser_ney_trigram_score(
         .agg(F.count(F.lit(1)).alias("__nc23"))
         .persist()
     )
+    track_cache(nc23)
     ctx2 = nc23.groupBy("w2").agg(
         F.sum("__nc23").alias("__den2"), F.count(F.lit(1)).alias("__n2t")
     )
@@ -2087,7 +2094,9 @@ def span_dup_stats(
     # occurrence join; ReuseExchange does not catch the two consumers,
     # so persist it (ids + longs only — a fraction of the text size;
     # spills to disk rather than re-tokenizing the corpus twice)
-    occ = toks.select(F.col(id_col), F.explode(spans).alias("__h")).persist()
+    occ = track_cache(
+        toks.select(F.col(id_col), F.explode(spans).alias("__h")).persist()
+    )
     ndocs = occ.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__n_docs")
     )
@@ -2327,7 +2336,7 @@ def line_dedup(
     if persist_lines:
         from pyspark import StorageLevel
 
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        keyed = track_cache(keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     # winner = lexicographic struct min — NOT an `id * max_idx + idx`
     # linearization, which overflows for full-range 64-bit ids (the
     # content-addressed xxhash64 ids the corpus readers emit)
@@ -2760,7 +2769,7 @@ def strip_templates(
     )
     if templates is None:
         # self-detection: rows feed detection AND the strip — persist
-        rows = rows.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        rows = track_cache(rows.persist(StorageLevel.MEMORY_AND_DISK_DESER))
         per_doc = rows.filter(F.col("h").isNotNull()).dropDuplicates(
             [group_col, id_col, "h"]
         )
@@ -3263,7 +3272,7 @@ def line_dedup_incremental(
     if persist_lines:
         from pyspark import StorageLevel
 
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        keyed = track_cache(keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     winners = (
         keyed.filter(F.col("key").isNotNull())
         .groupBy("h")
@@ -3471,7 +3480,9 @@ def perplexity_buckets(
     scored = bigram_lm_score(df, lm, text_col, id_col).select(
         id_col, (F.round(F.col("avg_p") * F.lit(1000000))).cast("long").alias("score_q")
     )
-    q = df.join(scored, id_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    q = track_cache(
+        df.join(scored, id_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     t_low = group_quantile_thresholds(q, "score_q", by, permille=lo).select(
         by, F.col("threshold").alias("__t_low")
     )
@@ -3629,6 +3640,7 @@ def source_vocab_overlap(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(vocab)
     sizes = vocab.groupBy(by).agg(F.count(F.lit(1)).alias("n_terms"))
     a = vocab.select(F.col(by).alias("source_a"), "term")
     b = vocab.select(F.col(by).alias("source_b"), "term")
@@ -3763,6 +3775,7 @@ def exact_substring_dedup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(toks)
     m = F.size("__toks")
     spanh = F.when(
         m >= k,
@@ -3784,6 +3797,7 @@ def exact_substring_dedup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(occ)
     agg = occ.groupBy("__h").agg(
         F.min(
             F.struct(F.col(id_col).cast("long").alias("i"), F.col("pos").alias("p"))
@@ -4025,6 +4039,7 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("c12"))
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(cnt)
     c1 = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = cnt.groupBy("w2").agg(F.sum("c12").alias("c2"))
     t = cnt.agg(F.sum("c12").alias("T"))
@@ -4266,6 +4281,7 @@ def ngram_novelty(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(pairs)
     dfreq = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     novel = F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("long")
     return (
@@ -4462,6 +4478,7 @@ def js_divergence_matrix(
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(counts)
     totals = counts.groupBy("__g").agg(F.sum("__c").alias("__t"))
     ct = counts.join(F.broadcast(totals), "__g")
     # per-group entropy: hq = -sum round(quant * p * ln p)

@@ -36,6 +36,7 @@ map-combined aggregate over domain keys.
 """
 
 from __future__ import annotations
+from energy_pandas_spark.util import track_cache
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -395,6 +396,7 @@ def anchor_text_summary(
         # (the repo's recurring exchange-reuse rule)
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    track_cache(counts)
     local = (
         counts.withColumn("__pid", F.spark_partition_id())
         .withColumn(

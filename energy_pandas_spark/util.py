@@ -10,7 +10,18 @@ __all__ = [
     "round_half_away",
     "attach_caches",
     "release_caches",
+    "track_cache",
+    "drain_tracked_caches",
 ]
+
+# Every persist an operator takes out is registered here as well as on
+# the returned frame (``_eps_caches``): DataFrame transformations drop
+# custom attributes, so a caller that wraps an operator's result in
+# further ``select``/``join`` steps loses the per-frame handle — the
+# registry is the release path that survives wrapping. Entries are held
+# strongly until drained (a weakly-held frame that gets GC'd would
+# orphan its JVM cache entry with no way left to unpersist it).
+_TRACKED_CACHES: list[DataFrame] = []
 
 
 def attach_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
@@ -19,10 +30,40 @@ def attach_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
     asked NOT to materialize eagerly return the lazy plan with those
     persisted inputs attached (``_eps_caches``), so the caller can
     release exactly these persists with :func:`release_caches` instead
-    of nuking the whole session via ``spark.catalog.clearCache()``."""
+    of nuking the whole session via ``spark.catalog.clearCache()``.
+
+    The same frames are also recorded in a module-level registry so
+    that harnesses which materialize many operator results in sequence
+    (bench, correctness sweeps, long-lived pipelines) can release
+    everything in one :func:`drain_tracked_caches` call even when the
+    per-frame handle was lost to an intervening transformation."""
     held = list(getattr(out, "_eps_caches", ())) + list(caches)
     out._eps_caches = tuple(held)
+    _TRACKED_CACHES.extend(caches)
     return out
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted frame for :func:`drain_tracked_caches`
+    without attaching it to an output frame — for sites where the
+    output is assembled far from the persist call."""
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def drain_tracked_caches() -> int:
+    """Unpersist every operator-held cache registered since the last
+    drain and return how many were released. Call after materializing
+    an operator's result (or a batch of them) in harness code; safe to
+    call at any time — frames already unpersisted are a no-op."""
+    n = len(_TRACKED_CACHES)
+    for c in _TRACKED_CACHES:
+        try:
+            c.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _TRACKED_CACHES.clear()
+    return n
 
 
 def release_caches(df: DataFrame) -> None:

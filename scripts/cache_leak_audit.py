@@ -39,6 +39,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     jcm = spark._jsparkSession.sharedState().cacheManager()
 
+    from energy_pandas_spark.util import drain_tracked_caches
+
     queries = entrymod.queries()
     leaks: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -50,6 +52,10 @@ def main() -> None:
             errors[name] = str(exc)[:200]
             spark.catalog.clearCache()
             continue
+        # the bench releases operator-held persists through the same
+        # registry after each timed iteration; a query only counts as
+        # leaking if caches survive that release path
+        drain_tracked_caches()
         if not jcm.isEmpty():
             # count live cached plans via the storage list
             n = spark.sparkContext._jsc.sc().getRDDStorageInfo()
