@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from energy_pandas_spark.util import track_cache
 from energy_pandas_spark.sources.readers import load_table
 from energy_pandas_spark.units import unit_registry
 
@@ -5601,7 +5602,7 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rebuilt corpus feeds BOTH the digest-winner aggregate and the
     # final semi-join; persist it or the whole line-dedup subtree runs
     # twice (the same exchange-reuse trap line_dedup guards internally)
-    deduped_lines = (
+    deduped_lines = track_cache(
         line_dedup(lined, drop_empty=True)
         .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
@@ -8458,9 +8459,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     ).select("l_suppkey", _rev().alias("__rev"))
-    revenue = li.groupBy("l_suppkey").agg(
+    revenue = track_cache(li.groupBy("l_suppkey").agg(
         F.round(F.sum("__rev"), 2).cast("double").alias("total_revenue")
-    ).persist()
+    ).persist())
     top = revenue.agg(F.max("total_revenue").alias("__mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -8720,11 +8721,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (_m("l_extendedprice") * _m("l_quantity")).alias("__v"),
     )
-    vals = (
+    vals = track_cache((
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum("__v").alias("__value"))
-    ).persist()
+    ).persist())
     total = vals.agg((F.sum("__value").cast("double") / 1000.0).alias("__cut"))
     return (
         vals.join(

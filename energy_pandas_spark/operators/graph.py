@@ -10,8 +10,9 @@ path-compression trick, so label information travels a doubling
 distance per round and convergence is O(log diameter) instead of
 O(diameter): a 10,000-node chain converges in ~14 rounds, tiny
 near-dup cliques still in 2-3. Each round's result is
-``localCheckpoint``-ed to truncate lineage (without it the plan
-doubles per round and Catalyst analysis time explodes). Convergence is
+persisted (an optimizer leaf, so the plan stays bounded per round —
+without it analysis time explodes) and the previous round's cache is
+released once the new one is materialized. Convergence is
 detected from ``sum(label)``: labels only ever decrease, so an
 unchanged sum means a fixpoint — one cheap aggregate per round instead
 of a change-count join. Exhausting ``max_iter`` without a fixpoint
@@ -48,9 +49,12 @@ def connected_components(
     )
     # distinct() leaves sym partitioned on (u, v); repartition on u once
     # so EVERY round's propagation join reuses the partitioning instead
-    # of re-exchanging the edge table per iteration (localCheckpoint
-    # preserves outputPartitioning through LogicalRDD)
-    sym = sym.distinct().repartition("u").localCheckpoint(eager=False)
+    # of re-exchanging the edge table per iteration. persist(), NOT
+    # localCheckpoint(): under AQE a checkpoint's LogicalRDD reports
+    # UnknownPartitioning (measured r7 — every round re-exchanged the
+    # edge table this comment claimed was pinned), while a cached
+    # plan's partitioning survives, and lineage stays recoverable
+    sym = sym.distinct().repartition("u").persist()
     # init = one propagation step for free: the same groupBy that
     # discovers the node set also takes the 1-hop min, replacing a
     # distinct shuffle + a full join round with a single aggregate
@@ -61,7 +65,7 @@ def connected_components(
             F.col("u").alias("id"),
             F.least(F.col("u"), F.col("__mv")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # decimal(38,0): raw long sums of content-addressed 64-bit ids
     # overflow and CRASH under Spark 4's default ANSI mode (the same
@@ -83,6 +87,14 @@ def connected_components(
         hop = merged.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
+        prev_labels = labels
+        # rounds stay localCheckpoint, NOT persist: labels feeds the
+        # next round's plan FOUR times (nbr, union, hop, join), so an
+        # un-truncated logical plan grows 4^rounds — persist bounds
+        # optimization but not analysis of the raw tree (measured: OOM
+        # in treeString at ~14 rounds). The checkpoint flattens the
+        # plan to a scan each round; the node-table exchange it costs
+        # per round is the price of bounded analysis.
         labels = (
             merged.join(hop, merged["label"] == F.col("__lid"), "left")
             .select(
@@ -94,6 +106,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(lsum).collect()[0][0]
+        prev_labels.unpersist()  # releases the persisted init labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -102,6 +115,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (rounds needed ~ log2 of the longest path)"
         )
+    sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -157,8 +171,11 @@ def connected_components_star(
             F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    # eager checkpoint while the canonical edges are still cached: the
+    # node set is consumed once, at the very end, after `e` has been
+    # reassigned and its initial cache released
     all_nodes = (
         e.select(F.col("hi").alias("id"))
         .union(e.select(F.col("lo").alias("id")))
@@ -196,6 +213,8 @@ def connected_components_star(
         # neighbors; all of them plus hi itself attach to m
         m_hi = large.groupBy("hi").agg(F.min("lo").alias("m"))
         joined = large.join(m_hi, "hi")
+        # same 4x-per-round plan-nesting class as the label rounds:
+        # keep the checkpoint, it flattens the plan
         small = (
             joined.filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
@@ -203,8 +222,10 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        prev_e = e
         e = small
         cur = _sig(e)
+        prev_e.unpersist()  # releases the persisted canonical edges
         if cur == prev:
             break
         prev = cur
@@ -254,8 +275,7 @@ def pagerank(
       ``W(u)`` is u's out-weight (out-degree when unweighted) —
       computed by a co-partitioned join of ranks with the
       degree-annotated edge list (both hash-partitioned on ``u`` once,
-      up front, and pinned by ``localCheckpoint``; no per-round
-      exchange on the join),
+      up front, and pinned by an eager ``localCheckpoint``),
     - ``s(v) = sum(contributions)`` — the round's ONE exchange (keyed
       on ``v``),
     - ``r'(v) = ((alpha_den - alpha_num) * (scale div N)
@@ -284,13 +304,24 @@ def pagerank(
     w_expr = (
         F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
     )
+    # edge projection cached FLAT: outw, ew and the node set all read
+    # it, so the (possibly expensive) upstream edge build runs once,
+    # not once per consumer; released below once both eager
+    # checkpoints and the node count have consumed it
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("__w")
-    )
+    ).persist()
     outw = e.groupBy("u").agg(F.sum("__w").alias("__ow"))
-    # degree-annotated edges, hash-partitioned on u once; every round's
-    # ranks-side join reuses this layout (localCheckpoint preserves
-    # outputPartitioning, same trick as connected_components)
+    # degree-annotated edges, repartitioned on u and eagerly
+    # checkpointed. An r7 experiment replaced these checkpoints with
+    # persist() to keep hashpartitioning across rounds (a checkpoint
+    # reports UnknownPartitioning under AQE): the round joins STILL
+    # re-exchanged — EnsureRequirements only reuses a cached layout
+    # when its partition count matches the other side's exchange — and
+    # cached plans are exempt from AQE coalescing, so every round ran
+    # at full shuffle.partitions width (measured 4.5s -> 6.2s at
+    # sf0.1). The checkpoint + AQE-coalesced per-round exchanges of
+    # the node-sized tables are the better trade at every scale tried.
     ew = (
         e.join(outw, "u")
         .repartition("u")
@@ -314,6 +345,10 @@ def pagerank(
         nodes = nodes.select("u", F.lit(True).alias("__seed"))
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.filter("__seed").count()
+    # ew and nodes are materialized checkpoints and the count is done:
+    # nothing reads the edge cache anymore — release it here rather
+    # than leaking it to the harness drain
+    e.unpersist()
     if n == 0:
         if seeds is not None:
             raise ValueError("no seed id appears in the edge set")

@@ -37,6 +37,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
     from energy_pandas_spark.session import make_session
+    from energy_pandas_spark.util import drain_tracked_caches
 
     spark = make_session(
         master=f"local[{cpus}]",
@@ -77,6 +78,8 @@ def main() -> None:
             if i == 0:
                 cold = el
             best = el if best is None else min(best, el)
+            # mirror bench.py: every repeat is a COLD run
+            drain_tracked_caches()
         spark.sparkContext.setJobDescription(None)
 
         jobs = [
