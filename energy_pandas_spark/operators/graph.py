@@ -9,10 +9,10 @@ follows its label one step (label-of-label join) — the classic
 path-compression trick, so label information travels a doubling
 distance per round and convergence is O(log diameter) instead of
 O(diameter): a 10,000-node chain converges in ~14 rounds, tiny
-near-dup cliques still in 2-3. Each round's result is
-persisted (an optimizer leaf, so the plan stays bounded per round —
-without it analysis time explodes) and the previous round's cache is
-released once the new one is materialized. Convergence is
+near-dup cliques still in 2-3. Each round's result is lazily
+``localCheckpoint``-ed (an optimizer leaf, so the plan stays bounded
+per round — without it analysis time explodes) and materialized by
+the round's own convergence aggregate. Convergence is
 detected from ``sum(label)``: labels only ever decrease, so an
 unchanged sum means a fixpoint — one cheap aggregate per round instead
 of a change-count join. Exhausting ``max_iter`` without a fixpoint
@@ -47,17 +47,21 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    # distinct() leaves sym partitioned on (u, v); repartition on u once
-    # so EVERY round's propagation join reuses the partitioning instead
-    # of re-exchanging the edge table per iteration. persist(), NOT
-    # localCheckpoint(): under AQE a checkpoint's LogicalRDD reports
-    # UnknownPartitioning (measured r7 — every round re-exchanged the
-    # edge table this comment claimed was pinned), while a cached
-    # plan's partitioning survives, and lineage stays recoverable
-    sym = sym.distinct().repartition("u").persist()
+    # checkpoint, NOT persist (measured r7 both ways at sf0.1): a
+    # persisted sym does keep its 32-partition hash layout visible to
+    # EnsureRequirements, but cached plans are EXEMPT from AQE
+    # coalescing, so every round then ran full-width tiny tasks and
+    # graph_components regressed 1.8s -> 2.6s — the same trade
+    # pagerank measured. The checkpoint's UnknownPartitioning costs a
+    # per-round exchange of the edge table, but AQE right-sizes it,
+    # which wins at every scale tried. Lazy: the init aggregate below
+    # is the first consumer and drives materialization.
+    sym = sym.distinct().repartition("u").localCheckpoint(eager=False)
     # init = one propagation step for free: the same groupBy that
     # discovers the node set also takes the 1-hop min, replacing a
-    # distinct shuffle + a full join round with a single aggregate
+    # distinct shuffle + a full join round with a single aggregate.
+    # Lazy checkpoint: the prev_sum aggregate right below reads every
+    # partition and materializes the blocks in the same job.
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
@@ -65,7 +69,7 @@ def connected_components(
             F.col("u").alias("id"),
             F.least(F.col("u"), F.col("__mv")).alias("label"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # decimal(38,0): raw long sums of content-addressed 64-bit ids
     # overflow and CRASH under Spark 4's default ANSI mode (the same
@@ -87,14 +91,18 @@ def connected_components(
         hop = merged.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
-        prev_labels = labels
         # rounds stay localCheckpoint, NOT persist: labels feeds the
         # next round's plan FOUR times (nbr, union, hop, join), so an
         # un-truncated logical plan grows 4^rounds — persist bounds
         # optimization but not analysis of the raw tree (measured: OOM
         # in treeString at ~14 rounds). The checkpoint flattens the
         # plan to a scan each round; the node-table exchange it costs
-        # per round is the price of bounded analysis.
+        # per round is the price of bounded analysis. LAZY checkpoint
+        # (r7): eager=True spent one job storing the blocks and a
+        # SECOND job reading them back for the convergence sum — the
+        # plan is a LogicalRDD leaf either way, and the sum aggregate
+        # touches every partition, so letting it drive materialization
+        # halves the jobs per round (2.7s -> 1.9s at sf0.1).
         labels = (
             merged.join(hop, merged["label"] == F.col("__lid"), "left")
             .select(
@@ -103,10 +111,9 @@ def connected_components(
                     F.col("label"), F.coalesce("__llabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(lsum).collect()[0][0]
-        prev_labels.unpersist()  # releases the persisted init labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -115,7 +122,6 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (rounds needed ~ log2 of the longest path)"
         )
-    sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -214,13 +220,15 @@ def connected_components_star(
         m_hi = large.groupBy("hi").agg(F.min("lo").alias("m"))
         joined = large.join(m_hi, "hi")
         # same 4x-per-round plan-nesting class as the label rounds:
-        # keep the checkpoint, it flattens the plan
+        # keep the checkpoint, it flattens the plan; lazy so the
+        # round's _sig aggregate (which reads every partition) drives
+        # materialization instead of paying a separate storage job
         small = (
             joined.filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .union(m_hi.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         prev_e = e
         e = small
@@ -374,7 +382,12 @@ def pagerank(
         # round), so compiling several rounds into one Catalyst plan
         # beats an action per round (~25% at sf0.1: fewer job
         # round-trips); checkpoint periodically so analysis time and
-        # DAG depth stay bounded at high n_iter
+        # DAG depth stay bounded at high n_iter. Stays EAGER (measured
+        # r7 both ways, best-of-5 back to back: lazy regressed
+        # textrank 2.67s -> 3.36s — the lazy checkpoint freezes the
+        # mid-run plan via toRdd before any runtime stats exist, so
+        # the later rounds' exchanges lose AQE right-sizing; the
+        # mid-run job barrier is cheaper than that).
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("id"), F.col("r").alias("rank_q"))
