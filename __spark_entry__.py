@@ -10713,19 +10713,27 @@ def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE postings build persisted across both scorers — without this
     # each search re-tokenizes and re-aggregates the whole corpus
     # (measured 4.4s -> the sum of both standalone searches). The
-    # (queries x 5)-row result materializes eagerly so the postings
-    # cache can be RELEASED before returning — a leaked persist
-    # substitutes into every later same-plan query via the logical-plan
-    # cache (observed breaking an unrelated plan-lock test).
+    # cache materializes BEFORE the scorers compose: the fused lazy
+    # plan reads it from several concurrent subtrees (both scorers'
+    # matched joins + bm25's token-mass fold), and racing stages each
+    # recomputed the corpus tokenize+aggregate (measured 8.6s vs 4.6s).
+    # eager=False scorers share ONE matched-postings InMemoryRelation
+    # (identical logical plans dedupe in the CacheManager) instead of
+    # each building and releasing its own; the (queries x 5)-row fused
+    # result materializes eagerly so every cache can be RELEASED
+    # before returning — a leaked persist substitutes into later
+    # same-plan queries via the logical-plan cache (observed breaking
+    # an unrelated plan-lock test).
+    from energy_pandas_spark.util import release_caches
+
     postings = build_postings(docs).persist()
-    fused = rrf_fuse(
-        [
-            search_topk(docs, q, k=10, postings=postings),
-            bm25_topk(docs, q, k=10, postings=postings),
-        ],
-        k=5,
-    )
+    postings.count()
+    tf_ranked = search_topk(docs, q, k=10, postings=postings, eager=False)
+    bm_ranked = bm25_topk(docs, q, k=10, postings=postings, eager=False)
+    fused = rrf_fuse([tf_ranked, bm_ranked], k=5)
     out = fused.orderBy("query_id", "rank").localCheckpoint(eager=True)
+    release_caches(tf_ranked)
+    release_caches(bm_ranked)
     postings.unpersist()
     return out
 

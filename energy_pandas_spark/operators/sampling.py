@@ -34,6 +34,7 @@ __all__ = [
     "hash_sample_by",
     "sample_k_per_group",
     "group_quantile_thresholds",
+    "group_quantile_thresholds_multi",
     "drop_below_group_quantile",
     "weighted_mixture",
     "weighted_bernoulli_sample",
@@ -199,8 +200,31 @@ def group_quantile_thresholds(
     place in a score quantile).
 
     Returns (by, threshold, n_rows)."""
-    if not 0 < permille <= 1000:
-        raise ValueError(f"permille must be in (0, 1000], got {permille}")
+    return group_quantile_thresholds_multi(df, score_col, by, (permille,)).select(
+        by, F.col(f"threshold_{int(permille)}").alias("threshold"), "n_rows"
+    )
+
+
+def group_quantile_thresholds_multi(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    permilles: tuple[int, ...],
+) -> DataFrame:
+    """Several exact per-group quantiles of an integer score in ONE
+    pass — the (group, score) count aggregate and the cumulative walk
+    are identical for every ``permille``, so asking for N thresholds
+    separately re-aggregated the input N times (perplexity_buckets
+    paid two full passes over the scored corpus for its two cuts).
+    Each threshold is a conditional ``min`` over the same cumulative
+    table, bit-identical to the single-permille result per quantile.
+
+    Returns (by, threshold_<p1>, ..., n_rows)."""
+    if not permilles:
+        raise ValueError("permilles must be non-empty")
+    for p in permilles:
+        if not 0 < p <= 1000:
+            raise ValueError(f"permille must be in (0, 1000], got {p}")
     from pyspark.sql import Window
 
     counts = (
@@ -217,13 +241,21 @@ def group_quantile_thresholds(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    need = F.expr(f"(n_rows * {int(permille)} + 999) div 1000")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"(n_rows * {int(p)} + 999) div 1000"),
+                F.col(score_col),
+            )
+        ).alias(f"threshold_{int(p)}")
+        for p in permilles
+    ]
     return (
         cum.join(tot, by)
-        .filter(F.col("__cum") >= need)
         .groupBy(by, "n_rows")
-        .agg(F.min(score_col).alias("threshold"))
-        .select(by, "threshold", "n_rows")
+        .agg(*aggs)
+        .select(by, *[f"threshold_{int(p)}" for p in permilles], "n_rows")
     )
 
 

@@ -3472,7 +3472,9 @@ def perplexity_buckets(
     group-count-sized and broadcast."""
     from pyspark import StorageLevel
 
-    from energy_pandas_spark.operators.sampling import group_quantile_thresholds
+    from energy_pandas_spark.operators.sampling import (
+        group_quantile_thresholds_multi,
+    )
 
     lo, hi = cuts
     if not 0 < lo < hi <= 1000:
@@ -3483,15 +3485,19 @@ def perplexity_buckets(
     q = track_cache(
         df.join(scored, id_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    t_low = group_quantile_thresholds(q, "score_q", by, permille=lo).select(
-        by, F.col("threshold").alias("__t_low")
-    )
-    t_high = group_quantile_thresholds(q, "score_q", by, permille=hi).select(
-        by, F.col("threshold").alias("__t_high")
+    # both cuts in ONE aggregate pass over the scored corpus (the
+    # count/cumulative tables are permille-independent) — two separate
+    # group_quantile_thresholds calls re-aggregated q twice and built
+    # two broadcasts where one carries both thresholds
+    thr = group_quantile_thresholds_multi(
+        q, "score_q", by, (lo, hi)
+    ).select(
+        by,
+        F.col(f"threshold_{int(lo)}").alias("__t_low"),
+        F.col(f"threshold_{int(hi)}").alias("__t_high"),
     )
     return (
-        q.join(F.broadcast(t_low), by)
-        .join(F.broadcast(t_high), by)
+        q.join(F.broadcast(thr), by)
         .withColumn(
             "bucket",
             F.when(F.col("score_q") >= F.col("__t_high"), F.lit("head"))
