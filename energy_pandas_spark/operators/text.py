@@ -2618,6 +2618,7 @@ def langid_ngram_selftrain(
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist()
     )
+    doc_counts.count()
     lang_counts = doc_counts.groupBy("lang", "gram").agg(
         F.sum("__c").alias("__c")
     )
