@@ -1029,7 +1029,13 @@ def contamination_overlap_bloom(
             ).alias("gram"),
         )
 
-    bench_grams = doc_gram_rows(benchmark).select("gram").distinct()
+    # persist: the benchmark gram set is consumed twice — collected
+    # here to build the Bloom bits, and exact-joined against the
+    # survivors below. Without the cache the benchmark slice
+    # re-tokenizes and re-shingles inside the final job.
+    bench_grams = track_cache(
+        doc_gram_rows(benchmark).select("gram").distinct().persist()
+    )
     bench_hashes = np.array(
         [r[0] for r in bench_grams.select(F.xxhash64("gram")).collect()],
         dtype=np.int64,
