@@ -1631,6 +1631,7 @@ def bigram_lm_score(
     lm: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_lm: bool = True,
 ) -> DataFrame:
     """Per-document add-one-smoothed bigram likelihood against a
     trained count table: ``p(w2|w1) = (c12 + 1) / (c1 + V)`` where
@@ -1649,8 +1650,17 @@ def bigram_lm_score(
     the lazy result pins it — the CALLER owns release after
     materializing (same contract as the Kneser-Ney scorers)."""
     # lm feeds three consumers (the pair join, c1, V); persist so the
-    # training corpus is tokenized once, not three times
+    # training corpus is tokenized once, not three times — and, by
+    # default, materialize NOW so the three consumer subtrees of the
+    # final job read stored blocks instead of contending on cold-block
+    # computation (measured 1.48s -> 1.18s on the direct scorer).
+    # Callers that cache a DERIVED frame and materialize it promptly
+    # (perplexity_buckets' scored-corpus cache populates lm's in the
+    # same chain) pass materialize_lm=False — for them the extra
+    # count job is pure added work (measured 2.6s -> 3.0s).
     lm = track_cache(lm.persist())
+    if materialize_lm:
+        lm.count()
     c1 = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = lm.select(F.countDistinct("w1").alias("v"))
     bg = _doc_bigrams(df, text_col, id_col)
@@ -3486,7 +3496,9 @@ def perplexity_buckets(
     lo, hi = cuts
     if not 0 < lo < hi <= 1000:
         raise ValueError(f"cuts must satisfy 0 < lo < hi <= 1000, got {cuts}")
-    scored = bigram_lm_score(df, lm, text_col, id_col).select(
+    scored = bigram_lm_score(
+        df, lm, text_col, id_col, materialize_lm=False
+    ).select(
         id_col, (F.round(F.col("avg_p") * F.lit(1000000))).cast("long").alias("score_q")
     )
     q = track_cache(
