@@ -1635,8 +1635,15 @@ def containment_pairs(
     # argument holds for ANY R-subset of a document's shingles, so the
     # tiebreak is free to choose) and the verify join computes exact
     # intersections on the original gram ARRAYS.
+    # the per-doc shingle count rides THROUGH the explode (one extra
+    # int per row in the df-join shuffle) instead of re-joining the
+    # gram table by id afterwards — that join exchanged the whole
+    # corpus row stream a second time just to attach a number the
+    # explode already knew (r7; column pruning drops sz from the
+    # dfreq branch, so the aggregate shuffle stays (h)-only)
     rows = grams.select(
         F.col(id_col),
+        F.size("grams").alias("sz"),
         F.explode(
             F.transform(
                 "grams", lambda g: F.xxhash64(F.lit("cont-v1"), g)
@@ -1651,9 +1658,7 @@ def containment_pairs(
     # table twice; eager for the same stats-accuracy reason as `grams`
     rows_df = rows.join(dfreq, "h").persist(StorageLevel.MEMORY_AND_DISK_DESER)
     rows_df.count()
-    sized = rows_df.join(
-        grams.select(F.col(id_col), F.size("grams").alias("sz")), id_col
-    )
+    sized = rows_df
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("h"))
     # prefix size derives from the SAME t*size expression the verify
     # filter uses (R = sz - ceil(t*sz) + 1): a pair passing verify has
