@@ -1391,26 +1391,69 @@ def crosscorpus_neardup_pairs(
     plus the bucket join; the store text is only touched to verify
     the (tiny) candidate set.
     """
-    bn = (
-        _banded_buckets(
-            new, text_col, id_col, num_hashes, bands, shingle_size, seed
-        )
-        .groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("__new_ids"))
-        .filter(F.size("__new_ids") <= max_bucket)
-    )
     if store_bands is None:
-        store_bands = _banded_buckets(
-            store, text_col, id_col, num_hashes, bands, shingle_size, seed
+        # ONE banding pass over the tagged union (guide §2.4): both
+        # sides share the signature aggregate's exchange and the
+        # (band, bucket) aggregate, and the bucket lists split by side
+        # INSIDE that aggregate — vs the per-side plan's two signature
+        # exchanges, two bucket aggregates and a join of the two
+        # shuffled bucket tables. Signatures key on (side, id), so a
+        # cross-corpus id collision cannot merge documents, and
+        # per-side semantics (duplicate ids within one side share a
+        # signature) are unchanged.
+        tagged = new.select(
+            F.struct(
+                F.lit(1).alias("side"), F.col(id_col).alias("id")
+            ).alias("__uid"),
+            F.col(text_col),
+        ).unionByName(
+            store.select(
+                F.struct(
+                    F.lit(0).alias("side"), F.col(id_col).alias("id")
+                ).alias("__uid"),
+                F.col(text_col),
+            )
         )
-    bs = (
-        store_bands.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("__store_ids"))
-        .filter(F.size("__store_ids") <= max_bucket)
-    )
+        banded = _banded_buckets(
+            tagged, text_col, "__uid", num_hashes, bands, shingle_size, seed
+        )
+        # collect_list drops the other side's NULLs, so each list holds
+        # exactly that side's bucket members; a bucket joins iff both
+        # lists are nonempty — the equi-join's semantics, filter-only.
+        joined = (
+            banded.groupBy("band", "bucket")
+            .agg(
+                F.collect_list(
+                    F.when(F.col("__uid.side") == 1, F.col("__uid.id"))
+                ).alias("__new_ids"),
+                F.collect_list(
+                    F.when(F.col("__uid.side") == 0, F.col("__uid.id"))
+                ).alias("__store_ids"),
+            )
+            .filter(
+                (F.size("__new_ids") >= 1)
+                & (F.size("__new_ids") <= max_bucket)
+                & (F.size("__store_ids") >= 1)
+                & (F.size("__store_ids") <= max_bucket)
+            )
+        )
+    else:
+        bn = (
+            _banded_buckets(
+                new, text_col, id_col, num_hashes, bands, shingle_size, seed
+            )
+            .groupBy("band", "bucket")
+            .agg(F.collect_list(id_col).alias("__new_ids"))
+            .filter(F.size("__new_ids") <= max_bucket)
+        )
+        bs = (
+            store_bands.groupBy("band", "bucket")
+            .agg(F.collect_list(id_col).alias("__store_ids"))
+            .filter(F.size("__store_ids") <= max_bucket)
+        )
+        joined = bn.join(bs, ["band", "bucket"])
     cand = (
-        bn.join(bs, ["band", "bucket"])
-        .select(
+        joined.select(
             F.explode("__new_ids").alias("id_new"), F.col("__store_ids")
         )
         .select("id_new", F.explode("__store_ids").alias("id_store"))

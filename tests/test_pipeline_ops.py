@@ -547,6 +547,32 @@ def test_crosscorpus_neardup_only_cross_pairs(spark, docs):
     assert all(b == 0 for _, b in pairs)
 
 
+def test_crosscorpus_id_collision_across_sides(spark, docs):
+    """The single-pass tagged-union banding keys signatures on
+    (side, id): an id value reused by BOTH corpora must stay two
+    separate documents (the r7 restructure's collision-safety
+    property), not merge into one shared signature."""
+    from energy_pandas_spark.operators.dedup import crosscorpus_neardup_pairs
+
+    # store doc 0 reuses id 1, which also exists in the new slice with
+    # UNRELATED text; new doc 1 is an exact dup of store "1"'s text only
+    # through the genuine pairing (1 <- 0's text renamed)
+    new = docs.filter("doc_id IN (1, 2)")
+    store = docs.filter("doc_id = 0").selectExpr(
+        "CAST(1 AS BIGINT) AS doc_id", "text"
+    )
+    pairs = {
+        (r["id_new"], r["id_store"], r["jaccard_micro"])
+        for r in crosscorpus_neardup_pairs(
+            new, store, threshold=0.3
+        ).collect()
+    }
+    # docs 0 and 1 are exact dups in the fixture: the cross pair must
+    # surface with jaccard 1.0 despite the id collision
+    assert (1, 1, 1_000_000) in pairs
+    assert all(b == 1 for _, b, _ in pairs)
+
+
 def test_crosscorpus_with_persisted_band_store(spark, docs, tmp_path):
     """Precomputed band store must give identical pairs to direct
     banding — the once-per-epoch store pattern."""
