@@ -2012,30 +2012,52 @@ def neardup_eval(
     # array_intersect (measured 6x on the sf0.1 fixture); still
     # quadratic per hot shingle (freq² pairs — the exactness cost, no
     # bucket cap allowed here), so the sample bound stays the contract.
-    sh = (
+    ex = (
         # _spread: the hash-sampled slice of a single-file corpus
-        # otherwise shingles on one scan partition (see containment)
+        # otherwise shingles on one scan partition (see containment).
+        # FLAT postings persist (id, set size, shingle): the per-doc
+        # string-ARRAY cache it replaces was the query's dominant
+        # stage in the r7 profile (InMemoryRelation batches over
+        # array<string>), and the persist stays — like the
+        # minhash_lsh_pairs verify cache, it hands Catalyst the TRUE
+        # size of the self-join's sides, so a postings side is
+        # broadcast only when it genuinely fits (the sf10
+        # broadcast-OOM class). Carrying the distinct-set size
+        # through the explode (two ints per row) lets the pair
+        # aggregate read both union sizes off its own matched rows —
+        # the two per-side sizes joins disappear outright (guide
+        # §2.3/§2.4).
         _shingle_sets(_spread(sample), text_col, id_col, shingle_size)
         .withColumn("__n", F.size("__sh").cast("long"))
-        .persist()  # three consumers: both postings sides + sizes
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("__n"),
+            F.explode("__sh").alias("__s"),
+        )
+        .persist()  # two consumers: both postings sides of the co-join
     )
-    ex = sh.select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__s"))
     co = (
-        ex.select(F.col("__id").alias("id_a"), "__s")
-        .join(ex.select(F.col("__id").alias("id_b"), "__s"), "__s")
+        ex.select(
+            F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s"
+        )
+        .join(
+            ex.select(
+                F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s"
+            ),
+            "__s",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
     )
-    sizes_a = sh.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sizes_b = sh.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     uni = F.col("__na") + F.col("__nb") - F.col("__i")
-    true_pairs = (
-        co.join(sizes_a, "id_a")
-        .join(sizes_b, "id_b")
-        .filter(F.lit(td) * F.col("__i") >= F.lit(tn) * uni)
-        .select("id_a", "id_b")
-    )
+    true_pairs = co.filter(
+        F.lit(td) * F.col("__i") >= F.lit(tn) * uni
+    ).select("id_a", "id_b")
     ids = sample.select(F.col(id_col))
     pred = (
         pairs.select("id_a", "id_b")
@@ -2081,4 +2103,4 @@ def neardup_eval(
             "recall_permille",
         )
     )
-    return _release_caches(card, sh) if eager else _attach_caches(card, sh)
+    return _release_caches(card, ex) if eager else _attach_caches(card, ex)
