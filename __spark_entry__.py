@@ -1180,8 +1180,15 @@ def cm_term_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_sketch,
     )
 
+    from energy_pandas_spark.util import spread_partitions
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    # _spread class (guide §2.5 input skew): the single-file scan
+    # otherwise runs tokenize + 4x md5-per-token on ONE task (r7
+    # profile: a 1.7s single-task stage was the query's floor)
+    toks = spread_partitions(docs.select("text")).select(
+        F.explode(tokens("text")).alias("term")
+    )
     sk = cm_sketch(toks, "term", depth=4, width=2048, hasher=cm_md5_hasher)
     qs = spark.createDataFrame([(t,) for t in _CM_TERMS], "term string")
     return cm_query(

@@ -1661,16 +1661,17 @@ def containment_pairs(
         .filter(F.size("grams") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
-    # materialize EAGERLY: Catalyst's static size estimate through the
-    # un-materialized cached plan (scan -> tokenize -> shingle arrays)
-    # underestimates so badly that at 100x bench scale it still compiled
-    # every downstream corpus-sized join — including the verify joins
-    # carrying the full shingle ARRAYS — as driver-side BROADCASTS (the
-    # sf10 probe's "not enough memory to build and broadcast" OOM).
-    # Once the cache is materialized, InMemoryRelation reports its TRUE
-    # size and the planner picks shuffle joins at scale while still
-    # broadcasting genuinely small inputs.
-    grams.count()
+    # EAGER materialization happens one step later (rows_df.count()):
+    # computing rows_df scans THROUGH this cache and populates it in
+    # the same job, so the separate grams.count() stats job the r5
+    # probe introduced is fused away (VERDICT r6 item 5 — one
+    # materialization pass, not two). The stats property it bought is
+    # preserved: by the time the verify joins compile (the eager
+    # localCheckpoint at return), the InMemoryRelation already reports
+    # its TRUE array-payload size, so Catalyst broadcasts a verify
+    # side only when the corpus genuinely fits and shuffle-joins at
+    # 100x scale (the sf10 "not enough memory to build and broadcast"
+    # OOM class stays closed).
     # hash INSIDE the array, explode LONGS: the shingle-string explode
     # was the scan stage's dominant cost (the minhash path measured
     # 10x at sf0.1), and nothing downstream needs the string — the
