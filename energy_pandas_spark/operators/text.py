@@ -1733,6 +1733,13 @@ def kneser_ney_score(
     if not (0 < dn < dd):
         raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
     lm = track_cache(lm.persist())
+    # materialize the LM cache up front: ctx/cont/btot compile as
+    # concurrent broadcast subjobs that otherwise RACE the cold cache
+    # and re-run the training tokenize per subtree (the
+    # bigram_lm_score / langid finding, r7 — measured there
+    # best-of-5 1.48s -> 1.18s; no warm-chain caller exists for the
+    # KN scorers, so the count is never redundant)
+    lm.count()
     ctx = lm.groupBy("w1").agg(
         F.sum("c12").alias("__c1"), F.count(F.lit(1)).alias("__n1p")
     )
@@ -1872,6 +1879,10 @@ def kneser_ney_trigram_score(
     if not (0 < dn < dd):
         raise ValueError(f"discount must satisfy 0 < num < den, got {discount}")
     lm = track_cache(lm.persist())
+    # up-front materialization, same rationale as kneser_ney_score:
+    # four consumers race the cold cache via concurrent broadcast
+    # subjobs otherwise
+    lm.count()
     ctx3 = lm.groupBy("w1", "w2").agg(
         F.sum("c123").alias("__c12"), F.count(F.lit(1)).alias("__n3t")
     )
