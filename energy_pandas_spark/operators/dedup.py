@@ -6,9 +6,10 @@
   after the hash is computed at the scan.
 - ``minhash_lsh``: shingle -> 64-permutation MinHash signature -> banded
   LSH bucketing -> candidate pairs verified with true Jaccard. Each
-  shingle is hashed once (xxhash64) after an explode; the permutation
-  minima are a codegen'd hash-aggregate with map-side partial mins, so
-  the signature shuffle carries 64 longs per document. Candidates come
+  shingle is hashed once (xxhash64, JVM, inside the array); the
+  permutation minima are a vectorized map-side Arrow kernel (the
+  ``simhash64`` shape), so the signature shuffle carries 64 longs per
+  document. Candidates come
   from the banded (band, bucket) self-join. Bucket skew is bounded by
   ``max_bucket`` (oversized buckets are dropped, the usual guard
   against degenerate shingles).
@@ -232,40 +233,74 @@ def _minhash_agg(
     seed: int,
     kind: str = "word",
 ) -> DataFrame:
-    """(id, m0..m{N-1}) permutation minima via explode + hash-aggregate.
+    """(id, m0..m{N-1}) permutation minima: JVM in-array hashing + a
+    map-side Arrow kernel, the ``simhash64`` shape.
 
-    Each shingle is hashed ONCE (``xxhash64``, JVM); the N permutations
-    are cheap affine maps ``min(a_i*h + b_i mod p)`` evaluated as plain
-    codegen'd long arithmetic inside the aggregate — no interpreted
-    higher-order functions, no Python. The aggregation is partial
-    map-side (explode and the partial mins run in the scan stage), so
-    the only shuffle carries N longs per document regardless of text
-    size — the shape that survives a 100 TB corpus."""
+    Each shingle is hashed ONCE (``xxhash64`` + ``pmod``, JVM, inside
+    the array — exploding the shingle STRINGS materialized a
+    corpus-of-text-sized row stream that measured 10x the long
+    arithmetic, the r6 fix). The N per-document permutation minima
+    ``min(a_i*h + b_i mod p)`` are then taken by a vectorized
+    ``mapInPandas`` kernel (``np.minimum.reduceat`` over the batch's
+    flattened hash stream): a document's shingles all live in its own
+    row, so the minima are a per-row computation and the kernel runs
+    entirely in the scan stage. This replaced an explode + 64-column
+    min hash-aggregate: that shape paid 64 codegen'd affine updates
+    plus a hash-map probe PER SHINGLE (measured best-of-5 at sf0.1:
+    1.81-1.88s -> 1.07-1.32s for the signature aggregate, outputs
+    row-for-row identical; int64 affine arithmetic is exact in numpy —
+    a,h < 2^31 so a*h+b < 2^63). The trailing ``groupBy(id)`` keeps the
+    old aggregate's duplicate-id merge semantics and costs one
+    docs-sized exchange of N longs — exactly the shuffle the old
+    aggregate's final merge already paid, so the shape still scales
+    with the scan at 100 TB."""
     p = (1 << 31) - 1
     coeffs = _minhash_coeffs(num_hashes, seed)
     pl = F.lit(p).cast("long")
-    # hash each shingle INSIDE the array, then explode LONGS: exploding
-    # the shingle STRINGS materializes a corpus-of-text-sized row
-    # stream (one string copy per shingle row) that measured 10x the
-    # cost of the long explode at sf0.1 (3.8s -> 0.4s for the scan
-    # stage). Same xxhash64 of the same strings -> identical minima,
-    # buckets, candidates, results.
-    exploded = (
-        _shingle_sets(df, text_col, id_col, shingle_size, kind)
-        .select(
-            id_col,
-            F.explode(
-                F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), pl))
-            ).alias("__h"),
-        )
+    hashed = _shingle_sets(df, text_col, id_col, shingle_size, kind).select(
+        id_col,
+        F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), pl)).alias("__hs"),
     )
-    aggs = [
-        F.min(
-            F.pmod(F.col("__h") * F.lit(a).cast("long") + F.lit(b).cast("long"), pl)
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    a_arr = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_arr = np.array([b for _, b in coeffs], dtype=np.int64)
+    cols = [f"m{i}" for i in range(num_hashes)]
+
+    def mins(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = (
+                pdf["__hs"]
+                .map(lambda h: 0 if h is None else len(h))
+                .to_numpy(dtype=np.int64)
+            )
+            nz = lens > 0
+            n = int(nz.sum())
+            if n == 0:
+                # empty/NULL shingle sets produce no signature row —
+                # the explode path's semantics (no rows to aggregate)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col][:0], **{c: [] for c in cols}}
+                )
+                continue
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["__hs"][nz]]
+            )
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            out = np.empty((n, num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                out[:, i] = np.minimum.reduceat(
+                    (flat * a_arr[i] + b_arr[i]) % p, offsets
+                )
+            data = {id_col: pdf[id_col].to_numpy()[nz]}
+            for i, c in enumerate(cols):
+                data[c] = out[:, i]
+            yield pd.DataFrame(data)
+
+    id_type = dict(hashed.dtypes)[id_col]
+    schema = ", ".join([f"{id_col} {id_type}"] + [f"{c} long" for c in cols])
+    return hashed.mapInPandas(mins, schema=schema).groupBy(id_col).agg(
+        *[F.min(c).alias(c) for c in cols]
+    )
 
 
 def minhash_signature(

@@ -878,6 +878,65 @@ def test_dedup_bursts_semantics(spark):
     assert kept == [1, 4, 5, 6]
 
 
+def test_minhash_agg_kernel_matches_explode_aggregate(spark):
+    """r7 optimization pin: the vectorized mapInPandas minima kernel in
+    _minhash_agg must reproduce the explode + 64-column min
+    hash-aggregate it replaced EXACTLY — same rows, same minima — on a
+    corpus exercising the edge cases: NULL text, empty text (no
+    shingles -> no signature row), short text (< shingle_size tokens ->
+    one padded shingle), and a duplicate id (minima merge across the
+    id's rows)."""
+    from energy_pandas_spark.operators.dedup import (
+        _minhash_agg,
+        _minhash_coeffs,
+        _shingle_sets,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox leaps over the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "short"),
+            (5, "completely different words in this one here"),
+            (5, "duplicate id second row with other tokens entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    num_hashes, shingle_size, seed = 16, 3, 13
+    p = (1 << 31) - 1
+    pl = F.lit(p).cast("long")
+    exploded = _shingle_sets(df, "text", "doc_id", shingle_size).select(
+        "doc_id",
+        F.explode(
+            F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), pl))
+        ).alias("__h"),
+    )
+    ref = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("__h") * F.lit(a).cast("long")
+                    + F.lit(b).cast("long"),
+                    pl,
+                )
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs(num_hashes, seed))
+        ]
+    )
+    new = _minhash_agg(df, "text", "doc_id", num_hashes, shingle_size, seed)
+    ref_rows = sorted(ref.collect())
+    new_rows = sorted(new.collect())
+    assert new_rows == ref_rows
+    # NULL text yields no signature row (NULL token array -> NULL
+    # shingle array -> no rows either path); empty/short text gets a
+    # padded shingle and DOES sign; the duplicate id merges to one row
+    ids = [r.doc_id for r in new_rows]
+    assert ids == [0, 1, 3, 4, 5]
+
+
 def test_eager_false_attaches_releasable_caches(spark):
     """ADVICE r6: eager=False must expose its internal persists as a
     release handle (util.release_caches) instead of forcing callers to

@@ -82,9 +82,13 @@ class TestScalabilitySmells:
         df = entrymod.q1_pricing_summary(spark, sf_dir)
         assert codegen_stage_count(df) >= 2
 
-    def test_minhash_path_is_jvm_only_with_partial_agg(self, spark, sf_dir):
-        # the dedup sketch path must stay whole-JVM (no Arrow/Python
-        # eval nodes) and aggregate map-side before its one shuffle.
+    def test_minhash_path_is_arrow_kernel_with_partial_agg(self, spark, sf_dir):
+        # r7 shape: the signature minima run in ONE vectorized Arrow
+        # kernel (MapInPandas — the simhash64 precedent; measured
+        # 1.8s -> 1.1s over the explode + 64-min hash aggregate at
+        # sf0.1), never row-at-a-time Python (BatchEvalPython), and
+        # the docs-sized merge aggregate after it still runs partial
+        # map-side before its one shuffle.
         # eager=False keeps the LAZY verify plan inspectable (the
         # default eagerly checkpoints the result and releases caches,
         # which collapses the inspected plan to a checkpoint scan);
@@ -99,8 +103,9 @@ class TestScalabilitySmells:
         )
         plan = formatted_plan(df)
         spark.catalog.clearCache()
-        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "ArrowEvalPython" not in plan  # kernel is MapInPandas,
+        assert "MapInPandas" in plan  # ... the batch minima kernel
         assert "partial" in plan.lower()
 
     def test_simhash_signature_is_map_side(self, spark, sf_dir):
