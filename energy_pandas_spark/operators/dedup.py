@@ -1100,15 +1100,39 @@ def embedding_neardup_pairs(
     found at any width, while distant-pair per-band recall decays as
     ``p^bits`` — widen ``bands`` to compensate if low-threshold recall
     matters more than cost."""
+    collapsed_cache = None
     if collapse_exact:
         # exact group-by on the vector column itself (Spark groups by
         # array keys natively) — one corpus shuffle, zero collision
-        # risk, and every downstream stage sees unique vectors only
-        df = df.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+        # risk, and every downstream stage sees unique vectors only.
+        # PERSIST + materialize the collapsed frame (r7, guide §5): it
+        # feeds the auto_bits count, the banding scan AND both verify
+        # joins — each a separate job, so without the cache the
+        # collapse shuffle (and, in pipelines like
+        # text_semantic_neardup, the whole upstream embedding build)
+        # re-ran up to four times. The materialized stats also give
+        # Catalyst the TRUE size of the array-payload verify side (the
+        # r5 broadcast-OOM class). Released via the repo-standard
+        # handle: attach_caches on the returned frame + the tracked
+        # registry the bench drains per iteration.
+        from pyspark import StorageLevel
+
+        df = track_cache(
+            df.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        collapsed_cache = df
     if dim is None:
         first = df.select(F.size(vec_col)).limit(1).collect()
         dim = first[0][0] if first else 0
     per_band = n_planes // bands
+    if collapse_exact:
+        # one count materializes the cache for every consumer below
+        # (and serves auto_bits when enabled)
+        n = df.count()
+    elif auto_bits:
+        n = df.count()
     if auto_bits:
         # size the band-key space to corpus CARDINALITY (the r7 scale
         # lesson): expected bucket occupancy is n / 2^bits, so fixed
@@ -1119,7 +1143,6 @@ def embedding_neardup_pairs(
         # ANY bit width, so planted-dup recovery is bits-independent,
         # while distant-pair per-band recall decays as p^bits — the
         # standard LSH capacity/recall trade, now explicit.
-        n = df.count()
         need = max(1, n // max(max_bucket // 8, 1))
         per_band = min(max(per_band, (need - 1).bit_length()), 62)
     rng = np.random.default_rng(seed)
@@ -1199,7 +1222,10 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return paired.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    out = paired.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+    if collapsed_cache is not None:
+        out = _attach_caches(out, collapsed_cache)
+    return out
 
 
 # ---------------------------------------------------------------------------

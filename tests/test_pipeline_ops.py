@@ -152,6 +152,41 @@ class TestDedup:
         # min-id representatives of the two near-dup groups
         assert got == {(0, 1)}
 
+    def test_embedding_neardup_collapse_cache_released(self, spark):
+        """r7 optimization pin: collapse_exact persists the collapsed
+        representative frame (it feeds the auto_bits count, the banding
+        scan AND both verify joins — four recomputes of the collapse
+        shuffle without it) and must expose the persist through the
+        repo-standard release handle so no cache outlives the caller."""
+        from energy_pandas_spark.util import release_caches
+
+        spark.catalog.clearCache()
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),  # exact copy of 0 -> collapses
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=16, bands=8, dim=4,
+            collapse_exact=True,
+        )
+        caches = getattr(out, "_eps_caches", ())
+        assert len(caches) == 1, "collapse path must attach its persist"
+        assert out.count() >= 1  # (0, 1) survives over representatives
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert not jcm.isEmpty()
+        release_caches(out)
+        assert jcm.isEmpty(), "release handle must drop the collapse cache"
+        # no-collapse path attaches nothing
+        lazy = embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=16, bands=8, dim=4
+        )
+        assert getattr(lazy, "_eps_caches", ()) == ()
+
     def test_embedding_neardup_auto_bits(self, spark):
         """r7 capacity fix: fixed band-key bits degenerate every
         bucket once uniques outgrow 2^bits * max_bucket; auto_bits
