@@ -2074,29 +2074,31 @@ def neardup_eval(
     # array_intersect (measured 6x on the sf0.1 fixture); still
     # quadratic per hot shingle (freq² pairs — the exactness cost, no
     # bucket cap allowed here), so the sample bound stays the contract.
-    ex = (
+    sh = (
         # _spread: the hash-sampled slice of a single-file corpus
         # otherwise shingles on one scan partition (see containment).
-        # FLAT postings persist (id, set size, shingle): the per-doc
-        # string-ARRAY cache it replaces was the query's dominant
-        # stage in the r7 profile (InMemoryRelation batches over
-        # array<string>), and the persist stays — like the
-        # minhash_lsh_pairs verify cache, it hands Catalyst the TRUE
-        # size of the self-join's sides, so a postings side is
-        # broadcast only when it genuinely fits (the sf10
-        # broadcast-OOM class). Carrying the distinct-set size
-        # through the explode (two ints per row) lets the pair
-        # aggregate read both union sizes off its own matched rows —
-        # the two per-side sizes joins disappear outright (guide
-        # §2.3/§2.4).
+        # Per-doc ARRAY persist + sizes riding the explode (the
+        # measured best of three shapes, interleaved best-of-4 ×2 at
+        # sf0.1 on the declared query: array+sizes-joins 6.37/6.92s,
+        # FLAT (id, n, shingle) persist 11.21/11.66s, this hybrid
+        # 5.81/6.12s — the flat string-per-row cache the r7 mid-build
+        # commit introduced stored every shingle as its own cached row
+        # and was a 2x regression once a calm window existed; reverted
+        # here while KEEPING its good half). Carrying the distinct-set
+        # size through the explode (two ints per row) lets the pair
+        # aggregate read both union sizes off its own matched rows via
+        # first(), so the two per-side sizes joins stay gone (guide
+        # §2.3/§2.4). The persist hands Catalyst the TRUE size of the
+        # self-join's sides — a postings side broadcasts only when it
+        # genuinely fits (the sf10 broadcast-OOM class).
         _shingle_sets(_spread(sample), text_col, id_col, shingle_size)
         .withColumn("__n", F.size("__sh").cast("long"))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col("__n"),
-            F.explode("__sh").alias("__s"),
-        )
         .persist()  # two consumers: both postings sides of the co-join
+    )
+    ex = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("__n"),
+        F.explode("__sh").alias("__s"),
     )
     co = (
         ex.select(
@@ -2165,4 +2167,4 @@ def neardup_eval(
             "recall_permille",
         )
     )
-    return _release_caches(card, ex) if eager else _attach_caches(card, ex)
+    return _release_caches(card, sh) if eager else _attach_caches(card, sh)
