@@ -11648,12 +11648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver hash-checks the first ~50 entries per
     # round, so registry order IS the verification-rotation policy
     # (scripts/rotation_report.py; enforced by tests/test_rotation.py).
-    # Round-7 window (VERDICT r6 #1/#2): six §2 canaries, then the 13
-    # rows-only queries — their FIRST driver CORRECTNESS rows ever
-    # (rows_match; adjudicated rows-only-by-nature, SURVEY §8) — then
-    # doc_bpe_tokens (r1-stale) and the 30 stalest r2 greens. Tail =
-    # remaining greens, oldest check first (the local pytest gate
-    # still runs every entry every time).
+    # Round-8 window (VERDICT r7 #2): ORACLE-BACKED slots only — the
+    # production driver has no rows-only check path, so the 13
+    # rows-only queries headed in r7 came back err=no_oracle with zero
+    # evidence (their correctness pin stays the local suite; SURVEY
+    # §8). Head = 6 permanent §2 canaries, then the stalest
+    # oracle-backed greens (the 11 r2 greens the r7 window could not
+    # fit, then the r3 block). Tail = remaining greens, oldest check
+    # first (the local pytest gate still runs every entry every time).
     return {
         # -- §2 reference-parity canaries (permanent head) --
         "with_timeindex": with_timeindex,
@@ -11662,54 +11664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldc": ldc,
         "series_align_arithmetic": series_align_arithmetic,
         "reportdata_pivot": reportdata_pivot,
-        # -- rows-only queries: first-ever driver rows (r7 window) --
-        "pq_topk_embeddings": pq_topk_embeddings,
-        "doc_classifier_trained": doc_classifier_trained,
-        "audio_features_media": audio_features_media,
-        "text_semantic_neardup": text_semantic_neardup,
-        "unigram_vocab_docs": unigram_vocab_docs,
-        "compression_ratio_docs": compression_ratio_docs,
-        "embedding_neardup": embedding_neardup,
-        "ivf_topk": ivf_topk,
-        "media_features": media_features,
-        "image_neardup_media": image_neardup_media,
-        "video_features_media": video_features_media,
-        "discretize_typical_periods": discretize_typical_periods,
-        "corpus_sketch_stats": corpus_sketch_stats,
-        # -- stalest greens fill the window to 50 (green r1 →) --
-        "doc_bpe_tokens": doc_bpe_tokens,
-        # -- stalest greens fill the window to 50 (green r2 →) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "top_spenders_per_nation": top_spenders_per_nation,
-        "to_ip_watts": to_ip_watts,
-        "normalize_minmax": normalize_minmax,
-        "monthly_avg": monthly_avg,
-        "gap_fill_hourly": gap_fill_hourly,
-        "value_diff_per_user": value_diff_per_user,
-        "p_max_by_type": p_max_by_type,
-        "time_at_min": time_at_min,
-        "above_avg_orders": above_avg_orders,
-        "source_side": source_side,
-        "rowwise_mean": rowwise_mean,
-        "unstack_periods": unstack_periods,
-        "asof_join_hourly": asof_join_hourly,
-        "interval_join_windows": interval_join_windows,
-        "rolling_1h_avg": rolling_1h_avg,
-        "cumulative_user_spend": cumulative_user_spend,
-        "tumbling_1h": tumbling_1h,
-        "sessionize_30m": sessionize_30m,
-        "graph_components": graph_components,
-        "props_key_histogram": props_key_histogram,
-        "salted_join_priority_revenue": salted_join_priority_revenue,
-        "value_percentiles": value_percentiles,
-        "doc_token_count": doc_token_count,
-        "doc_quality": doc_quality,
-        "lang_distribution": lang_distribution,
-        "langid_heuristic": langid_heuristic,
-        "dedup_exact": dedup_exact,
-        # ==== below this line: outside the ~50-query driver window ====
+        # -- stalest oracle-backed greens fill the window to 50 --
         "incremental_dedup_docs": incremental_dedup_docs,
         "fuzzy_pairs_prefix": fuzzy_pairs_prefix,
         "minhash_pairs": minhash_pairs,
@@ -11721,7 +11676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": tfidf_top3,
         "ngram_top100": ngram_top100,
         "redact_pii_docs": redact_pii_docs,
-        # -- parked: driver-green r3 --
         "benchmark_contamination": benchmark_contamination,
         "q4_late_orders": q4_late_orders,
         "doc_repetition": doc_repetition,
@@ -11755,6 +11709,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "value_trend_by_type": value_trend_by_type,
         "robust_scale_by_type": robust_scale_by_type,
+        # -- driver window ends here; tail rotates up next round --
+        "pq_topk_embeddings": pq_topk_embeddings,
+        "doc_classifier_trained": doc_classifier_trained,
+        "audio_features_media": audio_features_media,
+        "text_semantic_neardup": text_semantic_neardup,
+        "unigram_vocab_docs": unigram_vocab_docs,
+        "compression_ratio_docs": compression_ratio_docs,
+        "embedding_neardup": embedding_neardup,
+        "ivf_topk": ivf_topk,
+        "media_features": media_features,
+        "image_neardup_media": image_neardup_media,
+        "video_features_media": video_features_media,
+        "discretize_typical_periods": discretize_typical_periods,
+        "corpus_sketch_stats": corpus_sketch_stats,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "top_spenders_per_nation": top_spenders_per_nation,
+        "to_ip_watts": to_ip_watts,
+        "normalize_minmax": normalize_minmax,
+        "monthly_avg": monthly_avg,
+        "gap_fill_hourly": gap_fill_hourly,
+        "value_diff_per_user": value_diff_per_user,
+        "p_max_by_type": p_max_by_type,
+        "time_at_min": time_at_min,
+        "above_avg_orders": above_avg_orders,
+        "source_side": source_side,
+        "rowwise_mean": rowwise_mean,
+        "unstack_periods": unstack_periods,
+        "asof_join_hourly": asof_join_hourly,
+        "interval_join_windows": interval_join_windows,
+        "rolling_1h_avg": rolling_1h_avg,
+        "cumulative_user_spend": cumulative_user_spend,
+        "tumbling_1h": tumbling_1h,
+        "sessionize_30m": sessionize_30m,
+        "graph_components": graph_components,
+        "props_key_histogram": props_key_histogram,
+        "salted_join_priority_revenue": salted_join_priority_revenue,
+        "value_percentiles": value_percentiles,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "lang_distribution": lang_distribution,
+        "langid_heuristic": langid_heuristic,
+        "dedup_exact": dedup_exact,
         "doc_dup_spans": doc_dup_spans,
         "value_rank_stats": value_rank_stats,
         "rolling_trend_by_type": rolling_trend_by_type,
@@ -11770,7 +11769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": cube_orders,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk_blas": cosine_topk_blas,
-        # -- parked: driver-green r4 --
         "q10_returned_items": q10_returned_items,
         "encode_docs_vocab": encode_docs_vocab,
         "hash_split_dist": hash_split_dist,
@@ -11816,7 +11814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom_docs": contamination_bloom_docs,
         "corpus_report_docs": corpus_report_docs,
         "chunk_docs_cdc": chunk_docs_cdc,
-        # -- parked: driver-green r5 --
         "doc_min_fingerprint": doc_min_fingerprint,
         "temperature_mixture_docs": temperature_mixture_docs,
         "line_dedup_docs": line_dedup_docs,
@@ -11860,7 +11857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_users_events": rfm_users_events,
         "js_divergence_docs": js_divergence_docs,
         "acf_hourly_events": acf_hourly_events,
-        # -- parked: driver-green r6 --
         "doc_hashed_embedding": doc_hashed_embedding,
         "ccf_click_error_events": ccf_click_error_events,
         "trimmed_mean_events": trimmed_mean_events,

@@ -67,11 +67,17 @@ def rotation_state(window: int = 50) -> dict:
                 last_red[name] = max(last_red.get(name, 0), rnd)
 
     oracle_backed = [q for q in queries if q in oracles]
-    # r7 policy extension (VERDICT r6 #1): rows-only queries rotate
-    # through the window too — rows_match is their driver signal.
-    never = [q for q in queries if q not in last_green]
+    # r8 policy fix (VERDICT r7 #2 and "what's wrong" #3, reversing the
+    # r7 extension): the PRODUCTION driver has no rows-only check path —
+    # all 13 non-oracle queries headed in the r7 window came back
+    # err=no_oracle / rows_match=null, producing ZERO driver evidence
+    # and wasting 13 of 50 slots. Window slots therefore go to
+    # oracle-backed queries only; rows-only queries keep their
+    # local-suite correctness pin (SURVEY §8) and never occupy a
+    # driver slot.
+    never = [q for q in oracle_backed if q not in last_green]
     stale = sorted(
-        (q for q in queries if q in last_green),
+        (q for q in oracle_backed if q in last_green),
         key=lambda q: (last_green[q], queries.index(q)),
     )
     red_unproven = [
